@@ -1,0 +1,100 @@
+"""Reference XLA rasterizer: ordered source-over compositing of a quad tape.
+
+This is the semantic ground truth for the Pallas tile kernel: a jitted
+`lax.fori_loop` over quads, each evaluated over the full frame and composited
+in draw order with the GL blend equation (glutils.nim:150-154). Correct for
+any scene; the Pallas path (ops/raster_pallas.py) must match it bit-for-bit
+modulo float association.
+
+Mask semantics mirror the GL mask pipeline exactly (glcontext.nim:1873-1949 +
+glsl/mask.frag:187-233): mask planes are single-channel; a mask-write quad
+with coverage `a` lands as `a*a + dst*(1-a)` because the mask shader outputs
+vec4(alpha) through the standard blend; reads multiply fragment alpha.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .layout import QI_MASK, QI_MODE
+from .quad_eval import blend_over, eval_quad
+
+
+def pixel_centers(height: int, width: int, y0: float = 0.0, x0: float = 0.0):
+    """Pixel-center coordinates in the GL y-down ortho frame."""
+    py = y0 + jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+    px = x0 + jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.broadcast_to(py, (height, width))
+    px = jnp.broadcast_to(px, (height, width))
+    return px, py
+
+
+@partial(jax.jit, static_argnames=("subpixel_positioning",))
+def draw_pass_frame(
+    fields,  # (N, QF_WIDTH) f32
+    modes,  # (N, QI_WIDTH) i32
+    count,  # () i32 — number of valid quads
+    frame,  # (H, W, 4) f32 straight-alpha
+    masks,  # (K, H, W) f32 mask planes; masks[0] must be all-ones
+    atlas=None,  # (S, S, 4) f32
+    backdrop=None,  # (H, W, 4) f32 blurred backdrop for mode 17
+    subpixel_positioning: bool = False,
+):
+    """Composites quads [0, count) into the frame in order."""
+    height, width = frame.shape[0], frame.shape[1]
+    px, py = pixel_centers(height, width)
+
+    def body(i, carry):
+        rgb, a = carry
+        f = fields[i]
+        mode = modes[i, QI_MODE]
+        mask_idx = modes[i, QI_MASK]
+        frag_rgb, frag_a = eval_quad(
+            f, mode, px, py, atlas=atlas, backdrop=backdrop,
+            subpixel_positioning=subpixel_positioning,
+        )
+        mask_val = jax.lax.dynamic_index_in_dim(masks, mask_idx, 0, keepdims=False)
+        frag_a = frag_a * mask_val
+        valid = i < count
+        frag_a = jnp.where(valid, frag_a, 0.0)
+        return blend_over(rgb, a, frag_rgb, frag_a)
+
+    rgb, a = jax.lax.fori_loop(
+        0, fields.shape[0], body, (frame[..., 0:3], frame[..., 3])
+    )
+    return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("subpixel_positioning",))
+def draw_pass_mask(
+    fields,
+    modes,
+    count,
+    mask_plane,  # (H, W) f32 — the mask being written (already cleared)
+    masks,  # (K, H, W) parent planes for the read multiply
+    atlas=None,
+    subpixel_positioning: bool = False,
+):
+    """Composites quads into a mask plane (glsl/mask.frag:233 semantics)."""
+    height, width = mask_plane.shape
+    px, py = pixel_centers(height, width)
+
+    def body(i, m):
+        f = fields[i]
+        mode = modes[i, QI_MODE]
+        mask_idx = modes[i, QI_MASK]
+        _frag_rgb, frag_a = eval_quad(
+            f, mode, px, py, atlas=atlas, backdrop=None,
+            subpixel_positioning=subpixel_positioning,
+        )
+        parent = jax.lax.dynamic_index_in_dim(masks, mask_idx, 0, keepdims=False)
+        frag_a = frag_a * parent
+        valid = i < count
+        frag_a = jnp.where(valid, frag_a, 0.0)
+        # src = vec4(alpha) through (SRC_ALPHA, 1-SRC_ALPHA) on the R channel
+        return frag_a * frag_a + m * (1.0 - frag_a)
+
+    return jax.lax.fori_loop(0, fields.shape[0], body, mask_plane)

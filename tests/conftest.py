@@ -1,0 +1,18 @@
+"""Test harness config: force JAX onto a virtual 8-device CPU mesh.
+
+Tests must run without TPU hardware; multi-chip sharding tests use
+xla_force_host_platform_device_count (the reference's analog is headless
+LLVMpipe CI, SURVEY.md §4.4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

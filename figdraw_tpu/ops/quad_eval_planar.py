@@ -1,0 +1,230 @@
+"""Channel-planar quad evaluation for the Pallas tile kernel.
+
+Same math as ops/quad_eval.py (the atlas.frag port), restructured for TPU
+vector registers: pixel grids are 2D (TH, TW) tiles, colors are four separate
+planes instead of a trailing RGBA dim (trailing dims of 4 waste 124 of 128
+lanes). Atlas-sampling modes (0, 13-16) are NOT handled here — the renderer
+routes runs containing them through the XLA path, where gathers are cheap;
+every SDF mode, backdrop blur and the rect-mask fast path are.
+
+Branch structure: a scalar `mode` drives lax.cond branches so a tile only
+pays for the SDF family its quad actually uses (bezier cubic-root solve and
+the double-SDF inset path are much heavier than the rounded-box path).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import sdf
+from .layout import (
+    QF_AA,
+    QF_COLOR0,
+    QF_FACTORS,
+    QF_INV_A,
+    QF_INV_B,
+    QF_INV_C,
+    QF_INV_D,
+    QF_MID_COLOR,
+    QF_ORG_X,
+    QF_ORG_Y,
+    QF_PARAMS,
+    QF_RADII,
+    QF_RECT_MATX,
+    QF_RECT_MATY,
+    QF_RECT_PARAMS,
+    QF_RECT_RADII,
+    QF_STOP_COLOR,
+)
+from .quad_eval import (
+    MODE_ANNULAR,
+    MODE_ANNULAR_AA,
+    MODE_BACKDROP_BLUR,
+    MODE_BEZIER_BUTT,
+    MODE_BEZIER_ROUND,
+    MODE_BEZIER_SQUARE,
+    MODE_DROP_SHADOW,
+    MODE_DROP_SHADOW_AA,
+    MODE_INSET_SHADOW,
+)
+
+
+def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
+    """Evaluate one SDF quad over a 2D pixel tile.
+
+    fget(k) -> scalar f32 field at layout offset k (reads from a VMEM row or a
+    captured array — keeps this function agnostic of the memory source).
+    mode_packed: scalar i32. px, py: (TH, TW) pixel centers.
+    backdrop_planes: optional tuple of 4 (TH, TW) planes for mode 17.
+
+    Returns (r, g, b, a): straight-alpha fragment planes with quad coverage
+    and rect-mask applied.
+    """
+    fm = mode_packed // 256
+    rest = mode_packed - fm * 256
+    elliptical = rest >= 128
+    mode = jnp.where(elliptical, rest - 128, rest)
+
+    ox = fget(QF_ORG_X)
+    oy = fget(QF_ORG_Y)
+    rx_ = px - ox
+    ry_ = py - oy
+    u = fget(QF_INV_A) * rx_ + fget(QF_INV_B) * ry_
+    v = fget(QF_INV_C) * rx_ + fget(QF_INV_D) * ry_
+    inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+
+    quad_hx = fget(QF_PARAMS + 0)
+    quad_hy = fget(QF_PARAMS + 1)
+    p_x = (u - 0.5) * 2.0 * quad_hx
+    p_y = (v - 0.5) * 2.0 * quad_hy
+
+    r_tr = fget(QF_RADII + 0)
+    r_br = fget(QF_RADII + 1)
+    r_tl = fget(QF_RADII + 2)
+    r_bl = fget(QF_RADII + 3)
+    pz = fget(QF_PARAMS + 2)
+    pw = fget(QF_PARAMS + 3)
+
+    sdf_factor = fget(QF_FACTORS + 0)
+    factor_y = fget(QF_FACTORS + 1)
+    sdf_spread = jnp.where(fm == 0, factor_y, 0.0)
+    aa = fget(QF_AA)
+
+    is_bezier = (mode >= MODE_BEZIER_ROUND) & (mode <= MODE_BEZIER_SQUARE)
+    is_inset = mode == MODE_INSET_SHADOW
+
+    def box_dist(qx, qy, bx, by):
+        d_c = sdf.sd_rounded_box(qx, qy, bx, by, r_tr, r_br, r_tl, r_bl)
+        d_e = sdf.sd_elliptical_rounded_box(qx, qy, bx, by, r_tr, r_br, r_tl, r_bl)
+        return jnp.where(elliptical, d_e, d_c)
+
+    # --- alpha via 3-way branch: box-family / inset / bezier -------------------
+    def alpha_box(_):
+        shape_hx = pz
+        shape_hy = pw
+        dist = box_dist(p_x, -p_y, shape_hx, shape_hy)
+        cl = jnp.clip(aa * dist + 0.5, 0.0, 1.0)
+        a_default = 1.0 - cl
+        fhalf = sdf_factor * 0.5
+        ann_sd = jnp.abs(dist + fhalf) - fhalf
+        a_ann = jnp.where(ann_sd < 0.0, 1.0, 0.0)
+        a_ann_aa = 1.0 - jnp.clip(aa * ann_sd + 0.5, 0.0, 1.0)
+        ds_sd = dist - sdf_spread
+        ds_prof = jnp.minimum(sdf.shadow_profile(ds_sd, sdf_factor), 1.0)
+        a_drop = jnp.where(ds_sd > 0.0, ds_prof, 1.0)
+        a_drop_aa = jnp.where(ds_sd >= 0.0, ds_prof, a_default)
+        a = a_default
+        a = jnp.where(mode == MODE_ANNULAR, a_ann, a)
+        a = jnp.where(mode == MODE_ANNULAR_AA, a_ann_aa, a)
+        a = jnp.where(mode == MODE_DROP_SHADOW, a_drop, a)
+        a = jnp.where(mode == MODE_DROP_SHADOW_AA, a_drop_aa, a)
+        return a
+
+    def alpha_inset(_):
+        qx_c, qy_c = p_x, -p_y
+        qx_s = qx_c - pz
+        qy_s = qy_c + pw
+        clip_dist = box_dist(qx_c, qy_c, quad_hx, quad_hy)
+        shadow_dist = box_dist(qx_s, qy_s, quad_hx, quad_hy)
+        clip_alpha = 1.0 - jnp.clip(aa * clip_dist + 0.5, 0.0, 1.0)
+        in_sd = shadow_dist + sdf_spread
+        in_prof = jnp.minimum(sdf.shadow_profile(in_sd, sdf_factor), 1.0)
+        inset_a = jnp.where(in_sd < 0.0, in_prof, 1.0)
+        return clip_alpha * inset_a
+
+    def alpha_bezier(_):
+        ax_, ay_ = pz, pw
+        bx_, by_ = r_tr, r_br
+        cx_, cy_ = r_tl, r_bl
+        dist = sdf.sd_bezier(p_x, p_y, ax_, ay_, bx_, by_, cx_, cy_)
+        bez_sd = sdf.bezier_stroke_sd(
+            dist, p_x, p_y, ax_, ay_, bx_, by_, cx_, cy_,
+            jnp.maximum(sdf_factor, 0.0) * 0.5,
+            mode, MODE_BEZIER_ROUND, MODE_BEZIER_BUTT, MODE_BEZIER_SQUARE,
+        )
+        return 1.0 - jnp.clip(aa * bez_sd + 0.5, 0.0, 1.0)
+
+    branch = jnp.where(is_bezier, 2, jnp.where(is_inset, 1, 0))
+    alpha = jax.lax.switch(branch, [alpha_box, alpha_inset, alpha_bezier], None)
+
+    # --- fill color (vertex bilinear + linear3), channel-planar ------------------
+    wu = u
+    wv = v
+    w3 = (1.0 - wu) * (1.0 - wv)  # TL (c3)
+    w2 = wu * (1.0 - wv)  # TR (c2)
+    w0 = (1.0 - wu) * wv  # BL (c0)
+    w1 = wu * wv  # BR (c1)
+
+    def vert_channel(ch):
+        return (
+            fget(QF_COLOR0 + 12 + ch) * w3
+            + fget(QF_COLOR0 + 8 + ch) * w2
+            + fget(QF_COLOR0 + 0 + ch) * w0
+            + fget(QF_COLOR0 + 4 + ch) * w1
+        )
+
+    t3 = jnp.where(
+        fm == 1, u,
+        jnp.where(fm == 2, v,
+                  jnp.where(fm == 3, 0.5 * (u + v), 0.5 * (u + (1.0 - v)))),
+    )
+    t3 = jnp.clip(t3, 0.0, 1.0)
+    mid = jnp.clip(factor_y, 0.01, 0.99)
+    lo_t = t3 / mid
+    hi_t = (t3 - mid) / (1.0 - mid)
+    low = t3 <= mid
+
+    def fill_channel(ch):
+        vc = vert_channel(ch)
+        mc = fget(QF_MID_COLOR + ch)
+        sc = fget(QF_STOP_COLOR + ch)
+        lin3 = jnp.where(low, vc * (1.0 - lo_t) + mc * lo_t, mc * (1.0 - hi_t) + sc * hi_t)
+        return jnp.where(fm == 0, vc, lin3)
+
+    fr = fill_channel(0)
+    fg = fill_channel(1)
+    fb = fill_channel(2)
+    fa = fill_channel(3)
+
+    out_r, out_g, out_b = fr, fg, fb
+    out_a = fa * alpha
+
+    if backdrop_planes is not None:
+        is_bd = mode == MODE_BACKDROP_BLUR
+        br, bg, bb, ba = backdrop_planes
+        out_r = jnp.where(is_bd, br, out_r)
+        out_g = jnp.where(is_bd, bg, out_g)
+        out_b = jnp.where(is_bd, bb, out_b)
+        out_a = jnp.where(is_bd, ba * alpha, out_a)
+
+    # --- rect-mask fast path -------------------------------------------------------
+    rm_hx = fget(QF_RECT_PARAMS + 2)
+    rm_hy = fget(QF_RECT_PARAMS + 3)
+    rm_enabled = (rm_hx >= 0.0) & (rm_hy >= 0.0)
+
+    def with_rect_mask(_):
+        lx = fget(QF_RECT_MATX + 0) * px + fget(QF_RECT_MATX + 1) * py + fget(QF_RECT_MATX + 2)
+        ly = fget(QF_RECT_MATY + 0) * px + fget(QF_RECT_MATY + 1) * py + fget(QF_RECT_MATY + 2)
+        qx = lx - fget(QF_RECT_PARAMS + 0)
+        qy = ly - fget(QF_RECT_PARAMS + 1)
+        hx = jnp.maximum(rm_hx, 0.0)
+        hy = jnp.maximum(rm_hy, 0.0)
+        rt, rb, rtl, rbl = (
+            fget(QF_RECT_RADII + 0),
+            fget(QF_RECT_RADII + 1),
+            fget(QF_RECT_RADII + 2),
+            fget(QF_RECT_RADII + 3),
+        )
+        d_c = sdf.sd_rounded_box(qx, -qy, hx, hy, rt, rb, rtl, rbl)
+        d_e = sdf.sd_elliptical_rounded_box(qx, -qy, hx, hy, rt, rb, rtl, rbl)
+        d = jnp.where(fget(QF_RECT_MATY + 3) > 0.5, d_e, d_c)
+        return 1.0 - jnp.clip(aa * d + 0.5, 0.0, 1.0)
+
+    rm_alpha = jax.lax.cond(
+        rm_enabled, with_rect_mask, lambda _: jnp.ones_like(px), None
+    )
+    out_a = out_a * rm_alpha
+
+    out_a = jnp.where(inside, out_a, 0.0)
+    return out_r, out_g, out_b, out_a

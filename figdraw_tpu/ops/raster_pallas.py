@@ -1,11 +1,184 @@
-"""Tiled Pallas TPU rasterizer (binning + per-tile ordered compositing).
+"""Tiled Pallas TPU rasterizer: per-tile ordered alpha compositing.
 
-Performance path replacing ops/raster_ref.py's whole-frame loop. Implemented
-after the reference path validates; until then the renderer falls back.
+The performance path replacing ops/raster_ref.py's whole-frame quad loop —
+the TPU-native analog of the GL fragment pipeline (SURVEY.md §7 step 3):
+
+  1. bin_quads (XLA) maps quad AABBs to per-tile index lists in draw order
+  2. a Pallas kernel over a (tiles_y, tiles_x) grid walks each tile's binned
+     quads with `lax.fori_loop`, evaluates the SDF fragment math over the
+     (TILE_H, TILE_W) VMEM tile and source-over blends in registers —
+     an ordered loop, not a commutative reduce, preserving GL draw order
+  3. only the final tile color hits HBM once per pass
+
+Atlas-sampling modes (0, 13-16) need gathers, which the VPU lacks; the
+renderer routes runs containing them through the XLA path instead (they are
+rare glyph/image quads; the SDF-heavy 300-box benchmark path never leaves
+this kernel).
+
+Frame layout inside the pass is channel-planar (4, H, W): a trailing RGBA
+dim of 4 would waste 124 of 128 vector lanes.
 """
 
 from __future__ import annotations
 
+import functools
 
-def draw_pass_frame(*args, **kwargs):
-    raise NotImplementedError("pallas rasterizer lands after the reference path")
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import bin_quads
+from .quad_eval_planar import eval_quad_planar
+from .layout import QI_MASK, QI_MODE
+
+TILE_H = 128
+TILE_W = 128
+
+# modes that sample the atlas texture: sdfModeAtlas + the MSDF family
+ATLAS_BASE_MODES = (0, 13, 14, 15, 16)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def run_uses_atlas(modes_np, count: int) -> bool:
+    """Host-side check: does this run need texture gathers? (numpy, pre-upload)"""
+    import numpy as np
+
+    if count <= 0:
+        return False
+    base = modes_np[:count, QI_MODE] % 256
+    base = np.where(base >= 128, base - 128, base)
+    return bool(np.isin(base, ATLAS_BASE_MODES).any())
+
+
+def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
+            *rest, tiles_x: int, has_backdrop: bool):
+    if has_backdrop:
+        backdrop_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * tiles_x + tx
+    count = counts_ref[t]
+
+    th, tw = frame_ref.shape[1], frame_ref.shape[2]
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    py = y0 + iy + 0.5
+    px = x0 + ix + 0.5
+
+    if has_backdrop:
+        bd = (backdrop_ref[0], backdrop_ref[1], backdrop_ref[2], backdrop_ref[3])
+    else:
+        bd = None
+
+    def body(j, carry):
+        r, g, b, a = carry
+        qi = tidx_ref[0, j]
+
+        def fget(k):
+            return fields_ref[qi, k]
+
+        mode = modes_ref[qi, QI_MODE]
+        mask_i = modes_ref[qi, QI_MASK]
+        fr, fg, fb, fa = eval_quad_planar(fget, mode, px, py, backdrop_planes=bd)
+        fa = fa * masks_ref[mask_i]
+        inv = 1.0 - fa
+        return (fr * fa + r * inv, fg * fa + g * inv, fb * fa + b * inv, fa + a * inv)
+
+    init = (frame_ref[0], frame_ref[1], frame_ref[2], frame_ref[3])
+    r, g, b, a = jax.lax.fori_loop(0, count, body, init)
+    out_ref[0] = r
+    out_ref[1] = g
+    out_ref[2] = b
+    out_ref[3] = a
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "has_backdrop")
+)
+def _raster_tiles(fields, modes, tile_idx, tile_counts, frame_planes, masks,
+                  backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool):
+    n = fields.shape[0]
+    n_masks = masks.shape[0]
+    th, tw = TILE_H, TILE_W
+
+    def tile_map(ty, tx, *_refs):
+        return (0, ty, tx)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fields, whole
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # modes, whole
+        pl.BlockSpec((1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0),
+                     memory_space=pltpu.SMEM),  # tile index list row
+        pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),  # frame tile
+        pl.BlockSpec((n_masks, th, tw), lambda ty, tx, *_r: (0, ty, tx),
+                     memory_space=pltpu.VMEM),  # mask tiles
+    ]
+    inputs = [fields, modes, tile_idx, frame_planes, masks]
+    if has_backdrop:
+        in_specs.append(
+            pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM)
+        )
+        inputs.append(backdrop_planes)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles_y, tiles_x),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
+    )
+
+    kernel = functools.partial(_kernel, tiles_x=tiles_x, has_backdrop=has_backdrop)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(frame_planes.shape, jnp.float32),
+        interpret=_interpret(),
+    )(tile_counts, *inputs)
+    return out
+
+
+def draw_pass_frame(fields, modes, count, frame, masks, atlas=None, backdrop=None,
+                    subpixel_positioning: bool = False):
+    """Drop-in replacement for raster_ref.draw_pass_frame for SDF-only runs.
+
+    frame: (H, W, 4) f32; masks: (K, H, W); backdrop: (H, W, 4) or None.
+    """
+    height, width = frame.shape[0], frame.shape[1]
+    tiles_y = -(-height // TILE_H)
+    tiles_x = -(-width // TILE_W)
+    ph = tiles_y * TILE_H
+    pw = tiles_x * TILE_W
+
+    tile_idx, tile_counts = bin_quads(fields, count, tiles_y, tiles_x, TILE_H, TILE_W)
+
+    frame_planes = jnp.transpose(frame, (2, 0, 1))
+    if (ph, pw) != (height, width):
+        frame_planes = jnp.pad(frame_planes, ((0, 0), (0, ph - height), (0, pw - width)))
+        masks_p = jnp.pad(masks, ((0, 0), (0, ph - height), (0, pw - width)))
+    else:
+        masks_p = masks
+
+    has_backdrop = backdrop is not None
+    if has_backdrop:
+        backdrop_planes = jnp.transpose(backdrop, (2, 0, 1))
+        if (ph, pw) != (height, width):
+            backdrop_planes = jnp.pad(
+                backdrop_planes, ((0, 0), (0, ph - height), (0, pw - width))
+            )
+    else:
+        backdrop_planes = None
+
+    out = _raster_tiles(
+        fields, modes, tile_idx, tile_counts, frame_planes, masks_p,
+        backdrop_planes, tiles_y, tiles_x, has_backdrop,
+    )
+    out = out[:, :height, :width]
+    return jnp.transpose(out, (1, 2, 0))

@@ -94,6 +94,23 @@ def sd_elliptical_rounded_box(px, py, bx, by, r_tr, r_br, r_tl, r_bl):
     return jnp.where(selected < 0.0, d_circular, d)
 
 
+def _acos(x):
+    """Polynomial acos (Abramowitz & Stegun 4.4.45, |err| < 6.7e-5 rad) —
+    neither arccos nor atan2 lower in Pallas TPU."""
+    xc = jnp.clip(x, -1.0, 1.0)
+    a = jnp.abs(xc)
+    poly = 1.5707288 + a * (-0.2121144 + a * (0.0742610 + a * (-0.0187293)))
+    r = jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) * poly
+    return jnp.where(xc >= 0.0, r, 3.14159265358979 - r)
+
+
+def _cbrt(x):
+    """Signed cube root via exp/log — jnp.cbrt has no Pallas TPU lowering."""
+    ax = jnp.abs(x)
+    r = jnp.exp(jnp.log(jnp.maximum(ax, 1e-30)) / 3.0)
+    return jnp.where(ax < 1e-30, 0.0, jnp.sign(x) * r)
+
+
 def sd_bezier(posx, posy, ax_, ay_, bx_, by_, cx_, cy_):
     """Exact quadratic-bezier distance via the cubic-root solve
     (atlas.frag:121-160). Control points A, B, C are scalars; pos broadcasts.
@@ -139,8 +156,8 @@ def sd_bezier(posx, posy, ax_, ay_, bx_, by_, cx_, cy_):
     hs = jnp.sqrt(jnp.maximum(h, 0.0))
     x1 = (hs - q) / 2.0
     x2 = (-hs - q) / 2.0
-    root1 = jnp.cbrt(x1)
-    root2 = jnp.cbrt(x2)
+    root1 = _cbrt(x1)
+    root2 = _cbrt(x2)
     t_single = jnp.clip(root1 + root2 - kx, 0.0, 1.0)
     res_single = dot2t(t_single)
 
@@ -149,7 +166,7 @@ def sd_bezier(posx, posy, ax_, ay_, bx_, by_, cx_, cy_):
     z = jnp.sqrt(jnp.maximum(-p, 1e-12))
     denom = p * z * 2.0
     denom = jnp.where(jnp.abs(denom) < 1e-12, -1e-12, denom)
-    v = jnp.arccos(jnp.clip(q / denom, -1.0, 1.0)) / 3.0
+    v = _acos(jnp.clip(q / denom, -1.0, 1.0)) / 3.0
     m = jnp.cos(v)
     n = jnp.sin(v) * 1.732050808
     t1 = jnp.clip((m + m) * z - kx, 0.0, 1.0)

@@ -171,12 +171,13 @@ class FigRenderer:
             elif isinstance(item, DrawItem):
                 if item.end <= item.start:
                     continue
-                run_fields, run_modes, run_count = self._slice_run(
+                run_fields, run_modes, run_count, run_modes_np = self._slice_run(
                     fields, modes, item.start, item.end
                 )
                 if item.target == FRAME_TARGET:
                     frame = self._draw_frame_pass(
-                        run_fields, run_modes, run_count, frame, masks, atlas, backdrop
+                        run_fields, run_modes, run_count, frame, masks, atlas,
+                        backdrop, run_modes_np,
                     )
                 else:
                     plane = masks[item.target]
@@ -201,19 +202,19 @@ class FigRenderer:
         rm = np.zeros((n, QI_WIDTH), dtype=np.int32)
         rf[:count] = fields[start:end]
         rm[:count] = modes[start:end]
-        return jnp.asarray(rf), jnp.asarray(rm), jnp.int32(count)
+        return jnp.asarray(rf), jnp.asarray(rm), jnp.int32(count), rm
 
-    def _draw_frame_pass(self, fields, modes, count, frame, masks, atlas, backdrop):
-        if self.use_pallas:
-            try:
-                from .ops import raster_pallas
+    def _draw_frame_pass(self, fields, modes, count, frame, masks, atlas,
+                         backdrop, modes_np=None):
+        if self.use_pallas and modes_np is not None:
+            from .ops import raster_pallas
 
+            # atlas-sampling quads need gathers → XLA path (raster_pallas docstring)
+            if not raster_pallas.run_uses_atlas(modes_np, int(count)):
                 return raster_pallas.draw_pass_frame(
                     fields, modes, count, frame, masks, atlas, backdrop,
                     subpixel_positioning=self.text_subpixel_positioning,
                 )
-            except NotImplementedError:
-                pass
         return raster_ref.draw_pass_frame(
             fields,
             modes,

@@ -8,7 +8,11 @@ LLVMpipe CI, SURVEY.md §4.4).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the environment pre-sets JAX_PLATFORMS=axon (TPU tunnel), whose
+# backend init alone costs ~80 s — tests never want it. Set FIGDRAW_TEST_TPU=1
+# to run the suite against the real chip.
+if os.environ.get("FIGDRAW_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

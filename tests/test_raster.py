@@ -1,0 +1,212 @@
+"""Rasterizer correctness: analytic checks + pallas-vs-reference parity.
+
+The XLA reference rasterizer is validated analytically against the GL
+semantics (blend math, SDF coverage, gradients, shadows), then the Pallas
+tile kernel must match the reference bit-for-bit-ish (same math, different
+tiling) on the same tapes.
+"""
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import (
+    Fig,
+    FigFlags,
+    FigKind,
+    FigRenderer,
+    RenderStroke,
+    RenderShadow,
+    ShadowStyle,
+    fill,
+    linear,
+    fgaX,
+    new_renders,
+    rect,
+    rgba,
+    vec2,
+)
+from figdraw_tpu.nodes import RenderList, drawable_bezier, drawable_circle, drawable_line
+
+
+def render_scene(lst, w=96, h=64, use_pallas=False):
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    ren.render_frame(r, vec2(w, h))
+    return ren.take_screenshot().astype(np.float32)
+
+
+def simple_scene():
+    lst = RenderList()
+    lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(8, 8, 50, 30),
+            fill=fill(rgba(255, 0, 0, 255)), corners=(6, 6, 6, 6),
+            stroke=RenderStroke(weight=3.0, fill=fill(rgba(0, 0, 0, 255)))))
+    lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(30, 16, 50, 30),
+            fill=linear(rgba(0, 255, 0, 155), rgba(0, 0, 255, 155), axis=fgaX)))
+    lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(20, 30, 40, 24),
+            corners=(10, 10, 10, 10), corner_radii_y=(5, 5, 5, 5),
+            flags=FigFlags.NfEllipticalCorners,
+            fill=fill(rgba(255, 180, 20, 200))))
+    return lst
+
+
+def shadow_scene():
+    lst = RenderList()
+    lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(20, 14, 40, 26),
+            corners=(8, 8, 8, 8), fill=fill(rgba(40, 180, 90, 255)),
+            shadows=(RenderShadow(style=ShadowStyle.DropShadow, blur=8.0,
+                                  spread=4.0, x=5.0, y=5.0,
+                                  fill=fill(rgba(0, 0, 0, 155))),)))
+    lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(45, 28, 40, 26),
+            fill=fill(rgba(60, 90, 220, 255)),
+            shadows=(RenderShadow(style=ShadowStyle.InnerShadow, blur=6.0,
+                                  spread=3.0, x=3.0, y=3.0,
+                                  fill=fill(rgba(0, 0, 0, 200))),)))
+    return lst
+
+
+def drawable_scene():
+    lst = RenderList()
+    lst.add_root(
+        Fig(kind=FigKind.nkDrawable, screen_box=rect(0, 0, 96, 64),
+            fill=fill(rgba(255, 0, 0, 255)),
+            draw_stroke=RenderStroke(weight=4.0, fill=fill(rgba(0, 0, 200, 255))),
+            draw_ops=(
+                drawable_line(vec2(10, 10), vec2(80, 20)),
+                drawable_circle(vec2(30, 40), 12.0),
+                drawable_bezier([vec2(10, 55), vec2(48, 25), vec2(88, 55)]),
+            )))
+    return lst
+
+
+def test_background_clear():
+    img = render_scene(RenderList())
+    assert np.all(img == 255)
+
+
+def test_solid_rect_coverage_and_blend():
+    img = render_scene(simple_scene())
+    # deep inside red rect, left of gradient: pure red
+    assert np.array_equal(img[20, 15], [255, 0, 0, 255])
+    # gradient over white at right side: alpha 155/255 blue-ish mix
+    px = img[20, 75]
+    assert px[2] > px[1] > px[0]  # blue dominant
+
+
+def test_gradient_midpoint_math():
+    img = render_scene(simple_scene())
+    # gradient rect spans x 30..80; at pixel center x+0.5, u=(x+0.5-30)/50
+    # x=65, y=20 lies over plain white background (red rect ends at x=58)
+    x = 65
+    u = (x + 0.5 - 30) / 50.0
+    a = 155 / 255.0
+    g = round(255 * (1 - u))
+    b = round(255 * u)
+    src = np.array([0, g * 1.0, b * 1.0, 155.0])
+    dst = np.array([255.0, 255, 255, 255])
+    exp_rgb = src[:3] * a + dst[:3] * (1 - a)
+    exp_a = 155 + 255 * (1 - a)
+    got = img[20, x]
+    assert np.allclose(got[:3], np.round(exp_rgb), atol=1.5)
+    assert abs(got[3] - round(exp_a)) <= 1
+
+
+def test_rounded_corner_cut():
+    img = render_scene(simple_scene())
+    # the red rect corner at (8,8) with radius 6: pixel (9,9) is outside the arc
+    assert img[9, 9, 0] > 200  # mostly white/blend, not stroke black
+    # dead corner (8.5, 8.5): dist to center (14,14) ≈ 7.78 > 6 → background
+    assert np.all(img[8, 8] >= 250)
+
+
+def test_drop_and_inner_shadow_profiles():
+    img = render_scene(shadow_scene())
+    # shadow darkens area right+below of the green rect, beyond its edge
+    shadow_px = img[44, 66]  # below-right of rect (20..60 x, 14..40 y)
+    assert shadow_px[0] < 255  # darkened
+    # inner shadow darkens the blue rect's top-left interior edge more than center
+    inner_edge = img[30, 47]
+    center = img[40, 65]
+    assert inner_edge[2] < center[2] or inner_edge[0] < center[0]
+
+
+def test_zlevel_order():
+    r = new_renders()
+    a = RenderList()
+    a.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(10, 10, 40, 40),
+                   fill=fill(rgba(255, 0, 0, 255))))
+    b = RenderList()
+    b.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(20, 20, 40, 40),
+                   fill=fill(rgba(0, 0, 255, 255))))
+    # insert higher zlevel first — draw order must still be ascending zlevel
+    r.set_layer(1, b)
+    r.set_layer(0, a)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.render_frame(r, vec2(80, 80))
+    img = ren.take_screenshot()
+    assert np.array_equal(img[40, 40], [0, 0, 255, 255])  # blue on top
+    assert np.array_equal(img[15, 15], [255, 0, 0, 255])
+
+
+@pytest.mark.parametrize("scene_fn", [simple_scene, shadow_scene, drawable_scene])
+def test_pallas_matches_reference(scene_fn):
+    ref = render_scene(scene_fn(), use_pallas=False)
+    pal = render_scene(scene_fn(), use_pallas=True)
+    diff = np.abs(ref - pal)
+    assert diff.max() <= 1.0, f"max diff {diff.max()} at {np.unravel_index(diff.argmax(), diff.shape)}"
+
+
+def test_clip_mask():
+    lst = RenderList()
+    parent = lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(10, 10, 40, 30),
+            corners=(12, 12, 12, 12), flags=FigFlags.NfClipContent,
+            fill=fill(rgba(200, 200, 200, 255))))
+    lst.add_child(parent, Fig(kind=FigKind.nkRectangle,
+                              screen_box=rect(0, 0, 96, 64),
+                              fill=fill(rgba(255, 0, 0, 255))))
+    img = render_scene(lst)
+    # child red fills only inside the clip shape
+    assert np.array_equal(img[25, 30], [255, 0, 0, 255])
+    assert np.all(img[5, 5] == 255)  # outside clip: background
+    # rounded clip corner: (11, 11) outside the radius-12 arc
+    assert img[11, 11, 1] > 100  # not pure red
+
+
+def test_rect_mask_fast_path():
+    lst = RenderList()
+    parent = lst.add_root(
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(10, 10, 40, 30),
+            corners=(8, 8, 8, 8), flags=FigFlags.NfRectMaskContent,
+            fill=fill(rgba(200, 200, 200, 255))))
+    lst.add_child(parent, Fig(kind=FigKind.nkRectangle,
+                              screen_box=rect(0, 0, 96, 64),
+                              fill=fill(rgba(255, 0, 0, 255))))
+    img = render_scene(lst)
+    assert np.array_equal(img[25, 30], [255, 0, 0, 255])
+    assert np.all(img[5, 70] == 255)
+
+
+def test_backdrop_blur_smoothing():
+    lst = RenderList()
+    # hard edge: black rect on white
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 48, 64),
+                     fill=fill(rgba(0, 0, 0, 255))))
+    from figdraw_tpu.basics import BackdropBlurStyle
+    lst.add_root(Fig(kind=FigKind.nkBackdropBlur, screen_box=rect(24, 8, 48, 48),
+                     fill=fill(rgba(0, 0, 0, 0)),
+                     backdrop_blur=BackdropBlurStyle(blur=10.0)))
+    img = render_scene(lst)
+    # inside the blur panel, across the black/white edge at x=48: smooth ramp
+    row = img[32, 40:60, 0]
+    assert row.min() < 60 and row.max() > 200
+    grad = np.abs(np.diff(row.astype(int)))
+    assert grad.max() < 90  # no hard jump under the blur panel
+    # outside the panel the edge is hard
+    row2 = img[4, 40:60, 0]
+    assert np.abs(np.diff(row2.astype(int))).max() > 150

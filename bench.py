@@ -1,0 +1,77 @@
+"""Benchmark: 300-box animated shadow scene at 1080p on one TPU chip.
+
+Reproduces the reference's headline demo workload
+(/root/reference/examples/renderlist_100_common.nim + README.md:76 "120 FPS")
+and the driver's north star (BASELINE.json: < 2 ms/frame @ 1080p).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is the median end-to-end frame time in ms (host flatten + device rasterize)
+and vs_baseline is the speedup over the reference's 120 FPS (8.333 ms).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+WIDTH, HEIGHT = 1920, 1080
+WARMUP = 4
+FRAMES = 24
+BASELINE_MS = 1000.0 / 120.0  # reference demo: "running at 120 FPS"
+
+
+def main():
+    from figdraw_tpu import FigRenderer, vec2
+    from figdraw_tpu.scenes import make_render_tree
+
+    renderer = FigRenderer(atlas_size=256, use_pallas=True)
+    size = vec2(WIDTH, HEIGHT)
+
+    # warmup: animated frames hit every jit signature (pass structure is stable)
+    for f in range(WARMUP):
+        frame = renderer.render_frame(make_render_tree(WIDTH, HEIGHT, f), size)
+    frame.block_until_ready()
+
+    flatten_ms = []
+    device_ms = []
+    total_ms = []
+    for f in range(WARMUP, WARMUP + FRAMES):
+        t0 = time.perf_counter()
+        renders = make_render_tree(WIDTH, HEIGHT, f)
+        tape = renderer.flatten(renders, size)
+        t1 = time.perf_counter()
+        out = renderer.execute(tape)
+        out.block_until_ready()
+        t2 = time.perf_counter()
+        flatten_ms.append((t1 - t0) * 1000.0)
+        device_ms.append((t2 - t1) * 1000.0)
+        total_ms.append((t2 - t0) * 1000.0)
+
+    med = float(np.median(total_ms))
+    print(
+        json.dumps(
+            {
+                "metric": "frame_time_1080p_300box",
+                "value": round(med, 3),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / med, 3),
+            }
+        )
+    )
+    print(
+        f"breakdown: flatten(host) med={np.median(flatten_ms):.2f}ms "
+        f"p95={np.percentile(flatten_ms, 95):.2f}ms | "
+        f"device med={np.median(device_ms):.2f}ms "
+        f"p95={np.percentile(device_ms, 95):.2f}ms | "
+        f"total p95={np.percentile(total_ms, 95):.2f}ms "
+        f"fps={1000.0 / med:.1f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

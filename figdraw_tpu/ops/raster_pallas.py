@@ -80,7 +80,7 @@ def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
 
     def body(j, carry):
         r, g, b, a = carry
-        qi = tidx_ref[0, j]
+        qi = tidx_ref[0, 0, j]
 
         def fget(k):
             return fields_ref[qi, k]
@@ -115,7 +115,7 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, frame_planes, masks,
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # fields, whole
         pl.BlockSpec(memory_space=pltpu.VMEM),  # modes, whole
-        pl.BlockSpec((1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0),
+        pl.BlockSpec((1, 1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0, 0),
                      memory_space=pltpu.SMEM),  # tile index list row
         pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),  # frame tile
         pl.BlockSpec((n_masks, th, tw), lambda ty, tx, *_r: (0, ty, tx),
@@ -158,6 +158,7 @@ def draw_pass_frame(fields, modes, count, frame, masks, atlas=None, backdrop=Non
     pw = tiles_x * TILE_W
 
     tile_idx, tile_counts = bin_quads(fields, count, tiles_y, tiles_x, TILE_H, TILE_W)
+    tile_idx = tile_idx[:, None, :]  # (T, 1, N): TPU block dims must tile the last two axes
 
     frame_planes = jnp.transpose(frame, (2, 0, 1))
     if (ph, pw) != (height, width):

@@ -42,10 +42,11 @@ def draw_pass_frame(
     atlas=None,  # (S, S, 4) f32
     backdrop=None,  # (H, W, 4) f32 blurred backdrop for mode 17
     subpixel_positioning: bool = False,
+    y_offset=0.0,  # global row of frame[0] — nonzero when row-sharded over a mesh
 ):
     """Composites quads [0, count) into the frame in order."""
     height, width = frame.shape[0], frame.shape[1]
-    px, py = pixel_centers(height, width)
+    px, py = pixel_centers(height, width, y0=y_offset)
 
     def body(i, carry):
         rgb, a = carry

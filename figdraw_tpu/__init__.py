@@ -101,5 +101,8 @@ from .fragments import (  # noqa: F401
     RenderFragments,
 )
 from .renderer import FigRenderer, new_fig_renderer  # noqa: F401
+from .utils.jaxcache import enable_compilation_cache as _enable_jax_cache
+
+_enable_jax_cache()
 
 __version__ = "0.1.0"

@@ -86,7 +86,9 @@ def encode_sdf_mode(mode: SdfMode, fill_mode: int, elliptical_radii: bool = Fals
 def _clamp_radius(radius: float, max_radius: float) -> float:
     if radius <= 0.0:
         return 0.0
-    return round(max(1.0, min(radius, max_radius)))
+    from .basics import round_half_away
+
+    return round_half_away(max(1.0, min(radius, max_radius)))
 
 
 def rounded_radii_vec(
@@ -109,9 +111,11 @@ def rounded_radii_vec(
     ry = [_clamp_radius(radii.y[i], half_extents.y) for i in range(4)]
     circle_max_radius = min(half_extents.x, half_extents.y)
 
+    from .basics import round_half_away
+
     def pack(radius_x: float, radius_y: float) -> float:
-        qx = round(min(max(radius_x / max(half_extents.x, 1e-6), 0.0), 1.0) * 4095.0)
-        qy = round(min(max(radius_y / max(half_extents.y, 1e-6), 0.0), 1.0) * 4095.0)
+        qx = round_half_away(min(max(radius_x / max(half_extents.x, 1e-6), 0.0), 1.0) * 4095.0)
+        qy = round_half_away(min(max(radius_y / max(half_extents.y, 1e-6), 0.0), 1.0) * 4095.0)
         return qx + qy * 4096.0
 
     def encode_corner(i: int) -> float:

@@ -41,6 +41,13 @@ CornerRadii = Tuple[int, int, int, int]
 ZERO_CORNERS: CornerRadii = (0, 0, 0, 0)
 
 
+def round_half_away(x: float) -> float:
+    """Round half away from zero (Nim round / C roundf), NOT Python banker's."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
 def corner_to_u16(v: float) -> int:
     """cornerToU16 (figbasics.nim:125-137): round+clamp to uint16."""
     if v <= 0:

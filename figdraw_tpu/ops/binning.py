@@ -17,11 +17,13 @@ from .layout import QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1
 
 
 @partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile_h", "tile_w"))
-def bin_quads(fields, count, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int):
+def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int):
     """Returns (tile_idx (T, N) i32, tile_counts (T,) i32).
 
-    tile_idx[t, :counts[t]] are indices of quads whose bbox intersects tile t,
-    in draw order; the rest is padding.
+    tile_idx[t, :counts[t]] are indices of quads in [start, end) whose bbox
+    intersects tile t, in draw order; the rest is padding. The [start, end)
+    window lets one padded tape hold every draw run of a frame so the whole
+    frame executes as a single device call.
     """
     n = fields.shape[0]
     x0 = fields[:, QF_BBOX_X0]
@@ -35,7 +37,8 @@ def bin_quads(fields, count, tiles_y: int, tiles_x: int, tile_h: int, tile_w: in
     tx0 = tx[None, :, None]  # (1, TX, 1)
     ty0 = ty[:, None, None]  # (TY, 1, 1)
 
-    valid = jnp.arange(n) < count
+    idx_range = jnp.arange(n)
+    valid = (idx_range >= start) & (idx_range < end)
     hit_x = (x0[None, None, :] < tx0 + tile_w) & (x1[None, None, :] > tx0)
     hit_y = (y0[None, None, :] < ty0 + tile_h) & (y1[None, None, :] > ty0)
     mask = hit_x & hit_y & valid[None, None, :]  # (TY, TX, N)

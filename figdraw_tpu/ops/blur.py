@@ -39,10 +39,9 @@ def _blur_axis(img: jnp.ndarray, radius, axis: int) -> jnp.ndarray:
         i1 = jnp.clip(i0 + 1, 0, n - 1)
         s0 = jnp.take(img, i0, axis=axis)
         s1 = jnp.take(img, i1, axis=axis)
-        if axis == 0:
-            fr = frac[:, None, None]
-        else:
-            fr = frac[None, :, None]
+        fr_shape = [1] * img.ndim
+        fr_shape[axis] = n
+        fr = frac.reshape(fr_shape)
         acc = acc + (s0 * (1.0 - fr) + s1 * fr) * w
         weight_sum = weight_sum + w
 
@@ -56,4 +55,11 @@ def backdrop_blur(frame: jnp.ndarray, radius) -> jnp.ndarray:
     runBackdropSeparableBlur's pass order (glcontext.nim:1760-1780)."""
     out = _blur_axis(frame, radius, axis=1)
     out = _blur_axis(out, radius, axis=0)
+    return out
+
+
+def backdrop_blur_planar(frame_planes: jnp.ndarray, radius) -> jnp.ndarray:
+    """Same blur on a channel-planar (4, H, W) frame (the executor's layout)."""
+    out = _blur_axis(frame_planes, radius, axis=2)
+    out = _blur_axis(out, radius, axis=1)
     return out

@@ -145,20 +145,36 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, frame_planes, masks,
     return out
 
 
+def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
+                     backdrop_planes=None):
+    """Planar-layout draw pass over quads [start, end) — the building block the
+    fused frame executor chains inside one jit.
+
+    frame_planes: (4, PH, PW) f32 with PH, PW multiples of the tile size;
+    masks_p: (K, PH, PW); backdrop_planes: (4, PH, PW) or None.
+    """
+    ph, pw = frame_planes.shape[1], frame_planes.shape[2]
+    assert ph % TILE_H == 0 and pw % TILE_W == 0
+    tiles_y = ph // TILE_H
+    tiles_x = pw // TILE_W
+
+    tile_idx, tile_counts = bin_quads(fields, start, end, tiles_y, tiles_x, TILE_H, TILE_W)
+    tile_idx = tile_idx[:, None, :]  # (T, 1, N): TPU block dims must tile the last two axes
+
+    return _raster_tiles(
+        fields, modes, tile_idx, tile_counts, frame_planes, masks_p,
+        backdrop_planes, tiles_y, tiles_x, backdrop_planes is not None,
+    )
+
+
 def draw_pass_frame(fields, modes, count, frame, masks, atlas=None, backdrop=None,
                     subpixel_positioning: bool = False):
-    """Drop-in replacement for raster_ref.draw_pass_frame for SDF-only runs.
-
-    frame: (H, W, 4) f32; masks: (K, H, W); backdrop: (H, W, 4) or None.
-    """
+    """(H, W, 4)-layout convenience wrapper around draw_pass_planar."""
     height, width = frame.shape[0], frame.shape[1]
     tiles_y = -(-height // TILE_H)
     tiles_x = -(-width // TILE_W)
     ph = tiles_y * TILE_H
     pw = tiles_x * TILE_W
-
-    tile_idx, tile_counts = bin_quads(fields, count, tiles_y, tiles_x, TILE_H, TILE_W)
-    tile_idx = tile_idx[:, None, :]  # (T, 1, N): TPU block dims must tile the last two axes
 
     frame_planes = jnp.transpose(frame, (2, 0, 1))
     if (ph, pw) != (height, width):
@@ -167,8 +183,7 @@ def draw_pass_frame(fields, modes, count, frame, masks, atlas=None, backdrop=Non
     else:
         masks_p = masks
 
-    has_backdrop = backdrop is not None
-    if has_backdrop:
+    if backdrop is not None:
         backdrop_planes = jnp.transpose(backdrop, (2, 0, 1))
         if (ph, pw) != (height, width):
             backdrop_planes = jnp.pad(
@@ -177,9 +192,8 @@ def draw_pass_frame(fields, modes, count, frame, masks, atlas=None, backdrop=Non
     else:
         backdrop_planes = None
 
-    out = _raster_tiles(
-        fields, modes, tile_idx, tile_counts, frame_planes, masks_p,
-        backdrop_planes, tiles_y, tiles_x, has_backdrop,
+    out = draw_pass_planar(
+        fields, modes, jnp.int32(0), count, frame_planes, masks_p, backdrop_planes
     )
     out = out[:, :height, :width]
     return jnp.transpose(out, (1, 2, 0))

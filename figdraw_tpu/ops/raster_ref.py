@@ -32,11 +32,11 @@ def pixel_centers(height: int, width: int, y0: float = 0.0, x0: float = 0.0):
     return px, py
 
 
-@partial(jax.jit, static_argnames=("subpixel_positioning",))
-def draw_pass_frame(
+def draw_pass_frame_range(
     fields,  # (N, QF_WIDTH) f32
     modes,  # (N, QI_WIDTH) i32
-    count,  # () i32 — number of valid quads
+    start,  # () i32 — first quad of the run
+    end,  # () i32 — one past the last quad
     frame,  # (H, W, 4) f32 straight-alpha
     masks,  # (K, H, W) f32 mask planes; masks[0] must be all-ones
     atlas=None,  # (S, S, 4) f32
@@ -44,7 +44,7 @@ def draw_pass_frame(
     subpixel_positioning: bool = False,
     y_offset=0.0,  # global row of frame[0] — nonzero when row-sharded over a mesh
 ):
-    """Composites quads [0, count) into the frame in order."""
+    """Composites quads [start, end) into the frame in order (traceable)."""
     height, width = frame.shape[0], frame.shape[1]
     px, py = pixel_centers(height, width, y0=y_offset)
 
@@ -59,21 +59,32 @@ def draw_pass_frame(
         )
         mask_val = jax.lax.dynamic_index_in_dim(masks, mask_idx, 0, keepdims=False)
         frag_a = frag_a * mask_val
-        valid = i < count
-        frag_a = jnp.where(valid, frag_a, 0.0)
         return blend_over(rgb, a, frag_rgb, frag_a)
 
     rgb, a = jax.lax.fori_loop(
-        0, fields.shape[0], body, (frame[..., 0:3], frame[..., 3])
+        start, end, body, (frame[..., 0:3], frame[..., 3])
     )
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("subpixel_positioning",))
-def draw_pass_mask(
+def draw_pass_frame(
+    fields, modes, count, frame, masks, atlas=None, backdrop=None,
+    subpixel_positioning: bool = False, y_offset=0.0,
+):
+    """Composites quads [0, count) into the frame in order."""
+    return draw_pass_frame_range(
+        fields, modes, jnp.int32(0), count, frame, masks, atlas=atlas,
+        backdrop=backdrop, subpixel_positioning=subpixel_positioning,
+        y_offset=y_offset,
+    )
+
+
+def draw_pass_mask_range(
     fields,
     modes,
-    count,
+    start,
+    end,
     mask_plane,  # (H, W) f32 — the mask being written (already cleared)
     masks,  # (K, H, W) parent planes for the read multiply
     atlas=None,
@@ -93,9 +104,18 @@ def draw_pass_mask(
         )
         parent = jax.lax.dynamic_index_in_dim(masks, mask_idx, 0, keepdims=False)
         frag_a = frag_a * parent
-        valid = i < count
-        frag_a = jnp.where(valid, frag_a, 0.0)
         # src = vec4(alpha) through (SRC_ALPHA, 1-SRC_ALPHA) on the R channel
         return frag_a * frag_a + m * (1.0 - frag_a)
 
-    return jax.lax.fori_loop(0, fields.shape[0], body, mask_plane)
+    return jax.lax.fori_loop(start, end, body, mask_plane)
+
+
+@partial(jax.jit, static_argnames=("subpixel_positioning",))
+def draw_pass_mask(
+    fields, modes, count, mask_plane, masks, atlas=None,
+    subpixel_positioning: bool = False,
+):
+    return draw_pass_mask_range(
+        fields, modes, jnp.int32(0), count, mask_plane, masks, atlas=atlas,
+        subpixel_positioning=subpixel_positioning,
+    )

@@ -100,8 +100,10 @@ def render_drop_shadows(ctx: BackendContext, node: Fig) -> None:
         shadow_y = scaled(shadow.y)
         shadow_blur = scaled(shadow.blur)
         shadow_spread = scaled(shadow.spread)
-        blur_pad = round(1.5 * shadow_blur)
-        pad = max(round(shadow_spread) + blur_pad, 0.0)
+        from .basics import round_half_away
+
+        blur_pad = round_half_away(1.5 * shadow_blur)
+        pad = max(round_half_away(shadow_spread) + blur_pad, 0.0)
         shadow_rect = Rect(box.x + shadow_x, box.y + shadow_y, box.w, box.h)
         quad_rect = Rect(
             shadow_rect.x - pad,

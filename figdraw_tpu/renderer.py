@@ -127,28 +127,14 @@ class FigRenderer:
     # --- execute ---------------------------------------------------------------
 
     def execute(self, tape: Tape) -> jnp.ndarray:
-        """Runs tape items on device; returns the (H, W, 4) f32 frame."""
+        """Runs the whole tape as ONE jitted device call (executor.py)."""
+        from .executor import get_frame_executor
+        from .ops.layout import QI_MODE
+        from .ops.raster_pallas import ATLAS_BASE_MODES
+
         width = int(round(tape.frame_size[0]))
         height = int(round(tape.frame_size[1]))
-        if tape.clear_color is not None:
-            frame = jnp.broadcast_to(
-                jnp.asarray(tape.clear_color, dtype=jnp.float32), (height, width, 4)
-            )
-        elif self.last_frame is not None and self.last_frame.shape[:2] == (height, width):
-            frame = self.last_frame
-        else:
-            frame = jnp.zeros((height, width, 4), dtype=jnp.float32)
-
         n_masks = tape.mask_count + 1
-        masks = jnp.concatenate(
-            [
-                jnp.ones((1, height, width), dtype=jnp.float32),
-                jnp.zeros((n_masks - 1, height, width), dtype=jnp.float32),
-            ],
-            axis=0,
-        )
-        atlas = self._device_atlas()
-        backdrop = None
 
         # pad the whole tape once per bucket
         n = _bucket(max(tape.count, 1))
@@ -156,75 +142,66 @@ class FigRenderer:
         modes = np.zeros((n, QI_WIDTH), dtype=np.int32)
         fields[: tape.count] = tape.fields[: tape.count]
         modes[: tape.count] = tape.modes[: tape.count]
-        fields_d = jnp.asarray(fields)
-        modes_d = jnp.asarray(modes)
 
-        has_backdrop_modes = any(isinstance(it, BlurItem) for it in tape.items)
-        if has_backdrop_modes:
-            backdrop = jnp.zeros((height, width, 4), dtype=jnp.float32)
+        base_modes = modes[:, QI_MODE] % 256
+        base_modes = np.where(base_modes >= 128, base_modes - 128, base_modes)
+        is_atlas_mode = np.isin(base_modes, ATLAS_BASE_MODES)
+        is_backdrop_mode = base_modes == 17
 
+        structure = []
+        bounds = []
+        radii = []
+        seen_blur = False
         for item in tape.items:
             if isinstance(item, ClearMaskItem):
-                masks = masks.at[item.index].set(0.0)
+                structure.append(("clear_mask", item.index))
             elif isinstance(item, BlurItem):
-                backdrop = backdrop_blur(frame, jnp.float32(item.radius))
+                structure.append(("blur",))
+                radii.append(item.radius)
+                seen_blur = True
             elif isinstance(item, DrawItem):
                 if item.end <= item.start:
                     continue
-                run_fields, run_modes, run_count, run_modes_np = self._slice_run(
-                    fields, modes, item.start, item.end
+                uses_atlas = bool(is_atlas_mode[item.start : item.end].any())
+                needs_backdrop = seen_blur and bool(
+                    is_backdrop_mode[item.start : item.end].any()
                 )
-                if item.target == FRAME_TARGET:
-                    frame = self._draw_frame_pass(
-                        run_fields, run_modes, run_count, frame, masks, atlas,
-                        backdrop, run_modes_np,
-                    )
-                else:
-                    plane = masks[item.target]
-                    plane = raster_ref.draw_pass_mask(
-                        run_fields,
-                        run_modes,
-                        run_count,
-                        plane,
-                        masks,
-                        atlas=atlas,
-                        subpixel_positioning=self.text_subpixel_positioning,
-                    )
-                    masks = masks.at[item.target].set(plane)
+                structure.append(("draw", item.target, uses_atlas, needs_backdrop))
+                bounds.append((item.start, item.end))
 
+        has_init_frame = tape.clear_color is None
+        if has_init_frame:
+            if self.last_frame is not None and self.last_frame.shape[:2] == (
+                height,
+                width,
+            ):
+                clear_or_init = self.last_frame
+            else:
+                clear_or_init = jnp.zeros((height, width, 4), jnp.float32)
+        else:
+            clear_or_init = jnp.asarray(tape.clear_color, dtype=jnp.float32)
+
+        run = get_frame_executor(
+            tuple(structure),
+            height,
+            width,
+            n_masks,
+            self.use_pallas,
+            self.text_subpixel_positioning,
+            has_init_frame,
+        )
+        bounds_arr = np.asarray(bounds or [(0, 0)], dtype=np.int32)
+        radii_arr = np.asarray(radii or [0.0], dtype=np.float32)
+        frame = run(
+            jnp.asarray(fields),
+            jnp.asarray(modes),
+            jnp.asarray(bounds_arr),
+            jnp.asarray(radii_arr),
+            clear_or_init,
+            self._device_atlas(),
+        )
         self.last_frame = frame
         return frame
-
-    def _slice_run(self, fields: np.ndarray, modes: np.ndarray, start: int, end: int):
-        count = end - start
-        n = _bucket(count)
-        rf = np.zeros((n, QF_WIDTH), dtype=np.float32)
-        rm = np.zeros((n, QI_WIDTH), dtype=np.int32)
-        rf[:count] = fields[start:end]
-        rm[:count] = modes[start:end]
-        return jnp.asarray(rf), jnp.asarray(rm), jnp.int32(count), rm
-
-    def _draw_frame_pass(self, fields, modes, count, frame, masks, atlas,
-                         backdrop, modes_np=None):
-        if self.use_pallas and modes_np is not None:
-            from .ops import raster_pallas
-
-            # atlas-sampling quads need gathers → XLA path (raster_pallas docstring)
-            if not raster_pallas.run_uses_atlas(modes_np, int(count)):
-                return raster_pallas.draw_pass_frame(
-                    fields, modes, count, frame, masks, atlas, backdrop,
-                    subpixel_positioning=self.text_subpixel_positioning,
-                )
-        return raster_ref.draw_pass_frame(
-            fields,
-            modes,
-            count,
-            frame,
-            masks,
-            atlas=atlas,
-            backdrop=backdrop,
-            subpixel_positioning=self.text_subpixel_positioning,
-        )
 
     # --- high level -----------------------------------------------------------
 

@@ -26,14 +26,14 @@ BASELINE_MS = 1000.0 / 120.0  # reference demo: "running at 120 FPS"
 
 def main():
     from figdraw_tpu import FigRenderer, vec2
-    from figdraw_tpu.scenes import make_render_tree
+    from figdraw_tpu.scenes import make_render_tree_array
 
     renderer = FigRenderer(atlas_size=256, use_pallas=True)
     size = vec2(WIDTH, HEIGHT)
 
     # warmup: animated frames hit every jit signature (pass structure is stable)
     for f in range(WARMUP):
-        frame = renderer.render_frame(make_render_tree(WIDTH, HEIGHT, f), size)
+        frame = renderer.render_frame(make_render_tree_array(WIDTH, HEIGHT, f), size)
     frame.block_until_ready()
 
     flatten_ms = []
@@ -41,7 +41,7 @@ def main():
     total_ms = []
     for f in range(WARMUP, WARMUP + FRAMES):
         t0 = time.perf_counter()
-        renders = make_render_tree(WIDTH, HEIGHT, f)
+        renders = make_render_tree_array(WIDTH, HEIGHT, f)
         tape = renderer.flatten(renders, size)
         t1 = time.perf_counter()
         out = renderer.execute(tape)

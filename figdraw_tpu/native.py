@@ -1,0 +1,153 @@
+"""ctypes bridge to the native flattener (native/flatten.cpp).
+
+Builds libfigdraw_flatten.so on first use with g++ (no external deps) and
+exposes flatten_renders_array(), producing the same Tape as the Python walk
+— verified structurally identical by tests/test_native_flatten.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .nodesarray import FIG_DTYPE, RendersArray
+from .ops.layout import QF_WIDTH, QI_WIDTH
+from .tape import BlurItem, ClearMaskItem, DrawItem, Tape
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_REPO_ROOT, "native", "flatten.cpp")
+_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_LIB_DIR, "libfigdraw_flatten.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _build() -> None:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except Exception as exc:  # no toolchain → Python walk keeps working
+            print(f"figdraw_tpu: native flattener unavailable ({exc})", file=sys.stderr)
+            _load_failed = True
+            return None
+
+        lib.fd_create.restype = ctypes.c_void_p
+        lib.fd_create.argtypes = [ctypes.c_float, ctypes.c_float, ctypes.c_float]
+        lib.fd_destroy.argtypes = [ctypes.c_void_p]
+        lib.fd_flatten_layer.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.fd_quad_count.argtypes = [ctypes.c_void_p]
+        lib.fd_quad_count.restype = ctypes.c_int
+        lib.fd_item_count.argtypes = [ctypes.c_void_p]
+        lib.fd_item_count.restype = ctypes.c_int
+        lib.fd_mask_count.argtypes = [ctypes.c_void_p]
+        lib.fd_mask_count.restype = ctypes.c_int
+        lib.fd_fig_struct_size.restype = ctypes.c_int
+        lib.fd_export.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.fd_export.restype = ctypes.c_int
+
+        expected = lib.fd_fig_struct_size()
+        assert expected == FIG_DTYPE.itemsize, (
+            f"FIG_DTYPE ({FIG_DTYPE.itemsize} B) out of sync with native Fig "
+            f"({expected} B)"
+        )
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def flatten_renders_array(
+    renders: RendersArray,
+    frame_w: float,
+    frame_h: float,
+    ui_scale: float,
+    pixel_scale: float,
+    aa_factor: float,
+    clear_color,
+) -> Optional[Tape]:
+    """Runs the native walk over all layers in ZLevel order; returns a Tape or
+    None when the native path is unavailable/unsupported."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not renders.all_native_kinds():
+        return None
+
+    ctx = lib.fd_create(
+        ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
+    )
+    try:
+        for _lvl, lst in renders.sorted_pairs():
+            nodes = np.ascontiguousarray(lst.view())
+            roots = np.asarray(lst.root_ids, dtype=np.int32)
+            lib.fd_flatten_layer(
+                ctx,
+                nodes.ctypes.data_as(ctypes.c_void_p),
+                nodes.shape[0],
+                roots.ctypes.data_as(ctypes.c_void_p),
+                roots.shape[0],
+            )
+        n_quads = lib.fd_quad_count(ctx)
+        n_items = lib.fd_item_count(ctx)
+        tape = Tape(capacity=max(n_quads, 1))
+        items = np.zeros((max(n_items, 1), 5), dtype=np.int32)
+        rc = lib.fd_export(
+            ctx,
+            tape.fields.ctypes.data_as(ctypes.c_void_p),
+            tape.modes.ctypes.data_as(ctypes.c_void_p),
+            tape.fields.shape[0],
+            items.ctypes.data_as(ctypes.c_void_p),
+            items.shape[0],
+        )
+        assert rc == n_quads
+        tape.count = n_quads
+        tape.mask_count = lib.fd_mask_count(ctx)
+        tape.frame_size = (frame_w, frame_h)
+        tape.clear_color = clear_color
+        for i in range(n_items):
+            kind, target, start, end, rbits = items[i]
+            if kind == 0:
+                tape.items.append(DrawItem(target=int(target), start=int(start), end=int(end)))
+            elif kind == 1:
+                tape.items.append(
+                    BlurItem(radius=float(np.int32(rbits).view(np.float32)))
+                )
+            else:
+                tape.items.append(ClearMaskItem(index=int(target)))
+        return tape
+    finally:
+        lib.fd_destroy(ctx)

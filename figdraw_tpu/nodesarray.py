@@ -1,0 +1,303 @@
+"""Structure-of-arrays scene storage for the native flattener.
+
+The reference keeps Fig as a flat 256-byte POD in a contiguous seq
+(fignodes.nim:94-97) precisely so the render walk is cache-friendly; the
+TPU build mirrors that with a NumPy structured array (FIG_DTYPE) that the
+C++ flattener (native/flatten.cpp) walks directly — zero per-frame
+marshalling between Python objects and native code.
+
+`RenderListArray` offers the same add_root/add_child surface as RenderList
+for hot paths that build scenes straight into the array; `from_render_list`
+converts the object form (slower, for compat).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .basics import FigFlags, FigKind
+from .fill import Fill, FillKind
+from .nodes import Fig, RenderList, Renders
+
+MAX_SHADOWS = 4
+
+FILL_DTYPE = np.dtype(
+    [
+        ("kind", np.uint8),
+        ("axis", np.uint8),
+        ("midpos", np.uint8),
+        ("_pad", np.uint8),
+        ("c0", np.uint8, 4),  # solid color / gradient start
+        ("c1", np.uint8, 4),  # gradient mid (linear3) / stop (linear2)
+        ("c2", np.uint8, 4),  # gradient stop (linear3)
+    ]
+)
+
+SHADOW_DTYPE = np.dtype(
+    [
+        ("style", np.uint8),
+        ("_pad", np.uint8, 3),
+        ("blur", np.float32),
+        ("spread", np.float32),
+        ("x", np.float32),
+        ("y", np.float32),
+        ("fill", FILL_DTYPE),
+    ]
+)
+
+FIG_DTYPE = np.dtype(
+    [
+        ("kind", np.uint8),
+        ("zlevel", np.int8),
+        ("flags", np.uint16),
+        ("parent", np.int16),
+        ("child_count", np.int16),
+        ("box", np.float32, 4),
+        ("rotation", np.float32),
+        ("fill", FILL_DTYPE),
+        ("corners", np.uint16, 4),
+        ("corners_y", np.uint16, 4),
+        ("stroke_weight", np.float32),
+        ("stroke_fill", FILL_DTYPE),
+        ("shadows", SHADOW_DTYPE, MAX_SHADOWS),
+        ("blur", np.float32),
+        ("tx", np.float32),
+        ("ty", np.float32),
+        ("use_matrix", np.uint8),
+        ("_pad2", np.uint8, 3),
+        ("matrix", np.float32, 6),
+    ]
+)
+
+# node kinds the native flattener handles; others force the Python walk
+NATIVE_KINDS = frozenset(
+    {
+        int(FigKind.nkFrame),
+        int(FigKind.nkRectangle),
+        int(FigKind.nkBackdropBlur),
+        int(FigKind.nkTransform),
+        int(FigKind.nkScrollBar),
+    }
+)
+
+
+def pack_fill(out, f: Fill) -> None:
+    if f.kind == FillKind.flColor:
+        out["kind"] = 0
+        out["c0"] = f.color.as_tuple()
+    elif f.kind == FillKind.flLinear2:
+        out["kind"] = 1
+        out["axis"] = int(f.lin2.axis)
+        out["c0"] = f.lin2.start.as_tuple()
+        out["c1"] = f.lin2.stop.as_tuple()
+    else:
+        out["kind"] = 2
+        out["axis"] = int(f.lin3.axis)
+        out["midpos"] = f.lin3.mid_pos
+        out["c0"] = f.lin3.start.as_tuple()
+        out["c1"] = f.lin3.mid.as_tuple()
+        out["c2"] = f.lin3.stop.as_tuple()
+
+
+def pack_fig(row, node: Fig) -> None:
+    row["kind"] = int(node.kind)
+    row["zlevel"] = node.zlevel
+    row["flags"] = int(node.flags)
+    row["parent"] = node.parent
+    row["child_count"] = node.child_count
+    row["box"] = (node.screen_box.x, node.screen_box.y, node.screen_box.w, node.screen_box.h)
+    row["rotation"] = node.rotation
+    pack_fill(row["fill"], node.fill)
+    row["corners"] = node.corners
+    row["corners_y"] = node.corner_radii_y
+    row["stroke_weight"] = node.stroke.weight
+    pack_fill(row["stroke_fill"], node.stroke.fill)
+    for i, sh in enumerate(node.shadows[:MAX_SHADOWS]):
+        srow = row["shadows"][i]
+        srow["style"] = int(sh.style)
+        srow["blur"] = sh.blur
+        srow["spread"] = sh.spread
+        srow["x"] = sh.x
+        srow["y"] = sh.y
+        pack_fill(srow["fill"], sh.fill)
+    row["blur"] = node.backdrop_blur.blur
+    row["tx"] = node.transform.translation.x
+    row["ty"] = node.transform.translation.y
+    if node.transform.use_matrix:
+        m = node.transform.matrix
+        row["use_matrix"] = 1
+        row["matrix"] = (m.a, m.b, m.tx, m.c, m.d, m.ty)
+
+
+class RenderListArray:
+    """Numpy-backed RenderList with the O(1) mutation subset."""
+
+    def __init__(self, capacity: int = 64):
+        self.nodes = np.zeros(capacity, dtype=FIG_DTYPE)
+        self.count = 0
+        self.root_ids: list[int] = []
+
+    def _grow(self) -> None:
+        new = np.zeros(self.nodes.shape[0] * 2, dtype=FIG_DTYPE)
+        new[: self.count] = self.nodes[: self.count]
+        self.nodes = new
+
+    def _alloc(self) -> int:
+        if self.count == self.nodes.shape[0]:
+            self._grow()
+        i = self.count
+        self.count += 1
+        return i
+
+    def add_root(self, node: Fig) -> int:
+        i = self._alloc()
+        pack_fig(self.nodes[i], node)
+        self.nodes[i]["parent"] = -1
+        self.nodes[i]["child_count"] = 0
+        self.root_ids.append(i)
+        return i
+
+    def add_child(self, parent_idx: int, node: Fig) -> int:
+        i = self._alloc()
+        pack_fig(self.nodes[i], node)
+        self.nodes[i]["parent"] = parent_idx
+        self.nodes[i]["child_count"] = 0
+        self.nodes[parent_idx]["child_count"] += 1
+        return i
+
+    def add_root_raw(self) -> int:
+        """Allocate a zeroed root row for direct field writes."""
+        i = self._alloc()
+        self.nodes[i]["parent"] = -1
+        self.root_ids.append(i)
+        return i
+
+    def view(self) -> np.ndarray:
+        return self.nodes[: self.count]
+
+    def all_native_kinds(self) -> bool:
+        kinds = self.view()["kind"]
+        return bool(np.isin(kinds, list(NATIVE_KINDS)).all())
+
+
+def from_render_list(lst: RenderList) -> RenderListArray:
+    arr = RenderListArray(capacity=max(len(lst.nodes), 1))
+    arr.count = len(lst.nodes)
+    for i, node in enumerate(lst.nodes):
+        pack_fig(arr.nodes[i], node)
+    arr.root_ids = list(lst.root_ids)
+    return arr
+
+
+def unpack_fill(row) -> Fill:
+    from .colors import ColorRGBA
+    from .fill import FillGradientAxis, Linear2, Linear3
+
+    kind = int(row["kind"])
+    if kind == 0:
+        return Fill(kind=FillKind.flColor, color=ColorRGBA(*(int(v) for v in row["c0"])))
+    if kind == 1:
+        return Fill(
+            kind=FillKind.flLinear2,
+            lin2=Linear2(
+                axis=FillGradientAxis(int(row["axis"])),
+                start=ColorRGBA(*(int(v) for v in row["c0"])),
+                stop=ColorRGBA(*(int(v) for v in row["c1"])),
+            ),
+        )
+    return Fill(
+        kind=FillKind.flLinear3,
+        lin3=Linear3(
+            axis=FillGradientAxis(int(row["axis"])),
+            start=ColorRGBA(*(int(v) for v in row["c0"])),
+            mid=ColorRGBA(*(int(v) for v in row["c1"])),
+            stop=ColorRGBA(*(int(v) for v in row["c2"])),
+            mid_pos=int(row["midpos"]),
+        ),
+    )
+
+
+def unpack_fig(row) -> Fig:
+    from .basics import BackdropBlurStyle, RenderShadow, RenderStroke, ShadowStyle, TransformStyle
+    from .geometry import Mat3, Rect, Vec2
+
+    shadows = []
+    for srow in row["shadows"]:
+        if int(srow["style"]) == 0:
+            continue
+        shadows.append(
+            RenderShadow(
+                style=ShadowStyle(int(srow["style"])),
+                blur=float(srow["blur"]),
+                spread=float(srow["spread"]),
+                x=float(srow["x"]),
+                y=float(srow["y"]),
+                fill=unpack_fill(srow["fill"]),
+            )
+        )
+    matrix = None
+    if int(row["use_matrix"]):
+        m = row["matrix"]
+        matrix = Mat3(*(float(v) for v in m))
+    return Fig(
+        kind=FigKind(int(row["kind"])),
+        zlevel=int(row["zlevel"]),
+        flags=FigFlags(int(row["flags"])),
+        parent=int(row["parent"]),
+        child_count=int(row["child_count"]),
+        screen_box=Rect(*(float(v) for v in row["box"])),
+        rotation=float(row["rotation"]),
+        fill=unpack_fill(row["fill"]),
+        corners=tuple(int(v) for v in row["corners"]),
+        corner_radii_y=tuple(int(v) for v in row["corners_y"]),
+        stroke=RenderStroke(
+            weight=float(row["stroke_weight"]), fill=unpack_fill(row["stroke_fill"])
+        ),
+        shadows=tuple(shadows),
+        backdrop_blur=BackdropBlurStyle(blur=float(row["blur"])),
+        transform=TransformStyle(
+            translation=Vec2(float(row["tx"]), float(row["ty"])), matrix=matrix
+        ),
+    )
+
+
+class RendersArray:
+    """ZLevel → RenderListArray layer table."""
+
+    def __init__(self):
+        self.layers: dict[int, RenderListArray] = {}
+
+    def __getitem__(self, lvl: int) -> RenderListArray:
+        if lvl not in self.layers:
+            self.layers[lvl] = RenderListArray()
+        return self.layers[lvl]
+
+    def set_layer(self, lvl: int, lst: RenderListArray) -> None:
+        self.layers[lvl] = lst
+
+    def sorted_pairs(self):
+        return sorted(self.layers.items(), key=lambda kv: kv[0])
+
+    def all_native_kinds(self) -> bool:
+        return all(lst.all_native_kinds() for lst in self.layers.values())
+
+
+def from_renders(renders: Renders) -> RendersArray:
+    out = RendersArray()
+    for lvl, lst in renders.pairs():
+        out.set_layer(lvl, from_render_list(lst))
+    return out
+
+
+def to_renders(arr: RendersArray) -> Renders:
+    """Reconstruct the object form (Python-walk fallback; also quantizes
+    coordinates through f32 exactly like the array storage)."""
+    out = Renders()
+    for lvl, lst in arr.sorted_pairs():
+        rl = RenderList()
+        rl.nodes = [unpack_fig(lst.nodes[i]) for i in range(lst.count)]
+        rl.root_ids = list(lst.root_ids)
+        out.set_layer(lvl, rl)
+    return out

@@ -1,0 +1,612 @@
+// Native scene flattener: Fig node arrays -> packed quad tape.
+//
+// C++ twin of the hot host path (figdraw_tpu/render.py walk +
+// figdraw_tpu/tape.py quad encoding), the TPU-native counterpart of the
+// reference's per-frame tree walk and GL vertex-stream packing
+// (/root/reference/src/figdraw/figrender.nim:1756-1839 +
+// opengl/glcontext.nim:908-1559). The Python walk costs ~50 ms/frame on the
+// 300-box scene; this walk over the same data as a NumPy structured array
+// (figdraw_tpu/nodesarray.py FIG_DTYPE) runs in well under a millisecond.
+//
+// Covered node kinds: frame, rectangle (fills/strokes/drop+inset shadows,
+// circular+elliptical corners, gradients), backdrop blur, transform,
+// scrollbar, plus clip masks, rect-mask fast path and rotation. Text,
+// drawables and image kinds stay on the Python walk until their side arrays
+// land (nodesarray.py NATIVE_KINDS gates dispatch).
+//
+// Build: g++ -O2 -shared -fPIC -o libfigdraw_flatten.so flatten.cpp
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---- layout mirrors figdraw_tpu/ops/layout.py -------------------------------
+constexpr int QF_WIDTH = 68;
+constexpr int QI_WIDTH = 2;
+constexpr int QF_INV_A = 0, QF_ORG_X = 4, QF_BBOX = 6, QF_UV = 10;
+constexpr int QF_COLOR0 = 16, QF_MID = 32, QF_STOP = 36;
+constexpr int QF_PARAMS = 40, QF_RADII = 44, QF_FACTORS = 48;
+constexpr int QF_AA = 50, QF_SUBPIX = 51, QF_RECT = 52;
+
+// ---- FIG_DTYPE mirrors figdraw_tpu/nodesarray.py ----------------------------
+#pragma pack(push, 1)
+struct PackedFill {
+  uint8_t kind, axis, midpos, pad;
+  uint8_t c0[4], c1[4], c2[4];
+};
+struct PackedShadow {
+  uint8_t style, pad[3];
+  float blur, spread, x, y;
+  PackedFill fill;
+};
+struct Fig {
+  uint8_t kind;
+  int8_t zlevel;
+  uint16_t flags;
+  int16_t parent;
+  int16_t child_count;
+  float box[4];
+  float rotation;
+  PackedFill fill;
+  uint16_t corners[4];
+  uint16_t corners_y[4];
+  float stroke_weight;
+  PackedFill stroke_fill;
+  PackedShadow shadows[4];
+  float blur;
+  float tx, ty;
+  uint8_t use_matrix, pad2[3];
+  float matrix[6];
+};
+#pragma pack(pop)
+
+constexpr uint8_t NK_RECT = 2, NK_BACKDROP = 8, NK_TRANSFORM = 9;
+constexpr uint16_t NF_CLIP = 1 << 0, NF_DISABLE = 1 << 1, NF_RECTMASK = 1 << 6,
+                   NF_ELLIPTICAL = 1 << 7;
+
+constexpr int MODE_CLIP_AA = 3, MODE_DROP = 7, MODE_INSET = 9, MODE_ANNULAR_AA = 12,
+              MODE_BACKDROP = 17;
+constexpr int FRAME_TARGET = -1;
+
+struct Mat3 {  // row-major 2D affine; double to match Python float64 math
+  double a = 1, b = 0, tx = 0, c = 0, d = 1, ty = 0;
+};
+
+inline Mat3 matmul(const Mat3& m, const Mat3& o) {
+  Mat3 r;
+  r.a = m.a * o.a + m.b * o.c;
+  r.b = m.a * o.b + m.b * o.d;
+  r.tx = m.a * o.tx + m.b * o.ty + m.tx;
+  r.c = m.c * o.a + m.d * o.c;
+  r.d = m.c * o.b + m.d * o.d;
+  r.ty = m.c * o.tx + m.d * o.ty + m.ty;
+  return r;
+}
+inline Mat3 mat_translate(double x, double y) { Mat3 m; m.tx = x; m.ty = y; return m; }
+inline Mat3 mat_rotate(double ang) {
+  Mat3 m; double co = std::cos(ang), si = std::sin(ang);
+  m.a = co; m.b = -si; m.c = si; m.d = co; return m;
+}
+inline Mat3 mat_scale(double sx, double sy) { Mat3 m; m.a = sx; m.d = sy; return m; }
+inline Mat3 mat_inverse(const Mat3& m) {
+  double det = m.a * m.d - m.b * m.c;
+  if (std::fabs(det) <= 1e-12) return Mat3();
+  double id = 1.0 / det;
+  Mat3 r;
+  r.a = m.d * id; r.b = -m.b * id; r.c = -m.c * id; r.d = m.a * id;
+  r.tx = -(r.a * m.tx + r.b * m.ty);
+  r.ty = -(r.c * m.tx + r.d * m.ty);
+  return r;
+}
+
+inline double round_away(double v) { return std::floor(v + 0.5); }  // v >= 0 here
+
+struct Color4 { float r, g, b, a; };
+
+inline Color4 norm_color(const uint8_t c[4]) {
+  return {c[0] / 255.0f, c[1] / 255.0f, c[2] / 255.0f, c[3] / 255.0f};
+}
+
+// sampleColor with per-channel round-half-away at u8 precision
+// (figbackend.nim:129-153)
+inline void lerp_u8(const uint8_t a[4], const uint8_t b[4], double t, uint8_t out[4]) {
+  double tt = t < 0 ? 0 : (t > 1 ? 1 : t);
+  for (int i = 0; i < 4; i++) {
+    double v = a[i] * (1.0 - tt) + b[i] * tt;
+    int iv = (int)(v + 0.5f);
+    out[i] = (uint8_t)(iv < 0 ? 0 : (iv > 255 ? 255 : iv));
+  }
+}
+
+inline void fill_sample(const PackedFill& f, double t, uint8_t out[4]) {
+  if (f.kind == 0) { std::memcpy(out, f.c0, 4); return; }
+  if (f.kind == 1) { lerp_u8(f.c0, f.c1, t, out); return; }
+  double tt = t < 0 ? 0 : (t > 1 ? 1 : t);
+  double mid = f.midpos / 255.0;
+  mid = mid < 0.01 ? 0.01 : (mid > 0.99 ? 0.99 : mid);
+  if (tt <= mid) lerp_u8(f.c0, f.c1, tt / mid, out);
+  else lerp_u8(f.c1, f.c2, (tt - mid) / (1.0 - mid), out);
+}
+
+inline int fill_alpha_max(const PackedFill& f) {
+  if (f.kind == 0) return f.c0[3];
+  if (f.kind == 1) return f.c0[3] > f.c1[3] ? f.c0[3] : f.c1[3];
+  int m = f.c0[3] > f.c1[3] ? f.c0[3] : f.c1[3];
+  return m > f.c2[3] ? m : f.c2[3];
+}
+
+// gradientColors vertex order 0=BL 1=BR 2=TR 3=TL (figbackend.nim:161-183)
+inline void gradient_colors(const PackedFill& f, uint8_t out[4][4]) {
+  double ts[4];
+  int axis = (f.kind == 0) ? 0 : f.axis;
+  switch (axis) {
+    case 0: ts[0] = 0; ts[1] = 1; ts[2] = 1; ts[3] = 0; break;           // X
+    case 1: ts[0] = 1; ts[1] = 1; ts[2] = 0; ts[3] = 0; break;           // Y
+    case 2: ts[0] = 0.5; ts[1] = 1; ts[2] = 0.5; ts[3] = 0; break;       // TLBR
+    default: ts[0] = 0; ts[1] = 0.5; ts[2] = 1; ts[3] = 0.5; break;      // BLTR
+  }
+  for (int i = 0; i < 4; i++) fill_sample(f, ts[i], out[i]);
+}
+
+// corner-radius packing (glcontext.nim:743-817); radii order TL,TR,BL,BR in
+// x/y arrays, output (TR, BR, TL, BL)
+struct PackedRadii { double v[4]; bool elliptical; };
+
+inline double clamp_radius(double r, double maxr) {
+  if (r <= 0.0) return 0.0;
+  double v = r < maxr ? r : maxr;
+  if (v < 1.0) v = 1.0;
+  return round_away(v);
+}
+
+PackedRadii pack_radii(const double rx[4], const double ry[4], double hx, double hy) {
+  PackedRadii out{};
+  bool circular = true;
+  for (int i = 0; i < 4; i++) circular = circular && (rx[i] == ry[i]);
+  const int TL = 0, TR = 1, BL = 2, BR = 3;
+  if (circular) {
+    double maxr = hx < hy ? hx : hy;
+    out.v[0] = clamp_radius(rx[TR], maxr);
+    out.v[1] = clamp_radius(rx[BR], maxr);
+    out.v[2] = clamp_radius(rx[TL], maxr);
+    out.v[3] = clamp_radius(rx[BL], maxr);
+    out.elliptical = false;
+    return out;
+  }
+  double circle_max = hx < hy ? hx : hy;
+  auto enc = [&](int i) -> double {
+    bool same_axes = rx[i] == ry[i];
+    double circle_r = clamp_radius(rx[i], circle_max);
+    if (same_axes) return -(circle_r + 1.0);
+    double cx = clamp_radius(rx[i], hx);
+    double cy = clamp_radius(ry[i], hy);
+    if (cx == cy) return -(cx + 1.0);
+    double nx = cx / (hx > 1e-6 ? hx : 1e-6);
+    double ny = cy / (hy > 1e-6 ? hy : 1e-6);
+    nx = nx < 0 ? 0 : (nx > 1 ? 1 : nx);
+    ny = ny < 0 ? 0 : (ny > 1 ? 1 : ny);
+    return round_away(nx * 4095.0) + round_away(ny * 4095.0) * 4096.0;
+  };
+  out.v[0] = enc(TR);
+  out.v[1] = enc(BR);
+  out.v[2] = enc(TL);
+  out.v[3] = enc(BL);
+  out.elliptical = true;
+  return out;
+}
+
+struct RectMask {
+  bool fast;
+  double params[4], radii[4], matx[4], maty[4];
+};
+
+struct Item {
+  int32_t kind;  // 0 draw, 1 blur, 2 clear_mask
+  int32_t target;
+  int32_t start, end;
+  float radius;
+};
+
+struct Ctx {
+  double ui_scale = 1.0, aa = 1.2;
+  double white_u = 0.0, white_v = 0.0;
+  Mat3 mat;
+  std::vector<Mat3> mats;
+  std::vector<float> fields;
+  std::vector<int32_t> modes;
+  int count = 0;
+  std::vector<Item> items;
+  int mask_write = 0;
+  int mask_count = 0;
+  bool mask_begun = false;
+  std::vector<RectMask> rect_masks;
+  // open run
+  bool run_open = false;
+  int run_target = 0, run_mask = 0, run_start = 0;
+
+  double s(double v) const { return v * ui_scale; }
+
+  void close_run() {
+    if (run_open && run_start < count)
+      items.push_back({0, run_target, run_start, count, 0.0f});
+    run_open = false;
+  }
+  int ensure_run() {
+    int tgt = mask_begun ? mask_write : FRAME_TARGET;
+    int mrd = mask_begun ? mask_write - 1 : mask_write;
+    if (!run_open || run_target != tgt || run_mask != mrd) {
+      close_run();
+      run_open = true;
+      run_target = tgt;
+      run_mask = mrd;
+      run_start = count;
+    }
+    return mrd;
+  }
+
+  const RectMask* active_rect_mask() const {
+    if (mask_begun) return nullptr;
+    for (auto it = rect_masks.rbegin(); it != rect_masks.rend(); ++it)
+      if (it->fast) return &*it;
+    return nullptr;
+  }
+
+  float* alloc_quad(int mask_read, int packed_mode) {
+    size_t need = (size_t)(count + 1) * QF_WIDTH;
+    if (fields.size() < need) fields.resize(need * 2, 0.0f);
+    if (modes.size() < (size_t)(count + 1) * QI_WIDTH)
+      modes.resize((size_t)(count + 1) * QI_WIDTH * 2, 0);
+    float* f = &fields[(size_t)count * QF_WIDTH];
+    std::memset(f, 0, QF_WIDTH * sizeof(float));
+    modes[(size_t)count * QI_WIDTH + 0] = packed_mode;
+    modes[(size_t)count * QI_WIDTH + 1] = mask_read;
+    count++;
+    return f;
+  }
+};
+
+// ceil-snapped transformed quad corners, order BL BR TR TL
+// (glcontext.nim:1036-1040,1498-1503)
+inline void pos_quad(const Mat3& m, double x0, double y0, double x1, double y1,
+                     double out[4][2]) {
+  const double xs[4] = {x0, x1, x1, x0};
+  const double ys[4] = {y1, y1, y0, y0};
+  for (int i = 0; i < 4; i++) {
+    out[i][0] = std::ceil(m.a * xs[i] + m.b * ys[i] + m.tx);
+    out[i][1] = std::ceil(m.c * xs[i] + m.d * ys[i] + m.ty);
+  }
+}
+
+// emit one quad record (tape.py _emit_quad)
+void emit_quad(Ctx& ctx, const double pq[4][2], const double uv[4][2],
+               const uint8_t colors[4][4], const double params[4],
+               const double radii[4], const double factors[2], int packed_mode,
+               const uint8_t* mid_color, const uint8_t* stop_color) {
+  int mask_read = ctx.ensure_run();
+  double ax = pq[2][0] - pq[3][0], ay = pq[2][1] - pq[3][1];
+  double bx = pq[0][0] - pq[3][0], by = pq[0][1] - pq[3][1];
+  double det = ax * by - ay * bx;
+  if (std::fabs(det) <= 1e-12) return;
+  float* f = ctx.alloc_quad(mask_read, packed_mode);
+  double inv = 1.0 / det;
+  f[QF_INV_A + 0] = by * inv;
+  f[QF_INV_A + 1] = -bx * inv;
+  f[QF_INV_A + 2] = -ay * inv;
+  f[QF_INV_A + 3] = ax * inv;
+  f[QF_ORG_X + 0] = pq[3][0];
+  f[QF_ORG_X + 1] = pq[3][1];
+  double mnx = pq[0][0], mny = pq[0][1], mxx = pq[0][0], mxy = pq[0][1];
+  for (int i = 1; i < 4; i++) {
+    mnx = std::fmin(mnx, pq[i][0]);
+    mny = std::fmin(mny, pq[i][1]);
+    mxx = std::fmax(mxx, pq[i][0]);
+    mxy = std::fmax(mxy, pq[i][1]);
+  }
+  f[QF_BBOX + 0] = mnx;
+  f[QF_BBOX + 1] = mny;
+  f[QF_BBOX + 2] = mxx;
+  f[QF_BBOX + 3] = mxy;
+  f[QF_UV + 0] = uv[3][0];
+  f[QF_UV + 1] = uv[3][1];
+  f[QF_UV + 2] = uv[2][0] - uv[3][0];
+  f[QF_UV + 3] = uv[2][1] - uv[3][1];
+  f[QF_UV + 4] = uv[0][0] - uv[3][0];
+  f[QF_UV + 5] = uv[0][1] - uv[3][1];
+  for (int v = 0; v < 4; v++)
+    for (int c = 0; c < 4; c++) f[QF_COLOR0 + v * 4 + c] = colors[v][c] / 255.0f;
+  if (mid_color)
+    for (int c = 0; c < 4; c++) f[QF_MID + c] = mid_color[c] / 255.0f;
+  if (stop_color)
+    for (int c = 0; c < 4; c++) f[QF_STOP + c] = stop_color[c] / 255.0f;
+  for (int i = 0; i < 4; i++) f[QF_PARAMS + i] = params[i];
+  for (int i = 0; i < 4; i++) f[QF_RADII + i] = radii[i];
+  f[QF_FACTORS + 0] = factors[0];
+  f[QF_FACTORS + 1] = factors[1];
+  f[QF_AA] = ctx.aa;
+  f[QF_SUBPIX] = 0.0f;
+  const RectMask* rm = ctx.active_rect_mask();
+  if (rm) {
+    for (int i = 0; i < 4; i++) f[QF_RECT + i] = rm->params[i];
+    for (int i = 0; i < 4; i++) f[QF_RECT + 4 + i] = rm->radii[i];
+    for (int i = 0; i < 4; i++) f[QF_RECT + 8 + i] = rm->matx[i];
+    for (int i = 0; i < 4; i++) f[QF_RECT + 12 + i] = rm->maty[i];
+  } else {
+    f[QF_RECT + 2] = -1.0f;
+    f[QF_RECT + 3] = -1.0f;
+  }
+}
+
+// drawRoundedRectSdf (tape.py / glcontext.nim:1449-1559)
+void draw_rounded_rect(Ctx& ctx, double rx, double ry, double rw, double rh,
+                       const PackedFill& fill, const double radx[4],
+                       const double rady[4], int mode, double factor, double spread,
+                       double ssx, double ssy) {
+  if (rw <= 0 || rh <= 0) return;
+  int fill_mode = 0;
+  uint8_t colors[4][4];
+  const uint8_t* midc = nullptr;
+  const uint8_t* stopc = nullptr;
+  double mid_pos = 0.5;
+  bool lin3_path = fill.kind == 2 && (mode == 3 || mode == 11 || mode == 12);
+  if (lin3_path) {
+    static const int axis_to_mode[4] = {1, 2, 3, 4};
+    fill_mode = axis_to_mode[fill.axis & 3];
+    for (int v = 0; v < 4; v++) std::memcpy(colors[v], fill.c0, 4);
+    midc = fill.c1;
+    stopc = fill.c2;
+    double mp = fill.midpos / 255.0;
+    mid_pos = mp < 0.01 ? 0.01 : (mp > 0.99 ? 0.99 : mp);
+  } else {
+    gradient_colors(fill, colors);
+  }
+
+  double qhx = rw * 0.5, qhy = rh * 0.5;
+  bool inset = mode == MODE_INSET;
+  double rsx = (ssx > 0 && ssy > 0) ? ssx : rw;
+  double rsy = (ssx > 0 && ssy > 0) ? ssy : rh;
+  double shx = inset ? qhx : rsx * 0.5;
+  double shy = inset ? qhy : rsy * 0.5;
+  double params[4];
+  if (inset) {
+    params[0] = qhx; params[1] = qhy; params[2] = ssx; params[3] = ssy;
+  } else {
+    params[0] = qhx; params[1] = qhy; params[2] = shx; params[3] = shy;
+  }
+  PackedRadii pr = pack_radii(radx, rady, shx, shy);
+  double factors[2];
+  factors[0] = factor;
+  factors[1] = fill_mode == 0 ? spread : mid_pos;
+
+  double pq[4][2];
+  pos_quad(ctx.mat, rx, ry, rx + rw, ry + rh, pq);
+  static const double uv[4][2] = {{0, 1}, {1, 1}, {1, 0}, {0, 0}};
+  int packed = mode + (pr.elliptical ? 128 : 0) + fill_mode * 256;
+  emit_quad(ctx, pq, uv, colors, params, pr.v, factors, packed, midc, stopc);
+}
+
+// node corner radii, scaled (figrender.nim:549-571)
+void node_corners(const Ctx& ctx, const Fig& n, double rx[4], double ry[4]) {
+  bool ell = (n.flags & NF_ELLIPTICAL) != 0;
+  for (int i = 0; i < 4; i++) {
+    rx[i] = ctx.s((double)n.corners[i]);
+    ry[i] = ell ? ctx.s((double)n.corners_y[i]) : rx[i];
+  }
+}
+
+void begin_mask(Ctx& ctx, double rx, double ry, double rw, double rh,
+                const double radx[4], const double rady[4]) {
+  ctx.close_run();
+  ctx.mask_begun = true;
+  ctx.mask_write++;
+  if (ctx.mask_write > ctx.mask_count) ctx.mask_count = ctx.mask_write;
+  ctx.items.push_back({2, ctx.mask_write, 0, 0, 0.0f});
+  PackedFill red{};
+  red.kind = 0;
+  red.c0[0] = 255; red.c0[3] = 255;
+  draw_rounded_rect(ctx, rx, ry, rw, rh, red, radx, rady, MODE_CLIP_AA, 4.0, 0.0,
+                    0.0, 0.0);
+}
+
+void end_mask(Ctx& ctx) {
+  ctx.close_run();
+  ctx.mask_begun = false;
+}
+
+void pop_mask(Ctx& ctx) {
+  ctx.close_run();
+  ctx.mask_write--;
+}
+
+void begin_rect_mask(Ctx& ctx, double rx, double ry, double rw, double rh,
+                     const double radx[4], const double rady[4]) {
+  if (ctx.rect_masks.empty() && rw > 0 && rh > 0) {
+    RectMask rm{};
+    rm.fast = true;
+    double hx = rw * 0.5, hy = rh * 0.5;
+    rm.params[0] = rx + hx; rm.params[1] = ry + hy;
+    rm.params[2] = hx; rm.params[3] = hy;
+    PackedRadii pr = pack_radii(radx, rady, hx, hy);
+    for (int i = 0; i < 4; i++) rm.radii[i] = pr.v[i];
+    Mat3 inv = mat_inverse(ctx.mat);
+    rm.matx[0] = inv.a; rm.matx[1] = inv.b; rm.matx[2] = inv.tx; rm.matx[3] = 1.0f;
+    rm.maty[0] = inv.c; rm.maty[1] = inv.d; rm.maty[2] = inv.ty;
+    rm.maty[3] = pr.elliptical ? 1.0f : 0.0f;
+    ctx.rect_masks.push_back(rm);
+  } else {
+    begin_mask(ctx, rx, ry, rw, rh, radx, rady);
+    end_mask(ctx);
+    RectMask rm{};
+    rm.fast = false;
+    ctx.rect_masks.push_back(rm);
+  }
+}
+
+void pop_rect_mask(Ctx& ctx) {
+  bool fast = ctx.rect_masks.back().fast;
+  ctx.rect_masks.pop_back();
+  if (!fast) pop_mask(ctx);
+}
+
+void render_node(Ctx& ctx, const Fig* nodes, int n_nodes, int idx) {
+  const Fig& n = nodes[idx];
+  if (n.flags & NF_DISABLE) return;
+  double bx = ctx.s(n.box[0]), by = ctx.s(n.box[1]);
+  double bw = ctx.s(n.box[2]), bh = ctx.s(n.box[3]);
+
+  bool did_rotation = n.rotation != 0.0f;
+  if (did_rotation) {
+    ctx.mats.push_back(ctx.mat);
+    double cx = bx + bw * 0.5, cy = by + bh * 0.5;
+    ctx.mat = matmul(ctx.mat, mat_translate(cx, cy));
+    ctx.mat = matmul(ctx.mat, mat_rotate((double)n.rotation / 180.0 * 3.14159265358979311599796346854));
+    ctx.mat = matmul(ctx.mat, mat_translate(-cx, -cy));
+  }
+
+  bool did_transform = n.kind == NK_TRANSFORM;
+  if (did_transform) {
+    ctx.mats.push_back(ctx.mat);
+    if (n.tx != 0.0f || n.ty != 0.0f)
+      ctx.mat = matmul(ctx.mat, mat_translate(ctx.s(n.tx), ctx.s(n.ty)));
+    if (n.use_matrix) {
+      Mat3 m;
+      m.a = n.matrix[0]; m.b = n.matrix[1]; m.tx = n.matrix[2];
+      m.c = n.matrix[3]; m.d = n.matrix[4]; m.ty = n.matrix[5];
+      ctx.mat = matmul(ctx.mat, m);
+    }
+  }
+
+  double radx[4], rady[4];
+  node_corners(ctx, n, radx, rady);
+
+  if (n.kind == NK_RECT) {
+    // drop shadows (figrender.nim:654-689)
+    for (int i = 0; i < 4; i++) {
+      const PackedShadow& sh = n.shadows[i];
+      if (sh.style != 1) continue;
+      if (sh.blur <= 0.0f && sh.spread <= 0.0f) continue;
+      if (fill_alpha_max(sh.fill) == 0) continue;
+      double sx = ctx.s(sh.x), sy = ctx.s(sh.y);
+      double sblur = ctx.s(sh.blur), sspread = ctx.s(sh.spread);
+      double blur_pad = round_away(1.5 * sblur);
+      double pad = round_away(sspread) + blur_pad;
+      if (pad < 0.0) pad = 0.0;
+      double srx = bx + sx, sry = by + sy;
+      draw_rounded_rect(ctx, srx - pad, sry - pad, bw + 2 * pad, bh + 2 * pad,
+                        sh.fill, radx, rady, MODE_DROP, sblur, sspread, bw, bh);
+    }
+  }
+
+  bool did_clip = (n.flags & NF_CLIP) != 0;
+  if (did_clip) {
+    begin_mask(ctx, bx, by, bw, bh, radx, rady);
+    end_mask(ctx);
+  }
+  bool did_rect_mask = (n.flags & NF_RECTMASK) != 0;
+  if (did_rect_mask) begin_rect_mask(ctx, bx, by, bw, bh, radx, rady);
+
+  if (n.kind == NK_RECT) {
+    // fill + stroke (figrender.nim:806-873)
+    if (fill_alpha_max(n.fill) > 0)
+      draw_rounded_rect(ctx, bx, by, bw, bh, n.fill, radx, rady, MODE_CLIP_AA,
+                        4.0, 0.0, 0.0, 0.0);
+    if (fill_alpha_max(n.stroke_fill) > 0 && n.stroke_weight > 0)
+      draw_rounded_rect(ctx, bx, by, bw, bh, n.stroke_fill, radx, rady,
+                        MODE_ANNULAR_AA, ctx.s(n.stroke_weight), 0.0, 0.0, 0.0);
+  } else if (n.kind == NK_BACKDROP) {
+    if (n.blur > 0.0f && bw > 0 && bh > 0) {
+      ctx.close_run();
+      ctx.items.push_back({1, 0, 0, 0, (float)ctx.s(n.blur)});
+      PackedFill white{};
+      white.kind = 0;
+      white.c0[0] = white.c0[1] = white.c0[2] = white.c0[3] = 255;
+      draw_rounded_rect(ctx, bx, by, bw, bh, white, radx, rady, MODE_BACKDROP,
+                        ctx.s(n.blur), 0.0, 0.0, 0.0);
+    }
+    if (fill_alpha_max(n.fill) > 0)
+      draw_rounded_rect(ctx, bx, by, bw, bh, n.fill, radx, rady, MODE_CLIP_AA,
+                        4.0, 0.0, 0.0, 0.0);
+  }
+
+  if (n.kind == NK_RECT) {
+    // inner shadows (figrender.nim:716-744)
+    for (int i = 0; i < 4; i++) {
+      const PackedShadow& sh = n.shadows[i];
+      if (sh.style != 2) continue;
+      if (sh.blur <= 0.0f && sh.spread <= 0.0f) continue;
+      if (fill_alpha_max(sh.fill) == 0) continue;
+      draw_rounded_rect(ctx, bx, by, bw, bh, sh.fill, radx, rady, MODE_INSET,
+                        ctx.s(sh.blur), ctx.s(sh.spread), ctx.s(sh.x), ctx.s(sh.y));
+    }
+  }
+
+  // children: forward scan (fignodes.nim:165-177)
+  int found = 0;
+  for (int ci = idx + 1; ci < n_nodes && found < n.child_count; ci++) {
+    if (nodes[ci].parent == idx) {
+      found++;
+      render_node(ctx, nodes, n_nodes, ci);
+    }
+  }
+
+  if (did_rect_mask) pop_rect_mask(ctx);
+  if (did_clip) pop_mask(ctx);
+  if (did_transform) { ctx.mat = ctx.mats.back(); ctx.mats.pop_back(); }
+  if (did_rotation) { ctx.mat = ctx.mats.back(); ctx.mats.pop_back(); }
+}
+
+}  // namespace
+
+extern "C" {
+
+Ctx* fd_create(float ui_scale, float pixel_scale, float aa_factor) {
+  Ctx* ctx = new Ctx();
+  ctx->ui_scale = ui_scale;
+  ctx->aa = aa_factor;
+  ctx->mat = mat_scale(pixel_scale, pixel_scale);
+  return ctx;
+}
+
+void fd_destroy(Ctx* ctx) { delete ctx; }
+
+// Flatten one layer's roots in order. nodes: FIG_DTYPE rows; roots: indexes.
+void fd_flatten_layer(Ctx* ctx, const void* nodes, int n_nodes,
+                      const int32_t* roots, int n_roots) {
+  const Fig* figs = (const Fig*)nodes;
+  for (int i = 0; i < n_roots; i++)
+    render_node(*ctx, figs, n_nodes, roots[i]);
+}
+
+int fd_quad_count(Ctx* ctx) {
+  ctx->close_run();
+  return ctx->count;
+}
+
+int fd_item_count(Ctx* ctx) { return (int)ctx->items.size(); }
+int fd_mask_count(Ctx* ctx) { return ctx->mask_count; }
+int fd_fig_struct_size() { return (int)sizeof(Fig); }
+
+// Export: fields (cap, QF_WIDTH) f32, modes (cap, QI_WIDTH) i32,
+// items (n, 5) i32 with radius bit-cast in slot 4.
+int fd_export(Ctx* ctx, float* fields, int32_t* modes, int quad_cap,
+              int32_t* items, int item_cap) {
+  ctx->close_run();
+  if (ctx->count > quad_cap || (int)ctx->items.size() > item_cap) return -1;
+  std::memcpy(fields, ctx->fields.data(),
+              (size_t)ctx->count * QF_WIDTH * sizeof(float));
+  std::memcpy(modes, ctx->modes.data(),
+              (size_t)ctx->count * QI_WIDTH * sizeof(int32_t));
+  for (size_t i = 0; i < ctx->items.size(); i++) {
+    const Item& it = ctx->items[i];
+    items[i * 5 + 0] = it.kind;
+    items[i * 5 + 1] = it.target;
+    items[i * 5 + 2] = it.start;
+    items[i * 5 + 3] = it.end;
+    std::memcpy(&items[i * 5 + 4], &it.radius, 4);
+  }
+  return ctx->count;
+}
+
+}  // extern "C"

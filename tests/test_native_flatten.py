@@ -1,0 +1,132 @@
+"""Native C++ flattener parity: bit-identical tape vs the Python walk."""
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import vec2
+from figdraw_tpu.nodesarray import from_renders
+from figdraw_tpu.renderer import FigRenderer
+from figdraw_tpu.scenes import make_render_tree
+from figdraw_tpu import native
+from figdraw_tpu.tape import BlurItem, ClearMaskItem, DrawItem
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native flattener not built"
+)
+
+
+def flatten_both(renders, w, h):
+    from figdraw_tpu.nodesarray import to_renders
+
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    arr = from_renders(renders)
+    # round-trip the python-walk scene through the array so both sides see
+    # identical f32-quantized coordinates
+    py_tape = ren.flatten(to_renders(arr), vec2(w, h))
+    native_tape = ren.flatten(arr, vec2(w, h))
+    return py_tape, native_tape
+
+
+def assert_tapes_equal(a, b):
+    assert a.count == b.count
+    assert a.mask_count == b.mask_count
+    fa = a.fields[: a.count]
+    fb = b.fields[: b.count]
+    if not np.array_equal(fa, fb):
+        bad = np.argwhere(fa != fb)
+        q, col = bad[0]
+        raise AssertionError(
+            f"field mismatch at quad {q} col {col}: {fa[q, col]} vs {fb[q, col]} "
+            f"({len(bad)} total diffs)"
+        )
+    assert np.array_equal(a.modes[: a.count], b.modes[: b.count])
+    assert len(a.items) == len(b.items)
+    for ia, ib in zip(a.items, b.items):
+        assert type(ia) is type(ib)
+        if isinstance(ia, DrawItem):
+            assert (ia.target, ia.start, ia.end) == (ib.target, ib.start, ib.end)
+        elif isinstance(ia, BlurItem):
+            assert abs(ia.radius - ib.radius) < 1e-6
+        else:
+            assert ia.index == ib.index
+
+
+def test_native_matches_python_on_benchmark_scene():
+    renders = make_render_tree(640.0, 480.0, frame=3, copies=8)
+    py_tape, native_tape = flatten_both(renders, 640, 480)
+    assert py_tape.count > 50
+    assert_tapes_equal(py_tape, native_tape)
+
+
+def test_native_matches_python_masks_and_transforms():
+    from figdraw_tpu import (
+        Fig,
+        FigFlags,
+        FigKind,
+        RenderStroke,
+        TransformStyle,
+        fill,
+        new_renders,
+        rect,
+        rgba,
+    )
+    from figdraw_tpu.geometry import Mat3
+
+    renders = new_renders()
+    clip = renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(10, 10, 100, 80),
+        corners=(9, 9, 9, 9), flags=FigFlags.NfClipContent,
+        fill=fill(rgba(200, 200, 200, 255)),
+    ))
+    renders.add_child(0, clip, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(0, 0, 300, 300),
+        fill=fill(rgba(255, 0, 0, 128)),
+    ))
+    rm = renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(40, 30, 90, 70),
+        corners=(5, 5, 5, 5), flags=FigFlags.NfRectMaskContent,
+        fill=fill(rgba(0, 0, 200, 200)),
+    ))
+    renders.add_child(0, rm, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(0, 0, 300, 300),
+        fill=fill(rgba(0, 255, 0, 100)),
+        rotation=15.0,
+    ))
+    tr = renders.add_root(0, Fig(
+        kind=FigKind.nkTransform,
+        transform=TransformStyle(translation=vec2(7.0, -3.0), matrix=Mat3.scaling(1.5, 0.75)),
+    ))
+    renders.add_child(0, tr, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(20, 20, 40, 40),
+        stroke=RenderStroke(weight=3.0, fill=fill(rgba(0, 0, 0, 255))),
+        fill=fill(rgba(255, 255, 0, 255)),
+    ))
+    py_tape, native_tape = flatten_both(renders, 200, 150)
+    assert py_tape.mask_count >= 1
+    assert_tapes_equal(py_tape, native_tape)
+
+
+def test_native_ui_scale():
+    from figdraw_tpu import set_fig_ui_scale, fig_ui_scale
+
+    old = fig_ui_scale()
+    set_fig_ui_scale(2.0)
+    try:
+        renders = make_render_tree(320.0, 240.0, frame=1, copies=3)
+        py_tape, native_tape = flatten_both(renders, 320, 240)
+        assert_tapes_equal(py_tape, native_tape)
+    finally:
+        set_fig_ui_scale(old)
+
+
+def test_native_rejects_unsupported_kinds():
+    from figdraw_tpu import Fig, FigKind, new_renders, rect, fill, rgba
+    from figdraw_tpu.nodes import drawable_line
+
+    renders = new_renders()
+    renders.add_root(0, Fig(
+        kind=FigKind.nkDrawable, screen_box=rect(0, 0, 10, 10),
+        draw_ops=(drawable_line(vec2(0, 0), vec2(5, 5)),),
+    ))
+    arr = from_renders(renders)
+    assert not arr.all_native_kinds()

@@ -11,6 +11,7 @@ signatures stay stable across frames (SURVEY.md §7 "bucketed static shapes").
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Dict, Hashable, List, Optional, Tuple
 
 import numpy as np
@@ -32,6 +33,43 @@ from .ops.layout import QF_WIDTH, QI_WIDTH
 QUAD_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
 
 WHITE_IMAGE_KEY = "__figdraw_white__"
+
+
+@dataclass
+class AtlasUsage:
+    """Atlas occupancy snapshot (figbackend.nim:72-89)."""
+
+    snapshot_id: int = 0
+    generation: int = 0
+    rebuild_count: int = 0
+    atlas_size: int = 0
+    atlas_area: int = 0
+    used_area: int = 0
+    packed_area: int = 0
+    entry_count: int = 0
+    image_count: int = 0
+    glyph_count: int = 0
+    generated_count: int = 0
+    unknown_count: int = 0
+
+    @property
+    def used_ratio(self) -> float:
+        return self.used_area / self.atlas_area if self.atlas_area > 0 else 0.0
+
+    @property
+    def packed_ratio(self) -> float:
+        return self.packed_area / self.atlas_area if self.atlas_area > 0 else 0.0
+
+
+_atlas_usage_lock = __import__("threading").Lock()
+_last_atlas_usage = AtlasUsage()
+_next_snapshot_id = 0
+
+
+def atlas_usage_snapshot() -> AtlasUsage:
+    """Cheap cross-thread last-published snapshot (figbackend.nim:347-353)."""
+    with _atlas_usage_lock:
+        return _last_atlas_usage
 
 
 def _bucket(n: int) -> int:
@@ -72,6 +110,123 @@ class FigRenderer:
         self.text_subpixel_positioning = False
         self.text_subpixel_glyph_variants = False
         self.last_frame = None  # device (H, W, 4) f32 of the last render
+        self._subscription = None
+        self._bus = None
+        self._image_owners: Dict[Hashable, set] = {}
+        self._font_owners: Dict[Hashable, set] = {}
+
+    # --- resource message pump (figrender.nim:1841-1944) ------------------------
+
+    def ensure_image_message_subscription(self, bus=None) -> None:
+        from .resources import default_bus
+
+        if bus is None:
+            if self._subscription is not None:
+                return  # keep whatever bus we're already on
+            bus = default_bus
+        if self._subscription is None or self._bus is not bus:
+            self._bus = bus
+            self._subscription = bus.subscribe()
+
+    def process_image_messages(self) -> None:
+        """Drains the bus and applies put/replace/clear/retain/release to the
+        atlas with staleness checks."""
+        from .resources import ImageMsgKind
+
+        self.ensure_image_message_subscription()
+        bus = self._bus
+        for msg in self._subscription.drain():
+            kind = msg.kind
+            if kind in (ImageMsgKind.PutImage, ImageMsgKind.ReplaceImage):
+                if not bus.message_current(msg) or msg.image is None:
+                    continue
+                # update in place when dimensions match, else repack
+                # (figbackend.nim:369-389)
+                self.atlas.update_image(msg.id, msg.image)
+                self.atlas.meta[msg.id] = AtlasEntryMeta(kind="image", image_id=msg.id)
+            elif kind == ImageMsgKind.PutGlyph:
+                if msg.image is None or msg.id in self.atlas:
+                    continue
+                self.atlas.put_image(
+                    msg.id,
+                    msg.image,
+                    AtlasEntryMeta(
+                        kind="glyph", font_id=msg.font_id, typeface_id=msg.typeface_id
+                    ),
+                )
+            elif kind == ImageMsgKind.ClearImage:
+                self.atlas.remove(msg.id)
+            elif kind == ImageMsgKind.ClearImages:
+                for i in msg.ids:
+                    self.atlas.remove(i)
+            elif kind == ImageMsgKind.ClearImageCache:
+                self.atlas.clear()
+            elif kind == ImageMsgKind.ClearFontGlyphs:
+                self._clear_glyphs(lambda m: m.font_id == msg.font_id)
+            elif kind == ImageMsgKind.ClearTypefaceGlyphs:
+                self._clear_glyphs(lambda m: m.typeface_id == msg.typeface_id)
+            elif kind == ImageMsgKind.RetainImage:
+                self._image_owners.setdefault(msg.id, set()).add(msg.owner_token)
+            elif kind == ImageMsgKind.ReleaseImage:
+                owners = self._image_owners.get(msg.id)
+                if owners is not None:
+                    owners.discard(msg.owner_token)
+                    if not owners:
+                        self._image_owners.pop(msg.id, None)
+                if msg.final_release:
+                    self.atlas.remove(msg.id)
+            elif kind == ImageMsgKind.RetainFont:
+                self._font_owners.setdefault(msg.font_id, set()).add(msg.owner_token)
+            elif kind == ImageMsgKind.ReleaseFont:
+                owners = self._font_owners.get(msg.font_id)
+                if owners is not None:
+                    owners.discard(msg.owner_token)
+                    if not owners:
+                        self._font_owners.pop(msg.font_id, None)
+                if msg.final_release:
+                    self._clear_glyphs(lambda m: m.font_id == msg.font_id)
+
+    def _clear_glyphs(self, pred) -> None:
+        keys = [
+            k for k, m in self.atlas.meta.items() if m.kind == "glyph" and pred(m)
+        ]
+        for k in keys:
+            self.atlas.remove(k)
+
+    # --- atlas usage observability ------------------------------------------------
+
+    def atlas_usage(self) -> "AtlasUsage":
+        usage = AtlasUsage(
+            generation=self.atlas.generation,
+            rebuild_count=self.atlas.rebuild_count,
+            atlas_size=self.atlas.size,
+            atlas_area=self.atlas.size * self.atlas.size,
+            used_area=self.atlas.used_area(),
+            packed_area=max(self.atlas.packed_area(), self.atlas.used_area()),
+            entry_count=len(self.atlas.entries),
+        )
+        for key in self.atlas.entries:
+            meta = self.atlas.meta.get(key)
+            if meta is None:
+                usage.unknown_count += 1
+            elif meta.kind == "image":
+                usage.image_count += 1
+            elif meta.kind == "glyph":
+                usage.glyph_count += 1
+            else:
+                usage.generated_count += 1
+        if usage.atlas_area > 0:
+            usage.used_area = min(usage.used_area, usage.atlas_area)
+            usage.packed_area = min(usage.packed_area, usage.atlas_area)
+        return usage
+
+    def publish_atlas_usage(self) -> None:
+        global _last_atlas_usage, _next_snapshot_id
+        usage = self.atlas_usage()
+        with _atlas_usage_lock:
+            _next_snapshot_id += 1
+            usage.snapshot_id = _next_snapshot_id
+            _last_atlas_usage = usage
 
     # --- atlas management -----------------------------------------------------
 
@@ -248,8 +403,11 @@ class FigRenderer:
         fs = scaled(frame_size)
         if fs.x <= 0 or fs.y <= 0:
             return self.last_frame
+        self.process_image_messages()
         tape = self.flatten(renders, fs, clear_main, clear_color)
-        return self.execute(tape)
+        frame = self.execute(tape)
+        self.publish_atlas_usage()
+        return frame
 
     def take_screenshot(self, frame=None) -> np.ndarray:
         """Last rendered frame as uint8 RGBA (readPixels analog)."""

@@ -1,0 +1,190 @@
+"""Images, atlas, MSDF modes and the resource message bus.
+
+Behavior ports of /root/reference/tests/timage_loading.nim (bus staleness /
+replay / RAII eviction) and trender_image / trender_image_msdf_invert
+(drawImage, flipY, MSDF sampling).
+"""
+
+import numpy as np
+
+from figdraw_tpu import (
+    Fig,
+    FigFlags,
+    FigKind,
+    FigRenderer,
+    MsdfImageStyle,
+    fill,
+    image_style,
+    new_renders,
+    rect,
+    rgba,
+    vec2,
+)
+from figdraw_tpu.nodes import RenderList
+from figdraw_tpu.resources import (
+    ImageMessageBus,
+    ImageMsg,
+    ImageMsgKind,
+    ImageRef,
+    put_image,
+    replace_image,
+)
+
+
+def checker_image(w=8, h=8):
+    img = np.zeros((h, w, 4), dtype=np.uint8)
+    img[: h // 2, : w // 2] = (255, 0, 0, 255)
+    img[: h // 2, w // 2 :] = (0, 255, 0, 255)
+    img[h // 2 :, : w // 2] = (0, 0, 255, 255)
+    img[h // 2 :, w // 2 :] = (255, 255, 0, 255)
+    return img
+
+
+def render_image_node(ren, image_id, flags=0, w=64, h=64):
+    lst = RenderList()
+    lst.add_root(
+        Fig(kind=FigKind.nkImage, screen_box=rect(8, 8, 32, 32),
+            flags=flags, image=image_style(image_id))
+    )
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren.render_frame(r, vec2(w, h))
+    return ren.take_screenshot()
+
+
+def test_draw_image_and_flip_y():
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(1234, checker_image(), bus=bus)
+
+    img = render_image_node(ren, 1234)
+    # top-left quadrant of the image (red) lands in the rect's top-left
+    assert img[12, 12, 0] > 200 and img[12, 12, 1] < 60
+    # bottom-left is blue
+    assert img[35, 12, 2] > 200
+
+    flipped = render_image_node(ren, 1234, flags=FigFlags.NfInvertY)
+    assert flipped[12, 12, 2] > 200  # blue now on top
+    assert flipped[35, 12, 0] > 200  # red at bottom
+
+
+def test_replace_image_updates_pixels():
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(77, checker_image(), bus=bus)
+    render_image_node(ren, 77)
+
+    solid = np.zeros((8, 8, 4), dtype=np.uint8)
+    solid[:] = (10, 200, 30, 255)
+    replace_image(77, solid, bus=bus)
+    img = render_image_node(ren, 77)
+    assert img[20, 20, 1] > 150 and img[20, 20, 0] < 60
+
+
+def test_bus_replay_on_subscribe():
+    bus = ImageMessageBus()
+    put_image(5, checker_image(), bus=bus)
+    put_image(6, checker_image(), bus=bus)
+    sub = bus.subscribe()
+    msgs = sub.drain()
+    assert {m.id for m in msgs} == {5, 6}
+    assert all(m.kind == ImageMsgKind.PutImage for m in msgs)
+
+
+def test_bus_staleness():
+    bus = ImageMessageBus()
+    m1 = bus.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=9, image=checker_image()))
+    m2 = bus.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=9, image=checker_image()))
+    assert not bus.message_current(m1)  # superseded
+    assert bus.message_current(m2)
+    bus.publish(ImageMsg(kind=ImageMsgKind.ClearImageCache))
+    assert not bus.message_current(m2)  # cache generation bumped
+
+
+def test_image_ref_final_release_evicts():
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(42, checker_image(), bus=bus)
+    ref1 = ImageRef(42, bus=bus)
+    ref2 = ImageRef(42, bus=bus)
+    ren.process_image_messages()
+    assert ren.contains_image(42)
+    ref1.close()
+    ren.process_image_messages()
+    assert ren.contains_image(42)  # still retained by ref2
+    ref2.close()
+    ren.process_image_messages()
+    assert not ren.contains_image(42)
+
+
+def synthetic_msdf(size=32, radius=10.0, px_range=4.0):
+    """True SDF of a circle stored in rgb (median == sd), alpha in w (mtsdf)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    d = np.sqrt((xx + 0.5 - size / 2) ** 2 + (yy + 0.5 - size / 2) ** 2)
+    sd = (radius - d) / px_range + 0.5
+    sd = np.clip(sd, 0.0, 1.0).astype(np.float32)
+    return np.stack([sd, sd, sd, sd], axis=-1)
+
+
+def test_msdf_mode_renders_circle():
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(99, synthetic_msdf(), bus=bus)
+
+    lst = RenderList()
+    lst.add_root(
+        Fig(kind=FigKind.nkMsdfImage, screen_box=rect(16, 16, 32, 32),
+            msdf_image=MsdfImageStyle(id=99, fill=fill(rgba(0, 0, 0, 255)),
+                                      px_range=4.0))
+    )
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren.render_frame(r, vec2(64, 64))
+    img = ren.take_screenshot()
+    assert img[32, 32, 0] < 50  # center: glyph color
+    assert img[18, 18, 0] > 200  # corner of quad: background
+    # outline (annular) variant
+    lst2 = RenderList()
+    lst2.add_root(
+        Fig(kind=FigKind.nkMsdfImage, screen_box=rect(16, 16, 32, 32),
+            msdf_image=MsdfImageStyle(id=99, fill=fill(rgba(0, 0, 0, 255)),
+                                      px_range=4.0, stroke_weight=2.0))
+    )
+    r2 = new_renders()
+    r2.set_layer(0, lst2)
+    ren.render_frame(r2, vec2(64, 64))
+    img2 = ren.take_screenshot()
+    assert img2[32, 32, 0] > 200  # hollow center
+
+
+def test_atlas_usage_snapshot():
+    from figdraw_tpu.renderer import atlas_usage_snapshot
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(7, checker_image(), bus=bus)
+    render_image_node(ren, 7)
+    usage = ren.atlas_usage()
+    assert usage.image_count >= 1
+    assert usage.entry_count >= 2  # white + image
+    assert 0.0 < usage.used_ratio <= 1.0
+    snap = atlas_usage_snapshot()
+    assert snap.snapshot_id > 0
+
+
+def test_atlas_grow_and_replay():
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=32, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    # overflow the 32x32 atlas → grow with repack, entries survive
+    for i in range(6):
+        put_image(100 + i, checker_image(16, 16), bus=bus)
+    ren.process_image_messages()
+    assert ren.atlas.size > 32
+    for i in range(6):
+        assert ren.contains_image(100 + i)

@@ -114,6 +114,29 @@ class FigRenderer:
         self._bus = None
         self._image_owners: Dict[Hashable, set] = {}
         self._font_owners: Dict[Hashable, set] = {}
+        self._glyph_offsets: Dict[Hashable, Tuple[float, float]] = {}
+
+    def _load_glyph(self, key, glyph, lcd: bool, variant: int) -> bool:
+        """Cold-miss glyph generation straight into the atlas
+        (figrender.nim:477-491)."""
+        from .text.glyphs import generate_glyph
+        from .text.typefaces import get_fig_font
+
+        result = generate_glyph(glyph.font_id, glyph.glyph_id, lcd, variant)
+        if result is None:
+            return False
+        img, offset = result
+        self.atlas.put_image(
+            key,
+            img,
+            AtlasEntryMeta(
+                kind="glyph",
+                font_id=glyph.font_id,
+                typeface_id=get_fig_font(glyph.font_id).typeface_id,
+            ),
+        )
+        self._glyph_offsets[key] = offset
+        return True
 
     # --- resource message pump (figrender.nim:1841-1944) ------------------------
 
@@ -294,6 +317,8 @@ class FigRenderer:
         backend = TapeBackend(white_uv=self._white_uv())
         backend.entries = self.atlas.entries
         backend.atlas_size = self.atlas.size
+        backend.glyph_offsets = self._glyph_offsets
+        backend.glyph_loader = self._load_glyph
         backend.aa_factor = self.aa_factor
         backend.set_text_lcd_filtering_enabled(self.text_lcd_filtering)
         backend.set_text_subpixel_positioning_enabled(self.text_subpixel_positioning)

@@ -1,0 +1,418 @@
+"""Text typesetting: spans → GlyphArrangement.
+
+Counterpart of the reference's text layout stack
+(/root/reference/src/figdraw/common/fonttypes.nim:80-130 GlyphArrangement
+model, fontutils.nim:45-123 typeset dispatch, textbackends/pixie.nim line
+layout with baselineOffset = round((ascent + lineGap/2)·scale)). Shaping is
+cmap + advances + kern pairs (a HarfBuzz-class shaper can slot in behind the
+same GlyphArrangement contract later); wrapping is greedy word wrap with
+CJK break-anywhere, like the reference's line breaker.
+
+Pure host-side geometry — the TPU only ever sees the resulting glyph quads.
+"""
+
+from __future__ import annotations
+
+import math
+import unicodedata
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from ..fill import Fill
+from ..geometry import Rect, Vec2, rect, vec2
+from .typefaces import (
+    FigFont,
+    FontGlyphId,
+    FontId,
+    apply_font_case,
+    get_typeface,
+    register_font,
+)
+
+
+class HAlign:
+    Left = 0
+    Center = 1
+    Right = 2
+
+
+class VAlign:
+    Top = 0
+    Middle = 1
+    Bottom = 2
+
+
+@dataclass
+class GlyphFont:
+    """Per-span font info carried by the arrangement (fontglyphs parity)."""
+
+    font_id: FontId
+    font: FigFont
+    size: float
+    ascent: float  # px
+    descent: float  # px, positive
+    line_gap: float  # px
+    line_height: float  # px
+    baseline_offset: float  # px from line top to baseline
+    underline: bool = False
+    strikethrough: bool = False
+
+    @property
+    def typeface_id(self):
+        return self.font.typeface_id
+
+
+@dataclass
+class GlyphSourceRange:
+    rune_start: int
+    rune_end: int
+
+
+@dataclass
+class ArrangedGlyph:
+    """fonttypes.nim:86-98."""
+
+    font_id: FontId
+    glyph_id: FontGlyphId
+    cluster: int
+    source: GlyphSourceRange
+    rune: str
+    is_whitespace: bool
+    pos: Vec2  # baseline pen position (local px)
+    advance: Vec2
+    offset: Vec2 = field(default_factory=Vec2)
+    image_offset: Vec2 = field(default_factory=Vec2)  # raster origin rel. baseline
+    rect: Rect = field(default_factory=Rect)  # local bounding rect (top-left + size)
+    span_index: int = 0
+    line_index: int = 0
+    fill: Optional[Fill] = None
+
+
+@dataclass
+class GlyphArrangement:
+    """fonttypes.nim:99-112 (glyph-id-first placement)."""
+
+    content_hash: int = 0
+    lines: List[Tuple[int, int]] = field(default_factory=list)  # inclusive glyph slices
+    spans: List[Tuple[int, int]] = field(default_factory=list)
+    fonts: List[GlyphFont] = field(default_factory=list)
+    span_colors: List[Fill] = field(default_factory=list)
+    source_runes: List[str] = field(default_factory=list)
+    arranged_glyphs: List[ArrangedGlyph] = field(default_factory=list)
+    max_size: Vec2 = field(default_factory=Vec2)
+    min_size: Vec2 = field(default_factory=Vec2)
+    bounding: Rect = field(default_factory=Rect)
+
+    def glyph_rect(self, index: int) -> Rect:
+        return self.arranged_glyphs[index].rect
+
+    # --- source-aware selection / caret APIs (fonttypes.nim:430-808) ----------
+
+    def glyph_range_for(self, rune_range) -> Tuple[int, int]:
+        """Glyph index range covering source runes [a, b] inclusive."""
+        a, b = (rune_range.start, rune_range.stop - 1) if isinstance(rune_range, range) else rune_range
+        lo, hi = None, None
+        for i, g in enumerate(self.arranged_glyphs):
+            if g.source.rune_end > a and g.source.rune_start <= b:
+                if lo is None:
+                    lo = i
+                hi = i
+        if lo is None:
+            return (0, -1)
+        return (lo, hi)
+
+    def selection_rects_for(self, rune_range) -> List[Rect]:
+        """Per-line merged selection bands (fonttypes.nim:609-654)."""
+        lo, hi = self.glyph_range_for(rune_range)
+        if hi < lo:
+            return []
+        out: List[Rect] = []
+        for line_start, line_end in self.lines:
+            s = max(lo, line_start)
+            e = min(hi, line_end)
+            if s > e:
+                continue
+            min_x = min(self.arranged_glyphs[i].rect.x for i in range(s, e + 1))
+            max_x = max(
+                self.arranged_glyphs[i].rect.x + max(self.arranged_glyphs[i].advance.x, self.arranged_glyphs[i].rect.w)
+                for i in range(s, e + 1)
+            )
+            gf = self.fonts[self.arranged_glyphs[s].span_index]
+            line_idx = self.arranged_glyphs[s].line_index
+            top = self._line_top(line_idx)
+            out.append(rect(min_x, top, max_x - min_x, gf.line_height))
+        return out
+
+    def _line_top(self, line_index: int) -> float:
+        y = 0.0
+        heights = self._line_heights()
+        for i in range(line_index):
+            y += heights[i]
+        return y
+
+    def _line_heights(self) -> List[float]:
+        heights = []
+        for (s, e) in self.lines:
+            if e >= s:
+                gf = self.fonts[self.arranged_glyphs[s].span_index]
+                heights.append(gf.line_height)
+            elif self.fonts:
+                heights.append(self.fonts[0].line_height)
+            else:
+                heights.append(0.0)
+        return heights
+
+    def caret_positions_for(self, source_rune: int) -> List["TextCaretPosition"]:
+        """Caret rect(s) at a source insertion index (fonttypes.nim:718-785).
+        LTR-only: one caret per index."""
+        if not self.arranged_glyphs:
+            return [TextCaretPosition(source_rune, 0, 0, vec2(0, 0), rect(0, 0, 1, 0))]
+        for i, g in enumerate(self.arranged_glyphs):
+            if g.source.rune_start <= source_rune < g.source.rune_end:
+                top = self._line_top(g.line_index)
+                gf = self.fonts[g.span_index]
+                return [TextCaretPosition(
+                    source_rune, i, g.line_index, vec2(g.rect.x, top),
+                    rect(g.rect.x, top, 1.0, gf.line_height),
+                )]
+        # past the end → trailing edge of the last glyph
+        g = self.arranged_glyphs[-1]
+        gf = self.fonts[g.span_index]
+        top = self._line_top(g.line_index)
+        x = g.pos.x + g.advance.x
+        return [TextCaretPosition(
+            source_rune, len(self.arranged_glyphs) - 1, g.line_index,
+            vec2(x, top), rect(x, top, 1.0, gf.line_height),
+        )]
+
+    def nearest_source_rune_for_caret_point(self, point: Vec2) -> int:
+        """fonttypes.nim:787-808: closest insertion index to a local point."""
+        if not self.arranged_glyphs:
+            return 0
+        heights = self._line_heights()
+        y = 0.0
+        line_index = len(self.lines) - 1
+        for i, h in enumerate(heights):
+            if point.y < y + h:
+                line_index = i
+                break
+            y += h
+        s, e = self.lines[line_index]
+        best = self.arranged_glyphs[s].source.rune_start
+        best_d = abs(point.x - self.arranged_glyphs[s].rect.x)
+        for i in range(s, e + 1):
+            g = self.arranged_glyphs[i]
+            d_lead = abs(point.x - g.pos.x)
+            d_trail = abs(point.x - (g.pos.x + g.advance.x))
+            if d_lead < best_d:
+                best_d = d_lead
+                best = g.source.rune_start
+            if d_trail < best_d:
+                best_d = d_trail
+                best = g.source.rune_end
+        return best
+
+
+@dataclass
+class TextCaretPosition:
+    source_rune: int
+    glyph_index: int
+    line_index: int
+    pos: Vec2
+    rect: Rect
+
+
+def _is_cjk(ch: str) -> bool:
+    cp = ord(ch)
+    return (
+        0x1100 <= cp <= 0x11FF
+        or 0x2E80 <= cp <= 0x9FFF
+        or 0xAC00 <= cp <= 0xD7AF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0xFF00 <= cp <= 0xFFEF
+        or 0x20000 <= cp <= 0x3FFFF
+    )
+
+
+def _glyph_font(font: FigFont, ui_scale: float) -> GlyphFont:
+    tf = get_typeface(font.typeface_id)
+    size = font.size * ui_scale
+    s = tf.scale_for(size)
+    ascent = tf.ascent * s
+    descent = -tf.descent * s
+    line_gap = tf.line_gap * s
+    line_height = (
+        font.line_height * ui_scale if font.line_height > 0
+        else (ascent + descent + line_gap)
+    )
+    # pixie.nim:41-42 baseline formula
+    baseline = round(ascent + line_gap / 2)
+    return GlyphFont(
+        font_id=register_font(font, ui_scale),
+        font=font,
+        size=size,
+        ascent=ascent,
+        descent=descent,
+        line_gap=line_gap,
+        line_height=line_height,
+        baseline_offset=baseline,
+        underline=font.underline,
+        strikethrough=font.strikethrough,
+    )
+
+
+def typeset(
+    bounds: Vec2,
+    spans: Sequence[Tuple[FigFont, Fill, str]],
+    h_align: int = HAlign.Left,
+    v_align: int = VAlign.Top,
+    wrap: bool = True,
+    ui_scale: float = 1.0,
+) -> GlyphArrangement:
+    """Layout spans into lines within bounds (fontutils.nim:45-123)."""
+    arr = GlyphArrangement()
+    arr.content_hash = hash(
+        (tuple((id(f), str(c), t) for f, c, t in spans), bounds.x, bounds.y,
+         h_align, v_align, wrap)
+    )
+
+    glyphs: List[ArrangedGlyph] = []
+    source_index = 0
+
+    # --- shape all spans into a flat glyph run -----------------------------------
+    for span_index, (font, color_fill, text) in enumerate(spans):
+        gf = _glyph_font(font, ui_scale)
+        arr.fonts.append(gf)
+        arr.span_colors.append(color_fill)
+        tf = get_typeface(font.typeface_id)
+        s = tf.scale_for(gf.size)
+        span_start = len(glyphs)
+        shaped = apply_font_case(text, font.font_case)
+        prev_gid = None
+        for ch in shaped:
+            arr.source_runes.append(ch)
+            if ch == "\n":
+                glyphs.append(ArrangedGlyph(
+                    font_id=gf.font_id, glyph_id=0, cluster=source_index,
+                    source=GlyphSourceRange(source_index, source_index + 1),
+                    rune=ch, is_whitespace=True, pos=vec2(0, 0), advance=vec2(0, 0),
+                    span_index=span_index, fill=color_fill,
+                ))
+                source_index += 1
+                prev_gid = None
+                continue
+            gid = tf.glyph_id(ord(ch))
+            adv = tf.advance(gid) * s
+            if prev_gid is not None and not font.no_kerning_adjustments:
+                adv_kern = tf.kerning(prev_gid, gid) * s
+                if glyphs:
+                    g = glyphs[-1]
+                    g.advance = vec2(g.advance.x + adv_kern, 0.0)
+            glyphs.append(ArrangedGlyph(
+                font_id=gf.font_id, glyph_id=gid, cluster=source_index,
+                source=GlyphSourceRange(source_index, source_index + 1),
+                rune=ch, is_whitespace=ch.isspace(), pos=vec2(0, 0),
+                advance=vec2(adv, 0.0), span_index=span_index, fill=color_fill,
+            ))
+            source_index += 1
+            prev_gid = gid
+        arr.spans.append((span_start, len(glyphs) - 1))
+
+    # --- line breaking ---------------------------------------------------------------
+    lines: List[Tuple[int, int]] = []
+    line_start = 0
+    x = 0.0
+    last_break = -1  # index of last breakable glyph in current line
+    i = 0
+    while i < len(glyphs):
+        g = glyphs[i]
+        if g.rune == "\n":
+            lines.append((line_start, i))
+            line_start = i + 1
+            x = 0.0
+            last_break = -1
+            i += 1
+            continue
+        breakable = g.is_whitespace or _is_cjk(g.rune)
+        if (
+            wrap
+            and bounds.x > 0
+            and x + g.advance.x > bounds.x
+            and i > line_start
+            and not g.is_whitespace
+        ):
+            if last_break >= line_start:
+                lines.append((line_start, last_break))
+                line_start = last_break + 1
+            else:
+                lines.append((line_start, i - 1))
+                line_start = i
+            x = 0.0
+            last_break = -1
+            # reflow from the new line start
+            i = line_start
+            continue
+        x += g.advance.x
+        if breakable:
+            last_break = i
+        i += 1
+    if line_start < len(glyphs):
+        lines.append((line_start, len(glyphs) - 1))
+    if not glyphs:
+        lines = []
+    arr.lines = lines
+    arr.arranged_glyphs = glyphs
+
+    # --- position glyphs ---------------------------------------------------------------
+    y = 0.0
+    max_line_w = 0.0
+    for line_index, (s_i, e_i) in enumerate(lines):
+        gf = arr.fonts[glyphs[s_i].span_index] if e_i >= s_i else (arr.fonts[0] if arr.fonts else None)
+        line_h = gf.line_height if gf else 0.0
+        baseline = y + (gf.baseline_offset if gf else 0.0)
+        # measure (excluding trailing whitespace for alignment)
+        line_w = 0.0
+        visible_w = 0.0
+        for i in range(s_i, e_i + 1):
+            line_w += glyphs[i].advance.x
+            if not glyphs[i].is_whitespace:
+                visible_w = line_w
+        if h_align == HAlign.Center:
+            x = (bounds.x - visible_w) / 2.0 if bounds.x > 0 else 0.0
+        elif h_align == HAlign.Right:
+            x = bounds.x - visible_w if bounds.x > 0 else 0.0
+        else:
+            x = 0.0
+        for i in range(s_i, e_i + 1):
+            g = glyphs[i]
+            g.line_index = line_index
+            g.pos = vec2(x, baseline)
+            gfi = arr.fonts[g.span_index]
+            g.rect = rect(x, y, g.advance.x, gfi.line_height)
+            x += g.advance.x
+        max_line_w = max(max_line_w, visible_w)
+        y += line_h
+
+    total_h = y
+    if v_align != VAlign.Top and bounds.y > 0:
+        dy = bounds.y - total_h
+        if v_align == VAlign.Middle:
+            dy /= 2.0
+        if dy != 0:
+            for g in glyphs:
+                g.pos = vec2(g.pos.x, g.pos.y + dy)
+                g.rect = rect(g.rect.x, g.rect.y + dy, g.rect.w, g.rect.h)
+
+    arr.max_size = vec2(max_line_w, total_h)
+    arr.min_size = vec2(
+        max((g.advance.x for g in glyphs if not g.is_whitespace), default=0.0),
+        total_h,
+    )
+    arr.bounding = rect(0, 0, max_line_w, total_h)
+    return arr
+
+
+def typeset_for_measurement(spans, bounds=None, ui_scale: float = 1.0) -> GlyphArrangement:
+    """Unbounded layout for content measurement (fontutils.nim:93-123)."""
+    b = bounds if bounds is not None else vec2(0, 0)
+    return typeset(b, spans, wrap=bounds is not None, ui_scale=ui_scale)

@@ -1,0 +1,289 @@
+"""Typeface registry and font model.
+
+Counterpart of /root/reference/src/figdraw/common/typefaces.nim (+ the
+FigFont model from fonttypes.nim:62-75): typefaces load through fontTools,
+get a collision-salted content-hash TypefaceId (typefaces.nim:186-200), and
+fonts (typeface + raster-relevant settings + ui scale) hash to a FontId
+(typefaces.nim:358-390). Resolution order mirrors loadTypeface
+(typefaces.nim:223-298): explicit path → data dir → system font dirs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import unicodedata
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+TypefaceId = int
+FontId = int
+FontGlyphId = int
+
+_SYSTEM_FONT_DIRS = [
+    "/usr/share/fonts",
+    "/usr/local/share/fonts",
+    os.path.expanduser("~/.fonts"),
+]
+
+_data_dir = os.path.join(os.getcwd(), "data")
+
+
+def fig_data_dir() -> str:
+    return _data_dir
+
+
+def set_fig_data_dir(path: str) -> None:
+    global _data_dir
+    _data_dir = path
+
+
+@dataclass(frozen=True)
+class FontFeature:
+    tag: str
+    value: int = 1
+
+
+@dataclass(frozen=True)
+class FontVariation:
+    tag: str
+    value: float
+
+
+class FontCase:
+    Normal = 0
+    Upper = 1
+    Lower = 2
+    Title = 3
+
+
+@dataclass(frozen=True)
+class FigFont:
+    """fonttypes.nim:62-75."""
+
+    typeface_id: TypefaceId = 0
+    size: float = 12.0
+    line_height: float = 0.0  # 0 → default from metrics
+    font_case: int = FontCase.Normal
+    underline: bool = False
+    strikethrough: bool = False
+    no_kerning_adjustments: bool = False
+    fallback_typeface_ids: Tuple[TypefaceId, ...] = ()
+    language: str = ""
+    features: Tuple[FontFeature, ...] = ()
+    variations: Tuple[FontVariation, ...] = ()
+
+    def with_size(self, size: float) -> "FigFont":
+        return replace(self, size=size)
+
+
+class Typeface:
+    """A loaded font file: metrics, cmap, advances, kerning, outlines."""
+
+    def __init__(self, path: str, data: bytes, typeface_id: TypefaceId, face_index: int = 0):
+        from fontTools.ttLib import TTFont
+
+        self.path = path
+        self.id = typeface_id
+        self.face_index = face_index
+        self._tt = TTFont(path, fontNumber=face_index if path.endswith((".ttc", ".otc")) else -1, lazy=True)
+        head = self._tt["head"]
+        hhea = self._tt["hhea"]
+        self.units_per_em = head.unitsPerEm
+        self.ascent = hhea.ascent
+        self.descent = hhea.descent  # negative
+        self.line_gap = hhea.lineGap
+        self.cmap = self._tt.getBestCmap()
+        self._glyph_order = self._tt.getGlyphOrder()
+        self._name_to_gid = {n: i for i, n in enumerate(self._glyph_order)}
+        self._hmtx = self._tt["hmtx"]
+        self._glyph_set = self._tt.getGlyphSet()
+        self._kern = self._load_kern()
+        self._advance_cache: Dict[int, int] = {}
+        self.family_name = self._name(1) or os.path.basename(path)
+        self.subfamily_name = self._name(2) or ""
+
+    def _name(self, name_id: int) -> Optional[str]:
+        try:
+            rec = self._tt["name"].getDebugName(name_id)
+            return rec
+        except Exception:
+            return None
+
+    def _load_kern(self) -> Dict[Tuple[str, str], int]:
+        table: Dict[Tuple[str, str], int] = {}
+        try:
+            kern = self._tt["kern"]
+        except Exception:
+            return table
+        for sub in getattr(kern, "kernTables", []):
+            pairs = getattr(sub, "kernTable", None)
+            if pairs:
+                table.update(pairs)
+        return table
+
+    # --- glyph-level API -----------------------------------------------------
+
+    def glyph_id(self, codepoint: int) -> FontGlyphId:
+        name = self.cmap.get(codepoint)
+        if name is None:
+            return 0
+        return self._name_to_gid.get(name, 0)
+
+    def has_codepoint(self, codepoint: int) -> bool:
+        return codepoint in self.cmap
+
+    def glyph_name(self, gid: FontGlyphId) -> str:
+        if 0 <= gid < len(self._glyph_order):
+            return self._glyph_order[gid]
+        return ".notdef"
+
+    def advance(self, gid: FontGlyphId) -> float:
+        """Advance width in font units."""
+        cached = self._advance_cache.get(gid)
+        if cached is None:
+            cached = self._hmtx[self.glyph_name(gid)][0]
+            self._advance_cache[gid] = cached
+        return cached
+
+    def kerning(self, left_gid: FontGlyphId, right_gid: FontGlyphId) -> float:
+        if not self._kern:
+            return 0.0
+        return self._kern.get(
+            (self.glyph_name(left_gid), self.glyph_name(right_gid)), 0.0
+        )
+
+    def glyph_path(self, gid: FontGlyphId):
+        """Glyph outline as a fontTools RecordingPen value list (font units)."""
+        from fontTools.pens.recordingPen import DecomposingRecordingPen
+
+        pen = DecomposingRecordingPen(self._glyph_set)
+        name = self.glyph_name(gid)
+        self._glyph_set[name].draw(pen)
+        return pen.value
+
+    # --- scaled metrics ---------------------------------------------------------
+
+    def scale_for(self, size: float) -> float:
+        return size / self.units_per_em
+
+    def default_line_height(self, size: float) -> float:
+        s = self.scale_for(size)
+        return (self.ascent - self.descent + self.line_gap) * s
+
+
+# --- registry ----------------------------------------------------------------------
+
+_registry_lock = threading.Lock()
+_typefaces: Dict[TypefaceId, Typeface] = {}
+_path_ids: Dict[str, TypefaceId] = {}
+_fonts: Dict[FontId, Tuple[FigFont, float]] = {}  # font id → (font, ui_scale)
+
+
+def _resolve_path(name: str) -> Optional[str]:
+    if os.path.isabs(name) and os.path.exists(name):
+        return name
+    candidates = [os.path.join(_data_dir, name), name]
+    for cand in candidates:
+        if os.path.exists(cand):
+            return cand
+    # system font search by filename or family substring
+    target = name.lower()
+    for root in _SYSTEM_FONT_DIRS:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if not fn.lower().endswith((".ttf", ".otf", ".ttc", ".otc")):
+                    continue
+                if fn.lower() == target or os.path.splitext(fn)[0].lower() == target:
+                    return os.path.join(dirpath, fn)
+    for root in _SYSTEM_FONT_DIRS:
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                if fn.lower().endswith((".ttf", ".otf")) and target.replace(" ", "") in fn.lower().replace(" ", ""):
+                    return os.path.join(dirpath, fn)
+    return None
+
+
+def load_typeface(name: str) -> TypefaceId:
+    """Resolve + load + register; id is a salted content hash
+    (typefaces.nim:186-200, 223-298)."""
+    path = _resolve_path(name)
+    if path is None:
+        raise FileNotFoundError(f"typeface not found: {name}")
+    with _registry_lock:
+        cached = _path_ids.get(path)
+        if cached is not None:
+            return cached
+    with open(path, "rb") as f:
+        data = f.read()
+    digest = hashlib.sha256(data).digest()
+    typeface_id = int.from_bytes(digest[:8], "little") & 0x7FFFFFFFFFFFFFFF
+    with _registry_lock:
+        salt = 0
+        while typeface_id in _typefaces and _typefaces[typeface_id].path != path:
+            salt += 1
+            typeface_id = (typeface_id + 0x9E3779B9 + salt) & 0x7FFFFFFFFFFFFFFF
+        if typeface_id not in _typefaces:
+            _typefaces[typeface_id] = Typeface(path, data, typeface_id)
+        _path_ids[path] = typeface_id
+    return typeface_id
+
+
+def get_typeface(typeface_id: TypefaceId) -> Typeface:
+    with _registry_lock:
+        tf = _typefaces.get(typeface_id)
+    if tf is None:
+        raise KeyError(f"unknown typeface id {typeface_id}")
+    return tf
+
+
+def register_font(font: FigFont, ui_scale: float = 1.0) -> FontId:
+    """FontId = hash of raster-relevant fields + ui scale
+    (typefaces.nim:358-390)."""
+    key = (
+        font.typeface_id,
+        round(font.size * 64),
+        round(ui_scale * 64),
+        font.font_case,
+        tuple(font.variations),
+    )
+    font_id = hash(key) & 0x7FFFFFFFFFFFFFFF
+    with _registry_lock:
+        _fonts[font_id] = (font, ui_scale)
+    return font_id
+
+
+def get_fig_font(font_id: FontId) -> FigFont:
+    with _registry_lock:
+        entry = _fonts.get(font_id)
+    if entry is None:
+        raise KeyError(f"unknown font id {font_id}")
+    return entry[0]
+
+
+def find_system_font_file(family: str) -> Optional[str]:
+    """extras/systemfonts.nim:55-137 equivalent."""
+    return _resolve_path(family)
+
+
+def default_font_paths() -> List[str]:
+    out = []
+    for root in _SYSTEM_FONT_DIRS:
+        if os.path.isdir(root):
+            out.append(root)
+    return out
+
+
+def apply_font_case(text: str, font_case: int) -> str:
+    if font_case == FontCase.Upper:
+        return text.upper()
+    if font_case == FontCase.Lower:
+        return text.lower()
+    if font_case == FontCase.Title:
+        return text.title()
+    return text

@@ -117,8 +117,12 @@ class Mat3:
 
     @staticmethod
     def rotation(angle: float) -> "Mat3":
+        # Positive angles rotate counter-clockwise on the y-down screen,
+        # matching the reference's transform convention: its golden
+        # render_line_rect shows figLine((90,120)->(710,470)) — a horizontal
+        # box rotated by +atan2(350, 620) — sloping up-right on screen.
         co, si = math.cos(angle), math.sin(angle)
-        return Mat3(co, -si, 0.0, si, co, 0.0)
+        return Mat3(co, si, 0.0, -si, co, 0.0)
 
     @staticmethod
     def scaling(sx: float, sy: float) -> "Mat3":

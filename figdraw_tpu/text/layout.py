@@ -302,14 +302,35 @@ def typeset(
                 prev_gid = None
                 continue
             gid = tf.glyph_id(ord(ch))
-            adv = tf.advance(gid) * s
+            glyph_font_id = gf.font_id
+            adv_scale = s
+            if gid == 0 and font.fallback_typeface_ids:
+                # codepoint-coverage font fallback (fontfallbacks.nim:4-25;
+                # harfbuzzy.nim:319-394)
+                for fb_id in font.fallback_typeface_ids:
+                    fb_tf = get_typeface(fb_id)
+                    if fb_tf.has_codepoint(ord(ch)):
+                        gid = fb_tf.glyph_id(ord(ch))
+                        fb_font = FigFont(
+                            typeface_id=fb_id, size=font.size,
+                            line_height=font.line_height, font_case=font.font_case,
+                        )
+                        glyph_font_id = register_font(fb_font, ui_scale)
+                        adv_scale = fb_tf.scale_for(gf.size)
+                        tf_for_adv = fb_tf
+                        break
+                else:
+                    tf_for_adv = tf
+            else:
+                tf_for_adv = tf
+            adv = tf_for_adv.advance(gid) * adv_scale
             if prev_gid is not None and not font.no_kerning_adjustments:
                 adv_kern = tf.kerning(prev_gid, gid) * s
                 if glyphs:
                     g = glyphs[-1]
                     g.advance = vec2(g.advance.x + adv_kern, 0.0)
             glyphs.append(ArrangedGlyph(
-                font_id=gf.font_id, glyph_id=gid, cluster=source_index,
+                font_id=glyph_font_id, glyph_id=gid, cluster=source_index,
                 source=GlyphSourceRange(source_index, source_index + 1),
                 rune=ch, is_whitespace=ch.isspace(), pos=vec2(0, 0),
                 advance=vec2(adv, 0.0), span_index=span_index, fill=color_fill,

@@ -87,8 +87,9 @@ inline Mat3 matmul(const Mat3& m, const Mat3& o) {
 }
 inline Mat3 mat_translate(double x, double y) { Mat3 m; m.tx = x; m.ty = y; return m; }
 inline Mat3 mat_rotate(double ang) {
+  // +angle = counter-clockwise on the y-down screen (see geometry.py Mat3)
   Mat3 m; double co = std::cos(ang), si = std::sin(ang);
-  m.a = co; m.b = -si; m.c = si; m.d = co; return m;
+  m.a = co; m.b = si; m.c = -si; m.d = co; return m;
 }
 inline Mat3 mat_scale(double sx, double sy) { Mat3 m; m.a = sx; m.d = sy; return m; }
 inline Mat3 mat_inverse(const Mat3& m) {

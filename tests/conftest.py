@@ -8,11 +8,16 @@ LLVMpipe CI, SURVEY.md §4.4).
 import os
 import sys
 
-# force CPU: the environment pre-sets JAX_PLATFORMS=axon (TPU tunnel), whose
-# backend init alone costs ~80 s — tests never want it. Set FIGDRAW_TEST_TPU=1
-# to run the suite against the real chip.
+# force CPU: the environment pre-sets JAX_PLATFORMS=axon (TPU tunnel) and its
+# sitecustomize ignores the env var; the config API still wins. Remote TPU
+# compiles through the tunnel cost 1-10 min per jit signature — tests never
+# want that. Set FIGDRAW_TEST_TPU=1 to run the suite against the real chip.
 if os.environ.get("FIGDRAW_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

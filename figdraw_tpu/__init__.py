@@ -100,9 +100,45 @@ from .fragments import (  # noqa: F401
     RenderFragment,
     RenderFragments,
 )
-from .renderer import FigRenderer, new_fig_renderer  # noqa: F401
+from .renderer import (  # noqa: F401
+    AtlasUsage,
+    FigRenderer,
+    atlas_usage_snapshot,
+    new_fig_renderer,
+)
+from .borders import (  # noqa: F401
+    fig_dashed_rounded_rect_border,
+    fig_dotted_rounded_rect_border,
+    fig_rounded_rect_border,
+)
+from .extras import fig_circle, fig_circle_xy, fig_line, fig_line_xy  # noqa: F401
+from .transfer import copy_into, to_tree  # noqa: F401
+from .resources import (  # noqa: F401
+    FontRef,
+    ImageMessageBus,
+    ImageRef,
+    clear_font_glyphs,
+    clear_image,
+    clear_image_cache,
+    clear_images,
+    clear_typeface_glyphs,
+    load_image,
+    put_image,
+    replace_image,
+)
+from .debugtools import (  # noqa: F401
+    FigLocation,
+    FigVisibility,
+    color_at,
+    collect_debug_figs,
+    fig_visibility,
+    hits_at_point,
+    top_fig_at_point,
+)
 from .utils.jaxcache import enable_compilation_cache as _enable_jax_cache
+from .config import apply_startup_env as _apply_startup_env
 
 _enable_jax_cache()
+_apply_startup_env()
 
 __version__ = "0.1.0"

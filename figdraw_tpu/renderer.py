@@ -102,13 +102,23 @@ class FigRenderer:
         self._pixel_scale = float(pixel_scale)
         self._atlas_device = None
         self._atlas_generation = -1
+        from . import config
+
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            override = config.runtime_backend_override()
+            if override is not None:
+                use_pallas = override
+            else:
+                use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self.aa_factor = DEFAULT_SDF_AA_FACTOR
-        self.text_lcd_filtering = False
-        self.text_subpixel_positioning = False
-        self.text_subpixel_glyph_variants = False
+        self.text_lcd_filtering = config.runtime_text_lcd_filtering_requested()
+        self.text_subpixel_positioning = (
+            config.runtime_text_subpixel_positioning_requested()
+        )
+        self.text_subpixel_glyph_variants = (
+            config.runtime_text_subpixel_glyph_variants_requested()
+        )
         self.last_frame = None  # device (H, W, 4) f32 of the last render
         self._subscription = None
         self._bus = None

@@ -1,0 +1,181 @@
+"""Borders, perf utilities, typeface info, config flags, sharded rasterizer."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import FigRenderer, fill, new_renders, rect, rgba, vec2
+from figdraw_tpu.borders import (
+    drawable_dashed_rounded_rect_border_ops,
+    drawable_dotted_rounded_rect_border_ops,
+    drawable_rounded_rect_border_ops,
+    fig_dashed_rounded_rect_border,
+    fig_dotted_rounded_rect_border,
+)
+from figdraw_tpu.nodes import DrawableKind, RenderList
+
+
+def test_solid_border_ops():
+    ops = drawable_rounded_rect_border_ops(rect(0, 0, 100, 60), (10, 10, 10, 10))
+    # 4 edges + 4 corner arcs
+    assert len(ops) == 8
+    kinds = [op.kind for op in ops]
+    assert kinds.count(DrawableKind.dkLine) == 4
+    assert kinds.count(DrawableKind.dkArc) == 4
+    # square corners: only edges
+    ops_sq = drawable_rounded_rect_border_ops(rect(0, 0, 100, 60), (0, 0, 0, 0))
+    assert all(op.kind == DrawableKind.dkLine for op in ops_sq)
+
+
+def test_dashed_border_ops_cover_path():
+    box = rect(0, 0, 100, 60)
+    ops = drawable_dashed_rounded_rect_border_ops(box, (0, 0, 0, 0), 10.0, 10.0)
+    # perimeter 320 → 16 cycles of 20 → 16 dashes
+    assert len(ops) == 16
+    total = sum((op.b - op.a).length() for op in ops)
+    assert abs(total - 160.0) < 1.0  # half the perimeter drawn
+    # zero gap → solid
+    solid = drawable_dashed_rounded_rect_border_ops(box, (0, 0, 0, 0), 10.0, 0.0)
+    assert len(solid) == 4
+    # offset shifts the phase
+    shifted = drawable_dashed_rounded_rect_border_ops(box, (0, 0, 0, 0), 10.0, 10.0, offset=5.0)
+    assert shifted[0].b != ops[0].b  # phase shift: first dash is partial
+
+
+def test_dotted_border_ops():
+    box = rect(0, 0, 100, 60)
+    ops = drawable_dotted_rounded_rect_border_ops(box, (0, 0, 0, 0), 3.0, 5.0)
+    assert all(op.kind == DrawableKind.dkCircle for op in ops)
+    # spacing = 2*3 + 5 = 11, perimeter 320 → ~29 dots
+    assert 27 <= len(ops) <= 30
+    assert all(abs(op.radius - 3.0) < 1e-6 for op in ops)
+
+
+def test_border_figs_render():
+    lst = RenderList()
+    lst.add_root(fig_dashed_rounded_rect_border(
+        rect(10, 10, 60, 40), (8, 8, 8, 8), fill(rgba(200, 30, 30, 255)),
+        weight=4.0, dash_length=8.0, gap_length=6.0))
+    lst.add_root(fig_dotted_rounded_rect_border(
+        rect(20, 20, 40, 25), (5, 5, 5, 5), fill(rgba(30, 30, 200, 255)),
+        weight=4.0, gap_length=4.0))
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.render_frame(r, vec2(96, 64))
+    img = ren.take_screenshot()
+    reddish = ((img[..., 0] > 150) & (img[..., 2] < 100)).sum()
+    bluish = ((img[..., 2] > 150) & (img[..., 0] < 100)).sum()
+    assert reddish > 50 and bluish > 20
+
+
+def test_perf_buffer_and_timeseries():
+    from figdraw_tpu.utils.perf import FrameStats, PerfBuffer, TimeSeries, perf, time_it
+
+    buf = PerfBuffer()
+    with perf("frame", buf):
+        with perf("flatten", buf):
+            pass
+        with perf("raster", buf):
+            pass
+    dump = buf.dump()
+    assert "frame" in dump and "flatten" in dump and "raster" in dump
+    assert dump.index("  flatten") < dump.index("frame:")
+
+    ts = TimeSeries(window=10.0)
+    for _ in range(5):
+        ts.tick()
+    assert ts.rate() == pytest.approx(0.5, rel=0.2)
+
+    stats = FrameStats()
+    for v in (1.0, 2.0, 3.0, 10.0):
+        stats.add(v)
+    s = stats.summary()
+    assert s["min_ms"] == 1.0 and s["max_ms"] == 10.0
+    assert s["avg_ms"] == 4.0
+
+    _result, dt = time_it(lambda: sum(range(100)))
+    assert dt >= 0
+
+
+def test_typeface_info():
+    from figdraw_tpu.text.typeface_info import get_typeface_info
+    from figdraw_tpu.text.typefaces import load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    info = get_typeface_info(tid)
+    assert "DejaVu" in info.family
+    assert info.glyph_count > 1000
+    assert info.supports_codepoint(ord("A"))
+    assert info.supports_codepoint(ord("ü"))
+    assert not info.supports_codepoint(0x10FFF0)
+    assert info.units_per_em in (1024, 2048)
+
+
+def test_config_env_flags(monkeypatch):
+    from figdraw_tpu import config
+
+    monkeypatch.setenv("FIGDRAW_TEXT_LCD_FILTERING", "on")
+    assert config.runtime_text_lcd_filtering_requested()
+    monkeypatch.setenv("FIGDRAW_BACKEND", "xla")
+    assert config.runtime_backend_override() is False
+    monkeypatch.setenv("FIGDRAW_BACKEND", "pallas")
+    assert config.runtime_backend_override() is True
+    monkeypatch.delenv("FIGDRAW_BACKEND")
+    monkeypatch.setenv("FIGDRAW_FORCE_XLA", "1")
+    assert config.runtime_backend_override() is False
+    ren = FigRenderer(atlas_size=64)
+    assert ren.use_pallas is False
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 2, reason="needs multi-device mesh"
+)
+def test_sharded_draw_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from figdraw_tpu.ops import raster_ref
+    from figdraw_tpu.parallel.sharding import (
+        ROWS_AXIS,
+        default_mesh,
+        make_sharded_draw_pass,
+    )
+    from figdraw_tpu.scenes import make_render_tree
+    from figdraw_tpu.renderer import _bucket
+    from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = len(jax.devices())
+    height, width = 16 * n, 128
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    tape = ren.flatten(make_render_tree(float(width), float(height), 0, copies=2),
+                       vec2(width, height))
+    cap = _bucket(tape.count)
+    fields = np.zeros((cap, QF_WIDTH), np.float32)
+    modes = np.zeros((cap, QI_WIDTH), np.int32)
+    fields[: tape.count] = tape.fields[: tape.count]
+    modes[: tape.count] = tape.modes[: tape.count]
+    fields_d = jnp.asarray(fields)
+    modes_d = jnp.asarray(modes)
+    frame = jnp.ones((height, width, 4), jnp.float32)
+    masks = jnp.ones((1, height, width), jnp.float32)
+    backdrop = jnp.zeros((height, width, 4), jnp.float32)
+
+    single = raster_ref.draw_pass_frame(
+        fields_d, modes_d, jnp.int32(tape.count), frame, masks, backdrop=backdrop
+    )
+
+    mesh = default_mesh()
+    frame_sh = NamedSharding(mesh, P(ROWS_AXIS, None, None))
+    masks_sh = NamedSharding(mesh, P(None, ROWS_AXIS, None))
+    draw = make_sharded_draw_pass(mesh)
+    sharded = draw(
+        fields_d, modes_d, jnp.int32(tape.count),
+        jax.device_put(frame, frame_sh),
+        jax.device_put(masks, masks_sh),
+        jax.device_put(backdrop, frame_sh),
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)

@@ -28,6 +28,34 @@ from .ops.blur import backdrop_blur_planar
 FRAME_TARGET = -1
 
 
+COMBO_EXTRA = 2  # i32 mode lanes bitcast into the last two f32 columns
+
+
+def _meta_rows(n_draws: int, n_blurs: int, row_width: int) -> int:
+    return max(1, -(-(2 * n_draws + n_blurs + 4) // row_width))
+
+
+def pack_tape_upload(fields, modes, bounds, radii, clear_color):
+    """One host buffer per frame: quad fields + bitcast mode lanes + meta
+    rows carrying draw-run bounds, blur radii and the clear color. A single
+    device transfer replaces five (the tunnel charges per RPC)."""
+    import numpy as np
+
+    n, width = fields.shape
+    row_width = width + COMBO_EXTRA
+    nd = bounds.shape[0]
+    nb = radii.shape[0]
+    rows = _meta_rows(nd, nb, row_width)
+    combo = np.zeros((n + rows, row_width), dtype=np.float32)
+    combo[:n, :width] = fields
+    combo[:n, width : width + COMBO_EXTRA] = modes.view(np.float32)
+    meta = combo[n:].reshape(-1)
+    meta[: 2 * nd] = bounds.astype(np.int32).view(np.float32).reshape(-1)
+    meta[2 * nd : 2 * nd + nb] = radii
+    meta[2 * nd + nb : 2 * nd + nb + 4] = clear_color
+    return combo
+
+
 @lru_cache(maxsize=64)
 def get_frame_executor(
     structure: Tuple,
@@ -38,12 +66,10 @@ def get_frame_executor(
     subpixel_positioning: bool,
     has_init_frame: bool,
 ):
-    """Returns jitted run(fields, modes, bounds, radii, clear_or_init, atlas)
-    -> (H, W, 4) frame.
+    """Returns jitted run(combo, init_frame, atlas) -> (H, W, 4) frame.
 
-    bounds: (n_draws, 2) i32 quad ranges; radii: (n_blurs,) f32;
-    clear_or_init: (4,) clear color, or (H, W, 4) previous frame when
-    has_init_frame.
+    combo: pack_tape_upload's buffer; init_frame: (H, W, 4) previous frame
+    (only read when has_init_frame, else a (1, 1, 4) dummy).
     """
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
     tiles_y = -(-height // th)
@@ -57,15 +83,31 @@ def get_frame_executor(
     def to_planes(hwc):
         return jnp.transpose(hwc, (2, 0, 1))
 
-    def run(fields, modes, bounds, radii, clear_or_init, atlas):
+    n_draws = sum(1 for item in structure if item[0] == "draw")
+    n_blurs = sum(1 for item in structure if item[0] == "blur")
+
+    def run(combo, init_frame, atlas):
+        from .ops.layout import QF_WIDTH
+
+        rows = _meta_rows(n_draws, n_blurs, QF_WIDTH + COMBO_EXTRA)
+        fields = combo[:-rows, :QF_WIDTH]
+        modes = jax.lax.bitcast_convert_type(
+            combo[:-rows, QF_WIDTH : QF_WIDTH + COMBO_EXTRA], jnp.int32
+        )
+        meta = combo[-rows:].reshape(-1)
+        nd2 = max(2 * n_draws, 2)
+        bounds = jax.lax.bitcast_convert_type(meta[:nd2], jnp.int32).reshape(-1, 2)
+        radii = meta[2 * n_draws : 2 * n_draws + max(n_blurs, 1)]
+        clear_color = meta[2 * n_draws + n_blurs : 2 * n_draws + n_blurs + 4]
+
         if has_init_frame:
-            planes = to_planes(clear_or_init)
+            planes = to_planes(init_frame)
             planes = jnp.pad(
                 planes, ((0, 0), (0, ph - height), (0, pw - width))
             )
         else:
             planes = jnp.broadcast_to(
-                clear_or_init[:, None, None], (4, ph, pw)
+                clear_color[:, None, None], (4, ph, pw)
             ).astype(jnp.float32)
         masks = jnp.zeros((n_masks, ph, pw), jnp.float32).at[0].set(1.0)
         backdrop = (

@@ -95,9 +95,14 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
     is_inset = mode == MODE_INSET_SHADOW
 
     def box_dist(qx, qy, bx, by):
-        d_c = sdf.sd_rounded_box(qx, qy, bx, by, r_tr, r_br, r_tl, r_bl)
-        d_e = sdf.sd_elliptical_rounded_box(qx, qy, bx, by, r_tr, r_br, r_tl, r_bl)
-        return jnp.where(elliptical, d_e, d_c)
+        # scalar branch: elliptical decode costs ~2x the circular SDF, so only
+        # the used family is evaluated (lax.cond executes one side on TPU)
+        return jax.lax.cond(
+            elliptical,
+            lambda _: sdf.sd_elliptical_rounded_box(qx, qy, bx, by, r_tr, r_br, r_tl, r_bl),
+            lambda _: sdf.sd_rounded_box(qx, qy, bx, by, r_tr, r_br, r_tl, r_bl),
+            None,
+        )
 
     # --- alpha via 3-way branch: box-family / inset / bezier -------------------
     def alpha_box(_):

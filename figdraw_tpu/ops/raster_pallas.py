@@ -153,6 +153,12 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
     frame_planes: (4, PH, PW) f32 with PH, PW multiples of the tile size;
     masks_p: (K, PH, PW); backdrop_planes: (4, PH, PW) or None.
     """
+    import os
+
+    if os.environ.get("FIGDRAW_PALLAS_CRASH_TEST") == "1":
+        # fault injection exercising the renderer's XLA fallback
+        # (the reference's -d:vulkanCrashTest analog, siwinshim.nim:769-774)
+        raise RuntimeError("pallas crash test requested")
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
     assert ph % TILE_H == 0 and pw % TILE_W == 0
     tiles_y = ph // TILE_H

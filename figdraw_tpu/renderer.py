@@ -263,6 +263,13 @@ class FigRenderer:
 
     # --- atlas management -----------------------------------------------------
 
+    _dummy_init = None
+
+    def _dummy_init_frame(self):
+        if FigRenderer._dummy_init is None:
+            FigRenderer._dummy_init = jnp.zeros((1, 1, 4), jnp.float32)
+        return FigRenderer._dummy_init
+
     def _white_uv(self) -> Tuple[float, float]:
         x, y, w, h = self.atlas.entries[WHITE_IMAGE_KEY]
         return (x + w / 2.0, y + h / 2.0)
@@ -394,31 +401,49 @@ class FigRenderer:
                 height,
                 width,
             ):
-                clear_or_init = self.last_frame
+                init_frame = self.last_frame
             else:
-                clear_or_init = jnp.zeros((height, width, 4), jnp.float32)
+                init_frame = jnp.zeros((height, width, 4), jnp.float32)
         else:
-            clear_or_init = jnp.asarray(tape.clear_color, dtype=jnp.float32)
+            init_frame = self._dummy_init_frame()
 
-        run = get_frame_executor(
-            tuple(structure),
-            height,
-            width,
-            n_masks,
-            self.use_pallas,
-            self.text_subpixel_positioning,
-            has_init_frame,
+        from .executor import get_frame_executor, pack_tape_upload
+
+        combo = pack_tape_upload(
+            fields,
+            modes,
+            np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
+            np.asarray(radii, dtype=np.float32),
+            np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32),
         )
-        bounds_arr = np.asarray(bounds or [(0, 0)], dtype=np.int32)
-        radii_arr = np.asarray(radii or [0.0], dtype=np.float32)
-        frame = run(
-            jnp.asarray(fields),
-            jnp.asarray(modes),
-            jnp.asarray(bounds_arr),
-            jnp.asarray(radii_arr),
-            clear_or_init,
-            self._device_atlas(),
-        )
+        args = (jnp.asarray(combo), init_frame, self._device_atlas())
+
+        try:
+            run = get_frame_executor(
+                tuple(structure), height, width, n_masks, self.use_pallas,
+                self.text_subpixel_positioning, has_init_frame,
+            )
+            frame = run(*args)
+        except Exception as exc:
+            # Backend fallback chain (figrender.nim:185-219 analog): a Pallas
+            # trace/compile failure downgrades this renderer to the XLA
+            # rasterizer at runtime instead of dropping the frame.
+            if not self.use_pallas:
+                raise
+            from .utils.perf import log_kv
+            import logging
+
+            log_kv(
+                logging.WARNING,
+                "pallas rasterizer failed; falling back to the XLA path",
+                error=repr(exc),
+            )
+            self.use_pallas = False
+            run = get_frame_executor(
+                tuple(structure), height, width, n_masks, False,
+                self.text_subpixel_positioning, has_init_frame,
+            )
+            frame = run(*args)
         self.last_frame = frame
         return frame
 

@@ -30,6 +30,22 @@ from .geometry import rect
 from .nodes import Fig, RenderList, Renders, new_renders
 
 
+_scene_random_cache = {}
+
+
+def _scene_randoms(copies: int, max_x: float, max_y: float):
+    key = (copies, max_x, max_y)
+    cached = _scene_random_cache.get(key)
+    if cached is None:
+        rng = np.random.RandomState(12345)
+        cached = (
+            rng.uniform(0.0, max_x, size=copies),
+            rng.uniform(0.0, max_y, size=copies),
+        )
+        _scene_random_cache[key] = cached
+    return cached
+
+
 def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
     """Vectorized array-form builder of the same scene as make_render_tree —
     the production path: numpy column writes straight into FIG_DTYPE rows,
@@ -56,9 +72,7 @@ def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
     max_w, max_h = 260.0, 180.0
     max_x = max(0.0, w - (320.0 + max_w))
     max_y = max(0.0, h - (300.0 + max_h))
-    rng = np.random.RandomState(12345)
-    base_xs = rng.uniform(0.0, max_x, size=copies)
-    base_ys = rng.uniform(0.0, max_y, size=copies)
+    base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
     off_x = np.clip(base_xs + np.sin(t + i * 0.15) * 20, 0.0, max_x)
     off_y = np.clip(base_ys + np.cos(t * 0.9 + i * 0.2) * 20, 0.0, max_y)
 

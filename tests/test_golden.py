@@ -194,3 +194,49 @@ def test_line_rect_golden():
 @goldens
 def test_circle_rect_golden():
     _golden_compare(circle_rect_scene, "render_circle_rect.png")
+
+
+def image_scene(w, h, image_id):
+    """trender_image.nim scene: img1.png at (60,60,160,160) over gray."""
+    from figdraw_tpu import FigKind, image_style
+
+    lst = RenderList()
+    root = lst.add_root(Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(0, 0, w, h),
+        fill=fill(rgba(160, 160, 160, 255)),
+    ))
+    lst.add_child(root, Fig(
+        kind=FigKind.nkImage, screen_box=rect(60, 60, 160, 160),
+        image=image_style(image_id),
+    ))
+    r = new_renders()
+    r.set_layer(0, lst)
+    return r
+
+
+@goldens
+def test_image_golden():
+    from PIL import Image
+
+    from figdraw_tpu.resources import ImageMessageBus, put_image
+
+    expected = np.asarray(
+        Image.open(os.path.join(EXPECTED_DIR, "render_image.png")).convert("RGBA"),
+        dtype=np.float32,
+    )
+    h, w = expected.shape[:2]
+    src = np.asarray(
+        Image.open("/root/reference/data/img1.png").convert("RGBA")
+    )
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=512, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(4242, src, bus=bus)
+    ren.render_frame(image_scene(float(w), float(h), 4242), vec2(w, h))
+    got = ren.take_screenshot().astype(np.float32)
+    diff = np.abs(got[..., :3] - expected[..., :3]) / 255.0
+    rmse = float(np.sqrt((diff ** 2).mean()))
+    bad = (diff.max(axis=-1) > 32 / 255.0).mean()
+    print(f"render_image.png: rmse={rmse:.5f} bad={bad:.5f}")
+    assert rmse < 0.02, rmse
+    assert bad < 0.02, bad

@@ -1,0 +1,116 @@
+"""Clip vs rect-mask benchmark — the reference's second benchmark.
+
+Reproduces windy_clip_mask_benchmark.nim's methodology (:9-21, 252-275): a
+180-row × 6-col table at 1200×800 where every cell clips its spilling
+content, once with real sub-clip masks and once with the rect-mask fast
+path; 20 warmup + 120 timed frames; avg/p50/p95/min/max ms and fps per case.
+
+The sub-clip case stresses the rolled pass-descriptor executor (1080 mask
+passes per frame); rect-mask rides the per-quad fast path in one draw run.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+ROWS = int(os.environ.get("FIGDRAW_BENCH_ROWS", "180"))
+COLS = int(os.environ.get("FIGDRAW_BENCH_COLS", "6"))
+WARMUP = int(os.environ.get("FIGDRAW_BENCH_WARMUP", "5"))
+FRAMES = int(os.environ.get("FIGDRAW_BENCH_FRAMES", "30"))
+W, H = 1200, 800
+
+
+def make_table_scene(kind: str, w: float, h: float):
+    """windy_clip_mask_benchmark.nim makeTableRenderTree (:147-185)."""
+    from figdraw_tpu import Fig, FigFlags, FigKind, fill, new_renders, rect, rgba
+    from figdraw_tpu.nodes import RenderList
+
+    def rect_fig(box, color, flags=0, corners=0):
+        return Fig(kind=FigKind.nkRectangle, screen_box=box, fill=fill(color),
+                   corners=(corners,) * 4, flags=flags)
+
+    margin, gap = 22.0, 4.0
+    viewport = rect(margin, margin, w - margin * 2, h - margin * 2)
+    cell_h = 22.0
+    cell_w = (viewport.w - gap * (COLS + 1)) / COLS
+    scroll_y = 37.0
+
+    lst = RenderList()
+    lst.add_root(rect_fig(rect(0, 0, w, h), rgba(248, 249, 251, 255)))
+    vp = lst.add_root(rect_fig(viewport, rgba(232, 235, 240, 255),
+                               flags=FigFlags.NfClipContent, corners=10))
+    cell_flags = (
+        FigFlags.NfClipContent if kind == "subclip" else FigFlags.NfRectMaskContent
+    )
+    for row in range(ROWS):
+        y = viewport.y + gap + row * (cell_h + gap) - scroll_y
+        for col in range(COLS):
+            x = viewport.x + gap + col * (cell_w + gap)
+            cell = rect(x, y, cell_w, cell_h)
+            color = (
+                rgba(255, 255, 255, 255) if (row + col) % 2 == 0
+                else rgba(242, 246, 250, 255)
+            )
+            ci = lst.add_child(vp, rect_fig(cell, color, flags=cell_flags, corners=4))
+            tone = 42 + (row * 7 + col * 17) % 72
+            lst.add_child(ci, rect_fig(
+                rect(cell.x - 12, cell.y + 4, cell.w + 24, 5),
+                rgba(36, 120 + (row * 5) % 80, 235, 255), corners=2))
+            lst.add_child(ci, rect_fig(
+                rect(cell.x + cell.w * 0.38, cell.y - 5, cell.w * 0.74, cell.h + 10),
+                rgba(tone, 170 - (col * 11) % 70, 220, 255), corners=3))
+            lst.add_child(ci, rect_fig(
+                rect(cell.x + 7, cell.y + cell.h - 7, cell.w - 14, 8),
+                rgba(190 + (row + col) % 30, 210, 220, 255), corners=2))
+    renders = new_renders()
+    renders.set_layer(0, lst)
+    return renders
+
+
+def bench_case(kind: str):
+    from figdraw_tpu import FigRenderer, vec2
+    from figdraw_tpu.nodesarray import from_renders
+
+    ren = FigRenderer(atlas_size=128)
+    # array form → per-frame flatten runs through the C++ walk
+    scene = from_renders(make_table_scene(kind, float(W), float(H)))
+    size = vec2(W, H)
+    for _ in range(WARMUP):
+        out = ren.render_frame(scene, size)
+    out.block_until_ready()
+    samples = []
+    for _ in range(FRAMES):
+        t0 = time.perf_counter()
+        out = ren.render_frame(scene, size)
+        out.block_until_ready()
+        samples.append((time.perf_counter() - t0) * 1000.0)
+    arr = np.asarray(samples)
+    return {
+        "count": len(samples),
+        "min": float(arr.min()),
+        "avg": float(arr.mean()),
+        "p50": float(np.percentile(arr, 50)),
+        "p95": float(np.percentile(arr, 95)),
+        "max": float(arr.max()),
+        "fps": 1000.0 / float(arr.mean()),
+    }
+
+
+def main():
+    print(f"clip-mask benchmark: {ROWS}x{COLS} cells @ {W}x{H}, "
+          f"{WARMUP} warmup + {FRAMES} timed frames", file=sys.stderr)
+    for kind, label in (("rectmask", "clip + rect-mask"), ("subclip", "clip + sub-clip")):
+        stats = bench_case(kind)
+        print(
+            f"{label:18s} avg={stats['avg']:8.2f}ms p50={stats['p50']:8.2f}ms "
+            f"p95={stats['p95']:8.2f}ms min={stats['min']:8.2f}ms "
+            f"max={stats['max']:8.2f}ms fps={stats['fps']:7.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

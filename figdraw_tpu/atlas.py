@@ -105,7 +105,13 @@ class Atlas:
 
     # --- public API ------------------------------------------------------------
 
-    def put_image(self, key: Hashable, img, meta: Optional[AtlasEntryMeta] = None) -> None:
+    def put_image(
+        self,
+        key: Hashable,
+        img,
+        meta: Optional[AtlasEntryMeta] = None,
+        mipmapped: bool = False,
+    ) -> None:
         img = self._normalize(img)
         if key in self.entries:
             self.remove(key)
@@ -114,6 +120,27 @@ class Atlas:
             self._rebuild(self.size * 2)
         if meta is not None:
             self.meta[key] = meta
+        if mipmapped:
+            # flippy-style mip chain (common/formatflippy.nim:101-112): each
+            # level is a 2x box-filtered half, packed under (key, level) so the
+            # flattener can pick the level matching the draw scale.
+            level = 1
+            current = img
+            while min(current.shape[0], current.shape[1]) >= 8:
+                h2, w2 = current.shape[0] // 2, current.shape[1] // 2
+                current = (
+                    current[: h2 * 2 : 2, : w2 * 2 : 2]
+                    + current[1 : h2 * 2 : 2, : w2 * 2 : 2]
+                    + current[: h2 * 2 : 2, 1 : w2 * 2 : 2]
+                    + current[1 : h2 * 2 : 2, 1 : w2 * 2 : 2]
+                ) * 0.25
+                mip_key = (key, level)
+                self._images[mip_key] = current
+                while not self._place(mip_key, current):
+                    self._rebuild(self.size * 2)
+                if meta is not None:
+                    self.meta[mip_key] = meta
+                level += 1
 
     def update_image(self, key: Hashable, img) -> None:
         """In-place pixel replace when dimensions match

@@ -154,3 +154,157 @@ def get_frame_executor(
         return to_hwc(planes)[:height, :width]
 
     return jax.jit(run)
+
+
+# --- rolled executor: pass-descriptor loop for mask-heavy scenes ----------------
+#
+# Scenes with hundreds of clip masks (e.g. the reference's clip benchmark: a
+# table where every cell clips, windy_clip_mask_benchmark.nim) would unroll
+# into thousands of XLA ops above. This variant is SURVEY.md §7's "generic
+# multi-pass loop driven by a pass descriptor array": one lax.fori_loop over
+# an item table with lax.switch on the item kind — compile cost is constant
+# in scene complexity.
+
+ITEM_NOOP = 0
+ITEM_DRAW_SDF = 1
+ITEM_DRAW_ATLAS = 2
+ITEM_DRAW_SDF_BD = 3
+ITEM_DRAW_MASK = 4
+ITEM_BLUR = 5
+ITEM_CLEAR_MASK = 6
+
+
+def _item_bucket(n: int) -> int:
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
+@lru_cache(maxsize=32)
+def get_rolled_executor(
+    height: int,
+    width: int,
+    n_masks: int,
+    n_items: int,  # bucketed
+    use_pallas: bool,
+    subpixel_positioning: bool,
+    has_init_frame: bool,
+):
+    """Returns jitted run(combo, items, radii, init_frame, atlas) -> frame.
+
+    items: (n_items, 4) i32 [kind, target, start, end]; radii: (n_items,) f32.
+    """
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    tiles_y = -(-height // th)
+    tiles_x = -(-width // tw)
+    ph, pw = tiles_y * th, tiles_x * tw
+
+    def to_hwc(planes):
+        return jnp.transpose(planes, (1, 2, 0))
+
+    def to_planes(hwc):
+        return jnp.transpose(hwc, (2, 0, 1))
+
+    def run(combo, items, radii, init_frame, atlas):
+        from .ops.layout import QF_WIDTH
+
+        fields = combo[:-1, :QF_WIDTH]
+        modes = jax.lax.bitcast_convert_type(
+            combo[:-1, QF_WIDTH : QF_WIDTH + COMBO_EXTRA], jnp.int32
+        )
+        meta = combo[-1]
+        clear_color = meta[0:4]  # rolled pack uses no bounds/radii slots
+
+        if has_init_frame:
+            planes = to_planes(init_frame)
+            planes = jnp.pad(planes, ((0, 0), (0, ph - height), (0, pw - width)))
+        else:
+            planes = jnp.broadcast_to(
+                clear_color[:, None, None], (4, ph, pw)
+            ).astype(jnp.float32)
+        masks = jnp.zeros((n_masks, ph, pw), jnp.float32).at[0].set(1.0)
+        backdrop = jnp.zeros((4, ph, pw), jnp.float32)
+
+        def draw_frame_sdf(planes, masks, backdrop, target, s, e, radius):
+            if use_pallas:
+                out = raster_pallas.draw_pass_planar(fields, modes, s, e, planes, masks)
+            else:
+                out = to_planes(
+                    raster_ref.draw_pass_frame_range(
+                        fields, modes, s, e, to_hwc(planes), masks,
+                        subpixel_positioning=subpixel_positioning,
+                    )
+                )
+            return out, masks, backdrop
+
+        def draw_frame_sdf_bd(planes, masks, backdrop, target, s, e, radius):
+            if use_pallas:
+                out = raster_pallas.draw_pass_planar(
+                    fields, modes, s, e, planes, masks, backdrop
+                )
+            else:
+                out = to_planes(
+                    raster_ref.draw_pass_frame_range(
+                        fields, modes, s, e, to_hwc(planes), masks,
+                        backdrop=to_hwc(backdrop),
+                        subpixel_positioning=subpixel_positioning,
+                    )
+                )
+            return out, masks, backdrop
+
+        def draw_frame_atlas(planes, masks, backdrop, target, s, e, radius):
+            out = to_planes(
+                raster_ref.draw_pass_frame_range(
+                    fields, modes, s, e, to_hwc(planes), masks, atlas=atlas,
+                    backdrop=to_hwc(backdrop),
+                    subpixel_positioning=subpixel_positioning,
+                )
+            )
+            return out, masks, backdrop
+
+        def draw_mask(planes, masks, backdrop, target, s, e, radius):
+            plane = jax.lax.dynamic_index_in_dim(masks, target, 0, keepdims=False)
+            plane = raster_ref.draw_pass_mask_range(
+                fields, modes, s, e, plane, masks, atlas=atlas,
+                subpixel_positioning=subpixel_positioning,
+            )
+            return planes, jax.lax.dynamic_update_index_in_dim(masks, plane, target, 0), backdrop
+
+        def blur_item(planes, masks, backdrop, target, s, e, radius):
+            return planes, masks, backdrop_blur_planar(planes, radius)
+
+        def clear_mask(planes, masks, backdrop, target, s, e, radius):
+            zero = jnp.zeros((ph, pw), jnp.float32)
+            return planes, jax.lax.dynamic_update_index_in_dim(masks, zero, target, 0), backdrop
+
+        def noop(planes, masks, backdrop, target, s, e, radius):
+            return planes, masks, backdrop
+
+        branches = [
+            noop, draw_frame_sdf, draw_frame_atlas, draw_frame_sdf_bd,
+            draw_mask, blur_item, clear_mask,
+        ]
+
+        def body(i, carry):
+            planes, masks, backdrop = carry
+            kind = items[i, 0]
+            target = items[i, 1]
+            s = items[i, 2]
+            e = items[i, 3]
+            radius = radii[i]
+            return jax.lax.switch(
+                kind,
+                [
+                    lambda pl_, mk, bd, fn=fn: fn(pl_, mk, bd, target, s, e, radius)
+                    for fn in branches
+                ],
+                planes, masks, backdrop,
+            )
+
+        planes, masks, backdrop = jax.lax.fori_loop(
+            0, n_items, body, (planes, masks, backdrop)
+        )
+        return to_hwc(planes)[:height, :width]
+
+    return jax.jit(run)

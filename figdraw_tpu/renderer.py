@@ -33,6 +33,7 @@ from .ops.layout import QF_WIDTH, QI_WIDTH
 QUAD_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
 
 WHITE_IMAGE_KEY = "__figdraw_white__"
+ROLLED_THRESHOLD = 24  # structure items above this use the rolled executor
 
 
 @dataclass
@@ -125,6 +126,27 @@ class FigRenderer:
         self._image_owners: Dict[Hashable, set] = {}
         self._font_owners: Dict[Hashable, set] = {}
         self._glyph_offsets: Dict[Hashable, Tuple[float, float]] = {}
+        self._render_thread_id: Optional[int] = None
+
+    def _assert_render_thread(self) -> None:
+        """Runtime analog of the reference's compile-time thread-effect tags
+        ({.forbids: [AppMainThreadEff].}, shared.nim:22-35): the render path
+        is single-owner; cross-thread traffic goes through the message bus.
+        Set FIGDRAW_NO_THREAD_GUARD=1 to disable."""
+        import os
+        import threading
+
+        if os.environ.get("FIGDRAW_NO_THREAD_GUARD") == "1":
+            return
+        tid = threading.get_ident()
+        if self._render_thread_id is None:
+            self._render_thread_id = tid
+        elif self._render_thread_id != tid:
+            raise RuntimeError(
+                "FigRenderer render path used from two threads; publish "
+                "resources through the image message bus instead "
+                "(figdraw_tpu.resources), or set FIGDRAW_NO_THREAD_GUARD=1"
+            )
 
     def _load_glyph(self, key, glyph, lcd: bool, variant: int) -> bool:
         """Cold-miss glyph generation straight into the atlas
@@ -174,9 +196,17 @@ class FigRenderer:
                 if not bus.message_current(msg) or msg.image is None:
                     continue
                 # update in place when dimensions match, else repack
-                # (figbackend.nim:369-389)
-                self.atlas.update_image(msg.id, msg.image)
-                self.atlas.meta[msg.id] = AtlasEntryMeta(kind="image", image_id=msg.id)
+                # (figbackend.nim:369-389); mip chains always repack
+                if msg.mipmapped:
+                    self.atlas.remove(msg.id)
+                    self.atlas.put_image(
+                        msg.id, msg.image,
+                        AtlasEntryMeta(kind="image", image_id=msg.id),
+                        mipmapped=True,
+                    )
+                else:
+                    self.atlas.update_image(msg.id, msg.image)
+                    self.atlas.meta[msg.id] = AtlasEntryMeta(kind="image", image_id=msg.id)
             elif kind == ImageMsgKind.PutGlyph:
                 if msg.image is None or msg.id in self.atlas:
                     continue
@@ -407,23 +437,72 @@ class FigRenderer:
         else:
             init_frame = self._dummy_init_frame()
 
-        from .executor import get_frame_executor, pack_tape_upload
+        from . import executor as ex
 
-        combo = pack_tape_upload(
-            fields,
-            modes,
-            np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
-            np.asarray(radii, dtype=np.float32),
-            np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32),
-        )
-        args = (jnp.asarray(combo), init_frame, self._device_atlas())
+        clear = np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32)
+        rolled = len(structure) > ROLLED_THRESHOLD  # mask-heavy: constant compile cost
 
-        try:
-            run = get_frame_executor(
-                tuple(structure), height, width, n_masks, self.use_pallas,
+        if rolled:
+            item_rows = []
+            item_radii = []
+            di = 0
+            bi = 0
+            for item in structure:
+                kind = item[0]
+                if kind == "clear_mask":
+                    item_rows.append((ex.ITEM_CLEAR_MASK, item[1], 0, 0))
+                    item_radii.append(0.0)
+                elif kind == "blur":
+                    item_rows.append((ex.ITEM_BLUR, 0, 0, 0))
+                    item_radii.append(radii[bi])
+                    bi += 1
+                else:
+                    _, target, uses_atlas, needs_backdrop = item
+                    s, e = bounds[di]
+                    di += 1
+                    if target == FRAME_TARGET:
+                        k = (
+                            ex.ITEM_DRAW_ATLAS
+                            if uses_atlas
+                            else (ex.ITEM_DRAW_SDF_BD if needs_backdrop else ex.ITEM_DRAW_SDF)
+                        )
+                        item_rows.append((k, 0, s, e))
+                    else:
+                        item_rows.append((ex.ITEM_DRAW_MASK, target, s, e))
+                    item_radii.append(0.0)
+            bucket = ex._item_bucket(len(item_rows))
+            items_arr = np.zeros((bucket, 4), dtype=np.int32)
+            radii_arr = np.zeros((bucket,), dtype=np.float32)
+            items_arr[: len(item_rows)] = item_rows
+            radii_arr[: len(item_radii)] = item_radii
+            combo = ex.pack_tape_upload(
+                fields, modes, np.zeros((0, 2), np.int32), np.zeros((0,), np.float32),
+                clear,
+            )
+            make_run = lambda use_pallas: ex.get_rolled_executor(
+                height, width, n_masks, bucket, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
             )
-            frame = run(*args)
+            args = (
+                jnp.asarray(combo), jnp.asarray(items_arr), jnp.asarray(radii_arr),
+                init_frame, self._device_atlas(),
+            )
+        else:
+            combo = ex.pack_tape_upload(
+                fields,
+                modes,
+                np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
+                np.asarray(radii, dtype=np.float32),
+                clear,
+            )
+            make_run = lambda use_pallas: ex.get_frame_executor(
+                tuple(structure), height, width, n_masks, use_pallas,
+                self.text_subpixel_positioning, has_init_frame,
+            )
+            args = (jnp.asarray(combo), init_frame, self._device_atlas())
+
+        try:
+            frame = make_run(self.use_pallas)(*args)
         except Exception as exc:
             # Backend fallback chain (figrender.nim:185-219 analog): a Pallas
             # trace/compile failure downgrades this renderer to the XLA
@@ -439,11 +518,7 @@ class FigRenderer:
                 error=repr(exc),
             )
             self.use_pallas = False
-            run = get_frame_executor(
-                tuple(structure), height, width, n_masks, False,
-                self.text_subpixel_positioning, has_init_frame,
-            )
-            frame = run(*args)
+            frame = make_run(False)(*args)
         self.last_frame = frame
         return frame
 
@@ -463,6 +538,7 @@ class FigRenderer:
         fs = scaled(frame_size)
         if fs.x <= 0 or fs.y <= 0:
             return self.last_frame
+        self._assert_render_thread()
         self.process_image_messages()
         tape = self.flatten(renders, fs, clear_main, clear_color)
         frame = self.execute(tape)

@@ -75,6 +75,7 @@ class ImageMsg:
     final_release: bool = False
     generation: int = 0
     cache_generation: int = 0
+    mipmapped: bool = False
 
 
 class ImageMessageSubscription:
@@ -158,6 +159,7 @@ class ImageMessageBus:
                     image=msg.image,
                     generation=gen,
                     cache_generation=self._cache_generation,
+                    mipmapped=msg.mipmapped,
                 )
                 self._replay[msg.id] = msg
             elif msg.kind == ImageMsgKind.ClearImage:
@@ -185,9 +187,11 @@ _image_cache: Dict[ImageId, np.ndarray] = {}
 _image_cache_lock = threading.Lock()
 
 
-def load_image(path: str, bus: Optional[ImageMessageBus] = None) -> "ImageRef":
+def load_image(path: str, bus: Optional[ImageMessageBus] = None,
+               mipmapped: bool = True) -> "ImageRef":
     """Load a PNG (or any PIL-readable file) and publish it to renderers
-    (imgutils.nim:553-557)."""
+    (imgutils.nim:553-557). Like the reference's flippy pipeline, loaded
+    images carry a mip chain by default for clean minification."""
     from PIL import Image as PILImage
 
     image_id = image_id_from_path(path)
@@ -199,17 +203,21 @@ def load_image(path: str, bus: Optional[ImageMessageBus] = None) -> "ImageRef":
             _image_cache[image_id] = img
         cached = img
     b = bus or default_bus
-    b.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=image_id, image=cached))
+    b.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=image_id, image=cached,
+                       mipmapped=mipmapped))
     return ImageRef(image_id, bus=b)
 
 
-def put_image(image_id: ImageId, image: np.ndarray, bus: Optional[ImageMessageBus] = None) -> ImageId:
+def put_image(image_id: ImageId, image: np.ndarray,
+              bus: Optional[ImageMessageBus] = None,
+              mipmapped: bool = False) -> ImageId:
     """Publish an image under an explicit id. Ownership is the caller's —
     wrap in ImageRef(id) for RAII eviction (load_image does)."""
     b = bus or default_bus
     with _image_cache_lock:
         _image_cache[image_id] = image
-    b.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=image_id, image=image))
+    b.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=image_id, image=image,
+                       mipmapped=mipmapped))
     return image_id
 
 

@@ -486,6 +486,18 @@ class TapeBackend(BackendContext):
             draw_size = size
         else:
             draw_size = vec2(r[2] * self.atlas_size, r[3] * self.atlas_size)
+        # minified draws pick the matching mip level when the atlas carries a
+        # chain (the GL atlas is mipmapped, glcontext.nim:610-620; per-quad
+        # scale is constant so level select can happen at flatten time)
+        native_w = r[2] * self.atlas_size
+        if draw_size.x > 0 and native_w > draw_size.x * 1.5:
+            level = 0
+            scale = native_w / max(draw_size.x, 1e-6)
+            while scale >= 1.5 and (image_id, level + 1) in self.entries:
+                level += 1
+                scale *= 0.5
+            if level > 0:
+                r = self.entries[(image_id, level)]
         uv_at, uv_to = self._image_uv_bounds(r, flip_y)
         self._draw_uv_rect(
             pos,

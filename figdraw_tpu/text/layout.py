@@ -437,3 +437,66 @@ def typeset_for_measurement(spans, bounds=None, ui_scale: float = 1.0) -> GlyphA
     """Unbounded layout for content measurement (fontutils.nim:93-123)."""
     b = bounds if bounds is not None else vec2(0, 0)
     return typeset(b, spans, wrap=bounds is not None, ui_scale=ui_scale)
+
+
+class GlyphOrigin:
+    TopLeft = 0
+    Baseline = 1
+
+
+def place_glyphs(
+    font: FigFont,
+    color_fill: Fill,
+    glyphs: Sequence[Tuple[str, Vec2]],
+    origin: int = GlyphOrigin.TopLeft,
+    ui_scale: float = 1.0,
+) -> GlyphArrangement:
+    """Explicit per-glyph placement for monospace/grid renderers
+    (fontutils.nim:125-244). Positions are glyph top-left or baseline points
+    depending on `origin`."""
+    arr = GlyphArrangement()
+    if not glyphs:
+        return arr
+    gf = _glyph_font(font, ui_scale)
+    tf = get_typeface(font.typeface_id)
+    s = tf.scale_for(gf.size)
+    arr.fonts.append(gf)
+    arr.span_colors.append(color_fill)
+    arr.spans.append((0, len(glyphs) - 1))
+    baseline_offset = gf.baseline_offset
+    content_hash = 0
+    for glyph_index, (ch, pos) in enumerate(glyphs):
+        gid = tf.glyph_id(ord(ch))
+        advance = tf.advance(gid) * s
+        baseline_pos = (
+            vec2(pos.x, pos.y + baseline_offset)
+            if origin == GlyphOrigin.TopLeft
+            else pos
+        )
+        draw_pos = vec2(baseline_pos.x, baseline_pos.y - baseline_offset)
+        selection = rect(draw_pos.x, draw_pos.y, advance, gf.line_height)
+        arr.source_runes.append(ch)
+        arr.arranged_glyphs.append(ArrangedGlyph(
+            font_id=gf.font_id,
+            glyph_id=gid,
+            cluster=glyph_index,
+            source=GlyphSourceRange(glyph_index, glyph_index + 1),
+            rune=ch,
+            is_whitespace=ch.isspace(),
+            pos=baseline_pos,
+            advance=vec2(advance, 0.0),
+            rect=selection,
+            span_index=0,
+            fill=color_fill,
+        ))
+        content_hash = hash((content_hash, gf.font_id, gid, ch, pos.x, pos.y, origin))
+    arr.lines = [(0, len(glyphs) - 1)]
+    arr.content_hash = content_hash
+    min_x = min(g.rect.x for g in arr.arranged_glyphs)
+    min_y = min(g.rect.y for g in arr.arranged_glyphs)
+    max_x = max(g.rect.x + g.rect.w for g in arr.arranged_glyphs)
+    max_y = max(g.rect.y + g.rect.h for g in arr.arranged_glyphs)
+    arr.bounding = rect(min_x, min_y, max_x - min_x, max_y - min_y)
+    arr.min_size = arr.bounding.wh
+    arr.max_size = arr.bounding.wh
+    return arr

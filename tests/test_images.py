@@ -188,3 +188,32 @@ def test_atlas_grow_and_replay():
     assert ren.atlas.size > 32
     for i in range(6):
         assert ren.contains_image(100 + i)
+
+
+def test_mipmapped_minification():
+    """Minified draws sample the matching mip level (the GL atlas is
+    mipmapped; flippy chains in the reference)."""
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    # 64x64 1px checker: naive bilinear at 8x minification aliases to extremes;
+    # the level-3 mip averages to gray
+    img = np.zeros((64, 64, 4), dtype=np.uint8)
+    img[::2, ::2] = (255, 255, 255, 255)
+    img[1::2, 1::2] = (255, 255, 255, 255)
+    img[::2, 1::2, 3] = 255
+    img[1::2, ::2, 3] = 255
+    put_image(555, img, bus=bus, mipmapped=True)
+    ren.process_image_messages()
+    assert (555, 1) in ren.atlas.entries and (555, 3) in ren.atlas.entries
+
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(8, 8, 8, 8),
+                     image=image_style(555)))
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren.render_frame(r, vec2(32, 32))
+    out = ren.take_screenshot()
+    # interior pixels near 50% gray, not 0/255 aliasing
+    inner = out[10:14, 10:14, 0].astype(int)
+    assert 90 <= inner.mean() <= 165, inner

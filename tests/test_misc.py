@@ -179,3 +179,49 @@ def test_sharded_draw_matches_single_device():
         jax.device_put(backdrop, frame_sh),
     )
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+
+
+def test_rolled_executor_matches_unrolled(monkeypatch):
+    """Mask-heavy scenes route through the pass-descriptor loop; output must
+    match the unrolled executor exactly."""
+    import figdraw_tpu.renderer as renderer_mod
+    from figdraw_tpu import Fig, FigFlags, FigKind
+
+    def grid_scene(rows, cols):
+        lst = RenderList()
+        lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 128, 96),
+                         fill=fill(rgba(250, 250, 250, 255))))
+        for r in range(rows):
+            for c in range(cols):
+                cell = rect(4 + c * 30, 4 + r * 22, 26, 18)
+                idx = lst.add_root(Fig(
+                    kind=FigKind.nkRectangle, screen_box=cell,
+                    corners=(4, 4, 4, 4), flags=FigFlags.NfClipContent,
+                    fill=fill(rgba(255, 255, 255, 255))))
+                lst.add_child(idx, Fig(
+                    kind=FigKind.nkRectangle,
+                    screen_box=rect(cell.x - 8, cell.y + 4, cell.w + 16, 8),
+                    fill=fill(rgba(40 + r * 10, 120, 235, 255))))
+        r_ = new_renders()
+        r_.set_layer(0, lst)
+        return r_
+
+    scene = grid_scene(4, 4)  # 16 clips → ~49 structure items
+
+    monkeypatch.setattr(renderer_mod, "ROLLED_THRESHOLD", 10_000)
+    ren_a = FigRenderer(atlas_size=64, use_pallas=False)
+    ren_a.render_frame(scene, vec2(128, 96))
+    unrolled = ren_a.take_screenshot()
+
+    monkeypatch.setattr(renderer_mod, "ROLLED_THRESHOLD", 4)
+    ren_b = FigRenderer(atlas_size=64, use_pallas=False)
+    ren_b.render_frame(scene, vec2(128, 96))
+    rolled = ren_b.take_screenshot()
+
+    assert np.array_equal(unrolled, rolled)
+    # and through pallas (interpret on CPU)
+    ren_c = FigRenderer(atlas_size=64, use_pallas=True)
+    ren_c.render_frame(scene, vec2(128, 96))
+    rolled_pallas = ren_c.take_screenshot()
+    diff = np.abs(rolled_pallas.astype(int) - unrolled.astype(int))
+    assert diff.max() <= 1

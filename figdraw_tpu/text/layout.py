@@ -185,6 +185,48 @@ class GlyphArrangement:
             vec2(x, top), rect(x, top, 1.0, gf.line_height),
         )]
 
+    def glyph_selection_rects_for(self, rune_range) -> List[Rect]:
+        """Per-glyph rects (unmerged), unlike the per-line bands of
+        selection_rects_for (fonttypes.nim:656-686)."""
+        lo, hi = self.glyph_range_for(rune_range)
+        if hi < lo:
+            return []
+        return [self.arranged_glyphs[i].rect for i in range(lo, hi + 1)]
+
+    def source_rune_range_at(self, glyph_index: int) -> Tuple[int, int]:
+        """Source rune range [start, end) that produced a glyph
+        (fonttypes.nim:688-706)."""
+        if not (0 <= glyph_index < len(self.arranged_glyphs)):
+            return (0, 0)
+        src = self.arranged_glyphs[glyph_index].source
+        return (src.rune_start, src.rune_end)
+
+    def cluster_rect(self, glyph_index: int) -> Rect:
+        """Bounding rect of the whole cluster containing a glyph
+        (fonttypes.nim:448-483)."""
+        if not (0 <= glyph_index < len(self.arranged_glyphs)):
+            return rect(0, 0, 0, 0)
+        cluster = self.arranged_glyphs[glyph_index].cluster
+        members = [g for g in self.arranged_glyphs if g.cluster == cluster]
+        min_x = min(g.rect.x for g in members)
+        min_y = min(g.rect.y for g in members)
+        max_x = max(g.rect.x + g.rect.w for g in members)
+        max_y = max(g.rect.y + g.rect.h for g in members)
+        return rect(min_x, min_y, max_x - min_x, max_y - min_y)
+
+    def is_rtl_at(self, glyph_index: int) -> bool:
+        """RTL detection by codepoint block (fonttypes.nim:430-442); the
+        cmap+kern shaper lays out LTR, so this reports source directionality."""
+        if not (0 <= glyph_index < len(self.arranged_glyphs)):
+            return False
+        cp = ord(self.arranged_glyphs[glyph_index].rune[0]) if self.arranged_glyphs[glyph_index].rune else 0
+        return (
+            0x0590 <= cp <= 0x08FF
+            or 0xFB1D <= cp <= 0xFDFF
+            or 0xFE70 <= cp <= 0xFEFF
+            or 0x10800 <= cp <= 0x10FFF
+        )
+
     def nearest_source_rune_for_caret_point(self, point: Vec2) -> int:
         """fonttypes.nim:787-808: closest insertion index to a local point."""
         if not self.arranged_glyphs:
@@ -425,10 +467,18 @@ def typeset(
                 g.rect = rect(g.rect.x, g.rect.y + dy, g.rect.w, g.rect.h)
 
     arr.max_size = vec2(max_line_w, total_h)
-    arr.min_size = vec2(
-        max((g.advance.x for g in glyphs if not g.is_whitespace), default=0.0),
-        total_h,
-    )
+    # min-content = widest unbreakable run (the reference's min-content
+    # two-pass measurement, textbackends/pixie.nim:81-121)
+    widest_word = 0.0
+    word_w = 0.0
+    for g in glyphs:
+        if g.is_whitespace or g.rune == "\n" or _is_cjk(g.rune):
+            widest_word = max(widest_word, word_w + (g.advance.x if _is_cjk(g.rune) else 0.0))
+            word_w = 0.0
+        else:
+            word_w += g.advance.x
+    widest_word = max(widest_word, word_w)
+    arr.min_size = vec2(widest_word, total_h)
     arr.bounding = rect(0, 0, max_line_w, total_h)
     return arr
 

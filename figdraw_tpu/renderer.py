@@ -310,6 +310,15 @@ class FigRenderer:
             self.atlas.dirty = False
         return self._atlas_device
 
+    def rebuild_image_atlas(self, minimum_size: int = 0) -> None:
+        """Reset + grow the atlas, then replay live content from the bus
+        (figbackend.nim:202-207 noteAtlasRebuilt → replayImageMessages)."""
+        self.atlas.reset(minimum_size)
+        self._glyph_offsets.clear()
+        if self._bus is not None and self._subscription is not None:
+            self._bus.replay_to(self._subscription)
+            self.process_image_messages()
+
     def put_image(self, key: Hashable, img, kind: str = "image") -> None:
         self.atlas.put_image(key, img, AtlasEntryMeta(kind=kind))
 

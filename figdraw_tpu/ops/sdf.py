@@ -65,7 +65,13 @@ def sd_elliptical_rounded_box(px, py, bx, by, r_tr, r_br, r_tl, r_bl):
     circ_r = -selected - 1.0
     d_circular = sd_rounded_box(px, py, bx, by, circ_r, circ_r, circ_r, circ_r)
 
-    packed = jnp.floor(selected + 0.5)
+    # The GLSL decode's floor(v + 0.5) breaks above 2^23: f32 cannot represent
+    # x.5 there, so e.g. the fully-round pill encoding 4095 + 4095*4096 =
+    # 2^24-1 ties to 2^24 and wraps the x-radius to 0 (square corners). Packed
+    # values are exact f32 integers, so only round where x.5 exists.
+    packed = jnp.where(
+        selected >= 8388608.0, selected, jnp.floor(selected + 0.5)
+    )
     rad_x = jnp.mod(packed, 4096.0) * bx / 4095.0
     rad_y = jnp.floor(packed / 4096.0) * by / 4095.0
 

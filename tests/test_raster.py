@@ -210,3 +210,23 @@ def test_backdrop_blur_smoothing():
     # outside the panel the edge is hard
     row2 = img[4, 40:60, 0]
     assert np.abs(np.diff(row2.astype(int))).max() > 150
+
+
+def test_fully_round_elliptical_pill():
+    """Regression: rx == half-width AND ry == half-height packs to 2^24-1,
+    whose floor(v+0.5) decode ties to 2^24 in f32 and wrapped the corner to
+    square (found visually on the demo pill)."""
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(10, 10, 72, 40),
+                     corners=(36, 36, 36, 36), corner_radii_y=(20, 20, 20, 20),
+                     flags=FigFlags.NfEllipticalCorners,
+                     fill=fill(rgba(250, 140, 30, 255))))
+    img = render_scene(lst)
+    # corner region outside the ellipse must be background
+    assert np.all(img[12, 12] == 255), img[12, 12]
+    assert np.all(img[45, 12] == 255) or img[45, 12, 0] == 255
+    # center filled orange
+    assert img[30, 46, 0] > 200 and img[30, 46, 2] < 100
+    # ellipse edge midpoints filled
+    assert img[30, 12, 0] > 200  # left edge center
+    assert img[12, 46, 0] > 200  # top edge center

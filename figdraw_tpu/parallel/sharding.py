@@ -18,7 +18,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8: no check_rep kwarg
+    from jax import shard_map as _new_shard_map
+
+    def shard_map(f=None, **kw):
+        kw.pop("check_rep", None)
+        return _new_shard_map(f, **kw) if f is not None else _new_shard_map(**kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..ops import raster_ref
 from ..ops.blur import TAP_RADIUS, _blur_axis
@@ -73,7 +81,7 @@ def make_sharded_blur(mesh: Mesh, max_radius: float = 64.0):
     needs up to ceil(radius) = 64 rows of halo from each neighbor
     (blur.frag:12 clamps the radius to 64, so the halo bound is static).
     """
-    halo = int(max_radius)
+    halo = int(max_radius) + 1  # +1: linear tap interpolation reads floor(x)+1
     axis_size = mesh.shape[ROWS_AXIS]
 
     @partial(
@@ -85,13 +93,20 @@ def make_sharded_blur(mesh: Mesh, max_radius: float = 64.0):
     )
     def blur(frame, radius):
         local = _blur_axis(frame, radius, axis=1)  # horizontal, local
+        local_h = local.shape[0]
+        idx = jax.lax.axis_index(ROWS_AXIS)
+        if halo >= local_h:
+            # bands shorter than the blur reach: gather all rows, blur, take
+            # our band back (small frames only — 1080p/8 bands are 135 rows)
+            gathered = jax.lax.all_gather(local, ROWS_AXIS, axis=0, tiled=True)
+            blurred = _blur_axis(gathered, radius, axis=0)
+            return jax.lax.dynamic_slice_in_dim(blurred, idx * local_h, local_h, 0)
         # halo exchange: receive the last `halo` rows of the upper neighbor and
         # the first `halo` rows of the lower neighbor
         up = [(i, (i + 1) % axis_size) for i in range(axis_size)]
         down = [(i, (i - 1) % axis_size) for i in range(axis_size)]
         from_above = jax.lax.ppermute(local[-halo:], ROWS_AXIS, up)
         from_below = jax.lax.ppermute(local[:halo], ROWS_AXIS, down)
-        idx = jax.lax.axis_index(ROWS_AXIS)
         # clamp-to-edge at the global boundary: replicate own edge rows
         top_pad = jnp.where(idx == 0, jnp.repeat(local[:1], halo, axis=0), from_above)
         bot_pad = jnp.where(
@@ -111,3 +126,120 @@ def default_mesh(n_devices: Optional[int] = None) -> Mesh:
     import numpy as np
 
     return Mesh(np.array(devices), (ROWS_AXIS,))
+
+
+class ShardedFigRenderer:
+    """Multi-chip frame renderer: the framebuffer row-sharded over a Mesh.
+
+    The host flatten is unchanged (the quad tape is small and replicated);
+    each device rasterizes its row band, and backdrop blur exchanges halos
+    over ICI. Scales the reference's pixel-parallel fragment work across
+    chips — the axis the reference's single-GPU design never had
+    (SURVEY.md §2.9).
+    """
+
+    def __init__(self, mesh: Optional[Mesh] = None, atlas_size: int = 256):
+        from ..renderer import FigRenderer
+
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self.n = self.mesh.shape[ROWS_AXIS]
+        # reuse the single-chip renderer for flattening + atlas management
+        self._flattener = FigRenderer(atlas_size=atlas_size, use_pallas=False)
+        self._draw = make_sharded_draw_pass(self.mesh)
+        self._blur = make_sharded_blur(self.mesh)
+        self.last_frame = None
+
+    def render_frame(self, renders, frame_size, clear_color=(1.0, 1.0, 1.0, 1.0)):
+        """Flatten on host, rasterize row-sharded; returns global (H, W, 4)."""
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..basics import scaled
+        from ..executor import FRAME_TARGET
+        from ..ops.layout import QF_WIDTH, QI_WIDTH
+        from ..renderer import _bucket
+        from ..tape import BlurItem, ClearMaskItem, DrawItem
+
+        fs = scaled(frame_size)
+        self._flattener.process_image_messages()
+        tape = self._flattener.flatten(renders, fs)
+        width = int(round(tape.frame_size[0]))
+        height = -(-int(round(tape.frame_size[1])) // self.n) * self.n  # pad rows
+
+        cap = _bucket(max(tape.count, 1))
+        fields = np.zeros((cap, QF_WIDTH), np.float32)
+        modes = np.zeros((cap, QI_WIDTH), np.int32)
+        fields[: tape.count] = tape.fields[: tape.count]
+        modes[: tape.count] = tape.modes[: tape.count]
+        fields_d = jnp.asarray(fields)
+        modes_d = jnp.asarray(modes)
+
+        frame_sh = NamedSharding(self.mesh, P(ROWS_AXIS, None, None))
+        masks_sh = NamedSharding(self.mesh, P(None, ROWS_AXIS, None))
+        cc = tape.clear_color or (0, 0, 0, 0)
+        frame = jax.device_put(
+            jnp.broadcast_to(
+                jnp.asarray(cc, jnp.float32), (height, width, 4)
+            ),
+            frame_sh,
+        )
+        # masks: the sharded path supports the rect-mask fast path (per quad)
+        # and no nested mask planes yet; scenes needing real mask passes
+        # should use the single-chip renderer.
+        masks = jax.device_put(jnp.ones((1, height, width), jnp.float32), masks_sh)
+        backdrop = jax.device_put(
+            jnp.zeros((height, width, 4), jnp.float32), frame_sh
+        )
+
+        for item in tape.items:
+            if isinstance(item, BlurItem):
+                backdrop = self._blur(frame, jnp.float32(item.radius))
+            elif isinstance(item, DrawItem) and item.target == FRAME_TARGET:
+                run_fields = fields_d
+                run_modes = modes_d
+                # draw only [start, end): zero out other quads via bounds —
+                # the sharded pass composites [0, count); slice instead
+                frame = self._draw_range(
+                    run_fields, run_modes, item.start, item.end, frame, masks, backdrop
+                )
+            else:
+                raise NotImplementedError(
+                    "sharded renderer supports frame draws + backdrop blur; "
+                    "use FigRenderer for mask passes"
+                )
+        self.last_frame = frame
+        return frame[: int(round(tape.frame_size[1]))]
+
+    def _draw_range(self, fields, modes, start, end, frame, masks, backdrop):
+        # make_sharded_draw_pass composites [0, count); generalize via the
+        # range-aware core
+        import functools
+
+        if not hasattr(self, "_draw_range_fn"):
+            mesh = self.mesh
+
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P(), P(),
+                    P(ROWS_AXIS, None, None),
+                    P(None, ROWS_AXIS, None),
+                    P(ROWS_AXIS, None, None),
+                ),
+                out_specs=P(ROWS_AXIS, None, None),
+                check_rep=False,
+            )
+            def draw(fields, modes, s, e, frame, masks, backdrop):
+                local_h = frame.shape[0]
+                row0 = jax.lax.axis_index(ROWS_AXIS) * local_h
+                return raster_ref.draw_pass_frame_range(
+                    fields, modes, s, e, frame, masks,
+                    backdrop=backdrop,
+                    y_offset=row0.astype(jnp.float32),
+                )
+
+            self._draw_range_fn = jax.jit(draw)
+        return self._draw_range_fn(
+            fields, modes, jnp.int32(start), jnp.int32(end), frame, masks, backdrop
+        )

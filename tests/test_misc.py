@@ -225,3 +225,26 @@ def test_rolled_executor_matches_unrolled(monkeypatch):
     rolled_pallas = ren_c.take_screenshot()
     diff = np.abs(rolled_pallas.astype(int) - unrolled.astype(int))
     assert diff.max() <= 1
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 2, reason="needs multi-device mesh"
+)
+def test_sharded_renderer_full_frame():
+    """ShardedFigRenderer end-to-end == single-chip renderer on the 300-box
+    scene (incl. the backdrop blur halo exchange)."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+    from figdraw_tpu.scenes import make_render_tree
+
+    w, h = 256, 192
+    scene = make_render_tree(float(w), float(h), frame=4, copies=3)
+
+    single = FigRenderer(atlas_size=64, use_pallas=False)
+    single.render_frame(scene, vec2(w, h))
+    expected = single.take_screenshot()
+
+    sharded = ShardedFigRenderer(atlas_size=64)
+    frame = sharded.render_frame(scene, vec2(w, h))
+    got = np.clip(np.round(np.asarray(frame) * 255.0), 0, 255).astype(np.uint8)
+    diff = np.abs(got.astype(int) - expected.astype(int))
+    assert diff.max() <= 1, diff.max()

@@ -135,10 +135,10 @@ from .debugtools import (  # noqa: F401
     hits_at_point,
     top_fig_at_point,
 )
-from .utils.jaxcache import enable_compilation_cache as _enable_jax_cache
 from .config import apply_startup_env as _apply_startup_env
 
-_enable_jax_cache()
+# (the persistent TPU compile cache is enabled lazily by FigRenderer —
+# touching jax.default_backend() at import time would initialize the backend)
 _apply_startup_env()
 
 __version__ = "0.1.0"

@@ -112,6 +112,9 @@ class FigRenderer:
             else:
                 use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        from .utils.jaxcache import enable_compilation_cache
+
+        enable_compilation_cache()  # no-op off-TPU
         self.aa_factor = DEFAULT_SDF_AA_FACTOR
         self.text_lcd_filtering = config.runtime_text_lcd_filtering_requested()
         self.text_subpixel_positioning = (

@@ -16,7 +16,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend != "tpu":
+        # CPU compiles are fast, and CPU AOT artifacts are machine-feature
+        # sensitive (loading one compiled under a different feature set warns
+        # about possible SIGILL); only remote TPU compiles are worth caching.
+        return
     cache_dir = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
+    cache_dir = os.path.join(cache_dir, backend)
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -60,6 +60,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.fd_set_atlas.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_float,
+        ]
         lib.fd_quad_count.argtypes = [ctypes.c_void_p]
         lib.fd_quad_count.restype = ctypes.c_int
         lib.fd_item_count.argtypes = [ctypes.c_void_p]
@@ -90,6 +98,25 @@ def available() -> bool:
     return _load() is not None
 
 
+def pack_atlas_entries(entries: dict, atlas_size: int):
+    """Sorted (id, level) parallel arrays for fd_set_atlas. Integer keys are
+    level-0 entries; (id, level) tuple keys are mips; other keys (glyph
+    hashes are ints too, fine; string keys like the white texel) are skipped
+    only if non-integer."""
+    rows = []
+    for key, rect in entries.items():
+        if isinstance(key, tuple) and len(key) == 2 and isinstance(key[0], int):
+            rows.append((key[0], key[1], rect))
+        elif isinstance(key, int):
+            rows.append((key, 0, rect))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    n = len(rows)
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    levels = np.asarray([r[1] for r in rows], dtype=np.int32)
+    rects = np.asarray([r[2] for r in rows], dtype=np.float32).reshape(n, 4) if n else np.zeros((0, 4), np.float32)
+    return ids, levels, rects
+
+
 def flatten_renders_array(
     renders: RendersArray,
     frame_w: float,
@@ -98,6 +125,8 @@ def flatten_renders_array(
     pixel_scale: float,
     aa_factor: float,
     clear_color,
+    atlas_entries: Optional[dict] = None,
+    atlas_size: int = 1,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported."""
@@ -111,6 +140,16 @@ def flatten_renders_array(
         ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
     )
     try:
+        if atlas_entries:
+            ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
+            lib.fd_set_atlas(
+                ctx,
+                ids.ctypes.data_as(ctypes.c_void_p),
+                levels.ctypes.data_as(ctypes.c_void_p),
+                rects.ctypes.data_as(ctypes.c_void_p),
+                ids.shape[0],
+                ctypes.c_float(float(atlas_size)),
+            )
         for _lvl, lst in renders.sorted_pairs():
             nodes = np.ascontiguousarray(lst.view())
             roots = np.asarray(lst.root_ids, dtype=np.int32)

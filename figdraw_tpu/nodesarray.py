@@ -68,6 +68,12 @@ FIG_DTYPE = np.dtype(
         ("use_matrix", np.uint8),
         ("_pad2", np.uint8, 3),
         ("matrix", np.float32, 6),
+        # nkImage / nkMsdfImage / nkMtsdfImage payload
+        ("image_id", np.int64),
+        ("px_range", np.float32),
+        ("sd_threshold", np.float32),
+        ("msdf_stroke", np.float32),
+        ("image_fill", FILL_DTYPE),
     ]
 )
 
@@ -79,6 +85,9 @@ NATIVE_KINDS = frozenset(
         int(FigKind.nkBackdropBlur),
         int(FigKind.nkTransform),
         int(FigKind.nkScrollBar),
+        int(FigKind.nkImage),
+        int(FigKind.nkMsdfImage),
+        int(FigKind.nkMtsdfImage),
     }
 )
 
@@ -129,6 +138,18 @@ def pack_fig(row, node: Fig) -> None:
         m = node.transform.matrix
         row["use_matrix"] = 1
         row["matrix"] = (m.a, m.b, m.tx, m.c, m.d, m.ty)
+    if node.kind == FigKind.nkImage:
+        row["image_id"] = node.image.id
+        pack_fill(row["image_fill"], node.image.fill)
+    elif node.kind in (FigKind.nkMsdfImage, FigKind.nkMtsdfImage):
+        style = (
+            node.msdf_image if node.kind == FigKind.nkMsdfImage else node.mtsdf_image
+        )
+        row["image_id"] = style.id
+        row["px_range"] = style.px_range
+        row["sd_threshold"] = style.sd_threshold
+        row["msdf_stroke"] = style.stroke_weight
+        pack_fill(row["image_fill"], style.fill)
 
 
 class RenderListArray:
@@ -241,6 +262,26 @@ def unpack_fig(row) -> Fig:
     if int(row["use_matrix"]):
         m = row["matrix"]
         matrix = Mat3(*(float(v) for v in m))
+    from .basics import ImageStyle, MsdfImageStyle
+
+    kind = FigKind(int(row["kind"]))
+    image = ImageStyle()
+    msdf_image = MsdfImageStyle()
+    mtsdf_image = MsdfImageStyle()
+    if kind == FigKind.nkImage:
+        image = ImageStyle(id=int(row["image_id"]), fill=unpack_fill(row["image_fill"]))
+    elif kind in (FigKind.nkMsdfImage, FigKind.nkMtsdfImage):
+        style = MsdfImageStyle(
+            id=int(row["image_id"]),
+            fill=unpack_fill(row["image_fill"]),
+            px_range=float(row["px_range"]),
+            sd_threshold=float(row["sd_threshold"]),
+            stroke_weight=float(row["msdf_stroke"]),
+        )
+        if kind == FigKind.nkMsdfImage:
+            msdf_image = style
+        else:
+            mtsdf_image = style
     return Fig(
         kind=FigKind(int(row["kind"])),
         zlevel=int(row["zlevel"]),
@@ -260,6 +301,9 @@ def unpack_fig(row) -> Fig:
         transform=TransformStyle(
             translation=Vec2(float(row["tx"]), float(row["ty"])), matrix=matrix
         ),
+        image=image,
+        msdf_image=msdf_image,
+        mtsdf_image=mtsdf_image,
     )
 
 

@@ -366,6 +366,8 @@ class FigRenderer:
                 self._pixel_scale,
                 self.aa_factor,
                 cc,
+                atlas_entries=self.atlas.entries,
+                atlas_size=self.atlas.size,
             )
             if tape is not None:
                 return tape

@@ -60,15 +60,20 @@ struct Fig {
   float tx, ty;
   uint8_t use_matrix, pad2[3];
   float matrix[6];
+  int64_t image_id;
+  float px_range, sd_threshold, msdf_stroke;
+  PackedFill image_fill;
 };
 #pragma pack(pop)
 
-constexpr uint8_t NK_RECT = 2, NK_BACKDROP = 8, NK_TRANSFORM = 9;
-constexpr uint16_t NF_CLIP = 1 << 0, NF_DISABLE = 1 << 1, NF_RECTMASK = 1 << 6,
-                   NF_ELLIPTICAL = 1 << 7;
+constexpr uint8_t NK_RECT = 2, NK_IMAGE = 5, NK_MSDF = 6, NK_MTSDF = 7,
+                  NK_BACKDROP = 8, NK_TRANSFORM = 9;
+constexpr uint16_t NF_CLIP = 1 << 0, NF_DISABLE = 1 << 1, NF_INVERT_Y = 1 << 5,
+                   NF_RECTMASK = 1 << 6, NF_ELLIPTICAL = 1 << 7;
 
 constexpr int MODE_CLIP_AA = 3, MODE_DROP = 7, MODE_INSET = 9, MODE_ANNULAR_AA = 12,
-              MODE_BACKDROP = 17;
+              MODE_ATLAS = 0, MODE_MSDF = 13, MODE_MTSDF = 14, MODE_MSDF_ANN = 15,
+              MODE_MTSDF_ANN = 16, MODE_BACKDROP = 17;
 constexpr int FRAME_TARGET = -1;
 
 struct Mat3 {  // row-major 2D affine; double to match Python float64 math
@@ -211,9 +216,31 @@ struct Item {
   float radius;
 };
 
+struct AtlasEntry {
+  int64_t id;
+  int32_t level;
+  float x, y, w, h;  // normalized uv rect
+};
+
 struct Ctx {
   double ui_scale = 1.0, aa = 1.2;
   double white_u = 0.0, white_v = 0.0;
+  std::vector<AtlasEntry> atlas_entries;  // sorted by (id, level)
+  float atlas_size = 1.0f;
+
+  const AtlasEntry* find_entry(int64_t id, int32_t level) const {
+    size_t lo = 0, hi = atlas_entries.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      const AtlasEntry& e = atlas_entries[mid];
+      if (e.id < id || (e.id == id && e.level < level)) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo < atlas_entries.size() && atlas_entries[lo].id == id &&
+        atlas_entries[lo].level == level)
+      return &atlas_entries[lo];
+    return nullptr;
+  }
   Mat3 mat;
   std::vector<Mat3> mats;
   std::vector<float> fields;
@@ -397,6 +424,68 @@ void node_corners(const Ctx& ctx, const Fig& n, double rx[4], double ry[4]) {
   }
 }
 
+// drawUvRect path for atlas-sampling quads (tape.py _draw_uv_rect)
+void draw_uv_rect(Ctx& ctx, double ax, double ay, double bx, double by,
+                  double u0, double v0, double u1, double v1,
+                  const uint8_t colors[4][4], int mode,
+                  double f0, double f1, const double params[4]) {
+  double pq[4][2];
+  pos_quad(ctx.mat, ax, ay, bx, by, pq);
+  double uv[4][2] = {{u0, v1}, {u1, v1}, {u1, v0}, {u0, v0}};
+  double radii[4] = {0, 0, 0, 0};
+  double factors[2] = {f0, f1};
+  emit_quad(ctx, pq, uv, colors, params, radii, factors, mode, nullptr, nullptr);
+}
+
+void draw_image_node(Ctx& ctx, const Fig& n, double bx, double by, double bw,
+                     double bh) {
+  const AtlasEntry* e = ctx.find_entry(n.image_id, 0);
+  if (!e) return;
+  bool flip = (n.flags & NF_INVERT_Y) != 0;
+  double drw = bw, drh = bh;
+  if (!(drw > 0 && drh > 0)) {
+    drw = e->w * ctx.atlas_size;
+    drh = e->h * ctx.atlas_size;
+  }
+  // mip select at flatten time (tape.py draw_image; per-quad constant LOD)
+  double native_w = e->w * ctx.atlas_size;
+  if (n.kind == NK_IMAGE && drw > 0 && native_w > drw * 1.5) {
+    int level = 0;
+    double scale = native_w / (drw > 1e-6 ? drw : 1e-6);
+    const AtlasEntry* next;
+    while (scale >= 1.5 && (next = ctx.find_entry(n.image_id, level + 1))) {
+      level++;
+      scale *= 0.5;
+      e = next;
+    }
+  }
+  double u0 = e->x, v0 = e->y, u1 = e->x + e->w, v1 = e->y + e->h;
+  if (flip) { double t = v0; v0 = v1; v1 = t; }
+
+  uint8_t colors[4][4];
+  uint8_t center[4];
+  fill_sample(n.image_fill, 0.5, center);
+  for (int i = 0; i < 4; i++) std::memcpy(colors[i], center, 4);
+
+  if (n.kind == NK_IMAGE) {
+    double params[4] = {0, 0, 0, 0};
+    draw_uv_rect(ctx, bx, by, bx + drw, by + drh, u0, v0, u1, v1, colors,
+                 MODE_ATLAS, 0.0, 0.0, params);
+  } else {
+    // MSDF / MTSDF (figrender.nim:1686-1732 parameter resolution)
+    double px_range = n.px_range > 0.0f ? n.px_range : 4.0;
+    double thr = (n.sd_threshold > 0.0f && n.sd_threshold < 1.0f)
+                     ? n.sd_threshold : 0.5;
+    double stroke_w = ctx.s(n.msdf_stroke > 0.0f ? n.msdf_stroke : 0.0f);
+    double params[4] = {(double)ctx.atlas_size, stroke_w, 0, 0};
+    int mode;
+    if (n.kind == NK_MSDF) mode = stroke_w > 0.0 ? MODE_MSDF_ANN : MODE_MSDF;
+    else mode = stroke_w > 0.0 ? MODE_MTSDF_ANN : MODE_MTSDF;
+    draw_uv_rect(ctx, bx, by, bx + drw, by + drh, u0, v0, u1, v1, colors, mode,
+                 px_range, thr, params);
+  }
+}
+
 void begin_mask(Ctx& ctx, double rx, double ry, double rw, double rh,
                 const double radx[4], const double rady[4]) {
   ctx.close_run();
@@ -516,6 +605,8 @@ void render_node(Ctx& ctx, const Fig* nodes, int n_nodes, int idx) {
     if (fill_alpha_max(n.stroke_fill) > 0 && n.stroke_weight > 0)
       draw_rounded_rect(ctx, bx, by, bw, bh, n.stroke_fill, radx, rady,
                         MODE_ANNULAR_AA, ctx.s(n.stroke_weight), 0.0, 0.0, 0.0);
+  } else if (n.kind == NK_IMAGE || n.kind == NK_MSDF || n.kind == NK_MTSDF) {
+    if (n.image_id != 0) draw_image_node(ctx, n, bx, by, bw, bh);
   } else if (n.kind == NK_BACKDROP) {
     if (n.blur > 0.0f && bw > 0 && bh > 0) {
       ctx.close_run();
@@ -571,6 +662,18 @@ Ctx* fd_create(float ui_scale, float pixel_scale, float aa_factor) {
 }
 
 void fd_destroy(Ctx* ctx) { delete ctx; }
+
+// Atlas entry table for image/MSDF quads: parallel arrays sorted by
+// (id, level); rects are normalized (x, y, w, h).
+void fd_set_atlas(Ctx* ctx, const int64_t* ids, const int32_t* levels,
+                  const float* rects, int n, float atlas_size) {
+  ctx->atlas_size = atlas_size;
+  ctx->atlas_entries.resize(n);
+  for (int i = 0; i < n; i++) {
+    ctx->atlas_entries[i] = {ids[i], levels[i], rects[i * 4 + 0],
+                             rects[i * 4 + 1], rects[i * 4 + 2], rects[i * 4 + 3]};
+  }
+}
 
 // Flatten one layer's roots in order. nodes: FIG_DTYPE rows; roots: indexes.
 void fd_flatten_layer(Ctx* ctx, const void* nodes, int n_nodes,

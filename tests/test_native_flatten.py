@@ -130,3 +130,50 @@ def test_native_rejects_unsupported_kinds():
     ))
     arr = from_renders(renders)
     assert not arr.all_native_kinds()
+
+
+def test_native_image_and_msdf_parity():
+    """Image + MSDF nodes through the native walk == Python walk."""
+    import numpy as np
+
+    from figdraw_tpu import (
+        Fig, FigFlags, FigKind, MsdfImageStyle, fill, image_style, new_renders,
+        rect, rgba,
+    )
+    from figdraw_tpu.nodesarray import to_renders
+    from figdraw_tpu.resources import ImageMessageBus, put_image
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=128, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[:8] = (255, 0, 0, 255)
+    img[8:] = (0, 0, 255, 255)
+    put_image(321, img, bus=bus, mipmapped=True)
+    sdf = (np.ones((16, 16, 4)) * 0.6).astype(np.float32)
+    put_image(654, sdf, bus=bus)
+    ren.process_image_messages()
+
+    renders = new_renders()
+    lst = renders[0]
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 120, 90),
+                     fill=fill(rgba(255, 255, 255, 255))))
+    lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(8, 8, 32, 32),
+                     image=image_style(321)))
+    lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(48, 8, 32, 32),
+                     flags=FigFlags.NfInvertY, image=image_style(321)))
+    # minified draw hits the mip-select path
+    lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(88, 8, 4, 4),
+                     image=image_style(321)))
+    lst.add_root(Fig(kind=FigKind.nkMsdfImage, screen_box=rect(8, 48, 32, 32),
+                     msdf_image=MsdfImageStyle(id=654, fill=fill(rgba(0, 0, 0, 255)),
+                                               px_range=4.0)))
+    lst.add_root(Fig(kind=FigKind.nkMtsdfImage, screen_box=rect(48, 48, 32, 32),
+                     mtsdf_image=MsdfImageStyle(id=654, fill=fill(rgba(0, 0, 0, 255)),
+                                                px_range=4.0, stroke_weight=2.0)))
+
+    arr = from_renders(renders)
+    assert arr.all_native_kinds()
+    py_tape = ren.flatten(to_renders(arr), vec2(120, 90))
+    native_tape = ren.flatten(arr, vec2(120, 90))
+    assert_tapes_equal(py_tape, native_tape)

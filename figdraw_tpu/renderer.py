@@ -549,14 +549,20 @@ class FigRenderer:
         (figrender.nim:1960-1995)."""
         from .basics import scaled
 
+        from .utils.perf import perf
+
         fs = scaled(frame_size)
         if fs.x <= 0 or fs.y <= 0:
             return self.last_frame
         self._assert_render_thread()
-        self.process_image_messages()
-        tape = self.flatten(renders, fs, clear_main, clear_color)
-        frame = self.execute(tape)
-        self.publish_atlas_usage()
+        with perf("frame"):
+            with perf("messages"):
+                self.process_image_messages()
+            with perf("flatten"):
+                tape = self.flatten(renders, fs, clear_main, clear_color)
+            with perf("execute"):
+                frame = self.execute(tape)
+            self.publish_atlas_usage()
         return frame
 
     def take_screenshot(self, frame=None) -> np.ndarray:

@@ -230,3 +230,53 @@ def test_fully_round_elliptical_pill():
     # ellipse edge midpoints filled
     assert img[30, 12, 0] > 200  # left edge center
     assert img[12, 46, 0] > 200  # top edge center
+
+
+def test_remaining_sdf_modes_direct():
+    """Direct eval coverage for modes the walk never emits but the contract
+    defines (8 DropShadowAA, 11 Annular non-AA) — atlas.frag:337-363."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.ops.layout import (
+        QF_AA, QF_COLOR0, QF_FACTORS, QF_INV_A, QF_INV_D, QF_ORG_X,
+        QF_PARAMS, QF_RECT_PARAMS, QF_WIDTH,
+    )
+    from figdraw_tpu.ops.quad_eval import eval_quad
+    from figdraw_tpu.ops.raster_ref import pixel_centers
+
+    def quad_record(mode, factor, spread=0.0, shape_half=20.0):
+        f = np.zeros(QF_WIDTH, np.float32)
+        # 80x80 quad at origin, identity uv mapping
+        f[QF_INV_A] = 1 / 80.0
+        f[QF_INV_D] = 1 / 80.0
+        f[QF_ORG_X] = 0.0
+        f[QF_ORG_X + 1] = 0.0
+        f[QF_PARAMS + 0] = 40.0
+        f[QF_PARAMS + 1] = 40.0
+        f[QF_PARAMS + 2] = shape_half
+        f[QF_PARAMS + 3] = shape_half
+        f[QF_COLOR0:QF_COLOR0 + 16] = np.tile([0, 0, 0, 1], 4)
+        f[QF_FACTORS] = factor
+        f[QF_FACTORS + 1] = spread
+        f[QF_AA] = 1.2
+        f[QF_RECT_PARAMS + 2] = -1.0
+        f[QF_RECT_PARAMS + 3] = -1.0
+        return jnp.asarray(f)
+
+    px, py = pixel_centers(80, 80)
+
+    # mode 11 Annular (no AA): hard 1/0 ring of width 6
+    _rgb, a11 = eval_quad(quad_record(11, 6.0), jnp.int32(11), px, py)
+    a11 = np.asarray(a11)
+    assert abs(a11[40, 21] - 1.0) < 1e-5  # inside the ring band (edge at x=20)
+    assert a11[40, 40] == 0.0  # center: outside band
+    # binary coverage (modulo f32 bilinear-color epsilon)
+    assert np.all((a11 < 1e-5) | (np.abs(a11 - 1.0) < 1e-5))
+
+    # mode 8 DropShadowAA: inside → AA fill alpha, outside → gaussian
+    _rgb, a8 = eval_quad(quad_record(8, 8.0, 2.0), jnp.int32(8), px, py)
+    a8 = np.asarray(a8)
+    assert abs(a8[40, 40] - 1.0) < 1e-5  # deep inside
+    edge_out = a8[40, 64]  # past shape+spread: gaussian falloff
+    further = a8[40, 72]
+    assert 0.0 < further < edge_out < 1.0

@@ -209,28 +209,64 @@ def _resolve_path(name: str) -> Optional[str]:
     return None
 
 
-def load_typeface(name: str) -> TypefaceId:
+def _collection_face_index(path: str, face_name: str) -> int:
+    """Face selection by name within a .ttc/.otc (typefaces.nim:141-181):
+    exact family or full-name match first, then substring."""
+    from fontTools.ttLib import TTCollection
+
+    target = face_name.strip().lower()
+    coll = TTCollection(path, lazy=True)
+    names = []
+    try:
+        for i, font in enumerate(coll.fonts):
+            name = font["name"]
+            family = (name.getDebugName(1) or "").strip()
+            full = (name.getDebugName(4) or "").strip()
+            names.append((i, family, full))
+    finally:
+        coll.close()
+    for i, family, full in names:
+        if family.lower() == target or full.lower() == target:
+            return i
+    for i, family, full in names:
+        if target in family.lower() or target in full.lower():
+            return i
+    raise KeyError(
+        f"face {face_name!r} not found in {path}; has "
+        f"{[full or fam for _i, fam, full in names]}"
+    )
+
+
+def load_typeface(name: str, face_name: Optional[str] = None) -> TypefaceId:
     """Resolve + load + register; id is a salted content hash
-    (typefaces.nim:186-200, 223-298)."""
+    (typefaces.nim:186-200, 223-298). `face_name` selects a face inside a
+    .ttc/.otc collection."""
     path = _resolve_path(name)
     if path is None:
         raise FileNotFoundError(f"typeface not found: {name}")
+    face_index = 0
+    if path.lower().endswith((".ttc", ".otc")):
+        face_index = _collection_face_index(path, face_name) if face_name else 0
+    cache_key = f"{path}#{face_index}"
     with _registry_lock:
-        cached = _path_ids.get(path)
+        cached = _path_ids.get(cache_key)
         if cached is not None:
             return cached
     with open(path, "rb") as f:
         data = f.read()
-    digest = hashlib.sha256(data).digest()
+    digest = hashlib.sha256(data + face_index.to_bytes(2, "little")).digest()
     typeface_id = int.from_bytes(digest[:8], "little") & 0x7FFFFFFFFFFFFFFF
     with _registry_lock:
         salt = 0
-        while typeface_id in _typefaces and _typefaces[typeface_id].path != path:
+        while typeface_id in _typefaces and (
+            _typefaces[typeface_id].path != path
+            or _typefaces[typeface_id].face_index != face_index
+        ):
             salt += 1
             typeface_id = (typeface_id + 0x9E3779B9 + salt) & 0x7FFFFFFFFFFFFFFF
         if typeface_id not in _typefaces:
-            _typefaces[typeface_id] = Typeface(path, data, typeface_id)
-        _path_ids[path] = typeface_id
+            _typefaces[typeface_id] = Typeface(path, data, typeface_id, face_index)
+        _path_ids[cache_key] = typeface_id
     return typeface_id
 
 

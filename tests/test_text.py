@@ -191,3 +191,51 @@ def test_underline_decoration(typeface_id):
     img = ren.take_screenshot()
     reddish = (img[..., 0] > 150) & (img[..., 1] < 100)
     assert reddish.sum() > 20  # underline band + glyph tint
+
+
+def test_ttc_collection_face_selection(tmp_path):
+    """Face-by-name selection inside a .ttc (typefaces.nim:141-181)."""
+    from fontTools.ttLib import TTCollection, TTFont
+
+    from figdraw_tpu.text.typefaces import get_typeface
+
+    ttc_path = str(tmp_path / "combo.ttc")
+    coll = TTCollection()
+    coll.fonts = [
+        TTFont("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"),
+        TTFont("/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"),
+    ]
+    coll.save(ttc_path)
+
+    sans_id = load_typeface(ttc_path, face_name="DejaVu Sans")
+    serif_id = load_typeface(ttc_path, face_name="DejaVu Serif")
+    assert sans_id != serif_id
+    assert get_typeface(sans_id).family_name == "DejaVu Sans"
+    assert get_typeface(serif_id).family_name == "DejaVu Serif"
+    # default face = first
+    first_id = load_typeface(ttc_path)
+    assert first_id == sans_id
+    with pytest.raises(KeyError):
+        load_typeface(ttc_path, face_name="Nope Sans")
+
+
+def test_subpixel_and_lcd_flags(typeface_id, monkeypatch):
+    """Runtime text flags parity (figrender.nim:103-162): subpixel glyph
+    variants produce distinct cache entries; LCD filtering changes rasters."""
+    monkeypatch.setenv("FIGDRAW_TEXT_SUBPIXEL_POSITIONING", "1")
+    monkeypatch.setenv("FIGDRAW_TEXT_SUBPIXEL_GLYPH_VARIANTS", "1")
+    monkeypatch.setenv("FIGDRAW_TEXT_LCD_FILTERING", "1")
+    font = make_font(typeface_id, size=21)
+    # fractional x positions → different subpixel variants
+    layout = typeset(vec2(300, 40), [(font, fill(rgba(0, 0, 0, 255)), "iii")], wrap=False)
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkText, screen_box=rect(3, 3, 300, 40),
+                     text_layout=layout))
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren = FigRenderer(atlas_size=128, use_pallas=False)
+    assert ren.text_subpixel_positioning and ren.text_lcd_filtering
+    ren.render_frame(r, vec2(320, 48))
+    img = ren.take_screenshot()
+    assert (img[..., 0] < 200).sum() > 5  # glyphs rendered
+    assert ren.atlas_usage().glyph_count >= 1

@@ -10,9 +10,8 @@ signatures stay stable across frames (SURVEY.md §7 "bucketed static shapes").
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
-from typing import Dict, Hashable, List, Optional, Tuple
+from typing import Dict, Hashable, Optional, Tuple
 
 import numpy as np
 
@@ -26,8 +25,6 @@ from .geometry import Vec2, vec2
 from .nodes import Renders
 from .render import render_root
 from .tape import BlurItem, ClearMaskItem, DrawItem, FRAME_TARGET, Tape, TapeBackend
-from .ops import raster_ref
-from .ops.blur import backdrop_blur
 from .ops.layout import QF_WIDTH, QI_WIDTH
 
 QUAD_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
@@ -398,7 +395,6 @@ class FigRenderer:
 
     def execute(self, tape: Tape) -> jnp.ndarray:
         """Runs the whole tape as ONE jitted device call (executor.py)."""
-        from .executor import get_frame_executor
         from .ops.layout import QI_MODE
         from .ops.raster_pallas import ATLAS_BASE_MODES
 

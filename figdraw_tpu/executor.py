@@ -226,9 +226,18 @@ def get_rolled_executor(
         masks = jnp.zeros((n_masks, ph, pw), jnp.float32).at[0].set(1.0)
         backdrop = jnp.zeros((4, ph, pw), jnp.float32)
 
+        if use_pallas:
+            # bin the whole tape ONCE; each draw item selects its contiguous
+            # per-tile segment in-kernel (vs. an argsort per item)
+            tile_idx, tile_counts = raster_pallas.prebin(
+                fields, jnp.int32(fields.shape[0]), ph, pw
+            )
+
         def draw_frame_sdf(planes, masks, backdrop, target, s, e, radius):
             if use_pallas:
-                out = raster_pallas.draw_pass_planar(fields, modes, s, e, planes, masks)
+                out = raster_pallas.draw_pass_planar_prebinned(
+                    fields, modes, s, e, tile_idx, tile_counts, planes, masks
+                )
             else:
                 out = to_planes(
                     raster_ref.draw_pass_frame_range(
@@ -240,8 +249,8 @@ def get_rolled_executor(
 
         def draw_frame_sdf_bd(planes, masks, backdrop, target, s, e, radius):
             if use_pallas:
-                out = raster_pallas.draw_pass_planar(
-                    fields, modes, s, e, planes, masks, backdrop
+                out = raster_pallas.draw_pass_planar_prebinned(
+                    fields, modes, s, e, tile_idx, tile_counts, planes, masks, backdrop
                 )
             else:
                 out = to_planes(
@@ -264,11 +273,17 @@ def get_rolled_executor(
             return out, masks, backdrop
 
         def draw_mask(planes, masks, backdrop, target, s, e, radius):
-            plane = jax.lax.dynamic_index_in_dim(masks, target, 0, keepdims=False)
-            plane = raster_ref.draw_pass_mask_range(
-                fields, modes, s, e, plane, masks, atlas=atlas,
-                subpixel_positioning=subpixel_positioning,
-            )
+            if use_pallas:
+                plane = jax.lax.dynamic_index_in_dim(masks, target, 0, keepdims=True)
+                plane = raster_pallas.draw_pass_mask_prebinned(
+                    fields, modes, s, e, tile_idx, tile_counts, plane, masks
+                )[0]
+            else:
+                plane = jax.lax.dynamic_index_in_dim(masks, target, 0, keepdims=False)
+                plane = raster_ref.draw_pass_mask_range(
+                    fields, modes, s, e, plane, masks, atlas=atlas,
+                    subpixel_positioning=subpixel_positioning,
+                )
             return planes, jax.lax.dynamic_update_index_in_dim(masks, plane, target, 0), backdrop
 
         def blur_item(planes, masks, backdrop, target, s, e, radius):

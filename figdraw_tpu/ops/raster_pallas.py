@@ -54,8 +54,33 @@ def run_uses_atlas(modes_np, count: int) -> bool:
     return bool(np.isin(base, ATLAS_BASE_MODES).any())
 
 
-def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
-            *rest, tiles_x: int, has_backdrop: bool):
+def _lower_bound(tidx_ref, count, value):
+    """First position in the tile's (ascending) valid index list with
+    tidx >= value — scalar binary search over SMEM."""
+
+    def cond(c):
+        lo, hi = c
+        return lo < hi
+
+    def body(c):
+        lo, hi = c
+        mid = (lo + hi) // 2
+        v = tidx_ref[0, 0, mid]
+        return jax.lax.cond(
+            v < value, lambda: (mid + 1, hi), lambda: (lo, mid)
+        )
+
+    lo, _hi = jax.lax.while_loop(cond, body, (jnp.int32(0), count))
+    return lo
+
+
+def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
+            masks_ref, *rest, tiles_x: int, has_backdrop: bool,
+            mask_target: bool = False):
+    """seg_ref: (1, 2) SMEM [start, end) quad-id range of this draw run, or
+    None semantics via seg covering everything. Within a tile the binned list
+    is ascending, and a run's quads form a contiguous segment of it
+    (runs partition the tape in draw order)."""
     if has_backdrop:
         backdrop_ref, out_ref = rest
     else:
@@ -64,6 +89,10 @@ def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
     tx = pl.program_id(1)
     t = ty * tiles_x + tx
     count = counts_ref[t]
+    run_start = seg_ref[0]
+    run_end = seg_ref[1]
+    j_lo = _lower_bound(tidx_ref, count, run_start)
+    j_hi = _lower_bound(tidx_ref, count, run_end)
 
     th, tw = frame_ref.shape[1], frame_ref.shape[2]
     y0 = (ty * th).astype(jnp.float32)
@@ -77,6 +106,24 @@ def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
         bd = (backdrop_ref[0], backdrop_ref[1], backdrop_ref[2], backdrop_ref[3])
     else:
         bd = None
+
+    if mask_target:
+        # mask plane write: m = a^2 + m*(1-a), parent multiply via masks_ref
+        # (glsl/mask.frag:233 through the GL blend)
+        def body(j, m):
+            qi = tidx_ref[0, 0, j]
+
+            def fget(k):
+                return fields_ref[qi, k]
+
+            mode = modes_ref[qi, QI_MODE]
+            mask_i = modes_ref[qi, QI_MASK]
+            _fr, _fg, _fb, fa = eval_quad_planar(fget, mode, px, py)
+            fa = fa * masks_ref[mask_i]
+            return fa * fa + m * (1.0 - fa)
+
+        out_ref[0] = jax.lax.fori_loop(j_lo, j_hi, body, frame_ref[0])
+        return
 
     def body(j, carry):
         r, g, b, a = carry
@@ -93,7 +140,7 @@ def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
         return (fr * fa + r * inv, fg * fa + g * inv, fb * fa + b * inv, fa + a * inv)
 
     init = (frame_ref[0], frame_ref[1], frame_ref[2], frame_ref[3])
-    r, g, b, a = jax.lax.fori_loop(0, count, body, init)
+    r, g, b, a = jax.lax.fori_loop(j_lo, j_hi, body, init)
     out_ref[0] = r
     out_ref[1] = g
     out_ref[2] = b
@@ -101,13 +148,16 @@ def _kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref, masks_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_y", "tiles_x", "has_backdrop")
+    jax.jit,
+    static_argnames=("tiles_y", "tiles_x", "has_backdrop", "mask_target"),
 )
-def _raster_tiles(fields, modes, tile_idx, tile_counts, frame_planes, masks,
-                  backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool):
+def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks,
+                  backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool,
+                  mask_target: bool = False):
     n = fields.shape[0]
     n_masks = masks.shape[0]
     th, tw = TILE_H, TILE_W
+    planes = frame_planes.shape[0]
 
     def tile_map(ty, tx, *_refs):
         return (0, ty, tx)
@@ -117,7 +167,7 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, frame_planes, masks,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # modes, whole
         pl.BlockSpec((1, 1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0, 0),
                      memory_space=pltpu.SMEM),  # tile index list row
-        pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),  # frame tile
+        pl.BlockSpec((planes, th, tw), tile_map, memory_space=pltpu.VMEM),  # target tile
         pl.BlockSpec((n_masks, th, tw), lambda ty, tx, *_r: (0, ty, tx),
                      memory_space=pltpu.VMEM),  # mask tiles
     ]
@@ -129,19 +179,21 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, frame_planes, masks,
         inputs.append(backdrop_planes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,  # tile_counts, seg
         grid=(tiles_y, tiles_x),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((planes, th, tw), tile_map, memory_space=pltpu.VMEM),
     )
 
-    kernel = functools.partial(_kernel, tiles_x=tiles_x, has_backdrop=has_backdrop)
+    kernel = functools.partial(
+        _kernel, tiles_x=tiles_x, has_backdrop=has_backdrop, mask_target=mask_target
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(frame_planes.shape, jnp.float32),
         interpret=_interpret(),
-    )(tile_counts, *inputs)
+    )(tile_counts, seg, *inputs)
     return out
 
 
@@ -167,9 +219,43 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
     tile_idx, tile_counts = bin_quads(fields, start, end, tiles_y, tiles_x, TILE_H, TILE_W)
     tile_idx = tile_idx[:, None, :]  # (T, 1, N): TPU block dims must tile the last two axes
 
+    seg = jnp.stack([jnp.int32(0), jnp.int32(2**30)])  # whole binned list
     return _raster_tiles(
-        fields, modes, tile_idx, tile_counts, frame_planes, masks_p,
+        fields, modes, tile_idx, tile_counts, seg, frame_planes, masks_p,
         backdrop_planes, tiles_y, tiles_x, backdrop_planes is not None,
+    )
+
+
+def prebin(fields, n_quads, ph: int, pw: int):
+    """Bin the whole tape once; draw runs then select their contiguous
+    per-tile segments in-kernel (runs partition the tape in draw order, and
+    each tile's binned list is ascending)."""
+    tiles_y = ph // TILE_H
+    tiles_x = pw // TILE_W
+    tile_idx, tile_counts = bin_quads(
+        fields, jnp.int32(0), n_quads, tiles_y, tiles_x, TILE_H, TILE_W
+    )
+    return tile_idx[:, None, :], tile_counts
+
+
+def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
+                               frame_planes, masks_p, backdrop_planes=None):
+    ph, pw = frame_planes.shape[1], frame_planes.shape[2]
+    seg = jnp.stack([start.astype(jnp.int32), end.astype(jnp.int32)])
+    return _raster_tiles(
+        fields, modes, tile_idx, tile_counts, seg, frame_planes, masks_p,
+        backdrop_planes, ph // TILE_H, pw // TILE_W, backdrop_planes is not None,
+    )
+
+
+def draw_pass_mask_prebinned(fields, modes, start, end, tile_idx, tile_counts,
+                             mask_plane, masks_p):
+    """Binned mask-plane write (a^2 + m(1-a) blend); mask_plane: (1, PH, PW)."""
+    ph, pw = mask_plane.shape[1], mask_plane.shape[2]
+    seg = jnp.stack([start.astype(jnp.int32), end.astype(jnp.int32)])
+    return _raster_tiles(
+        fields, modes, tile_idx, tile_counts, seg, mask_plane, masks_p,
+        None, ph // TILE_H, pw // TILE_W, False, mask_target=True,
     )
 
 

@@ -217,3 +217,57 @@ def test_mipmapped_minification():
     # interior pixels near 50% gray, not 0/255 aliasing
     inner = out[10:14, 10:14, 0].astype(int)
     assert 90 <= inner.mean() <= 165, inner
+
+
+def test_sdf_from_coverage_circle():
+    """Generated SDF matches the analytic circle distance away from edges."""
+    from figdraw_tpu.utils.sdfgen import sdf_from_coverage
+
+    size, radius = 48, 15.0
+    yy, xx = np.mgrid[0:size, 0:size]
+    d = np.sqrt((xx + 0.5 - size / 2) ** 2 + (yy + 0.5 - size / 2) ** 2)
+    coverage = np.clip(radius - d + 0.5, 0.0, 1.0)
+    px_range = 8.0
+    sdf = sdf_from_coverage(coverage, px_range=px_range)
+    got_sd = (sdf[..., 0] - 0.5) * px_range
+    true_sd = radius - d
+    sel = np.abs(true_sd) < px_range / 2 - 1
+    err = np.abs(got_sd - true_sd)[sel]
+    assert err.max() < 0.75, err.max()
+
+
+def test_generated_glyph_sdf_renders_scaled():
+    """glyph SDF via nkMsdfImage: crisp at 3x the raster size (msdf_star
+    capability without external msdfgen assets)."""
+    from figdraw_tpu import Fig, FigKind, MsdfImageStyle, fill, new_renders, rect, rgba
+    from figdraw_tpu.text.typefaces import get_typeface, load_typeface
+    from figdraw_tpu.utils.sdfgen import glyph_sdf
+
+    tf = get_typeface(load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"))
+    out = glyph_sdf(tf, tf.glyph_id(ord("O")), size=24.0, px_range=4.0)
+    assert out is not None
+    sdf_img, _offset = out
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=128, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    put_image(777, sdf_img, bus=bus)
+
+    h0, w0 = sdf_img.shape[:2]
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 120, 120),
+                     fill=fill(rgba(255, 255, 255, 255))))
+    lst.add_root(Fig(kind=FigKind.nkMsdfImage,
+                     screen_box=rect(10, 10, w0 * 3, h0 * 3),
+                     msdf_image=MsdfImageStyle(id=777, fill=fill(rgba(0, 0, 0, 255)),
+                                               px_range=4.0)))
+    r = new_renders()
+    r.set_layer(0, lst)
+    ren.render_frame(r, vec2(120, 120))
+    img = ren.take_screenshot()
+    dark = img[..., 0] < 100
+    assert dark.sum() > 300  # big "O" ring drawn
+    ys, xs = np.nonzero(dark)
+    # ring shape: hole in the middle
+    cy, cx = int(ys.mean()), int(xs.mean())
+    assert img[cy, cx, 0] > 200

@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from .nodesarray import FIG_DTYPE, RendersArray
+from .nodesarray import FIG_DTYPE, OP_DTYPE, RendersArray
 from .ops.layout import QF_WIDTH, QI_WIDTH
 from .tape import BlurItem, ClearMaskItem, DrawItem, Tape
 
@@ -60,6 +60,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.fd_set_geometry.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.fd_set_white_uv.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_double,
+            ctypes.c_double,
+        ]
         lib.fd_set_atlas.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -89,6 +101,12 @@ def _load() -> Optional[ctypes.CDLL]:
         assert expected == FIG_DTYPE.itemsize, (
             f"FIG_DTYPE ({FIG_DTYPE.itemsize} B) out of sync with native Fig "
             f"({expected} B)"
+        )
+        lib.fd_op_struct_size.restype = ctypes.c_int
+        op_expected = lib.fd_op_struct_size()
+        assert op_expected == OP_DTYPE.itemsize, (
+            f"OP_DTYPE ({OP_DTYPE.itemsize} B) out of sync with native DrawOp "
+            f"({op_expected} B)"
         )
         _lib = lib
         return _lib
@@ -127,6 +145,7 @@ def flatten_renders_array(
     clear_color,
     atlas_entries: Optional[dict] = None,
     atlas_size: int = 1,
+    white_uv=(0.0, 0.0),
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported."""
@@ -150,9 +169,22 @@ def flatten_renders_array(
                 ids.shape[0],
                 ctypes.c_float(float(atlas_size)),
             )
+        lib.fd_set_white_uv(
+            ctx, ctypes.c_double(white_uv[0]), ctypes.c_double(white_uv[1])
+        )
         for _lvl, lst in renders.sorted_pairs():
             nodes = np.ascontiguousarray(lst.view())
             roots = np.asarray(lst.root_ids, dtype=np.int32)
+            ops, points = lst.ops_view()
+            ops = np.ascontiguousarray(ops)
+            points = np.ascontiguousarray(points)
+            lib.fd_set_geometry(
+                ctx,
+                ops.ctypes.data_as(ctypes.c_void_p),
+                ops.shape[0],
+                points.ctypes.data_as(ctypes.c_void_p),
+                points.shape[0],
+            )
             lib.fd_flatten_layer(
                 ctx,
                 nodes.ctypes.data_as(ctypes.c_void_p),

@@ -74,6 +74,31 @@ FIG_DTYPE = np.dtype(
         ("sd_threshold", np.float32),
         ("msdf_stroke", np.float32),
         ("image_fill", FILL_DTYPE),
+        # nkDrawable payload: ops live in the layer's side arrays
+        ("ops_start", np.int32),
+        ("ops_count", np.int32),
+        ("draw_weight", np.float32),
+        ("draw_cap", np.uint8),
+        ("draw_join", np.uint8),
+        ("draw_steps", np.uint16),
+        ("draw_aa", np.float32),
+        ("draw_stroke_fill", FILL_DTYPE),
+    ]
+)
+
+# DrawableOp side-array row: kind + fixed payload; bezier control points live
+# in the points buffer referenced by (p_start, p_count).
+OP_DTYPE = np.dtype(
+    [
+        ("kind", np.uint8),
+        ("_pad", np.uint8, 3),
+        ("p_start", np.int32),
+        ("p_count", np.int32),
+        ("steps", np.uint16),
+        ("_pad2", np.uint16),
+        ("data", np.float32, 8),  # line: ax ay bx by | circle: cx cy r |
+        # rect: x y w h + corners packed in data[4..7] | arc: cx cy r a0 sweep
+        # | ellipse: cx cy rx ry
     ]
 )
 
@@ -88,6 +113,7 @@ NATIVE_KINDS = frozenset(
         int(FigKind.nkImage),
         int(FigKind.nkMsdfImage),
         int(FigKind.nkMtsdfImage),
+        int(FigKind.nkDrawable),
     }
 )
 
@@ -110,7 +136,48 @@ def pack_fill(out, f: Fill) -> None:
         out["c2"] = f.lin3.stop.as_tuple()
 
 
-def pack_fig(row, node: Fig) -> None:
+def pack_ops(row, node: Fig, ops_rows: list, points_rows: list) -> None:
+    """Encode a drawable node's op list into the layer side arrays."""
+    from .nodes import DrawableKind
+
+    row["ops_start"] = len(ops_rows)
+    row["ops_count"] = len(node.draw_ops)
+    row["draw_weight"] = node.draw_stroke.weight
+    row["draw_cap"] = int(node.draw_stroke.cap)
+    row["draw_join"] = int(node.draw_stroke.join)
+    row["draw_steps"] = node.draw_steps
+    row["draw_aa"] = node.draw_aa
+    pack_fill(row["draw_stroke_fill"], node.draw_stroke.fill)
+    for op in node.draw_ops:
+        r = np.zeros((), dtype=OP_DTYPE)
+        r["kind"] = int(op.kind)
+        if op.kind == DrawableKind.dkLine:
+            r["data"][0:4] = (op.a.x, op.a.y, op.b.x, op.b.y)
+        elif op.kind == DrawableKind.dkCircle:
+            r["data"][0:3] = (op.center.x, op.center.y, op.radius)
+        elif op.kind == DrawableKind.dkRectangle:
+            r["data"][0:4] = (op.box.x, op.box.y, op.box.w, op.box.h)
+            r["data"][4:8] = [float(c) for c in op.corners]
+        elif op.kind == DrawableKind.dkBezier:
+            r["p_start"] = len(points_rows)
+            r["p_count"] = len(op.controls)
+            r["steps"] = op.steps
+            points_rows.extend((p.x, p.y) for p in op.controls)
+        elif op.kind == DrawableKind.dkArc:
+            r["data"][0:5] = (
+                op.arc_center.x, op.arc_center.y, op.arc_radius,
+                op.start_angle, op.sweep_angle,
+            )
+            r["steps"] = op.arc_steps
+        elif op.kind == DrawableKind.dkEllipse:
+            r["data"][0:4] = (
+                op.ellipse_center.x, op.ellipse_center.y,
+                op.ellipse_radii.x, op.ellipse_radii.y,
+            )
+        ops_rows.append(r)
+
+
+def pack_fig(row, node: Fig, ops_rows: list = None, points_rows: list = None) -> None:
     row["kind"] = int(node.kind)
     row["zlevel"] = node.zlevel
     row["flags"] = int(node.flags)
@@ -150,6 +217,8 @@ def pack_fig(row, node: Fig) -> None:
         row["sd_threshold"] = style.sd_threshold
         row["msdf_stroke"] = style.stroke_weight
         pack_fill(row["image_fill"], style.fill)
+    elif node.kind == FigKind.nkDrawable and ops_rows is not None:
+        pack_ops(row, node, ops_rows, points_rows)
 
 
 class RenderListArray:
@@ -159,6 +228,25 @@ class RenderListArray:
         self.nodes = np.zeros(capacity, dtype=FIG_DTYPE)
         self.count = 0
         self.root_ids: list[int] = []
+        self.ops_rows: list = []
+        self.points_rows: list = []
+        self._ops_cache = None
+
+    def ops_view(self):
+        """(ops array, points array) for the native walk."""
+        if self._ops_cache is None or self._ops_cache[0] != len(self.ops_rows):
+            ops = (
+                np.stack(self.ops_rows).astype(OP_DTYPE, copy=False)
+                if self.ops_rows
+                else np.zeros(0, dtype=OP_DTYPE)
+            )
+            pts = (
+                np.asarray(self.points_rows, dtype=np.float32).reshape(-1, 2)
+                if self.points_rows
+                else np.zeros((0, 2), dtype=np.float32)
+            )
+            self._ops_cache = (len(self.ops_rows), ops, pts)
+        return self._ops_cache[1], self._ops_cache[2]
 
     def _grow(self) -> None:
         new = np.zeros(self.nodes.shape[0] * 2, dtype=FIG_DTYPE)
@@ -174,7 +262,7 @@ class RenderListArray:
 
     def add_root(self, node: Fig) -> int:
         i = self._alloc()
-        pack_fig(self.nodes[i], node)
+        pack_fig(self.nodes[i], node, self.ops_rows, self.points_rows)
         self.nodes[i]["parent"] = -1
         self.nodes[i]["child_count"] = 0
         self.root_ids.append(i)
@@ -182,7 +270,7 @@ class RenderListArray:
 
     def add_child(self, parent_idx: int, node: Fig) -> int:
         i = self._alloc()
-        pack_fig(self.nodes[i], node)
+        pack_fig(self.nodes[i], node, self.ops_rows, self.points_rows)
         self.nodes[i]["parent"] = parent_idx
         self.nodes[i]["child_count"] = 0
         self.nodes[parent_idx]["child_count"] += 1
@@ -207,7 +295,7 @@ def from_render_list(lst: RenderList) -> RenderListArray:
     arr = RenderListArray(capacity=max(len(lst.nodes), 1))
     arr.count = len(lst.nodes)
     for i, node in enumerate(lst.nodes):
-        pack_fig(arr.nodes[i], node)
+        pack_fig(arr.nodes[i], node, arr.ops_rows, arr.points_rows)
     arr.root_ids = list(lst.root_ids)
     return arr
 
@@ -240,8 +328,55 @@ def unpack_fill(row) -> Fill:
     )
 
 
-def unpack_fig(row) -> Fig:
-    from .basics import BackdropBlurStyle, RenderShadow, RenderStroke, ShadowStyle, TransformStyle
+def _unpack_ops(row, ops, points):
+    from .geometry import Rect, Vec2
+    from .nodes import DrawableKind, DrawableOp
+
+    out = []
+    start = int(row["ops_start"])
+    for i in range(start, start + int(row["ops_count"])):
+        r = ops[i]
+        kind = DrawableKind(int(r["kind"]))
+        d = r["data"]
+        if kind == DrawableKind.dkLine:
+            out.append(DrawableOp(kind=kind, a=Vec2(float(d[0]), float(d[1])),
+                                  b=Vec2(float(d[2]), float(d[3]))))
+        elif kind == DrawableKind.dkCircle:
+            out.append(DrawableOp(kind=kind, center=Vec2(float(d[0]), float(d[1])),
+                                  radius=float(d[2])))
+        elif kind == DrawableKind.dkRectangle:
+            out.append(DrawableOp(
+                kind=kind, box=Rect(*(float(v) for v in d[0:4])),
+                corners=tuple(int(v) for v in d[4:8])))
+        elif kind == DrawableKind.dkBezier:
+            ps = int(r["p_start"])
+            ctrl = tuple(
+                Vec2(float(points[j][0]), float(points[j][1]))
+                for j in range(ps, ps + int(r["p_count"]))
+            )
+            out.append(DrawableOp(kind=kind, controls=ctrl, steps=int(r["steps"])))
+        elif kind == DrawableKind.dkArc:
+            out.append(DrawableOp(
+                kind=kind, arc_center=Vec2(float(d[0]), float(d[1])),
+                arc_radius=float(d[2]), start_angle=float(d[3]),
+                sweep_angle=float(d[4]), arc_steps=int(r["steps"])))
+        elif kind == DrawableKind.dkEllipse:
+            out.append(DrawableOp(
+                kind=kind, ellipse_center=Vec2(float(d[0]), float(d[1])),
+                ellipse_radii=Vec2(float(d[2]), float(d[3]))))
+    return tuple(out)
+
+
+def unpack_fig(row, ops=None, points=None) -> Fig:
+    from .basics import (
+        BackdropBlurStyle,
+        RenderShadow,
+        RenderStroke,
+        ShadowStyle,
+        StrokeCap,
+        StrokeJoin,
+        TransformStyle,
+    )
     from .geometry import Mat3, Rect, Vec2
 
     shadows = []
@@ -304,6 +439,23 @@ def unpack_fig(row) -> Fig:
         image=image,
         msdf_image=msdf_image,
         mtsdf_image=mtsdf_image,
+        draw_ops=(
+            _unpack_ops(row, ops, points)
+            if kind == FigKind.nkDrawable and ops is not None
+            else ()
+        ),
+        draw_stroke=(
+            RenderStroke(
+                weight=float(row["draw_weight"]),
+                fill=unpack_fill(row["draw_stroke_fill"]),
+                cap=StrokeCap(int(row["draw_cap"])),
+                join=StrokeJoin(int(row["draw_join"])),
+            )
+            if kind == FigKind.nkDrawable
+            else RenderStroke()
+        ),
+        draw_steps=int(row["draw_steps"]),
+        draw_aa=float(row["draw_aa"]),
     )
 
 
@@ -340,8 +492,11 @@ def to_renders(arr: RendersArray) -> Renders:
     coordinates through f32 exactly like the array storage)."""
     out = Renders()
     for lvl, lst in arr.sorted_pairs():
+        ops, points = lst.ops_view()
         rl = RenderList()
-        rl.nodes = [unpack_fig(lst.nodes[i]) for i in range(lst.count)]
+        rl.nodes = [
+            unpack_fig(lst.nodes[i], ops, points) for i in range(lst.count)
+        ]
         rl.root_ids = list(lst.root_ids)
         out.set_layer(lvl, rl)
     return out

@@ -365,6 +365,7 @@ class FigRenderer:
                 cc,
                 atlas_entries=self.atlas.entries,
                 atlas_size=self.atlas.size,
+                white_uv=self._white_uv(),
             )
             if tape is not None:
                 return tape

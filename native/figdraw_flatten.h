@@ -33,13 +33,26 @@ void fd_destroy(FigdrawFlattenCtx *ctx);
 void fd_flatten_layer(FigdrawFlattenCtx *ctx, const void *nodes, int n_nodes,
                       const int32_t *roots, int n_roots);
 
+/* Drawable geometry for subsequent fd_flatten_layer calls: ops are n_ops
+ * packed DrawOp rows (OP_DTYPE), points a flat n_points x 2 float control
+ * pool referenced by bezier ops. Set per layer; pointers must stay valid
+ * through the fd_flatten_layer call. */
+void fd_set_geometry(FigdrawFlattenCtx *ctx, const void *ops, int n_ops,
+                     const float *points, int n_points);
+
+/* White-texel uv (atlas-normalized) used by bevel/miter join quads. */
+void fd_set_white_uv(FigdrawFlattenCtx *ctx, double u, double v);
+
 /* Result sizes (call after the last layer). */
 int fd_quad_count(FigdrawFlattenCtx *ctx);
 int fd_item_count(FigdrawFlattenCtx *ctx);
 int fd_mask_count(FigdrawFlattenCtx *ctx);
 
-/* Size of one packed Fig row; must equal FIG_DTYPE.itemsize (264). */
+/* Size of one packed Fig row; must equal FIG_DTYPE.itemsize (336). */
 int fd_fig_struct_size(void);
+
+/* Size of one packed DrawOp row; must equal OP_DTYPE.itemsize (48). */
+int fd_op_struct_size(void);
 
 /* Copy out quads and items; returns the quad count or -1 if a capacity is
  * too small. fields: quad_cap x 68 floats; modes: quad_cap x 2 int32;

@@ -10,9 +10,11 @@
 //
 // Covered node kinds: frame, rectangle (fills/strokes/drop+inset shadows,
 // circular+elliptical corners, gradients), backdrop blur, transform,
-// scrollbar, plus clip masks, rect-mask fast path and rotation. Text,
-// drawables and image kinds stay on the Python walk until their side arrays
-// land (nodesarray.py NATIVE_KINDS gates dispatch).
+// scrollbar, image/MSDF/MTSDF (atlas lookup + mip select), and drawables
+// (lines/circles/rects/ellipses, adaptive+fixed bezier/arc quadratic spans,
+// caps/joins, per-node AA override — figrender.nim:908-1667), plus clip
+// masks, rect-mask fast path and rotation. Text stays on the Python walk
+// (nodesarray.py NATIVE_KINDS gates dispatch).
 //
 // Build: g++ -O2 -shared -fPIC -o libfigdraw_flatten.so flatten.cpp
 
@@ -63,17 +65,43 @@ struct Fig {
   int64_t image_id;
   float px_range, sd_threshold, msdf_stroke;
   PackedFill image_fill;
+  int32_t ops_start, ops_count;
+  float draw_weight;
+  uint8_t draw_cap, draw_join;
+  uint16_t draw_steps;
+  float draw_aa;
+  PackedFill draw_stroke_fill;
 };
 #pragma pack(pop)
 
-constexpr uint8_t NK_RECT = 2, NK_IMAGE = 5, NK_MSDF = 6, NK_MTSDF = 7,
-                  NK_BACKDROP = 8, NK_TRANSFORM = 9;
+#pragma pack(push, 1)
+struct DrawOp {
+  uint8_t kind, pad[3];
+  int32_t p_start, p_count;
+  uint16_t steps, pad2;
+  float data[8];
+};
+#pragma pack(pop)
+
+constexpr uint8_t NK_RECT = 2, NK_DRAWABLE = 3, NK_IMAGE = 5, NK_MSDF = 6,
+                  NK_MTSDF = 7, NK_BACKDROP = 8, NK_TRANSFORM = 9;
+constexpr uint8_t DK_LINE = 0, DK_CIRCLE = 1, DK_RECT = 2, DK_BEZIER = 3,
+                  DK_ARC = 4, DK_ELLIPSE = 5;
+constexpr uint8_t CAP_AUTO = 0, CAP_ROUND = 1, CAP_BUTT = 2, CAP_SQUARE = 3;
+constexpr uint8_t JOIN_AUTO = 0, JOIN_ROUND = 1, JOIN_BEVEL = 2, JOIN_MITER = 3;
 constexpr uint16_t NF_CLIP = 1 << 0, NF_DISABLE = 1 << 1, NF_INVERT_Y = 1 << 5,
                    NF_RECTMASK = 1 << 6, NF_ELLIPTICAL = 1 << 7;
 
 constexpr int MODE_CLIP_AA = 3, MODE_DROP = 7, MODE_INSET = 9, MODE_ANNULAR_AA = 12,
               MODE_ATLAS = 0, MODE_MSDF = 13, MODE_MTSDF = 14, MODE_MSDF_ANN = 15,
-              MODE_MTSDF_ANN = 16, MODE_BACKDROP = 17;
+              MODE_MTSDF_ANN = 16, MODE_BACKDROP = 17, MODE_BEZ_ROUND = 18,
+              MODE_BEZ_BUTT = 19, MODE_BEZ_SQUARE = 20;
+
+// figrender.nim:1162-1166 adaptive-curve tuning
+constexpr double ADAPTIVE_TOL_PX = 0.5;
+constexpr double SDF_PADDING_PX = 2.0;
+constexpr int MAX_ADAPTIVE_STEPS = 192;  // max(48*4, 64)
+constexpr int MAX_ADAPTIVE_DEPTH = 8;
 constexpr int FRAME_TARGET = -1;
 
 struct Mat3 {  // row-major 2D affine; double to match Python float64 math
@@ -225,6 +253,8 @@ struct AtlasEntry {
 struct Ctx {
   double ui_scale = 1.0, aa = 1.2;
   double white_u = 0.0, white_v = 0.0;
+  const DrawOp* ops = nullptr;  // drawable geometry for the current layer
+  const float* points = nullptr;
   std::vector<AtlasEntry> atlas_entries;  // sorted by (id, level)
   float atlas_size = 1.0f;
 
@@ -486,6 +516,530 @@ void draw_image_node(Ctx& ctx, const Fig& n, double bx, double by, double bw,
   }
 }
 
+
+// ---- drawable decomposition (render.py port of figrender.nim:908-1651) -------
+
+struct V2 { double x = 0, y = 0; };
+inline V2 operator+(V2 a, V2 b) { return {a.x + b.x, a.y + b.y}; }
+inline V2 operator-(V2 a, V2 b) { return {a.x - b.x, a.y - b.y}; }
+inline V2 operator*(V2 a, double s) { return {a.x * s, a.y * s}; }
+inline V2 operator/(V2 a, double s) { return {a.x / s, a.y / s}; }
+inline double vlen(V2 v) { return std::sqrt(v.x * v.x + v.y * v.y); }
+inline double vdot(V2 a, V2 b) { return a.x * b.x + a.y * b.y; }
+inline double vcross(V2 a, V2 b) { return a.x * b.y - a.y * b.x; }
+inline V2 norm_or(V2 v, V2 fb) {
+  double l = vlen(v);
+  return l <= 1e-6 ? fb : V2{v.x / l, v.y / l};
+}
+inline V2 normal_left(V2 d) { return {-d.y, d.x}; }
+
+struct DrawCtx {
+  Ctx* ctx;
+  V2 origin;                 // node.screen_box.xy (unscaled)
+  PackedFill fill;           // node fill
+  PackedFill stroke_fill;    // drawable stroke fill
+  double weight;             // stroke weight (unscaled)
+  uint8_t cap, join;
+  uint16_t node_steps;
+};
+
+// render_rounded_shape: unscaled box + corner radii → fill/stroke quads
+void rounded_shape(Ctx& ctx, double x, double y, double w, double h,
+                   const PackedFill& fill, double stroke_weight,
+                   const PackedFill& stroke_fill, const double rx[4],
+                   const double ry[4]) {
+  double sx = ctx.s(x), sy = ctx.s(y), sw = ctx.s(w), sh = ctx.s(h);
+  double srx[4], sry[4];
+  for (int i = 0; i < 4; i++) { srx[i] = ctx.s(rx[i]); sry[i] = ctx.s(ry[i]); }
+  if (fill_alpha_max(fill) > 0)
+    draw_rounded_rect(ctx, sx, sy, sw, sh, fill, srx, sry, MODE_CLIP_AA, 4.0,
+                      0.0, 0.0, 0.0);
+  if (fill_alpha_max(stroke_fill) > 0 && stroke_weight > 0)
+    draw_rounded_rect(ctx, sx, sy, sw, sh, stroke_fill, srx, sry,
+                      MODE_ANNULAR_AA, ctx.s(stroke_weight), 0.0, 0.0, 0.0);
+}
+
+inline double radius_corner(double r) {
+  // render.py _radius_corner: Python round() = half-to-even
+  if (r <= 0.0) return 0.0;
+  if (r >= 65535.0) return 65535.0;
+  return std::nearbyint(r);
+}
+
+void stroke_cap_circle(DrawCtx& dc, V2 center, double radius,
+                       const PackedFill& fill) {
+  if (radius <= 0.0 || fill_alpha_max(fill) == 0) return;
+  double d = radius * 2.0;
+  double rr = radius_corner(radius);
+  double rx[4] = {rr, rr, rr, rr};
+  PackedFill none{};
+  rounded_shape(*dc.ctx, center.x - radius, center.y - radius, d, d, fill, 0.0,
+                none, rx, rx);
+}
+
+void drawable_line_seg(DrawCtx& dc, V2 a, V2 b, uint8_t cap,
+                       const PackedFill& fill, double weight) {
+  weight = weight < 0.0 ? 0.0 : weight;
+  if (weight <= 0.0 || fill_alpha_max(fill) == 0) return;
+  a = dc.origin + a;
+  b = dc.origin + b;
+  V2 delta = b - a;
+  double length = vlen(delta);
+  if (length <= 0.0) return;
+  if (cap == CAP_AUTO) cap = CAP_BUTT;  // resolveLineCap
+  double cap_radius = weight * 0.5;
+  V2 dir = delta / length;
+  V2 da = a, db = b;
+  double dlen = length;
+  if (cap == CAP_SQUARE) {
+    da = a - dir * cap_radius;
+    db = b + dir * cap_radius;
+    dlen = length + weight;
+  }
+  V2 center = (da + db) / 2.0;
+  double bx = center.x - dlen / 2.0, by = center.y - weight / 2.0;
+  // pivot in scaled space (figrender.nim:975-991)
+  double sbx = dc.ctx->s(bx), sby = dc.ctx->s(by);
+  double sbw = dc.ctx->s(dlen), sbh = dc.ctx->s(weight);
+  double px = sbx + sbw / 2.0, py = sby + sbh / 2.0;
+  double angle = std::atan2(delta.y, delta.x);
+
+  Ctx& ctx = *dc.ctx;
+  ctx.mats.push_back(ctx.mat);
+  ctx.mat = matmul(ctx.mat, mat_translate(px, py));
+  ctx.mat = matmul(ctx.mat, mat_rotate(angle));
+  ctx.mat = matmul(ctx.mat, mat_translate(-px, -py));
+  double zero4[4] = {0, 0, 0, 0};
+  PackedFill none{};
+  rounded_shape(ctx, bx, by, dlen, weight, fill, 0.0, none, zero4, zero4);
+  ctx.mat = ctx.mats.back();
+  ctx.mats.pop_back();
+
+  if (cap == CAP_ROUND) {
+    stroke_cap_circle(dc, a, cap_radius, fill);
+    stroke_cap_circle(dc, b, cap_radius, fill);
+  }
+}
+
+void filled_quad(DrawCtx& dc, const V2 v[4], const PackedFill& fill) {
+  if (fill_alpha_max(fill) == 0) return;
+  Ctx& ctx = *dc.ctx;
+  uint8_t center[4];
+  fill_sample(fill, 0.5, center);
+  uint8_t colors[4][4];
+  for (int i = 0; i < 4; i++) std::memcpy(colors[i], center, 4);
+  double pq[4][2];
+  for (int i = 0; i < 4; i++) {
+    double sx = ctx.s(v[i].x), sy = ctx.s(v[i].y);
+    pq[i][0] = std::ceil(ctx.mat.a * sx + ctx.mat.b * sy + ctx.mat.tx);
+    pq[i][1] = std::ceil(ctx.mat.c * sx + ctx.mat.d * sy + ctx.mat.ty);
+  }
+  double uv[4][2];
+  for (int i = 0; i < 4; i++) { uv[i][0] = ctx.white_u; uv[i][1] = ctx.white_v; }
+  double params[4] = {0, 0, 0, 0}, radii[4] = {0, 0, 0, 0}, factors[2] = {0, 0};
+  emit_quad(ctx, pq, uv, colors, params, radii, factors, MODE_ATLAS, nullptr,
+            nullptr);
+}
+
+void endpoint_cap(DrawCtx& dc, V2 point, V2 tangent, double radius,
+                  uint8_t cap, bool is_start) {
+  if (radius <= 0.0 || fill_alpha_max(dc.stroke_fill) == 0) return;
+  if (cap == CAP_ROUND) {
+    stroke_cap_circle(dc, dc.origin + point, radius, dc.stroke_fill);
+  } else if (cap == CAP_SQUARE) {
+    V2 dir = norm_or(tangent, {1.0, 0.0});
+    V2 a = is_start ? point - dir * radius : point;
+    V2 b = is_start ? point : point + dir * radius;
+    drawable_line_seg(dc, a, b, CAP_BUTT, dc.stroke_fill, dc.weight);
+  }
+}
+
+void stroke_join(DrawCtx& dc, V2 point, V2 in_t, V2 out_t, double radius,
+                 uint8_t join) {
+  if (radius <= 0.0 || fill_alpha_max(dc.stroke_fill) == 0) return;
+  if (join == JOIN_ROUND) {
+    stroke_cap_circle(dc, dc.origin + point, radius, dc.stroke_fill);
+    return;
+  }
+  if (join != JOIN_BEVEL && join != JOIN_MITER) return;
+  V2 incoming = norm_or(in_t, {1.0, 0.0});
+  V2 outgoing = norm_or(out_t, incoming);
+  double turn = vcross(incoming, outgoing);
+  if (std::fabs(turn) <= 1e-4) return;
+  double side = turn > 0.0 ? -1.0 : 1.0;
+  V2 in_outer = point + normal_left(incoming) * (radius * side);
+  V2 out_outer = point + normal_left(outgoing) * (radius * side);
+  if (join == JOIN_MITER) {
+    double denom = vcross(incoming, outgoing);
+    if (std::fabs(denom) > 1e-6) {
+      double t = vcross(out_outer - in_outer, outgoing) / denom;
+      V2 miter = in_outer + incoming * t;
+      if (vlen(miter - point) <= radius * 4.0) {
+        V2 q[4] = {dc.origin + point, dc.origin + in_outer, dc.origin + miter,
+                   dc.origin + out_outer};
+        filled_quad(dc, q, dc.stroke_fill);
+        return;
+      }
+    }
+  }
+  V2 q[4] = {dc.origin + point, dc.origin + in_outer, dc.origin + out_outer,
+             dc.origin + out_outer};
+  filled_quad(dc, q, dc.stroke_fill);
+}
+
+// quadratic bezier SDF quad emission (tape.py draw_quadratic_bezier_sdf)
+void quad_bezier_sdf(Ctx& ctx, double rx, double ry, double rw, double rh,
+                     const PackedFill& fill, V2 p0, V2 p1, V2 p2,
+                     double stroke_weight, uint8_t cap) {
+  if (rw <= 0.0 || rh <= 0.0 || stroke_weight <= 0.0) return;
+  int fill_mode = 0;
+  uint8_t colors[4][4];
+  const uint8_t* midc = nullptr;
+  const uint8_t* stopc = nullptr;
+  double mid_pos = 0.5;
+  if (fill.kind == 2) {
+    static const int axis_to_mode[4] = {1, 2, 3, 4};
+    fill_mode = axis_to_mode[fill.axis & 3];
+    for (int v = 0; v < 4; v++) std::memcpy(colors[v], fill.c0, 4);
+    midc = fill.c1;
+    stopc = fill.c2;
+    double mp = fill.midpos / 255.0;
+    mid_pos = mp < 0.01 ? 0.01 : (mp > 0.99 ? 0.99 : mp);
+  } else {
+    gradient_colors(fill, colors);
+  }
+  double qhx = rw * 0.5, qhy = rh * 0.5;
+  double params[4] = {qhx, qhy, p0.x, p0.y};
+  double curve[4] = {p1.x, p1.y, p2.x, p2.y};
+  double factors[2];
+  factors[0] = stroke_weight;
+  factors[1] = fill_mode == 0 ? 0.0 : mid_pos;
+  int base_mode = cap == CAP_BUTT ? MODE_BEZ_BUTT
+                  : (cap == CAP_SQUARE ? MODE_BEZ_SQUARE : MODE_BEZ_ROUND);
+  double pq[4][2];
+  pos_quad(ctx.mat, rx, ry, rx + rw, ry + rh, pq);
+  static const double uv[4][2] = {{0, 1}, {1, 1}, {1, 0}, {0, 0}};
+  emit_quad(ctx, pq, uv, colors, params, curve, factors,
+            base_mode + fill_mode * 256, midc, stopc);
+}
+
+inline V2 bezier_point(const V2* ctrl, int n, double t) {
+  V2 work[16];
+  int count = n < 16 ? n : 16;
+  for (int i = 0; i < count; i++) work[i] = ctrl[i];
+  while (count > 1) {
+    for (int i = 0; i < count - 1; i++)
+      work[i] = work[i] * (1.0 - t) + work[i + 1] * t;
+    count--;
+  }
+  return work[0];
+}
+
+inline V2 quadratic_point(V2 p0, V2 p1, V2 p2, double t) {
+  double it = 1.0 - t;
+  return p0 * (it * it) + p1 * (2.0 * it * t) + p2 * (t * t);
+}
+
+struct QSpan { V2 p0, p1, p2; };
+
+inline V2 span_start_tangent(const QSpan& s) {
+  return norm_or(s.p1 - s.p0, norm_or(s.p2 - s.p0, {1.0, 0.0}));
+}
+inline V2 span_end_tangent(const QSpan& s) {
+  return norm_or(s.p2 - s.p1, norm_or(s.p2 - s.p0, {1.0, 0.0}));
+}
+
+inline QSpan make_span(const V2* ctrl, int n, double t0, double t2) {
+  double tm = (t0 + t2) * 0.5;
+  V2 p0 = bezier_point(ctrl, n, t0);
+  V2 pm = bezier_point(ctrl, n, tm);
+  V2 p2 = bezier_point(ctrl, n, t2);
+  V2 p1 = pm * 2.0 - (p0 + p2) * 0.5;
+  return {p0, p1, p2};
+}
+
+void adaptive_spans(const Ctx& ctx, const V2* ctrl, int n, double t0, double t2,
+                    int depth, std::vector<QSpan>& out) {
+  QSpan span = make_span(ctrl, n, t0, t2);
+  double err = 0.0;
+  const double locals[2] = {0.25, 0.75};
+  for (double lt : locals) {
+    double t = t0 + (t2 - t0) * lt;
+    V2 actual = bezier_point(ctrl, n, t);
+    V2 approx = quadratic_point(span.p0, span.p1, span.p2, lt);
+    V2 d = {(actual.x - approx.x) * ctx.ui_scale,
+            (actual.y - approx.y) * ctx.ui_scale};
+    double e = vlen(d);
+    if (e > err) err = e;
+  }
+  if (err <= ADAPTIVE_TOL_PX || depth >= MAX_ADAPTIVE_DEPTH ||
+      (int)out.size() >= MAX_ADAPTIVE_STEPS - 1) {
+    out.push_back(span);
+  } else {
+    double tm = (t0 + t2) * 0.5;
+    adaptive_spans(ctx, ctrl, n, t0, tm, depth + 1, out);
+    adaptive_spans(ctx, ctrl, n, tm, t2, depth + 1, out);
+  }
+}
+
+inline bool is_flat_quadratic(V2 p0, V2 p1, V2 p2) {
+  return std::fabs(vcross(p1 - p0, p2 - p1)) <= 1e-4;
+}
+
+void drawable_quad_bezier(DrawCtx& dc, V2 p0, V2 p1, V2 p2, uint8_t cap) {
+  uint8_t resolved = cap;
+  if (resolved == CAP_AUTO)
+    resolved = dc.cap == CAP_AUTO ? CAP_ROUND : dc.cap;  // resolveCurveCap
+  if (is_flat_quadratic(p0, p1, p2)) {
+    drawable_line_seg(dc, p0, p2, resolved, dc.stroke_fill, dc.weight);
+    return;
+  }
+  double sw = dc.weight < 0.0 ? 0.0 : dc.weight;
+  double padding = sw * 0.5 + SDF_PADDING_PX / dc.ctx->ui_scale;
+  V2 a = dc.origin + p0, b = dc.origin + p1, c = dc.origin + p2;
+  // quadratic bounds (figrender.nim:1171-1193)
+  double mnx = a.x < c.x ? a.x : c.x, mny = a.y < c.y ? a.y : c.y;
+  double mxx = a.x > c.x ? a.x : c.x, mxy = a.y > c.y ? a.y : c.y;
+  double denom_x = a.x - 2.0 * b.x + c.x;
+  if (std::fabs(denom_x) > 1e-6) {
+    double t = (a.x - b.x) / denom_x;
+    if (t > 0.0 && t < 1.0) {
+      V2 q = quadratic_point(a, b, c, t);
+      mnx = q.x < mnx ? q.x : mnx; mxx = q.x > mxx ? q.x : mxx;
+      mny = q.y < mny ? q.y : mny; mxy = q.y > mxy ? q.y : mxy;
+    }
+  }
+  double denom_y = a.y - 2.0 * b.y + c.y;
+  if (std::fabs(denom_y) > 1e-6) {
+    double t = (a.y - b.y) / denom_y;
+    if (t > 0.0 && t < 1.0) {
+      V2 q = quadratic_point(a, b, c, t);
+      mnx = q.x < mnx ? q.x : mnx; mxx = q.x > mxx ? q.x : mxx;
+      mny = q.y < mny ? q.y : mny; mxy = q.y > mxy ? q.y : mxy;
+    }
+  }
+  double bx = mnx - padding, by = mny - padding;
+  double bw = mxx - mnx + padding * 2.0, bh = mxy - mny + padding * 2.0;
+  if (bw <= 0.0 || bh <= 0.0) return;
+  V2 center = {bx + bw * 0.5, by + bh * 0.5};
+  Ctx& ctx = *dc.ctx;
+  quad_bezier_sdf(ctx, ctx.s(bx), ctx.s(by), ctx.s(bw), ctx.s(bh),
+                  dc.stroke_fill,
+                  {ctx.s(a.x - center.x), ctx.s(a.y - center.y)},
+                  {ctx.s(b.x - center.x), ctx.s(b.y - center.y)},
+                  {ctx.s(c.x - center.x), ctx.s(c.y - center.y)},
+                  ctx.s(sw), resolved);
+}
+
+void spans_with_joins(DrawCtx& dc, const std::vector<QSpan>& spans) {
+  uint8_t cap = dc.cap == CAP_AUTO ? CAP_ROUND : dc.cap;
+  uint8_t join = dc.join == JOIN_AUTO ? JOIN_ROUND : dc.join;
+  bool simple_round = cap == CAP_ROUND && join == JOIN_ROUND;
+  uint8_t span_cap = simple_round ? CAP_ROUND : CAP_BUTT;
+  double cap_radius = (dc.weight < 0.0 ? 0.0 : dc.weight) / 2.0;
+  for (size_t i = 0; i < spans.size(); i++) {
+    const QSpan& sp = spans[i];
+    drawable_quad_bezier(dc, sp.p0, sp.p1, sp.p2, span_cap);
+    if (!simple_round) {
+      if (i == 0)
+        endpoint_cap(dc, sp.p0, span_start_tangent(sp), cap_radius, cap, true);
+      else
+        stroke_join(dc, sp.p0, span_end_tangent(spans[i - 1]),
+                    span_start_tangent(sp), cap_radius, join);
+      if (i == spans.size() - 1)
+        endpoint_cap(dc, sp.p2, span_end_tangent(sp), cap_radius, cap, false);
+    }
+  }
+}
+
+void drawable_bezier(DrawCtx& dc, const V2* ctrl, int n, uint16_t steps) {
+  if (n < 2) return;
+  if (dc.weight <= 0.0 || fill_alpha_max(dc.stroke_fill) == 0) return;
+  if (n == 3) {
+    drawable_quad_bezier(dc, ctrl[0], ctrl[1], ctrl[2], CAP_AUTO);
+    return;
+  }
+  if (n > 3) {
+    int fixed = steps != 0 ? (steps < 1 ? 1 : steps)
+                           : (dc.node_steps != 0 ? dc.node_steps : 0);
+    std::vector<QSpan> spans;
+    if (fixed > 0) {
+      for (int i = 0; i < fixed; i++)
+        spans.push_back(make_span(ctrl, n, (double)i / fixed,
+                                  (double)(i + 1) / fixed));
+    } else {
+      adaptive_spans(*dc.ctx, ctrl, n, 0.0, 1.0, 0, spans);
+    }
+    spans_with_joins(dc, spans);
+    return;
+  }
+  // 2 control points: polyline segments (figrender.nim:1368-1412)
+  int fixed = steps != 0 ? steps : dc.node_steps;
+  std::vector<V2> points;
+  points.push_back(bezier_point(ctrl, n, 0.0));
+  if (fixed > 0) {
+    for (int i = 1; i <= fixed; i++)
+      points.push_back(bezier_point(ctrl, n, (double)i / fixed));
+  } else {
+    // adaptive segment splitting
+    struct Rec {
+      static void go(const Ctx& ctx, const V2* c, int n, double t0, double t2,
+                     int depth, std::vector<V2>& pts) {
+        V2 p0 = bezier_point(c, n, t0);
+        V2 p2 = bezier_point(c, n, t2);
+        double tm = (t0 + t2) * 0.5;
+        V2 pm = bezier_point(c, n, tm);
+        // distance to line in scaled px
+        V2 sa = {p0.x * ctx.ui_scale, p0.y * ctx.ui_scale};
+        V2 sb = {p2.x * ctx.ui_scale, p2.y * ctx.ui_scale};
+        V2 sp = {pm.x * ctx.ui_scale, pm.y * ctx.ui_scale};
+        V2 ab = sb - sa;
+        double dden = vdot(ab, ab);
+        double err;
+        if (dden <= 1e-6) err = vlen(sp - sa);
+        else {
+          double h = vdot(sp - sa, ab) / dden;
+          h = h < 0.0 ? 0.0 : (h > 1.0 ? 1.0 : h);
+          err = vlen(sp - (sa + ab * h));
+        }
+        if (err <= ADAPTIVE_TOL_PX || depth >= MAX_ADAPTIVE_DEPTH ||
+            (int)pts.size() >= MAX_ADAPTIVE_STEPS) {
+          pts.push_back(p2);
+        } else {
+          go(ctx, c, n, t0, tm, depth + 1, pts);
+          go(ctx, c, n, tm, t2, depth + 1, pts);
+        }
+      }
+    };
+    Rec::go(*dc.ctx, ctrl, n, 0.0, 1.0, 0, points);
+  }
+  if (points.size() < 2) return;
+  uint8_t cap = dc.cap == CAP_AUTO ? CAP_ROUND : dc.cap;
+  uint8_t join = dc.join == JOIN_AUTO ? JOIN_ROUND : dc.join;
+  double cap_radius = (dc.weight < 0.0 ? 0.0 : dc.weight) / 2.0;
+  V2 prev = points[0];
+  V2 prev_t = {1.0, 0.0};
+  for (size_t i = 1; i < points.size(); i++) {
+    V2 cur = points[i];
+    V2 tangent = cur - prev;
+    drawable_line_seg(dc, prev, cur, CAP_BUTT, dc.stroke_fill, dc.weight);
+    if (i == 1)
+      endpoint_cap(dc, prev, tangent, cap_radius, cap, true);
+    else
+      stroke_join(dc, prev, prev_t, tangent, cap_radius, join);
+    if (i == points.size() - 1)
+      endpoint_cap(dc, cur, tangent, cap_radius, cap, false);
+    prev = cur;
+    prev_t = tangent;
+  }
+}
+
+void drawable_arc(DrawCtx& dc, V2 center, double radius, double a0,
+                  double sweep, uint16_t steps) {
+  radius = radius < 0.0 ? 0.0 : radius;
+  if (radius <= 0.0 || sweep == 0.0) return;
+  if (dc.weight <= 0.0 || fill_alpha_max(dc.stroke_fill) == 0) return;
+  int count;
+  int explicit_steps = steps != 0 ? steps : dc.node_steps;
+  if (explicit_steps > 0) {
+    count = explicit_steps < 1 ? 1 : explicit_steps;
+  } else {
+    double radius_px = dc.ctx->s(radius);
+    double abs_sweep = std::fabs(sweep);
+    if (radius_px <= 0.0 || abs_sweep <= 0.0) count = 1;
+    else {
+      double cl = 1.0 - ADAPTIVE_TOL_PX / radius_px;
+      cl = cl < -1.0 ? -1.0 : (cl > 1.0 ? 1.0 : cl);
+      double max_angle = 2.0 * std::acos(cl);
+      if (max_angle < 0.01) max_angle = 0.01;
+      count = (int)std::ceil(abs_sweep / max_angle);
+      if (count < 1) count = 1;
+      if (count > MAX_ADAPTIVE_STEPS) count = MAX_ADAPTIVE_STEPS;
+    }
+  }
+  std::vector<QSpan> spans;
+  for (int i = 0; i < count; i++) {
+    double t0 = (double)i / count, t2 = (double)(i + 1) / count;
+    double tm = (t0 + t2) * 0.5;
+    double an0 = a0 + sweep * t0, an2 = a0 + sweep * t2, anm = a0 + sweep * tm;
+    V2 p0 = center + V2{std::cos(an0) * radius, std::sin(an0) * radius};
+    V2 pm = center + V2{std::cos(anm) * radius, std::sin(anm) * radius};
+    V2 p2 = center + V2{std::cos(an2) * radius, std::sin(an2) * radius};
+    V2 p1 = pm * 2.0 - (p0 + p2) * 0.5;
+    spans.push_back({p0, p1, p2});
+  }
+  spans_with_joins(dc, spans);
+}
+
+void render_drawable_node(Ctx& ctx, const Fig& n, const DrawOp* ops,
+                          const float* points) {
+  DrawCtx dc;
+  dc.ctx = &ctx;
+  dc.origin = {n.box[0], n.box[1]};
+  dc.fill = n.fill;
+  dc.stroke_fill = n.draw_stroke_fill;
+  dc.weight = n.draw_weight;
+  dc.cap = n.draw_cap;
+  dc.join = n.draw_join;
+  dc.node_steps = n.draw_steps;
+
+  double old_aa = ctx.aa;
+  if (n.draw_aa > 0.0f && n.draw_aa != old_aa) ctx.aa = n.draw_aa;
+
+  for (int oi = n.ops_start; oi < n.ops_start + n.ops_count; oi++) {
+    const DrawOp& op = ops[oi];
+    const float* d = op.data;
+    switch (op.kind) {
+      case DK_LINE:
+        drawable_line_seg(dc, {d[0], d[1]}, {d[2], d[3]}, dc.cap,
+                          dc.stroke_fill, dc.weight);
+        break;
+      case DK_CIRCLE: {
+        double r = d[2] < 0.0f ? 0.0 : d[2];
+        if (r <= 0.0) break;
+        double rr = radius_corner(r);
+        double rx[4] = {rr, rr, rr, rr};
+        rounded_shape(ctx, dc.origin.x + d[0] - r, dc.origin.y + d[1] - r,
+                      r * 2.0, r * 2.0, dc.fill, dc.weight, dc.stroke_fill,
+                      rx, rx);
+        break;
+      }
+      case DK_RECT: {
+        double rx[4] = {d[4], d[5], d[6], d[7]};
+        rounded_shape(ctx, dc.origin.x + d[0], dc.origin.y + d[1], d[2], d[3],
+                      dc.fill, dc.weight, dc.stroke_fill, rx, rx);
+        break;
+      }
+      case DK_BEZIER: {
+        int pc = op.p_count;
+        if (pc >= 2 && pc <= 16) {
+          V2 ctrl[16];
+          for (int i = 0; i < pc; i++)
+            ctrl[i] = {points[(op.p_start + i) * 2],
+                       points[(op.p_start + i) * 2 + 1]};
+          drawable_bezier(dc, ctrl, pc, op.steps);
+        }
+        break;
+      }
+      case DK_ARC:
+        drawable_arc(dc, {d[0], d[1]}, d[2], d[3], d[4], op.steps);
+        break;
+      case DK_ELLIPSE: {
+        double rx_ = d[2] < 0.0f ? 0.0 : d[2];
+        double ry_ = d[3] < 0.0f ? 0.0 : d[3];
+        if (rx_ <= 0.0 || ry_ <= 0.0) break;
+        double cx[4] = {rx_, rx_, rx_, rx_};
+        double cy[4] = {ry_, ry_, ry_, ry_};
+        rounded_shape(ctx, dc.origin.x + d[0] - rx_, dc.origin.y + d[1] - ry_,
+                      rx_ * 2.0, ry_ * 2.0, dc.fill, dc.weight, dc.stroke_fill,
+                      cx, cy);
+        break;
+      }
+    }
+  }
+  ctx.aa = old_aa;
+}
+
 void begin_mask(Ctx& ctx, double rx, double ry, double rw, double rh,
                 const double radx[4], const double rady[4]) {
   ctx.close_run();
@@ -605,6 +1159,9 @@ void render_node(Ctx& ctx, const Fig* nodes, int n_nodes, int idx) {
     if (fill_alpha_max(n.stroke_fill) > 0 && n.stroke_weight > 0)
       draw_rounded_rect(ctx, bx, by, bw, bh, n.stroke_fill, radx, rady,
                         MODE_ANNULAR_AA, ctx.s(n.stroke_weight), 0.0, 0.0, 0.0);
+  } else if (n.kind == NK_DRAWABLE) {
+    if (ctx.ops && n.ops_count > 0)
+      render_drawable_node(ctx, n, ctx.ops, ctx.points);
   } else if (n.kind == NK_IMAGE || n.kind == NK_MSDF || n.kind == NK_MTSDF) {
     if (n.image_id != 0) draw_image_node(ctx, n, bx, by, bw, bh);
   } else if (n.kind == NK_BACKDROP) {
@@ -683,6 +1240,21 @@ void fd_flatten_layer(Ctx* ctx, const void* nodes, int n_nodes,
     render_node(*ctx, figs, n_nodes, roots[i]);
 }
 
+// Drawable geometry for subsequent fd_flatten_layer calls: ops are OP_DTYPE
+// rows, points a flat (n, 2) f32 control-point pool (nodesarray.py pack_ops).
+void fd_set_geometry(Ctx* ctx, const void* ops, int n_ops, const float* points,
+                     int n_points) {
+  (void)n_ops; (void)n_points;
+  ctx->ops = (const DrawOp*)ops;
+  ctx->points = points;
+}
+
+// White-texel uv for bevel/miter join quads (tape.py draw_filled_quad).
+void fd_set_white_uv(Ctx* ctx, double u, double v) {
+  ctx->white_u = u;
+  ctx->white_v = v;
+}
+
 int fd_quad_count(Ctx* ctx) {
   ctx->close_run();
   return ctx->count;
@@ -691,6 +1263,7 @@ int fd_quad_count(Ctx* ctx) {
 int fd_item_count(Ctx* ctx) { return (int)ctx->items.size(); }
 int fd_mask_count(Ctx* ctx) { return ctx->mask_count; }
 int fd_fig_struct_size() { return (int)sizeof(Fig); }
+int fd_op_struct_size() { return (int)sizeof(DrawOp); }
 
 // Export: fields (cap, QF_WIDTH) f32, modes (cap, QI_WIDTH) i32,
 // items (n, 5) i32 with radius bit-cast in slot 4.

@@ -120,16 +120,127 @@ def test_native_ui_scale():
 
 
 def test_native_rejects_unsupported_kinds():
-    from figdraw_tpu import Fig, FigKind, new_renders, rect, fill, rgba
-    from figdraw_tpu.nodes import drawable_line
+    from figdraw_tpu import Fig, FigKind, new_renders, rect
 
     renders = new_renders()
     renders.add_root(0, Fig(
-        kind=FigKind.nkDrawable, screen_box=rect(0, 0, 10, 10),
-        draw_ops=(drawable_line(vec2(0, 0), vec2(5, 5)),),
+        kind=FigKind.nkText, screen_box=rect(0, 0, 10, 10),
     ))
     arr = from_renders(renders)
     assert not arr.all_native_kinds()
+
+
+def _drawable_fig(ops, weight=3.0, cap=None, join=None, stroke_rgba=(20, 40, 200, 255),
+                  box=None, **kw):
+    from figdraw_tpu import Fig, FigKind, RenderStroke, fill, rect, rgba
+    from figdraw_tpu.basics import StrokeCap, StrokeJoin
+
+    stroke = RenderStroke(
+        weight=weight,
+        fill=fill(rgba(*stroke_rgba)),
+        cap=cap if cap is not None else StrokeCap.scAuto,
+        join=join if join is not None else StrokeJoin.sjAuto,
+    )
+    return Fig(
+        kind=FigKind.nkDrawable,
+        screen_box=box if box is not None else rect(10, 10, 200, 150),
+        draw_ops=tuple(ops),
+        draw_stroke=stroke,
+        **kw,
+    )
+
+
+def test_native_drawable_lines_and_shapes_parity():
+    """Lines (all caps), circle, rect, ellipse through the native walk."""
+    from figdraw_tpu import fill, new_renders, rect, rgba
+    from figdraw_tpu.basics import StrokeCap
+    from figdraw_tpu.nodes import (
+        drawable_circle, drawable_ellipse, drawable_line, drawable_rect,
+    )
+
+    renders = new_renders()
+    for i, cap in enumerate(
+        [StrokeCap.scAuto, StrokeCap.scRound, StrokeCap.scButt, StrokeCap.scSquare]
+    ):
+        renders.add_root(0, _drawable_fig(
+            [drawable_line(vec2(5 + i * 3, 7), vec2(90, 60 + i * 9))], cap=cap,
+        ))
+    shapes = _drawable_fig(
+        [
+            drawable_circle(vec2(40, 40), 17.25),
+            drawable_rect(rect(70, 20, 50, 34), corners=(4, 4, 4, 4)),
+            drawable_ellipse(vec2(60, 100), vec2(30, 18)),
+        ],
+        weight=2.0,
+    )
+    shapes.fill = fill(rgba(230, 120, 40, 180))
+    renders.add_root(0, shapes)
+    # rotated drawable exercises the transform stack around line quads
+    rot = _drawable_fig([drawable_line(vec2(0, 0), vec2(80, 20))])
+    rot.rotation = 30.0
+    renders.add_root(0, rot)
+    py_tape, native_tape = flatten_both(renders, 320, 240)
+    assert py_tape.count >= 10
+    assert_tapes_equal(py_tape, native_tape)
+
+
+def test_native_drawable_bezier_arc_parity():
+    """Adaptive + fixed bezier spans, joins (bevel/miter filled quads), arcs."""
+    from figdraw_tpu import fill, rgba, new_renders
+    from figdraw_tpu.basics import StrokeCap, StrokeJoin
+    from figdraw_tpu.fill import FillGradientAxis, linear
+    from figdraw_tpu.nodes import drawable_arc, drawable_bezier
+
+    renders = new_renders()
+    quad = [vec2(5, 120), vec2(70, -40), vec2(150, 110)]
+    cubic = [vec2(0, 0), vec2(40, 130), vec2(110, -60), vec2(160, 70)]
+    # 3-point quadratic SDF path (adaptive), auto caps
+    renders.add_root(0, _drawable_fig([drawable_bezier(quad)]))
+    # cubic adaptive with bevel and miter joins → filled white-uv quads
+    renders.add_root(0, _drawable_fig(
+        [drawable_bezier(cubic)], cap=StrokeCap.scButt, join=StrokeJoin.sjBevel,
+    ))
+    renders.add_root(0, _drawable_fig(
+        [drawable_bezier(cubic)], cap=StrokeCap.scSquare, join=StrokeJoin.sjMiter,
+    ))
+    # fixed span count via op steps and via node draw_steps
+    renders.add_root(0, _drawable_fig([drawable_bezier(cubic, steps=5)]))
+    renders.add_root(0, _drawable_fig([drawable_bezier(cubic)], draw_steps=3))
+    # 2-control-point bezier → polyline segment path
+    renders.add_root(0, _drawable_fig(
+        [drawable_bezier([vec2(4, 4), vec2(120, 90)])], join=StrokeJoin.sjMiter,
+    ))
+    # flat quadratic degenerates to a line
+    renders.add_root(0, _drawable_fig(
+        [drawable_bezier([vec2(0, 0), vec2(50, 25), vec2(100, 50)])],
+    ))
+    # arcs: adaptive and fixed, round + non-round joins
+    renders.add_root(0, _drawable_fig(
+        [drawable_arc(vec2(80, 80), 45.0, 0.4, 4.0)],
+    ))
+    renders.add_root(0, _drawable_fig(
+        [drawable_arc(vec2(80, 80), 45.0, -0.3, -2.5, steps=4)],
+        cap=StrokeCap.scButt, join=StrokeJoin.sjBevel,
+    ))
+    # gradient strokes on the bezier SDF path: 2-stop and 3-stop (mid/stop)
+    from figdraw_tpu import RenderStroke
+
+    g2 = _drawable_fig([drawable_bezier(quad)])
+    g2.draw_stroke = RenderStroke(weight=3.0, fill=linear(
+        rgba(255, 0, 0, 255), rgba(0, 0, 255, 255), axis=FillGradientAxis.fgaY,
+    ))
+    renders.add_root(0, g2)
+    g3 = _drawable_fig([drawable_bezier(quad)])
+    g3.draw_stroke = RenderStroke(weight=3.0, fill=linear(
+        rgba(255, 0, 0, 255), rgba(0, 255, 0, 255), rgba(0, 0, 255, 255),
+        mid_pos=80,
+    ))
+    renders.add_root(0, g3)
+    # per-node AA override
+    renders.add_root(0, _drawable_fig([drawable_bezier(quad)], draw_aa=2.0))
+    py_tape, native_tape = flatten_both(renders, 320, 240)
+    assert py_tape.count >= 40
+    assert_tapes_equal(py_tape, native_tape)
 
 
 def test_native_image_and_msdf_parity():

@@ -111,6 +111,7 @@ class Atlas:
         img,
         meta: Optional[AtlasEntryMeta] = None,
         mipmapped: bool = False,
+        mips=None,
     ) -> None:
         img = self._normalize(img)
         if key in self.entries:
@@ -120,7 +121,19 @@ class Atlas:
             self._rebuild(self.size * 2)
         if meta is not None:
             self.meta[key] = meta
-        if mipmapped:
+        if mips is not None:
+            # precomputed chain from a .flippy container (utils/flippy.py)
+            for level, mip in enumerate(mips, start=1):
+                if min(mip.shape[0], mip.shape[1]) < 8:
+                    break
+                mip = self._normalize(mip)
+                mip_key = (key, level)
+                self._images[mip_key] = mip
+                while not self._place(mip_key, mip):
+                    self._rebuild(self.size * 2)
+                if meta is not None:
+                    self.meta[mip_key] = meta
+        elif mipmapped:
             # flippy-style mip chain (common/formatflippy.nim:101-112): each
             # level is a 2x box-filtered half, packed under (key, level) so the
             # flattener can pick the level matching the draw scale.

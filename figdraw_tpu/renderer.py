@@ -203,6 +203,7 @@ class FigRenderer:
                         msg.id, msg.image,
                         AtlasEntryMeta(kind="image", image_id=msg.id),
                         mipmapped=True,
+                        mips=msg.mips,
                     )
                 else:
                     self.atlas.update_image(msg.id, msg.image)

@@ -76,6 +76,7 @@ class ImageMsg:
     generation: int = 0
     cache_generation: int = 0
     mipmapped: bool = False
+    mips: Optional[tuple] = None  # precomputed chain (flippy), levels 1..n
 
 
 class ImageMessageSubscription:
@@ -160,6 +161,7 @@ class ImageMessageBus:
                     generation=gen,
                     cache_generation=self._cache_generation,
                     mipmapped=msg.mipmapped,
+                    mips=msg.mips,
                 )
                 self._replay[msg.id] = msg
             elif msg.kind == ImageMsgKind.ClearImage:
@@ -184,27 +186,43 @@ default_bus = ImageMessageBus()
 # host-side image cache: id -> numpy image (the reference's flippy disk cache
 # keeps decoded images around; we keep them in memory keyed by id)
 _image_cache: Dict[ImageId, np.ndarray] = {}
+_mip_cache: Dict[ImageId, tuple] = {}
 _image_cache_lock = threading.Lock()
 
 
 def load_image(path: str, bus: Optional[ImageMessageBus] = None,
-               mipmapped: bool = True) -> "ImageRef":
-    """Load a PNG (or any PIL-readable file) and publish it to renderers
-    (imgutils.nim:553-557). Like the reference's flippy pipeline, loaded
-    images carry a mip chain by default for clean minification."""
-    from PIL import Image as PILImage
+               mipmapped: bool = True, flippy_cache: bool = True) -> "ImageRef":
+    """Load an image and publish it to renderers (imgutils.nim:553-557).
 
+    Like the reference's pipeline, mipmapped loads go through the .flippy
+    sidecar cache — alpha-bled, full mip chain, snappy-compressed, regenerated
+    when the source file is newer (imgutils.nim:343-364). flippy_cache=False
+    (or mipmapped=False) loads the raw pixels directly."""
     image_id = image_id_from_path(path)
     with _image_cache_lock:
         cached = _image_cache.get(image_id)
+    mips: Optional[tuple] = None
     if cached is None:
-        img = np.asarray(PILImage.open(path).convert("RGBA"))
+        if mipmapped and flippy_cache:
+            from .utils.flippy import read_image_cached
+
+            flippy = read_image_cached(path)
+            cached = flippy.mipmaps[0]
+            mips = tuple(flippy.mipmaps[1:])
+        else:
+            from PIL import Image as PILImage
+
+            cached = np.asarray(PILImage.open(path).convert("RGBA"))
         with _image_cache_lock:
-            _image_cache[image_id] = img
-        cached = img
+            _image_cache[image_id] = cached
+            if mips is not None:
+                _mip_cache[image_id] = mips
+    else:
+        with _image_cache_lock:
+            mips = _mip_cache.get(image_id)
     b = bus or default_bus
     b.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=image_id, image=cached,
-                       mipmapped=mipmapped))
+                       mipmapped=mipmapped, mips=mips))
     return ImageRef(image_id, bus=b)
 
 

@@ -96,6 +96,36 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.fd_export.restype = ctypes.c_int
+        # scene-building API (native_bindings.nim analog)
+        lib.fd_renders_new.restype = ctypes.c_void_p
+        lib.fd_renders_free.argtypes = [ctypes.c_void_p]
+        lib.fd_renders_add_root.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.fd_renders_add_root.restype = ctypes.c_int
+        lib.fd_renders_add_child.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.fd_renders_add_child.restype = ctypes.c_int
+        lib.fd_renders_op_count.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fd_renders_op_count.restype = ctypes.c_int
+        lib.fd_renders_add_op.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.fd_renders_add_op.restype = ctypes.c_int
+        lib.fd_flatten_renders.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.fd_fill_solid.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint8, ctypes.c_uint8,
+            ctypes.c_uint8, ctypes.c_uint8,
+        ]
+        lib.fd_fill_linear2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.fd_fill_linear3.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint8,
+        ]
 
         expected = lib.fd_fig_struct_size()
         assert expected == FIG_DTYPE.itemsize, (

@@ -60,6 +60,48 @@ int fd_op_struct_size(void);
 int fd_export(FigdrawFlattenCtx *ctx, float *fields, int32_t *modes,
               int quad_cap, int32_t *items, int item_cap);
 
+/* ---- scene-building API (native_bindings.nim analog) ----------------------
+ *
+ * External hosts build layered render lists directly in C: fill packed Fig
+ * rows (fd_fig_struct_size() bytes, layout = nodesarray.py FIG_DTYPE) and
+ * DrawOp rows (fd_op_struct_size() bytes, OP_DTYPE), append them with the
+ * same O(1) addRoot/addChild semantics as fignodes.nim:316-374, then flatten
+ * every layer in ascending zlevel with one call and export the quad tape. */
+
+typedef struct FdRenders FdRenders;
+
+FdRenders *fd_renders_new(void);
+void fd_renders_free(FdRenders *renders);
+
+/* Append a root / a child of `parent`; returns the node index in its layer
+ * (children must be appended after their parent). add_child returns -1 on a
+ * bad parent index. The row's zlevel/parent/child_count fields are managed
+ * by these calls; fill everything else before appending. */
+int fd_renders_add_root(FdRenders *renders, int zlevel, const void *fig);
+int fd_renders_add_child(FdRenders *renders, int zlevel, int parent,
+                         const void *fig);
+
+/* Drawable geometry: read the layer's current op count into Fig.ops_start,
+ * append that node's ops, set Fig.ops_count, then add the node. For bezier
+ * ops pass `pts` as n_pts (x, y) pairs — p_start is rewritten to the layer
+ * point pool. Returns the op index. */
+int fd_renders_op_count(FdRenders *renders, int zlevel);
+int fd_renders_add_op(FdRenders *renders, int zlevel, const void *op,
+                      const float *pts, int n_pts);
+
+/* Flatten every layer (ascending zlevel) into the context's tape. */
+void fd_flatten_renders(FigdrawFlattenCtx *ctx, FdRenders *renders);
+
+/* Packed-fill helpers (filltypes.nim fill()/linear()). fill points at the
+ * 16-byte PackedFill field inside a Fig row. axis: 0 X, 1 Y, 2 diagonal
+ * TL-BR, 3 diagonal BL-TR. Colors are RGBA8. */
+void fd_fill_solid(void *fill, uint8_t r, uint8_t g, uint8_t b, uint8_t a);
+void fd_fill_linear2(void *fill, int axis, const uint8_t start[4],
+                     const uint8_t stop[4]);
+void fd_fill_linear3(void *fill, int axis, const uint8_t start[4],
+                     const uint8_t mid[4], const uint8_t stop[4],
+                     uint8_t mid_pos);
+
 #ifdef __cplusplus
 }
 #endif

@@ -1208,6 +1208,147 @@ void render_node(Ctx& ctx, const Fig* nodes, int n_nodes, int idx) {
 
 }  // namespace
 
+
+// ---- scene-building C API ------------------------------------------------------
+//
+// The reference exports its whole scene API over a C ABI so external hosts can
+// build render lists without Nim (bindings/native_bindings.nim + dynlib.nim).
+// This is the figdraw_tpu analog: hosts fill packed Fig/DrawOp rows (layouts in
+// figdraw_flatten.h; identical to nodesarray.py FIG_DTYPE/OP_DTYPE), build
+// layered render lists with the same O(1) addRoot/addChild semantics as
+// fignodes.nim:316-374, and flatten to the quad tape in one call. The device
+// side (JAX executor) consumes the exported tape.
+
+struct FdLayer {
+  int8_t zlevel = 0;
+  std::vector<Fig> nodes;
+  std::vector<int32_t> roots;
+  std::vector<DrawOp> ops;
+  std::vector<float> points;  // flat (n, 2)
+};
+
+struct FdRenders {
+  std::vector<FdLayer> layers;  // ascending zlevel
+
+  FdLayer& layer(int zlevel) {
+    size_t i = 0;
+    while (i < layers.size() && layers[i].zlevel < zlevel) i++;
+    if (i == layers.size() || layers[i].zlevel != zlevel) {
+      FdLayer l;
+      l.zlevel = (int8_t)zlevel;
+      layers.insert(layers.begin() + i, std::move(l));
+    }
+    return layers[i];
+  }
+};
+
+extern "C" {
+
+FdRenders* fd_renders_new() { return new FdRenders(); }
+void fd_renders_free(FdRenders* r) { delete r; }
+
+// Append a root node (fignodes.nim addRoot: O(1)); returns its index.
+int fd_renders_add_root(FdRenders* r, int zlevel, const void* fig) {
+  FdLayer& l = r->layer(zlevel);
+  Fig f;
+  std::memcpy(&f, fig, sizeof(Fig));
+  f.zlevel = (int8_t)zlevel;
+  f.parent = -1;
+  f.child_count = 0;
+  int idx = (int)l.nodes.size();
+  l.nodes.push_back(f);
+  l.roots.push_back(idx);
+  return idx;
+}
+
+// Append a child of `parent` (fignodes.nim addChild: children live after the
+// parent, linked by parent index + childCount); returns its index, or -1 if
+// the parent index is invalid.
+int fd_renders_add_child(FdRenders* r, int zlevel, int parent, const void* fig) {
+  FdLayer& l = r->layer(zlevel);
+  if (parent < 0 || parent >= (int)l.nodes.size()) return -1;
+  Fig f;
+  std::memcpy(&f, fig, sizeof(Fig));
+  f.zlevel = (int8_t)zlevel;
+  f.parent = (int16_t)parent;
+  f.child_count = 0;
+  int idx = (int)l.nodes.size();
+  l.nodes.push_back(f);
+  l.nodes[parent].child_count++;
+  return idx;
+}
+
+// Number of drawable ops already in a layer — the value to store in
+// Fig.ops_start before appending that node's ops.
+int fd_renders_op_count(FdRenders* r, int zlevel) {
+  return (int)r->layer(zlevel).ops.size();
+}
+
+// Append one drawable op. For bezier ops pass the control points; p_start is
+// rewritten to the layer's point pool offset. Returns the op index.
+int fd_renders_add_op(FdRenders* r, int zlevel, const void* op,
+                      const float* pts, int n_pts) {
+  FdLayer& l = r->layer(zlevel);
+  DrawOp o;
+  std::memcpy(&o, op, sizeof(DrawOp));
+  if (pts && n_pts > 0) {
+    o.p_start = (int32_t)(l.points.size() / 2);
+    o.p_count = n_pts;
+    l.points.insert(l.points.end(), pts, pts + (size_t)n_pts * 2);
+  }
+  int idx = (int)l.ops.size();
+  l.ops.push_back(o);
+  return idx;
+}
+
+// Walk every layer in ascending zlevel (figrender renderRoot order) into the
+// context's quad tape; combine with fd_quad_count/fd_export as usual.
+void fd_flatten_renders(Ctx* ctx, FdRenders* r) {
+  for (FdLayer& l : r->layers) {
+    ctx->ops = l.ops.empty() ? nullptr : l.ops.data();
+    ctx->points = l.points.empty() ? nullptr : l.points.data();
+    for (int32_t root : l.roots)
+      render_node(*ctx, l.nodes.data(), (int)l.nodes.size(), root);
+  }
+  ctx->ops = nullptr;
+  ctx->points = nullptr;
+}
+
+// Fill helpers (filltypes.nim fill()/linear()): kind 0 solid, 1 linear2,
+// 2 linear3; axis 0 X, 1 Y, 2 diag TL-BR, 3 diag BL-TR.
+void fd_fill_solid(void* fill, uint8_t red, uint8_t green, uint8_t blue,
+                   uint8_t alpha) {
+  PackedFill* f = (PackedFill*)fill;
+  std::memset(f, 0, sizeof(PackedFill));
+  f->kind = 0;
+  f->c0[0] = red; f->c0[1] = green; f->c0[2] = blue; f->c0[3] = alpha;
+}
+
+void fd_fill_linear2(void* fill, int axis, const uint8_t start[4],
+                     const uint8_t stop[4]) {
+  PackedFill* f = (PackedFill*)fill;
+  std::memset(f, 0, sizeof(PackedFill));
+  f->kind = 1;
+  f->axis = (uint8_t)axis;
+  std::memcpy(f->c0, start, 4);
+  std::memcpy(f->c1, stop, 4);
+}
+
+void fd_fill_linear3(void* fill, int axis, const uint8_t start[4],
+                     const uint8_t mid[4], const uint8_t stop[4],
+                     uint8_t mid_pos) {
+  PackedFill* f = (PackedFill*)fill;
+  std::memset(f, 0, sizeof(PackedFill));
+  f->kind = 2;
+  f->axis = (uint8_t)axis;
+  f->midpos = mid_pos;
+  std::memcpy(f->c0, start, 4);
+  std::memcpy(f->c1, mid, 4);
+  std::memcpy(f->c2, stop, 4);
+}
+
+}  // extern "C"
+
 extern "C" {
 
 Ctx* fd_create(float ui_scale, float pixel_scale, float aa_factor) {

@@ -1,0 +1,161 @@
+"""Scene-building C API: a host assembling Fig rows through the fd_renders_*
+ABI produces the same tape as the Python scene path (native_bindings.nim
+analog — external hosts without Python build scenes this way)."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import native
+from figdraw_tpu.nodesarray import FIG_DTYPE, OP_DTYPE
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native flattener not built"
+)
+
+
+def _flatten_capi(build):
+    """Run `build(lib, renders)` against a fresh context; return (fields, modes)."""
+    lib = native._load()
+    ctx = lib.fd_create(
+        ctypes.c_float(1.0), ctypes.c_float(1.0), ctypes.c_float(1.2)
+    )
+    renders = lib.fd_renders_new()
+    try:
+        build(lib, renders)
+        lib.fd_flatten_renders(ctx, renders)
+        n = lib.fd_quad_count(ctx)
+        fields = np.zeros((max(n, 1), 68), np.float32)
+        modes = np.zeros((max(n, 1), 2), np.int32)
+        items = np.zeros((max(lib.fd_item_count(ctx), 1), 5), np.int32)
+        rc = lib.fd_export(
+            ctx,
+            fields.ctypes.data_as(ctypes.c_void_p),
+            modes.ctypes.data_as(ctypes.c_void_p),
+            fields.shape[0],
+            items.ctypes.data_as(ctypes.c_void_p),
+            items.shape[0],
+        )
+        assert rc == n
+        return fields[:n], modes[:n]
+    finally:
+        lib.fd_renders_free(renders)
+        lib.fd_destroy(ctx)
+
+
+def _row_ptr(row):
+    return row.ctypes.data_as(ctypes.c_void_p)
+
+
+NK_RECT = 2
+NK_DRAWABLE = 3
+DK_CIRCLE = 1
+DK_BEZIER = 3
+NF_CLIP = 1
+
+
+def test_capi_scene_matches_python_scene():
+    # --- build via the C ABI, exactly as an external host would --------------
+    def build(lib, renders):
+        bg = np.zeros((), FIG_DTYPE)
+        bg["kind"] = NK_RECT
+        bg["box"] = (0, 0, 200, 150)
+        lib.fd_fill_solid(_row_ptr(bg["fill"]), 240, 240, 240, 255)
+        root = lib.fd_renders_add_root(renders, 0, _row_ptr(bg))
+        assert root == 0
+
+        clip = np.zeros((), FIG_DTYPE)
+        clip["kind"] = NK_RECT
+        clip["box"] = (10, 10, 100, 80)
+        clip["corners"] = (9, 9, 9, 9)
+        clip["flags"] = NF_CLIP
+        lib.fd_fill_solid(_row_ptr(clip["fill"]), 200, 50, 50, 255)
+        ci = lib.fd_renders_add_root(renders, 0, _row_ptr(clip))
+
+        inner = np.zeros((), FIG_DTYPE)
+        inner["kind"] = NK_RECT
+        inner["box"] = (0, 0, 300, 300)
+        start = np.array([255, 0, 0, 255], np.uint8)
+        stop = np.array([0, 0, 255, 255], np.uint8)
+        lib.fd_fill_linear2(
+            _row_ptr(inner["fill"]), 1,
+            start.ctypes.data_as(ctypes.c_void_p),
+            stop.ctypes.data_as(ctypes.c_void_p),
+        )
+        rc = lib.fd_renders_add_child(renders, 0, ci, _row_ptr(inner))
+        assert rc == ci + 1
+
+        # drawable with a circle + a quadratic bezier on zlevel 1
+        d = np.zeros((), FIG_DTYPE)
+        d["kind"] = NK_DRAWABLE
+        d["box"] = (20, 20, 150, 100)
+        d["draw_weight"] = 4.0
+        lib.fd_fill_solid(_row_ptr(d["draw_stroke_fill"]), 10, 160, 40, 255)
+        d["ops_start"] = lib.fd_renders_op_count(renders, 1)
+        circle = np.zeros((), OP_DTYPE)
+        circle["kind"] = DK_CIRCLE
+        circle["data"][0:3] = (40, 40, 25)
+        lib.fd_renders_add_op(renders, 1, _row_ptr(circle), None, 0)
+        bez = np.zeros((), OP_DTYPE)
+        bez["kind"] = DK_BEZIER
+        pts = np.array([[0, 80], [60, 0], [140, 70]], np.float32)
+        lib.fd_renders_add_op(
+            renders, 1, _row_ptr(bez),
+            pts.ctypes.data_as(ctypes.c_void_p), pts.shape[0],
+        )
+        d["ops_count"] = 2
+        lib.fd_renders_add_root(renders, 1, _row_ptr(d))
+
+    c_fields, c_modes = _flatten_capi(build)
+
+    # --- the same scene through the Python API -------------------------------
+    from figdraw_tpu import (
+        Fig, FigFlags, FigKind, RenderStroke, fill, new_renders, rect, rgba,
+        vec2,
+    )
+    from figdraw_tpu.fill import FillGradientAxis, linear
+    from figdraw_tpu.nodes import drawable_bezier, drawable_circle
+    from figdraw_tpu.nodesarray import from_renders
+    from figdraw_tpu.renderer import FigRenderer
+
+    renders = new_renders()
+    renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(0, 0, 200, 150),
+        fill=fill(rgba(240, 240, 240, 255)),
+    ))
+    clip = renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(10, 10, 100, 80),
+        corners=(9, 9, 9, 9), flags=FigFlags.NfClipContent,
+        fill=fill(rgba(200, 50, 50, 255)),
+    ))
+    renders.add_child(0, clip, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(0, 0, 300, 300),
+        fill=linear(rgba(255, 0, 0, 255), rgba(0, 0, 255, 255),
+                    axis=FillGradientAxis.fgaY),
+    ))
+    renders.add_root(1, Fig(
+        kind=FigKind.nkDrawable, screen_box=rect(20, 20, 150, 100),
+        draw_stroke=RenderStroke(weight=4.0, fill=fill(rgba(10, 160, 40, 255))),
+        draw_ops=(
+            drawable_circle(vec2(40, 40), 25.0),
+            drawable_bezier([vec2(0, 80), vec2(60, 0), vec2(140, 70)]),
+        ),
+    ))
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    py_tape = ren.flatten(from_renders(renders), vec2(200, 150))
+
+    assert py_tape.count == c_fields.shape[0]
+    assert np.array_equal(py_tape.fields[: py_tape.count], c_fields)
+    assert np.array_equal(py_tape.modes[: py_tape.count], c_modes)
+
+
+def test_capi_rejects_bad_parent():
+    lib = native._load()
+    renders = lib.fd_renders_new()
+    try:
+        fig = np.zeros((), FIG_DTYPE)
+        fig["kind"] = NK_RECT
+        assert lib.fd_renders_add_child(renders, 0, 7, _row_ptr(fig)) == -1
+    finally:
+        lib.fd_renders_free(renders)

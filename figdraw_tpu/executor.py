@@ -156,6 +156,143 @@ def get_frame_executor(
     return jax.jit(run)
 
 
+# --- mega executor: the whole multi-pass frame as ONE Pallas kernel -------------
+#
+# For mask-heavy pure-SDF scenes the pass structure itself is the cost: the
+# rolled loop launches one full-frame Pallas pass per draw run / mask write /
+# clear. pack_mega_modes bakes each quad's target and the clear boundaries
+# into the mode lane's high bits (raster_pallas.MEGA_* packing), and the
+# megakernel walks each tile's quads once in tape order with the mask planes
+# living in VMEM registers — constant HBM traffic regardless of mask count.
+
+
+def pack_mega_modes(tape, fields, modes):
+    """Splice a tape into target-baked (fields, modes) arrays for the
+    megakernel: draw-run quads get (target+1)<<16 added to the mode lane;
+    each ClearMaskItem becomes a sentinel row with the clear bit.
+
+    A clear of plane k only matters in tiles where plane k is read or written
+    before its next clear — everywhere else its effect is never observed (a
+    content quad reading an uncleared-but-unwritten plane sits outside its own
+    clip's coverage, so either the next clear re-runs there or nothing reads
+    the plane). The sentinel's bbox is therefore the union of those quads'
+    bboxes, so clears bin only into the tiles their cell touches instead of
+    all of them. Returns (fields, modes) un-padded; fully vectorized (this
+    runs per frame)."""
+    import numpy as np
+
+    from .ops.layout import (
+        QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1, QF_WIDTH, QI_WIDTH,
+        QI_MASK, QI_MODE,
+    )
+    from .ops.raster_pallas import MEGA_CLEAR_BIT, MEGA_TARGET_SHIFT
+    from .tape import ClearMaskItem, DrawItem
+
+    n = fields.shape[0]
+    # per-quad target from the draw runs (runs partition the tape in order);
+    # clear positions = the tape index the clear precedes, in item order
+    tgt = np.zeros(n, np.int32)  # encoded: 0 frame, k+1 mask plane k
+    positions = []
+    plane_list = []
+    cursor = 0
+    for item in tape.items:
+        if isinstance(item, DrawItem):
+            if item.end > item.start and item.target >= 0:
+                tgt[item.start : item.end] = item.target + 1
+            cursor = max(cursor, item.end)
+        elif isinstance(item, ClearMaskItem):
+            positions.append(cursor)
+            plane_list.append(item.index)
+    out_modes = modes.copy()
+    out_modes[:, QI_MODE] += tgt << MEGA_TARGET_SHIFT
+    if not positions:
+        return fields, out_modes
+
+    planes = np.asarray(plane_list, np.int32)
+    positions = np.asarray(positions, np.int64)
+    qmask = modes[:, QI_MASK]
+    x0 = fields[:, QF_BBOX_X0]
+    y0 = fields[:, QF_BBOX_Y0]
+    x1 = fields[:, QF_BBOX_X1]
+    y1 = fields[:, QF_BBOX_Y1]
+
+    nc = positions.shape[0]
+    cb = np.empty((nc, 4), np.float32)
+    for k in np.unique(planes):
+        rel = (tgt == k + 1) | (qmask == k)
+        rx0 = np.where(rel, x0, np.float32(np.inf))
+        ry0 = np.where(rel, y0, np.float32(np.inf))
+        rx1 = np.where(rel, x1, np.float32(-np.inf))
+        ry1 = np.where(rel, y1, np.float32(-np.inf))
+        sel = planes == k
+        # segments between consecutive clears of plane k (last runs to EOF);
+        # reduceat returns x[start] for empty segments — overwritten below
+        starts = positions[sel]
+        idxs = np.nonzero(sel)[0]
+        r_starts = np.minimum(starts, n - 1)
+        mins_x = np.minimum.reduceat(rx0, r_starts)
+        mins_y = np.minimum.reduceat(ry0, r_starts)
+        maxs_x = np.maximum.reduceat(rx1, r_starts)
+        maxs_y = np.maximum.reduceat(ry1, r_starts)
+        seg_ends = np.append(starts[1:], n)
+        empty = starts >= seg_ends
+        mins_x[empty] = np.inf
+        mins_y[empty] = np.inf
+        maxs_x[empty] = -np.inf
+        maxs_y[empty] = -np.inf
+        cb[idxs, 0] = mins_x
+        cb[idxs, 1] = mins_y
+        cb[idxs, 2] = maxs_x
+        cb[idxs, 3] = maxs_y
+    # empty-union clears (plane never touched again) get a degenerate bbox
+    dead = ~np.isfinite(cb).all(axis=1)
+    cb[dead] = 0.0
+
+    cf = np.zeros((nc, QF_WIDTH), np.float32)
+    cf[:, QF_BBOX_X0] = cb[:, 0]
+    cf[:, QF_BBOX_Y0] = cb[:, 1]
+    cf[:, QF_BBOX_X1] = cb[:, 2]
+    cf[:, QF_BBOX_Y1] = cb[:, 3]
+    cm = np.zeros((nc, QI_WIDTH), np.int32)
+    cm[:, QI_MODE] = MEGA_CLEAR_BIT + ((planes + 1) << MEGA_TARGET_SHIFT)
+
+    out_f = np.insert(fields, positions, cf, axis=0)
+    out_m = np.insert(out_modes, positions, cm, axis=0)
+    return out_f, out_m
+
+
+@lru_cache(maxsize=32)
+def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: bool):
+    """Returns jitted run(combo, init_frame) -> (H, W, 4) frame; combo packs
+    target-baked fields/modes (pack_mega_modes) with rolled-style meta."""
+    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    tiles_y = -(-height // th)
+    tiles_x = -(-width // tw)
+    ph, pw = tiles_y * th, tiles_x * tw
+
+    def run(combo, init_frame):
+        from .ops.layout import QF_WIDTH
+
+        fields = combo[:-1, :QF_WIDTH]
+        modes = jax.lax.bitcast_convert_type(
+            combo[:-1, QF_WIDTH : QF_WIDTH + COMBO_EXTRA], jnp.int32
+        )
+        clear_color = combo[-1][0:4]
+
+        if has_init_frame:
+            planes = jnp.transpose(init_frame, (2, 0, 1))
+            planes = jnp.pad(planes, ((0, 0), (0, ph - height), (0, pw - width)))
+        else:
+            planes = jnp.broadcast_to(
+                clear_color[:, None, None], (4, ph, pw)
+            ).astype(jnp.float32)
+
+        planes = raster_pallas.draw_pass_mega(fields, modes, planes, n_masks)
+        return jnp.transpose(planes, (1, 2, 0))[:height, :width]
+
+    return jax.jit(run)
+
+
 # --- rolled executor: pass-descriptor loop for mask-heavy scenes ----------------
 #
 # Scenes with hundreds of clip masks (e.g. the reference's clip benchmark: a

@@ -96,6 +96,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.fd_export.restype = ctypes.c_int
+        lib.fd_tape_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.fd_export_mega.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_export_mega.restype = ctypes.c_int
         # scene-building API (native_bindings.nim analog)
         lib.fd_renders_new.restype = ctypes.c_void_p
         lib.fd_renders_free.argtypes = [ctypes.c_void_p]
@@ -165,6 +170,120 @@ def pack_atlas_entries(entries: dict, atlas_size: int):
     return ids, levels, rects
 
 
+def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv) -> None:
+    """Shared context setup + layer walk for the export variants."""
+    if atlas_entries:
+        ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
+        lib.fd_set_atlas(
+            ctx,
+            ids.ctypes.data_as(ctypes.c_void_p),
+            levels.ctypes.data_as(ctypes.c_void_p),
+            rects.ctypes.data_as(ctypes.c_void_p),
+            ids.shape[0],
+            ctypes.c_float(float(atlas_size)),
+        )
+    lib.fd_set_white_uv(
+        ctx, ctypes.c_double(white_uv[0]), ctypes.c_double(white_uv[1])
+    )
+    for _lvl, lst in renders.sorted_pairs():
+        nodes = np.ascontiguousarray(lst.view())
+        roots = np.asarray(lst.root_ids, dtype=np.int32)
+        ops, points = lst.ops_view()
+        ops = np.ascontiguousarray(ops)
+        points = np.ascontiguousarray(points)
+        lib.fd_set_geometry(
+            ctx,
+            ops.ctypes.data_as(ctypes.c_void_p),
+            ops.shape[0],
+            points.ctypes.data_as(ctypes.c_void_p),
+            points.shape[0],
+        )
+        lib.fd_flatten_layer(
+            ctx,
+            nodes.ctypes.data_as(ctypes.c_void_p),
+            nodes.shape[0],
+            roots.ctypes.data_as(ctypes.c_void_p),
+            roots.shape[0],
+        )
+
+
+def _export_tape(lib, ctx, frame_w, frame_h, clear_color) -> Tape:
+    n_quads = lib.fd_quad_count(ctx)
+    n_items = lib.fd_item_count(ctx)
+    tape = Tape(capacity=max(n_quads, 1))
+    items = np.zeros((max(n_items, 1), 5), dtype=np.int32)
+    rc = lib.fd_export(
+        ctx,
+        tape.fields.ctypes.data_as(ctypes.c_void_p),
+        tape.modes.ctypes.data_as(ctypes.c_void_p),
+        tape.fields.shape[0],
+        items.ctypes.data_as(ctypes.c_void_p),
+        items.shape[0],
+    )
+    assert rc == n_quads
+    tape.count = n_quads
+    tape.mask_count = lib.fd_mask_count(ctx)
+    tape.frame_size = (frame_w, frame_h)
+    tape.clear_color = clear_color
+    for i in range(n_items):
+        kind, target, start, end, rbits = items[i]
+        if kind == 0:
+            tape.items.append(DrawItem(target=int(target), start=int(start), end=int(end)))
+        elif kind == 1:
+            tape.items.append(
+                BlurItem(radius=float(np.int32(rbits).view(np.float32)))
+            )
+        else:
+            tape.items.append(ClearMaskItem(index=int(target)))
+    return tape
+
+
+def flatten_fast(
+    renders: RendersArray,
+    frame_w: float,
+    frame_h: float,
+    ui_scale: float,
+    pixel_scale: float,
+    aa_factor: float,
+    clear_color,
+    atlas_entries: Optional[dict] = None,
+    atlas_size: int = 1,
+    white_uv=(0.0, 0.0),
+    min_items: int = 24,
+    bucket=None,
+):
+    """One C++ walk, best export for the scene:
+
+    ("mega", combo, mask_count) — mask-heavy pure-SDF scene exported straight
+    to the megakernel combo buffer (rows+1, 70) f32 with a zero meta row; no
+    Tape objects, no Python packing.
+    ("tape", tape) — everything else (light scenes, blur/atlas/backdrop).
+    None — native path unavailable or unsupported node kinds."""
+    lib = _load()
+    if lib is None or not renders.all_native_kinds():
+        return None
+    row_width = QF_WIDTH + 2
+    ctx = lib.fd_create(
+        ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
+    )
+    try:
+        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv)
+        info = np.zeros(4, np.int32)
+        lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
+        n_quads, n_items, mask_count, flags = (int(v) for v in info)
+        if n_items > min_items and flags == 0:
+            cap = (bucket or (lambda v: v))(n_quads + n_items)
+            combo = np.zeros((cap + 1, row_width), np.float32)  # +1 meta row
+            rows = lib.fd_export_mega(
+                ctx, combo.ctypes.data_as(ctypes.c_void_p), cap, row_width
+            )
+            if rows >= 0:
+                return "mega", combo, mask_count
+        return "tape", _export_tape(lib, ctx, frame_w, frame_h, clear_color)
+    finally:
+        lib.fd_destroy(ctx)
+
+
 def flatten_renders_array(
     renders: RendersArray,
     frame_w: float,
@@ -189,66 +308,7 @@ def flatten_renders_array(
         ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
     )
     try:
-        if atlas_entries:
-            ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
-            lib.fd_set_atlas(
-                ctx,
-                ids.ctypes.data_as(ctypes.c_void_p),
-                levels.ctypes.data_as(ctypes.c_void_p),
-                rects.ctypes.data_as(ctypes.c_void_p),
-                ids.shape[0],
-                ctypes.c_float(float(atlas_size)),
-            )
-        lib.fd_set_white_uv(
-            ctx, ctypes.c_double(white_uv[0]), ctypes.c_double(white_uv[1])
-        )
-        for _lvl, lst in renders.sorted_pairs():
-            nodes = np.ascontiguousarray(lst.view())
-            roots = np.asarray(lst.root_ids, dtype=np.int32)
-            ops, points = lst.ops_view()
-            ops = np.ascontiguousarray(ops)
-            points = np.ascontiguousarray(points)
-            lib.fd_set_geometry(
-                ctx,
-                ops.ctypes.data_as(ctypes.c_void_p),
-                ops.shape[0],
-                points.ctypes.data_as(ctypes.c_void_p),
-                points.shape[0],
-            )
-            lib.fd_flatten_layer(
-                ctx,
-                nodes.ctypes.data_as(ctypes.c_void_p),
-                nodes.shape[0],
-                roots.ctypes.data_as(ctypes.c_void_p),
-                roots.shape[0],
-            )
-        n_quads = lib.fd_quad_count(ctx)
-        n_items = lib.fd_item_count(ctx)
-        tape = Tape(capacity=max(n_quads, 1))
-        items = np.zeros((max(n_items, 1), 5), dtype=np.int32)
-        rc = lib.fd_export(
-            ctx,
-            tape.fields.ctypes.data_as(ctypes.c_void_p),
-            tape.modes.ctypes.data_as(ctypes.c_void_p),
-            tape.fields.shape[0],
-            items.ctypes.data_as(ctypes.c_void_p),
-            items.shape[0],
-        )
-        assert rc == n_quads
-        tape.count = n_quads
-        tape.mask_count = lib.fd_mask_count(ctx)
-        tape.frame_size = (frame_w, frame_h)
-        tape.clear_color = clear_color
-        for i in range(n_items):
-            kind, target, start, end, rbits = items[i]
-            if kind == 0:
-                tape.items.append(DrawItem(target=int(target), start=int(start), end=int(end)))
-            elif kind == 1:
-                tape.items.append(
-                    BlurItem(radius=float(np.int32(rbits).view(np.float32)))
-                )
-            else:
-                tape.items.append(ClearMaskItem(index=int(target)))
-        return tape
+        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv)
+        return _export_tape(lib, ctx, frame_w, frame_h, clear_color)
     finally:
         lib.fd_destroy(ctx)

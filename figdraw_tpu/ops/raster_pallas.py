@@ -259,6 +259,134 @@ def draw_pass_mask_prebinned(fields, modes, start, end, tile_idx, tile_counts,
     )
 
 
+# --- megakernel: the whole multi-pass frame as ONE tile walk ---------------------
+#
+# Mask-heavy scenes (one clip per table cell — the reference's
+# windy_clip_mask_benchmark) cost one full-frame Pallas pass per draw run and
+# per mask write in the rolled executor: ~3 passes per cell, each DMAing every
+# frame tile through VMEM. The megakernel removes the pass structure entirely:
+# the executor bakes each quad's TARGET (frame or mask plane k) and the
+# clear-mask boundaries into the mode lane's high bits, and one kernel walks
+# each tile's binned quads once in tape order, holding the frame AND the mask
+# planes in VMEM registers. Per-tile cost is proportional to the quads that
+# touch the tile; HBM traffic is one frame read + one write, independent of
+# how many masks the scene uses.
+#
+# Mode-lane packing (host side, executor.pack_mega_modes):
+#   bits  0-11  sdf mode (mode + 128*elliptical + 256*fillMode, < 4096)
+#   bit     12  clear-mask sentinel (fields row carries a full-frame bbox)
+#   bits 16+    target + 1 (0 = frame, k+1 = mask plane k)
+
+MEGA_CLEAR_BIT = 1 << 12
+MEGA_TARGET_SHIFT = 16
+MEGA_MODE_MASK = 0xFFF
+
+
+def _mega_kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
+                 out_ref, *, tiles_x: int, n_masks: int):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * tiles_x + tx
+    count = counts_ref[t]
+
+    th, tw = frame_ref.shape[1], frame_ref.shape[2]
+    y0 = (ty * th).astype(jnp.float32)
+    x0 = (tx * tw).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
+    py = y0 + iy + 0.5
+    px = x0 + ix + 0.5
+
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (n_masks, th, tw), 0)
+    masks0 = (kiota == 0).astype(jnp.float32)  # plane 0 = all-pass parent
+
+    def body(j, carry):
+        r, g, b, a, masks = carry
+        qi = tidx_ref[0, 0, j]
+        raw = modes_ref[qi, QI_MODE]
+        tgt_enc = jax.lax.shift_right_logical(raw, MEGA_TARGET_SHIFT)
+        is_clear = jax.lax.shift_right_logical(raw, 12) & 1
+        mode = raw & MEGA_MODE_MASK
+        mask_i = modes_ref[qi, QI_MASK]
+
+        def clear_branch(c):
+            r, g, b, a, masks = c
+            masks = jnp.where(kiota == tgt_enc - 1, 0.0, masks)
+            return r, g, b, a, masks
+
+        def draw_branch(c):
+            r, g, b, a, masks = c
+
+            def fget(k):
+                return fields_ref[qi, k]
+
+            fr, fg, fb, fa = eval_quad_planar(fget, mode, px, py)
+            parent = jnp.where(kiota == mask_i, masks, 0.0).sum(axis=0)
+            fa = fa * parent
+
+            def to_frame(_):
+                inv = 1.0 - fa
+                return (fr * fa + r * inv, fg * fa + g * inv,
+                        fb * fa + b * inv, fa + a * inv, masks)
+
+            def to_mask(_):
+                tk = tgt_enc - 1
+                cur = jnp.where(kiota == tk, masks, 0.0).sum(axis=0)
+                new = fa * fa + cur * (1.0 - fa)  # mask.frag through GL blend
+                return (r, g, b, a, jnp.where(kiota == tk, new[None], masks))
+
+            return jax.lax.cond(tgt_enc == 0, to_frame, to_mask, None)
+
+        return jax.lax.cond(is_clear == 1, clear_branch, draw_branch, carry)
+
+    init = (frame_ref[0], frame_ref[1], frame_ref[2], frame_ref[3], masks0)
+    r, g, b, a, _masks = jax.lax.fori_loop(jnp.int32(0), count, body, init)
+    out_ref[0] = r
+    out_ref[1] = g
+    out_ref[2] = b
+    out_ref[3] = a
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "n_masks"))
+def _raster_mega(fields, modes, tile_idx, tile_counts, frame_planes,
+                 tiles_y: int, tiles_x: int, n_masks: int):
+    n = fields.shape[0]
+    th, tw = TILE_H, TILE_W
+
+    def tile_map(ty, tx, *_refs):
+        return (0, ty, tx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tile_counts
+        grid=(tiles_y, tiles_x),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fields
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # modes
+            pl.BlockSpec((1, 1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(_mega_kernel, tiles_x=tiles_x, n_masks=n_masks)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(frame_planes.shape, jnp.float32),
+        interpret=_interpret(),
+    )(tile_counts, fields, modes, tile_idx, frame_planes)
+
+
+def draw_pass_mega(fields, modes, frame_planes, n_masks: int):
+    """One-kernel whole frame over target-baked modes; frame_planes (4, PH, PW)."""
+    ph, pw = frame_planes.shape[1], frame_planes.shape[2]
+    tile_idx, tile_counts = prebin(fields, jnp.int32(fields.shape[0]), ph, pw)
+    return _raster_mega(
+        fields, modes, tile_idx, tile_counts, frame_planes,
+        ph // TILE_H, pw // TILE_W, n_masks,
+    )
+
+
 def draw_pass_frame(fields, modes, count, frame, masks, atlas=None, backdrop=None,
                     subpixel_positioning: bool = False):
     """(H, W, 4)-layout convenience wrapper around draw_pass_planar."""

@@ -454,6 +454,46 @@ class FigRenderer:
         clear = np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32)
         rolled = len(structure) > ROLLED_THRESHOLD  # mask-heavy: constant compile cost
 
+        # mask-heavy pure-SDF scenes: bake targets into the mode lane and run
+        # the whole frame as ONE Pallas kernel (executor.get_mega_executor) —
+        # constant HBM traffic instead of a full-frame pass per item
+        mega = (
+            rolled
+            and self.use_pallas
+            and not seen_blur
+            and not bool(is_atlas_mode[: tape.count].any())
+            and not bool(is_backdrop_mode[: tape.count].any())
+        )
+        if mega:
+            mf, mm = ex.pack_mega_modes(
+                tape, tape.fields[: tape.count], tape.modes[: tape.count]
+            )
+            nm = _bucket(max(mf.shape[0], 1))
+            mega_fields = np.zeros((nm, QF_WIDTH), dtype=np.float32)
+            mega_modes = np.zeros((nm, QI_WIDTH), dtype=np.int32)
+            mega_fields[: mf.shape[0]] = mf
+            mega_modes[: mm.shape[0]] = mm
+            combo = ex.pack_tape_upload(
+                mega_fields, mega_modes, np.zeros((0, 2), np.int32),
+                np.zeros((0,), np.float32), clear,
+            )
+            try:
+                frame = ex.get_mega_executor(
+                    height, width, n_masks, has_init_frame
+                )(jnp.asarray(combo), init_frame)
+                self.last_frame = frame
+                return frame
+            except Exception as exc:
+                from .utils.perf import log_kv
+                import logging
+
+                log_kv(
+                    logging.WARNING,
+                    "mega rasterizer failed; falling back to the XLA path",
+                    error=repr(exc),
+                )
+                self.use_pallas = False  # fall through to the rolled XLA path
+
         if rolled:
             item_rows = []
             item_radii = []
@@ -556,12 +596,89 @@ class FigRenderer:
         with perf("frame"):
             with perf("messages"):
                 self.process_image_messages()
-            with perf("flatten"):
-                tape = self.flatten(renders, fs, clear_main, clear_color)
-            with perf("execute"):
-                frame = self.execute(tape)
+            from .nodesarray import RendersArray
+
+            frame = None
+            tape = None
+            if self.use_pallas and isinstance(renders, RendersArray):
+                with perf("mega"):
+                    frame, tape = self._render_native_fast(
+                        renders, fs, clear_main, clear_color
+                    )
+            if frame is None:
+                if tape is None:
+                    with perf("flatten"):
+                        tape = self.flatten(renders, fs, clear_main, clear_color)
+                with perf("execute"):
+                    frame = self.execute(tape)
             self.publish_atlas_usage()
         return frame
+
+    def _render_native_fast(self, renders, fs, clear_main, clear_color):
+        """Mask-heavy fast path: C++ walk → megakernel combo → ONE Pallas
+        kernel, skipping Tape construction and Python packing entirely.
+        Returns (frame, None) on success, (None, tape) when the scene took
+        the tape export instead, (None, None) when the native walk is
+        unavailable (the Python walk runs)."""
+        from . import native
+        from . import executor as ex
+        from .basics import fig_ui_scale
+
+        result = native.flatten_fast(
+            renders,
+            fs.x,
+            fs.y,
+            fig_ui_scale(),
+            self._pixel_scale,
+            self.aa_factor,
+            (
+                (clear_color.r, clear_color.g, clear_color.b, clear_color.a)
+                if clear_main
+                else None
+            ),
+            atlas_entries=self.atlas.entries,
+            atlas_size=self.atlas.size,
+            white_uv=self._white_uv(),
+            min_items=ROLLED_THRESHOLD,
+            bucket=_bucket,
+        )
+        if result is None:
+            return None, None
+        if result[0] == "tape":
+            return None, result[1]
+        _, combo, mask_count = result
+        width = int(round(fs.x))
+        height = int(round(fs.y))
+        has_init_frame = not clear_main
+        if has_init_frame:
+            if self.last_frame is not None and self.last_frame.shape[:2] == (
+                height, width,
+            ):
+                init_frame = self.last_frame
+            else:
+                init_frame = jnp.zeros((height, width, 4), jnp.float32)
+        else:
+            combo[-1, 0:4] = (
+                clear_color.r, clear_color.g, clear_color.b, clear_color.a,
+            )
+            init_frame = self._dummy_init_frame()
+        try:
+            frame = ex.get_mega_executor(
+                height, width, mask_count + 1, has_init_frame
+            )(jnp.asarray(combo), init_frame)
+        except Exception as exc:
+            from .utils.perf import log_kv
+            import logging
+
+            log_kv(
+                logging.WARNING,
+                "mega rasterizer failed; falling back",
+                error=repr(exc),
+            )
+            self.use_pallas = False
+            return None, None
+        self.last_frame = frame
+        return frame, None
 
     def take_screenshot(self, frame=None) -> np.ndarray:
         """Last rendered frame as uint8 RGBA (readPixels analog)."""

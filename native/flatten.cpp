@@ -280,6 +280,7 @@ struct Ctx {
   int mask_write = 0;
   int mask_count = 0;
   bool mask_begun = false;
+  bool any_atlas = false, any_backdrop = false;
   std::vector<RectMask> rect_masks;
   // open run
   bool run_open = false;
@@ -313,6 +314,10 @@ struct Ctx {
   }
 
   float* alloc_quad(int mask_read, int packed_mode) {
+    int base = packed_mode % 256;
+    if (base >= 128) base -= 128;
+    if (base == 0 || (base >= 13 && base <= 16)) any_atlas = true;
+    if (base == 17) any_backdrop = true;
     size_t need = (size_t)(count + 1) * QF_WIDTH;
     if (fields.size() < need) fields.resize(need * 2, 0.0f);
     if (modes.size() < (size_t)(count + 1) * QI_WIDTH)
@@ -1403,6 +1408,126 @@ int fd_quad_count(Ctx* ctx) {
 
 int fd_item_count(Ctx* ctx) { return (int)ctx->items.size(); }
 int fd_mask_count(Ctx* ctx) { return ctx->mask_count; }
+
+// Tape summary for host-side path selection: out = [n_quads, n_items,
+// mask_count, flags] with flags bit0 = has blur items, bit1 = any atlas-
+// sampling quad, bit2 = any backdrop quad.
+void fd_tape_info(Ctx* ctx, int32_t out[4]) {
+  ctx->close_run();
+  out[0] = ctx->count;
+  out[1] = (int32_t)ctx->items.size();
+  out[2] = ctx->mask_count;
+  int32_t flags = 0;
+  for (const Item& it : ctx->items)
+    if (it.kind == 1) { flags |= 1; break; }
+  if (ctx->any_atlas) flags |= 2;
+  if (ctx->any_backdrop) flags |= 4;
+  out[3] = flags;
+}
+
+// Megakernel combo export (executor.pack_mega_modes in C++): quads in tape
+// order with (target+1)<<16 baked into the mode lane, clear-mask sentinels
+// spliced in with TIGHT bboxes (union of the quads that read or write the
+// plane before its next clear — the clear is a provable no-op elsewhere).
+// Each row is row_width floats: QF_WIDTH fields then the two mode lanes
+// bit-cast into float slots. Returns rows written, or -1 if rows_cap is too
+// small (upper bound: n_quads + n_items).
+int fd_export_mega(Ctx* ctx, float* combo, int rows_cap, int row_width) {
+  ctx->close_run();
+  const int n = ctx->count;
+  if (row_width < QF_WIDTH + 2) return -1;
+
+  // per-quad encoded target (0 = frame, k+1 = mask plane k)
+  std::vector<int32_t> tgt(n, 0);
+  struct ClearRec { int pos; int plane; float bb[4]; bool live; };
+  std::vector<ClearRec> clears;
+  {
+    int cursor = 0;
+    for (const Item& it : ctx->items) {
+      if (it.kind == 0) {
+        if (it.target >= 0)
+          for (int q = it.start; q < it.end; q++) tgt[q] = it.target + 1;
+        if (it.end > cursor) cursor = it.end;
+      } else if (it.kind == 2) {
+        clears.push_back({cursor, it.target, {0, 0, 0, 0}, false});
+      }
+    }
+  }
+
+  // tight bboxes: per plane, one pass over the quads between its clears
+  for (int k = 1; k <= ctx->mask_count; k++) {
+    std::vector<int> idxs;
+    for (size_t c = 0; c < clears.size(); c++)
+      if (clears[c].plane == k) idxs.push_back((int)c);
+    for (size_t i = 0; i < idxs.size(); i++) {
+      ClearRec& cr = clears[idxs[i]];
+      int seg_end = (i + 1 < idxs.size()) ? clears[idxs[i + 1]].pos : n;
+      double mnx = 1e30, mny = 1e30, mxx = -1e30, mxy = -1e30;
+      for (int q = cr.pos; q < seg_end; q++) {
+        if (tgt[q] != k + 1 && ctx->modes[(size_t)q * QI_WIDTH + 1] != k)
+          continue;
+        const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
+        mnx = std::fmin(mnx, (double)f[QF_BBOX + 0]);
+        mny = std::fmin(mny, (double)f[QF_BBOX + 1]);
+        mxx = std::fmax(mxx, (double)f[QF_BBOX + 2]);
+        mxy = std::fmax(mxy, (double)f[QF_BBOX + 3]);
+      }
+      if (mxx > mnx && mxy > mny) {
+        cr.live = true;
+        cr.bb[0] = (float)mnx; cr.bb[1] = (float)mny;
+        cr.bb[2] = (float)mxx; cr.bb[3] = (float)mxy;
+      }
+    }
+  }
+
+  // emission in item order
+  int rows = 0;
+  size_t ci = 0;
+  int cursor = 0;
+  auto emit_clear_at = [&](int pos) -> bool {
+    while (ci < clears.size() && clears[ci].pos <= pos) {
+      const ClearRec& cr = clears[ci];
+      if (cr.live) {
+        if (rows >= rows_cap) return false;
+        float* row = combo + (size_t)rows * row_width;
+        std::memset(row, 0, (size_t)row_width * sizeof(float));
+        row[QF_BBOX + 0] = cr.bb[0];
+        row[QF_BBOX + 1] = cr.bb[1];
+        row[QF_BBOX + 2] = cr.bb[2];
+        row[QF_BBOX + 3] = cr.bb[3];
+        int32_t m = 4096 + ((cr.plane + 1) << 16);  // MEGA_CLEAR_BIT | target
+        std::memcpy(&row[QF_WIDTH], &m, 4);
+        rows++;
+      }
+      ci++;
+    }
+    return true;
+  };
+  for (const Item& it : ctx->items) {
+    if (it.kind == 2) continue;  // handled by position
+    if (it.kind != 0) continue;  // blur items invalid here (host gates)
+    if (!emit_clear_at(it.start)) return -1;
+    for (int q = it.start; q < it.end; q++) {
+      if (rows >= rows_cap) return -1;
+      float* row = combo + (size_t)rows * row_width;
+      std::memcpy(row, &ctx->fields[(size_t)q * QF_WIDTH],
+                  QF_WIDTH * sizeof(float));
+      int32_t m = ctx->modes[(size_t)q * QI_WIDTH + 0] + (tgt[q] << 16);
+      int32_t mk = ctx->modes[(size_t)q * QI_WIDTH + 1];
+      std::memcpy(&row[QF_WIDTH], &m, 4);
+      std::memcpy(&row[QF_WIDTH + 1], &mk, 4);
+      if (row_width > QF_WIDTH + 2)
+        std::memset(&row[QF_WIDTH + 2], 0,
+                    (size_t)(row_width - QF_WIDTH - 2) * sizeof(float));
+      rows++;
+    }
+    cursor = it.end;
+  }
+  if (!emit_clear_at(n)) return -1;  // trailing clears
+  (void)cursor;
+  return rows;
+}
+
 int fd_fig_struct_size() { return (int)sizeof(Fig); }
 int fd_op_struct_size() { return (int)sizeof(DrawOp); }
 

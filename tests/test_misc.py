@@ -219,12 +219,49 @@ def test_rolled_executor_matches_unrolled(monkeypatch):
     rolled = ren_b.take_screenshot()
 
     assert np.array_equal(unrolled, rolled)
-    # and through pallas (interpret on CPU)
+    # and through pallas (interpret on CPU) — with the low threshold this is
+    # the megakernel path (one kernel for the whole multi-mask frame)
     ren_c = FigRenderer(atlas_size=64, use_pallas=True)
     ren_c.render_frame(scene, vec2(128, 96))
+    assert ren_c.use_pallas, "mega path fell back to XLA"
     rolled_pallas = ren_c.take_screenshot()
     diff = np.abs(rolled_pallas.astype(int) - unrolled.astype(int))
     assert diff.max() <= 1
+
+
+def test_mega_executor_nested_masks(monkeypatch):
+    """Megakernel parity on nested clips (mask planes beyond depth 1) and
+    sibling mask reuse with clears."""
+    import figdraw_tpu.renderer as renderer_mod
+    from figdraw_tpu import Fig, FigFlags, FigKind
+
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 160, 120),
+                     fill=fill(rgba(255, 255, 255, 255))))
+    for i in range(6):
+        outer = lst.add_root(Fig(
+            kind=FigKind.nkRectangle, screen_box=rect(6 + i * 25, 10, 22, 100),
+            corners=(6, 6, 6, 6), flags=FigFlags.NfClipContent,
+            fill=fill(rgba(220, 220, 230, 255))))
+        inner = lst.add_child(outer, Fig(
+            kind=FigKind.nkRectangle, screen_box=rect(2 + i * 25, 20 + i * 8, 40, 40),
+            corners=(12, 12, 12, 12), flags=FigFlags.NfClipContent,
+            fill=fill(rgba(80, 160, 220, 255))))
+        lst.add_child(inner, Fig(
+            kind=FigKind.nkRectangle, screen_box=rect(0, 0, 200, 200),
+            fill=fill(rgba(230, 90, 40, 150)), rotation=20.0))
+    scene = new_renders()
+    scene.set_layer(0, lst)
+
+    monkeypatch.setattr(renderer_mod, "ROLLED_THRESHOLD", 4)
+    ren_xla = FigRenderer(atlas_size=64, use_pallas=False)
+    ren_xla.render_frame(scene, vec2(160, 120))
+    ref = ren_xla.take_screenshot()
+    ren_mega = FigRenderer(atlas_size=64, use_pallas=True)
+    ren_mega.render_frame(scene, vec2(160, 120))
+    assert ren_mega.use_pallas, "mega path fell back to XLA"
+    got = ren_mega.take_screenshot()
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
 
 
 @pytest.mark.skipif(

@@ -102,6 +102,8 @@ class GlyphArrangement:
     max_size: Vec2 = field(default_factory=Vec2)
     min_size: Vec2 = field(default_factory=Vec2)
     bounding: Rect = field(default_factory=Rect)
+    bidi_levels: List[int] = field(default_factory=list)  # per source rune
+    bidi_bases: List[int] = field(default_factory=list)  # paragraph base levels
 
     def glyph_rect(self, index: int) -> Rect:
         return self.arranged_glyphs[index].rect
@@ -215,11 +217,15 @@ class GlyphArrangement:
         return rect(min_x, min_y, max_x - min_x, max_y - min_y)
 
     def is_rtl_at(self, glyph_index: int) -> bool:
-        """RTL detection by codepoint block (fonttypes.nim:430-442); the
-        cmap+kern shaper lays out LTR, so this reports source directionality."""
+        """RTL at a glyph = odd resolved bidi level (fonttypes.nim:430-442;
+        levels from text/bidi.py's UAX#9 pass); codepoint-block heuristic
+        when levels are absent (place_glyphs arrangements)."""
         if not (0 <= glyph_index < len(self.arranged_glyphs)):
             return False
-        cp = ord(self.arranged_glyphs[glyph_index].rune[0]) if self.arranged_glyphs[glyph_index].rune else 0
+        g = self.arranged_glyphs[glyph_index]
+        if self.bidi_levels and g.source.rune_start < len(self.bidi_levels):
+            return self.bidi_levels[g.source.rune_start] % 2 == 1
+        cp = ord(g.rune[0]) if g.rune else 0
         return (
             0x0590 <= cp <= 0x08FF
             or 0xFB1D <= cp <= 0xFDFF
@@ -321,7 +327,18 @@ def typeset(
     glyphs: List[ArrangedGlyph] = []
     source_index = 0
 
-    # --- shape all spans into a flat glyph run -----------------------------------
+    # --- bidi analysis over the full logical text (UAX#9, text/bidi.py) ----------
+    from . import bidi as bidi_mod
+    from .shaper import DEFAULT_GSUB_FEATURES, get_shaper
+
+    span_texts = [apply_font_case(t, f.font_case) for f, _c, t in spans]
+    full_text = "".join(span_texts)
+    levels, bases = bidi_mod.compute_levels(full_text) if full_text else ([], [])
+    arr.bidi_levels = levels
+    arr.bidi_bases = bases
+    any_rtl = any(l % 2 for l in levels)
+
+    # --- shape all spans into a flat glyph run (logical order) -------------------
     for span_index, (font, color_fill, text) in enumerate(spans):
         gf = _glyph_font(font, ui_scale)
         arr.fonts.append(gf)
@@ -329,56 +346,95 @@ def typeset(
         tf = get_typeface(font.typeface_id)
         s = tf.scale_for(gf.size)
         span_start = len(glyphs)
-        shaped = apply_font_case(text, font.font_case)
-        prev_gid = None
+        shaped = span_texts[span_index]
+        feats = frozenset(
+            (set(DEFAULT_GSUB_FEATURES)
+             | {f.tag for f in font.features if f.value})
+            - {f.tag for f in font.features if not f.value}
+        )
+
+        # per-char resolution: mirrored lookup codepoint (L4) + font fallback
+        # (fontfallbacks.nim:4-25; harfbuzzy.nim:319-394)
+        records = []  # (src, ch, cp, tf_resolved, font_id, adv_scale)
         for ch in shaped:
             arr.source_runes.append(ch)
+            src = source_index
+            source_index += 1
             if ch == "\n":
-                glyphs.append(ArrangedGlyph(
-                    font_id=gf.font_id, glyph_id=0, cluster=source_index,
-                    source=GlyphSourceRange(source_index, source_index + 1),
-                    rune=ch, is_whitespace=True, pos=vec2(0, 0), advance=vec2(0, 0),
-                    span_index=span_index, fill=color_fill,
-                ))
-                source_index += 1
-                prev_gid = None
+                records.append((src, ch, 0, None, gf.font_id, s))
                 continue
-            gid = tf.glyph_id(ord(ch))
+            cp = ord(ch)
+            if any_rtl and levels[src] % 2:
+                cp = ord(bidi_mod.mirror_char(ch))
             glyph_font_id = gf.font_id
+            rtf = tf
             adv_scale = s
-            if gid == 0 and font.fallback_typeface_ids:
-                # codepoint-coverage font fallback (fontfallbacks.nim:4-25;
-                # harfbuzzy.nim:319-394)
+            if tf.glyph_id(cp) == 0 and font.fallback_typeface_ids:
                 for fb_id in font.fallback_typeface_ids:
                     fb_tf = get_typeface(fb_id)
-                    if fb_tf.has_codepoint(ord(ch)):
-                        gid = fb_tf.glyph_id(ord(ch))
+                    if fb_tf.has_codepoint(cp):
                         fb_font = FigFont(
                             typeface_id=fb_id, size=font.size,
                             line_height=font.line_height, font_case=font.font_case,
                         )
                         glyph_font_id = register_font(fb_font, ui_scale)
                         adv_scale = fb_tf.scale_for(gf.size)
-                        tf_for_adv = fb_tf
+                        rtf = fb_tf
                         break
-                else:
-                    tf_for_adv = tf
-            else:
-                tf_for_adv = tf
-            adv = tf_for_adv.advance(gid) * adv_scale
-            if prev_gid is not None and not font.no_kerning_adjustments:
-                adv_kern = tf.kerning(prev_gid, gid) * s
-                if glyphs:
-                    g = glyphs[-1]
-                    g.advance = vec2(g.advance.x + adv_kern, 0.0)
-            glyphs.append(ArrangedGlyph(
-                font_id=glyph_font_id, glyph_id=gid, cluster=source_index,
-                source=GlyphSourceRange(source_index, source_index + 1),
-                rune=ch, is_whitespace=ch.isspace(), pos=vec2(0, 0),
-                advance=vec2(adv, 0.0), span_index=span_index, fill=color_fill,
-            ))
-            source_index += 1
-            prev_gid = gid
+            records.append((src, ch, cp, rtf, glyph_font_id, adv_scale))
+
+        # segment by resolved font; shape each segment through the OpenType
+        # mini-shaper (GSUB liga/ccmp + GPOS kern — text/shaper.py) when the
+        # face carries the tables, else 1:1 cmap with kern-table kerning
+        i = 0
+        while i < len(records):
+            src, ch, cp, rtf, rfid, rs = records[i]
+            if ch == "\n":
+                glyphs.append(ArrangedGlyph(
+                    font_id=rfid, glyph_id=0, cluster=src,
+                    source=GlyphSourceRange(src, src + 1),
+                    rune=ch, is_whitespace=True, pos=vec2(0, 0),
+                    advance=vec2(0, 0), span_index=span_index, fill=color_fill,
+                ))
+                i += 1
+                continue
+            j = i
+            while j < len(records) and records[j][1] != "\n" and records[j][4] == rfid:
+                j += 1
+            seg = records[i:j]
+            names = [rtf.glyph_name(rtf.glyph_id(r[2])) for r in seg]
+            clusters = [(r[0], r[0] + 1) for r in seg]
+            shaper = get_shaper(rtf)
+            if shaper is not None:
+                if any(0x0600 <= r[2] <= 0x077F for r in seg):
+                    names = shaper.apply_arabic_forms(
+                        names, [r[2] for r in seg]
+                    )
+                names, clusters = shaper.substitute(names, clusters, feats)
+            use_gpos = shaper is not None and shaper.has_gpos_kern
+            prev_name = None
+            for name, (cs, ce) in zip(names, clusters):
+                gid = rtf._name_to_gid.get(name, 0)
+                adv = rtf.advance(gid) * rs
+                if prev_name is not None and not font.no_kerning_adjustments:
+                    if use_gpos:
+                        adv_kern = shaper.pair_kern(prev_name, name) * rs
+                    else:
+                        adv_kern = rtf.kerning(
+                            rtf._name_to_gid.get(prev_name, 0), gid
+                        ) * rs
+                    if adv_kern and glyphs:
+                        g = glyphs[-1]
+                        g.advance = vec2(g.advance.x + adv_kern, 0.0)
+                rune = full_text[cs]
+                glyphs.append(ArrangedGlyph(
+                    font_id=rfid, glyph_id=gid, cluster=cs,
+                    source=GlyphSourceRange(cs, ce),
+                    rune=rune, is_whitespace=rune.isspace(), pos=vec2(0, 0),
+                    advance=vec2(adv, 0.0), span_index=span_index, fill=color_fill,
+                ))
+                prev_name = name
+            i = j
         arr.spans.append((span_start, len(glyphs) - 1))
 
     # --- line breaking ---------------------------------------------------------------
@@ -446,7 +502,23 @@ def typeset(
             x = bounds.x - visible_w if bounds.x > 0 else 0.0
         else:
             x = 0.0
-        for i in range(s_i, e_i + 1):
+        # visual order (bidi L1+L2) — glyph storage stays logical so the
+        # selection/caret APIs keep logical indexing; only pen x order flips
+        if any_rtl:
+            line_levels = [
+                arr.bidi_levels[glyphs[i].source.rune_start]
+                for i in range(s_i, e_i + 1)
+            ]
+            line_types = [
+                bidi_mod.char_type(full_text[glyphs[i].source.rune_start])
+                for i in range(s_i, e_i + 1)
+            ]
+            para = arr.bidi_bases[glyphs[s_i].source.rune_start]
+            order = bidi_mod.line_visual_order(line_levels, line_types, para)
+        else:
+            order = range(e_i - s_i + 1)
+        for k in order:
+            i = s_i + k
             g = glyphs[i]
             g.line_index = line_index
             g.pos = vec2(x, baseline)

@@ -1,0 +1,312 @@
+"""OpenType shaping over fontTools GSUB/GPOS tables.
+
+The reference's harfbuzzy backend shapes through HarfBuzz (features,
+ligatures, GPOS kerning — textbackends/harfbuzzy.nim:395+). HarfBuzz isn't in
+this image, so this is a direct mini-shaper on the font's own tables:
+
+- GSUB lookup types 1 (single substitution) and 4 (ligatures), applied in
+  LookupList order for the selected features; extension (7) unwrapped.
+  Default feature set mirrors HarfBuzz's horizontal defaults that these
+  lookup types can express: ccmp, liga, clig, rlig (+ FigFont.features
+  overrides: value 0 disables, >0 enables extra tags like dlig/hlig/salt).
+- GPOS lookup type 2 (pair positioning, both formats; extension 9 unwrapped)
+  for the kern feature — modern fonts carry kerning here rather than in the
+  legacy kern table, which layout.py uses as the fallback.
+
+Unsupported (documented subset): contextual/chained lookups (GSUB 5/6,
+GPOS 7/8), mark attachment (GPOS 4-6), lookup flags (mark skipping).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig")
+
+
+def _select_lookups(table, wanted_tags, scripts=("DFLT", "latn", "arab")) -> List[int]:
+    """Lookup indices for the wanted feature tags, unioned over the given
+    script tags (features live per script; lookups are glyph-driven, so a
+    union is safe — e.g. arab ligature lookups never match latin glyphs), in
+    LookupList order."""
+    if table is None or table.FeatureList is None or table.ScriptList is None:
+        return []
+    by_tag = {sr.ScriptTag: sr.Script for sr in table.ScriptList.ScriptRecord}
+    records = table.FeatureList.FeatureRecord
+    lookups: List[int] = []
+    chosen = [by_tag[t] for t in scripts if t in by_tag]
+    if not chosen and table.ScriptList.ScriptRecord:
+        chosen = [table.ScriptList.ScriptRecord[0].Script]
+    for script in chosen:
+        if script is None or script.DefaultLangSys is None:
+            continue
+        for fi in script.DefaultLangSys.FeatureIndex:
+            if fi < len(records) and records[fi].FeatureTag in wanted_tags:
+                lookups.extend(records[fi].Feature.LookupListIndex)
+    return sorted(set(lookups))
+
+
+def _unwrap(lookup, subtable):
+    if lookup.LookupType in (7, 9):  # GSUB/GPOS extension
+        return subtable.ExtensionLookupType, subtable.ExtSubTable
+    return lookup.LookupType, subtable
+
+
+class OpenTypeShaper:
+    """Per-typeface shaping tables; build with `get_shaper(typeface)`."""
+
+    def __init__(self, tt):
+        self._gsub = tt.get("GSUB")
+        # feature set → ordered plan of ("single", mapping) / ("liga", map)
+        self._plans: Dict[frozenset, List[Tuple[str, dict]]] = {}
+        self._forms: Optional[Dict[str, dict]] = None
+
+        self._pair_specific: Dict[Tuple[str, str], int] = {}
+        self._pair_class: List[Tuple[dict, dict, dict]] = []
+        self.has_gpos_kern = False
+        gpos = tt.get("GPOS")
+        if gpos is not None:
+            self._build_gpos(gpos.table)
+
+    # --- GSUB -----------------------------------------------------------------
+
+    def _plan(self, feature_tags: frozenset) -> List[Tuple[str, dict]]:
+        plan = self._plans.get(feature_tags)
+        if plan is not None:
+            return plan
+        plan = []
+        if self._gsub is not None:
+            table = self._gsub.table
+            for li in _select_lookups(table, set(feature_tags)):
+                lookup = table.LookupList.Lookup[li]
+                for sub in lookup.SubTable:
+                    ltype, sub = _unwrap(lookup, sub)
+                    if ltype == 1:
+                        plan.append(("single", dict(sub.mapping)))
+                    elif ltype == 4:
+                        table_map: Dict[str, List[Tuple[Tuple[str, ...], str]]] = {}
+                        for first, ligs in sub.ligatures.items():
+                            entries = [
+                                (tuple(l.Component), l.LigGlyph) for l in ligs
+                            ]
+                            # longest component chains first
+                            entries.sort(key=lambda e: -len(e[0]))
+                            table_map[first] = entries
+                        plan.append(("liga", table_map))
+                    # other types: unsupported, skipped
+        self._plans[feature_tags] = plan
+        return plan
+
+    def substitute(
+        self,
+        names: Sequence[str],
+        clusters: Sequence[Tuple[int, int]],
+        features: Optional[frozenset] = None,
+    ) -> Tuple[List[str], List[Tuple[int, int]]]:
+        """Apply the selected GSUB lookups; clusters are (source_start,
+        source_end) per glyph and merge across ligated components."""
+        plan = self._plan(
+            features if features is not None else frozenset(DEFAULT_GSUB_FEATURES)
+        )
+        out_n = list(names)
+        out_c = list(clusters)
+        for kind, data in plan:
+            if kind == "single":
+                mapping = data
+                out_n = [mapping.get(nm, nm) for nm in out_n]
+            else:
+                table_map = data
+                res_n: List[str] = []
+                res_c: List[Tuple[int, int]] = []
+                i = 0
+                while i < len(out_n):
+                    entries = table_map.get(out_n[i])
+                    matched = False
+                    if entries:
+                        for comps, lig in entries:
+                            k = len(comps)
+                            if out_n[i + 1 : i + 1 + k] == list(comps):
+                                res_n.append(lig)
+                                res_c.append((
+                                    out_c[i][0],
+                                    out_c[i + k][1],
+                                ))
+                                i += k + 1
+                                matched = True
+                                break
+                    if not matched:
+                        res_n.append(out_n[i])
+                        res_c.append(out_c[i])
+                        i += 1
+                out_n, out_c = res_n, res_c
+        return out_n, out_c
+
+    def apply_arabic_forms(
+        self, names: Sequence[str], cps: Sequence[int]
+    ) -> List[str]:
+        """Cursive-form substitution (init/medi/fina single-subst lookups,
+        'arab' script) driven by the joining-class pass below; runs before
+        liga/rlig so lam-alef ligatures see the positional forms."""
+        forms = arabic_forms(cps)
+        if not any(forms):
+            return list(names)
+        maps = self._form_maps()
+        return [
+            maps.get(f, {}).get(nm, nm) if f else nm
+            for nm, f in zip(names, forms)
+        ]
+
+    def _form_maps(self) -> Dict[str, dict]:
+        if self._forms is None:
+            m: Dict[str, dict] = {}
+            if self._gsub is not None:
+                table = self._gsub.table
+                for feat in ("init", "medi", "fina"):
+                    merged: Dict[str, str] = {}
+                    for li in _select_lookups(table, {feat}, scripts=("arab", "DFLT")):
+                        lookup = table.LookupList.Lookup[li]
+                        for sub in lookup.SubTable:
+                            ltype, sub = _unwrap(lookup, sub)
+                            if ltype == 1:
+                                merged.update(sub.mapping)
+                    m[feat] = merged
+            self._forms = m
+        return self._forms
+
+    # --- GPOS -----------------------------------------------------------------
+
+    def _build_gpos(self, table) -> None:
+        for li in _select_lookups(table, {"kern"}):
+            lookup = table.LookupList.Lookup[li]
+            for sub in lookup.SubTable:
+                ltype, sub = _unwrap(lookup, sub)
+                if ltype != 2:
+                    continue
+                self.has_gpos_kern = True
+                if sub.Format == 1:
+                    for first, pair_set in zip(sub.Coverage.glyphs, sub.PairSet):
+                        for rec in pair_set.PairValueRecord:
+                            adv = getattr(rec.Value1, "XAdvance", 0) if rec.Value1 else 0
+                            if adv:
+                                key = (first, rec.SecondGlyph)
+                                self._pair_specific.setdefault(key, adv)
+                else:
+                    cd1 = sub.ClassDef1.classDefs if sub.ClassDef1 else {}
+                    cd2 = sub.ClassDef2.classDefs if sub.ClassDef2 else {}
+                    matrix: Dict[Tuple[int, int], int] = {}
+                    for c1, rec1 in enumerate(sub.Class1Record):
+                        for c2, rec2 in enumerate(rec1.Class2Record):
+                            adv = getattr(rec2.Value1, "XAdvance", 0) if rec2.Value1 else 0
+                            if adv:
+                                matrix[(c1, c2)] = adv
+                    cov = set(sub.Coverage.glyphs)
+                    self._pair_class.append((cd1, cd2, {"cov": cov, "m": matrix}))
+
+    def pair_kern(self, first: str, second: str) -> int:
+        """X-advance adjustment (font units) for the glyph pair."""
+        v = self._pair_specific.get((first, second))
+        if v is not None:
+            return v
+        for cd1, cd2, data in self._pair_class:
+            if first not in data["cov"]:
+                continue
+            c1 = cd1.get(first, 0)
+            c2 = cd2.get(second, 0)
+            v = data["m"].get((c1, c2))
+            if v is not None:
+                return v
+        return 0
+
+
+# --- Arabic joining (cursive forms) ---------------------------------------------
+#
+# Joining classes per Unicode ArabicShaping.txt semantics for the core block:
+# R = right-joining (connects only to the preceding letter), D = dual-joining,
+# U = non-joining, T = transparent (combining marks skipped by the algorithm).
+# Letters of the block not listed default to D; non-letters to U.
+
+_ARABIC_R = frozenset([
+    0x0622, 0x0623, 0x0624, 0x0625, 0x0627, 0x0629, 0x062F, 0x0630, 0x0631,
+    0x0632, 0x0648, 0x0671, 0x0672, 0x0673, 0x0675, 0x0676, 0x0677, 0x0688,
+    0x0689, 0x068A, 0x068B, 0x068C, 0x068D, 0x068E, 0x068F, 0x0690, 0x0691,
+    0x0692, 0x0693, 0x0694, 0x0695, 0x0696, 0x0697, 0x0698, 0x0699, 0x06C0,
+    0x06C3, 0x06C4, 0x06C5, 0x06C6, 0x06C7, 0x06C8, 0x06C9, 0x06CA, 0x06CB,
+    0x06CD, 0x06CF, 0x06D2, 0x06D3, 0x06D5,
+])
+_ARABIC_U = frozenset([0x0621, 0x0674, 0x06D4])
+
+
+def _joining_class(cp: int) -> str:
+    if 0x064B <= cp <= 0x065F or cp == 0x0670 or 0x0610 <= cp <= 0x061A \
+            or 0x06D6 <= cp <= 0x06DC or 0x06DF <= cp <= 0x06E4 \
+            or cp in (0x06E7, 0x06E8) or 0x06EA <= cp <= 0x06ED:
+        return "T"
+    if not (0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F):
+        return "U"
+    if cp in _ARABIC_R:
+        return "R"
+    if cp in _ARABIC_U:
+        return "U"
+    import unicodedata
+    ch = chr(cp)
+    if unicodedata.category(ch) in ("Lo", "Lm"):
+        return "D"  # dual-joining default for letters (incl. 0640 tatweel via Lm)
+    if cp == 0x0640:
+        return "D"
+    return "U"
+
+
+def arabic_forms(cps: Sequence[int]) -> List[str]:
+    """Per-character form selection in logical order: '' (isolated/other),
+    'init', 'medi', 'fina'."""
+    n = len(cps)
+    cls = [_joining_class(cp) for cp in cps]
+
+    def prev_join(i: int) -> bool:
+        # does the previous non-transparent char connect forward?
+        j = i - 1
+        while j >= 0 and cls[j] == "T":
+            j -= 1
+        return j >= 0 and cls[j] == "D"
+
+    def next_join(i: int) -> bool:
+        # does the next non-transparent char connect backward?
+        j = i + 1
+        while j < n and cls[j] == "T":
+            j += 1
+        return j < n and cls[j] in ("R", "D")
+
+    out = []
+    for i, cp in enumerate(cps):
+        c = cls[i]
+        if c not in ("R", "D"):
+            out.append("")
+            continue
+        before = prev_join(i) and c in ("R", "D")
+        after = c == "D" and next_join(i)
+        if before and after:
+            out.append("medi")
+        elif before:
+            out.append("fina")
+        elif after:
+            out.append("init")
+        else:
+            out.append("")
+    return out
+
+
+def get_shaper(typeface) -> Optional[OpenTypeShaper]:
+    """Cached shaper for a Typeface; None when the font has no usable
+    GSUB/GPOS tables."""
+    cached = getattr(typeface, "_ot_shaper", False)
+    if cached is not False:
+        return cached
+    shaper: Optional[OpenTypeShaper] = None
+    try:
+        tt = typeface._tt
+        if tt.get("GSUB") is not None or tt.get("GPOS") is not None:
+            shaper = OpenTypeShaper(tt)
+    except Exception:
+        shaper = None
+    typeface._ot_shaper = shaper
+    return shaper

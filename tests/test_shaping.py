@@ -1,0 +1,152 @@
+"""OpenType shaping + bidi: GSUB ligatures, GPOS kerning, UAX#9 reordering,
+mirroring, Arabic cursive forms (textbackends/harfbuzzy.nim parity class)."""
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import fill, rgba, vec2
+from figdraw_tpu.text import bidi
+from figdraw_tpu.text.layout import typeset
+from figdraw_tpu.text.shaper import arabic_forms, get_shaper
+from figdraw_tpu.text.typefaces import (
+    FigFont, FontFeature, get_typeface, load_typeface,
+)
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+HEB = "שלום"  # shalom
+
+
+@pytest.fixture(scope="module")
+def tid():
+    return load_typeface(DEJAVU)
+
+
+def _typeset(tid, text, **kw):
+    f = FigFont(typeface_id=tid, size=24.0, **kw)
+    return typeset(vec2(1000, 100), [(f, fill(rgba(0, 0, 0, 255)), text)])
+
+
+# --- bidi core -------------------------------------------------------------------
+
+def _visual(text):
+    levels, bases = bidi.compute_levels(text)
+    types = [bidi.char_type(c) for c in text]
+    order = bidi.line_visual_order(levels, types, bases[0])
+    return "".join(text[i] for i in order)
+
+
+def test_bidi_visual_order():
+    assert _visual("hello") == "hello"
+    assert _visual(HEB) == HEB[::-1]
+    assert _visual("abc " + HEB + " def") == "abc " + HEB[::-1] + " def"
+    # numbers stay LTR inside RTL (EN at level 2)
+    assert _visual(HEB + " 123") == "123 " + HEB[::-1]
+    assert _visual(HEB + " 12.34") == "12.34 " + HEB[::-1]
+
+
+def test_bidi_explicit_and_isolates():
+    # RLO forces latin to reverse
+    assert "cba" in _visual("‮abc‬")
+    # RLI isolates the hebrew without leaking direction
+    v = _visual("a⁧" + HEB + "⁩b")
+    assert v.startswith("a") and v.endswith("b") and HEB[::-1] in v
+
+
+def test_bidi_mirroring():
+    assert bidi.mirror_char("(") == ")"
+    assert bidi.mirror_char("a") == "a"
+
+
+# --- GSUB / GPOS ------------------------------------------------------------------
+
+def test_ligature_substitution(tid):
+    arr = _typeset(tid, "office")  # ffi → one glyph
+    assert len(arr.arranged_glyphs) == 4
+    lig = arr.arranged_glyphs[1]
+    assert (lig.source.rune_start, lig.source.rune_end) == (1, 4)
+    # selection inside the ligature still resolves
+    rects = arr.selection_rects_for((2, 2))
+    assert rects and rects[0].w > 0
+
+
+def test_feature_toggle_disables_ligatures(tid):
+    arr = _typeset(tid, "office",
+                   features=(FontFeature("liga", 0), FontFeature("clig", 0)))
+    assert len(arr.arranged_glyphs) == 6
+
+
+def test_gpos_kerning(tid):
+    tf = get_typeface(tid)
+    arr = _typeset(tid, "AV")
+    s = tf.scale_for(24.0)
+    total = sum(g.advance.x for g in arr.arranged_glyphs)
+    raw = (tf.advance(tf.glyph_id(ord("A"))) + tf.advance(tf.glyph_id(ord("V")))) * s
+    assert total < raw  # negative kern applied
+    # GPOS agrees with the legacy kern table for DejaVu
+    sh = get_shaper(tf)
+    assert sh.has_gpos_kern
+    assert sh.pair_kern(tf.cmap[ord("A")], tf.cmap[ord("V")]) == tf.kerning(
+        tf.glyph_id(ord("A")), tf.glyph_id(ord("V"))
+    )
+
+
+def test_no_kerning_flag(tid):
+    a = _typeset(tid, "AV")
+    b = _typeset(tid, "AV", no_kerning_adjustments=True)
+    assert sum(g.advance.x for g in b.arranged_glyphs) > sum(
+        g.advance.x for g in a.arranged_glyphs
+    )
+
+
+# --- RTL layout --------------------------------------------------------------------
+
+def test_rtl_layout_and_levels(tid):
+    arr = _typeset(tid, HEB)
+    xs = [g.pos.x for g in arr.arranged_glyphs]
+    assert xs == sorted(xs, reverse=True)  # logical right→left on screen
+    assert arr.is_rtl_at(0)
+
+
+def test_mixed_direction_line(tid):
+    arr = _typeset(tid, "ab " + HEB)
+    latin_x = arr.arranged_glyphs[0].pos.x
+    heb_xs = [g.pos.x for g in arr.arranged_glyphs[3:]]
+    assert latin_x < min(heb_xs)
+    assert heb_xs == sorted(heb_xs, reverse=True)
+    assert not arr.is_rtl_at(0) and arr.is_rtl_at(4)
+
+
+def test_rtl_bracket_mirroring(tid):
+    tf = get_typeface(tid)
+    arr = _typeset(tid, HEB + "(" + HEB + ")")
+    par = arr.arranged_glyphs[4]
+    assert par.glyph_id == tf.glyph_id(ord(")"))
+
+
+# --- Arabic cursive forms -----------------------------------------------------------
+
+def test_arabic_joining_classes():
+    assert arabic_forms([ord(c) for c in "بسم"]) == [
+        "init", "medi", "fina",
+    ]
+    # reh is right-joining: beh init, reh fina, dal isolated
+    assert arabic_forms([ord(c) for c in "برد"]) == [
+        "init", "fina", "",
+    ]
+    # harakat are transparent: beh + fatha + meem still joins across the mark
+    assert arabic_forms([0x0628, 0x064E, 0x0645]) == ["init", "", "fina"]
+
+
+def test_arabic_shaping_lam_alef(tid):
+    tf = get_typeface(tid)
+    word = "السلام"  # al-salaam
+    arr = _typeset(tid, word)
+    names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    # lam+alef ligates (uniFEFC = lam-alef FINAL — joined to the seen before it)
+    assert "uniFEFC" in names, names
+    assert len(arr.arranged_glyphs) == 5
+    assert all(g.glyph_id != 0 for g in arr.arranged_glyphs)
+    # positional forms: lam initial + seen medial
+    assert "uniFEDF" in names and "uniFEB4" in names, names
+    xs = [g.pos.x for g in arr.arranged_glyphs]
+    assert xs == sorted(xs, reverse=True)

@@ -70,6 +70,16 @@ def atlas_usage_snapshot() -> AtlasUsage:
         return _last_atlas_usage
 
 
+@jax.jit
+def _blend_overlay(frame, overlay):
+    """Source-over an external straight-alpha layer (GL blend convention,
+    glcontext.nim blend state)."""
+    a = overlay[..., 3:4]
+    rgb = overlay[..., :3] * a + frame[..., :3] * (1.0 - a)
+    al = overlay[..., 3] + frame[..., 3] * (1.0 - overlay[..., 3])
+    return jnp.concatenate([rgb, al[..., None]], axis=-1)
+
+
 def _bucket(n: int) -> int:
     for b in QUAD_BUCKETS:
         if n <= b:
@@ -679,6 +689,70 @@ class FigRenderer:
             return None, None
         self.last_frame = frame
         return frame, None
+
+    def render_frame_with_overlays(
+        self,
+        renders,
+        frame_size: Vec2,
+        overlays,
+        clear_main: bool = True,
+        clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
+    ) -> jnp.ndarray:
+        """Composite externally produced full-frame images between scene
+        layers — the TPU-native mapping of the reference's 3D-overlay GL
+        sandwich (tests/trender_3d_overlay.nim draws raw GL between figdraw
+        passes; here an overlay is any (H, W, 4) float array — another JAX
+        program's output, a plot, a video frame).
+
+        overlays: {zlevel: array}; each composites source-over AFTER all
+        scene layers with zlevel < that key and BEFORE layers >= it."""
+        if not overlays:
+            return self.render_frame(renders, frame_size, clear_main, clear_color)
+        boundaries = sorted(overlays)
+        groups: list = [[] for _ in range(len(boundaries) + 1)]
+        for lvl, lst in renders.sorted_pairs():
+            gi = 0
+            while gi < len(boundaries) and lvl >= boundaries[gi]:
+                gi += 1
+            groups[gi].append((lvl, lst))
+
+        make_empty = type(renders)
+        frame = None
+        first = True
+        for gi, group in enumerate(groups):
+            if group:
+                sub = make_empty()
+                for lvl, lst in group:
+                    sub.set_layer(lvl, lst)
+                frame = self.render_frame(
+                    sub, frame_size,
+                    clear_main=clear_main if first else False,
+                    clear_color=clear_color,
+                )
+                first = False
+            elif first:
+                # nothing below the first overlay: start from the clear color
+                from .basics import scaled
+
+                fs = scaled(frame_size)
+                h, w = int(round(fs.y)), int(round(fs.x))
+                frame = jnp.broadcast_to(
+                    jnp.asarray(
+                        [clear_color.r, clear_color.g, clear_color.b, clear_color.a],
+                        jnp.float32,
+                    ),
+                    (h, w, 4),
+                )
+                self.last_frame = frame
+                first = False
+            if gi < len(boundaries):
+                overlay = jnp.asarray(overlays[boundaries[gi]], jnp.float32)
+                assert overlay.shape == frame.shape, (
+                    f"overlay {overlay.shape} must match the frame {frame.shape}"
+                )
+                frame = _blend_overlay(frame, overlay)
+                self.last_frame = frame
+        return frame
 
     def take_screenshot(self, frame=None) -> np.ndarray:
         """Last rendered frame as uint8 RGBA (readPixels analog)."""

@@ -285,3 +285,33 @@ def test_sharded_renderer_full_frame():
     got = np.clip(np.round(np.asarray(frame) * 255.0), 0, 255).astype(np.uint8)
     diff = np.abs(got.astype(int) - expected.astype(int))
     assert diff.max() <= 1, diff.max()
+
+
+def test_overlay_layer_composition():
+    """External full-frame layers composite between zlevels — the TPU-native
+    mapping of the reference's 3D-overlay GL sandwich (trender_3d_overlay)."""
+    from figdraw_tpu import Fig, FigKind
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 128, 96),
+                            fill=fill(rgba(240, 240, 255, 255))))
+    renders.add_root(2, Fig(kind=FigKind.nkRectangle, screen_box=rect(10, 10, 40, 20),
+                            corners=(5, 5, 5, 5), fill=fill(rgba(255, 0, 0, 255))))
+    xx = np.arange(128, dtype=np.float32)[None, :].repeat(96, 0)
+    overlay = np.zeros((96, 128, 4), np.float32)
+    overlay[..., 1] = 0.8
+    overlay[..., 3] = np.clip(xx / 128.0, 0, 1)
+
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    frame = np.asarray(
+        ren.render_frame_with_overlays(renders, vec2(128, 96), {1: overlay})
+    )
+    assert frame[50, 120][1] > 0.6          # overlay visible over the background
+    assert frame[15, 20][0] > 0.9           # z=2 UI drawn above the overlay
+    assert frame[50, 2][2] > 0.9            # a=0 region leaves the background
+    # no overlays → identical to the plain path
+    ren2 = FigRenderer(atlas_size=64, use_pallas=False)
+    plain = np.asarray(ren2.render_frame(renders, vec2(128, 96)))
+    ren3 = FigRenderer(atlas_size=64, use_pallas=False)
+    same = np.asarray(ren3.render_frame_with_overlays(renders, vec2(128, 96), {}))
+    assert np.array_equal(plain, same)

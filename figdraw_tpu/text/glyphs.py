@@ -106,9 +106,11 @@ def draw_text_layout(ctx, node, layout: GlyphArrangement) -> None:
             if g.is_whitespace:
                 continue
             # glyph raster offsets are already in physical px (FontId folds in
-            # ui scale), so only the pen position scales
+            # ui scale), so only the pen position (and the GPOS mark-anchor
+            # offset, in logical px) scales
             glyph_pos = vec2(
-                scaled(g.pos.x) + g.image_offset.x, scaled(g.pos.y) + g.image_offset.y
+                scaled(g.pos.x + g.offset.x) + g.image_offset.x,
+                scaled(g.pos.y + g.offset.y) + g.image_offset.y,
             )
             subpixel_shift = 0.0
             variant = 0

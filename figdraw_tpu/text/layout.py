@@ -413,27 +413,60 @@ def typeset(
                 names, clusters = shaper.substitute(names, clusters, feats)
             use_gpos = shaper is not None and shaper.has_gpos_kern
             prev_name = None
+            base_name = None  # last non-mark glyph (GPOS mark attachment)
+            last_pen_glyph = None  # index of the glyph carrying the pen advance
+            pen_since_base = 0.0
+            prev_mark = None  # (name, offset) of the previous ATTACHED mark
             for name, (cs, ce) in zip(names, clusters):
                 gid = rtf._name_to_gid.get(name, 0)
                 adv = rtf.advance(gid) * rs
-                if prev_name is not None and not font.no_kerning_adjustments:
+                rune = full_text[cs]
+                # GPOS mark-to-base / mark-to-mark: anchor combining marks on
+                # their base instead of the pen position (GPOS 4/6)
+                attach = None
+                if shaper is not None and shaper.is_mark(name):
+                    if prev_mark is not None:
+                        delta = shaper.mark_attach_mark(prev_mark[0], name)
+                        if delta is not None:
+                            attach = vec2(
+                                prev_mark[1].x + delta[0] * rs,
+                                prev_mark[1].y - delta[1] * rs,
+                            )
+                    if attach is None and base_name is not None:
+                        delta = shaper.mark_attach(base_name, name)
+                        if delta is not None:
+                            attach = vec2(
+                                delta[0] * rs - pen_since_base,
+                                -delta[1] * rs,
+                            )
+                if attach is None and prev_name is not None \
+                        and not font.no_kerning_adjustments:
                     if use_gpos:
                         adv_kern = shaper.pair_kern(prev_name, name) * rs
                     else:
                         adv_kern = rtf.kerning(
                             rtf._name_to_gid.get(prev_name, 0), gid
                         ) * rs
-                    if adv_kern and glyphs:
-                        g = glyphs[-1]
+                    if adv_kern and last_pen_glyph is not None:
+                        g = glyphs[last_pen_glyph]
                         g.advance = vec2(g.advance.x + adv_kern, 0.0)
-                rune = full_text[cs]
+                        pen_since_base += adv_kern
                 glyphs.append(ArrangedGlyph(
                     font_id=rfid, glyph_id=gid, cluster=cs,
                     source=GlyphSourceRange(cs, ce),
                     rune=rune, is_whitespace=rune.isspace(), pos=vec2(0, 0),
-                    advance=vec2(adv, 0.0), span_index=span_index, fill=color_fill,
+                    advance=vec2(0.0 if attach is not None else adv, 0.0),
+                    offset=attach if attach is not None else vec2(0, 0),
+                    span_index=span_index, fill=color_fill,
                 ))
-                prev_name = name
+                if attach is not None:
+                    prev_mark = (name, attach)
+                else:
+                    base_name = name
+                    last_pen_glyph = len(glyphs) - 1
+                    pen_since_base = adv
+                    prev_mark = None
+                    prev_name = name
             i = j
         arr.spans.append((span_start, len(glyphs) - 1))
 

@@ -64,6 +64,11 @@ class OpenTypeShaper:
         self._pair_specific: Dict[Tuple[str, str], int] = {}
         self._pair_class: List[Tuple[dict, dict, dict]] = []
         self.has_gpos_kern = False
+        # mark-to-base (GPOS 4): [(mark {g: (cls, x, y)}, base {g: {cls: (x, y)}})]
+        self._mark_base: List[Tuple[dict, dict]] = []
+        # mark-to-mark (GPOS 6): [(mark1 {g: (cls, x, y)}, mark2 {g: {cls: (x, y)}})]
+        self._mark_mark: List[Tuple[dict, dict]] = []
+        self._mark_glyphs: set = set()
         gpos = tt.get("GPOS")
         if gpos is not None:
             self._build_gpos(gpos.table)
@@ -176,6 +181,7 @@ class OpenTypeShaper:
     # --- GPOS -----------------------------------------------------------------
 
     def _build_gpos(self, table) -> None:
+        self._build_marks(table)
         for li in _select_lookups(table, {"kern"}):
             lookup = table.LookupList.Lookup[li]
             for sub in lookup.SubTable:
@@ -201,6 +207,77 @@ class OpenTypeShaper:
                                 matrix[(c1, c2)] = adv
                     cov = set(sub.Coverage.glyphs)
                     self._pair_class.append((cd1, cd2, {"cov": cov, "m": matrix}))
+
+    def _build_marks(self, table) -> None:
+        def mark_map(coverage, mark_array):
+            m = {}
+            for g, rec in zip(coverage.glyphs, mark_array.MarkRecord):
+                a = rec.MarkAnchor
+                if a is not None:
+                    m[g] = (rec.Class, a.XCoordinate, a.YCoordinate)
+            return m
+
+        for li in _select_lookups(table, {"mark", "mkmk"},
+                                  scripts=("DFLT", "latn", "arab", "hebr")):
+            lookup = table.LookupList.Lookup[li]
+            for sub in lookup.SubTable:
+                ltype, sub = _unwrap(lookup, sub)
+                if ltype == 4:  # mark-to-base
+                    marks = mark_map(sub.MarkCoverage, sub.MarkArray)
+                    bases: Dict[str, dict] = {}
+                    for g, rec in zip(sub.BaseCoverage.glyphs,
+                                      sub.BaseArray.BaseRecord):
+                        anchors = {}
+                        for cls, a in enumerate(rec.BaseAnchor):
+                            if a is not None:
+                                anchors[cls] = (a.XCoordinate, a.YCoordinate)
+                        bases[g] = anchors
+                    self._mark_base.append((marks, bases))
+                    self._mark_glyphs.update(marks)
+                elif ltype == 6:  # mark-to-mark
+                    marks1 = mark_map(sub.Mark1Coverage, sub.Mark1Array)
+                    marks2: Dict[str, dict] = {}
+                    for g, rec in zip(sub.Mark2Coverage.glyphs,
+                                      sub.Mark2Array.Mark2Record):
+                        anchors = {}
+                        for cls, a in enumerate(rec.Mark2Anchor):
+                            if a is not None:
+                                anchors[cls] = (a.XCoordinate, a.YCoordinate)
+                        marks2[g] = anchors
+                    self._mark_mark.append((marks1, marks2))
+                    self._mark_glyphs.update(marks1)
+
+    def is_mark(self, name: str) -> bool:
+        return name in self._mark_glyphs
+
+    def mark_attach(self, base: str, mark: str) -> Optional[Tuple[int, int]]:
+        """(dx, dy) in font units placing `mark`'s anchor on `base`'s anchor
+        (relative to the base glyph origin, y-up)."""
+        for marks, bases in self._mark_base:
+            rec = marks.get(mark)
+            if rec is None:
+                continue
+            cls, mx, my = rec
+            anchors = bases.get(base)
+            if anchors is None or cls not in anchors:
+                continue
+            bx, by = anchors[cls]
+            return bx - mx, by - my
+        return None
+
+    def mark_attach_mark(self, mark2: str, mark1: str) -> Optional[Tuple[int, int]]:
+        """Mark-to-mark stacking: place mark1 relative to mark2's origin."""
+        for marks1, marks2 in self._mark_mark:
+            rec = marks1.get(mark1)
+            if rec is None:
+                continue
+            cls, mx, my = rec
+            anchors = marks2.get(mark2)
+            if anchors is None or cls not in anchors:
+                continue
+            bx, by = anchors[cls]
+            return bx - mx, by - my
+        return None
 
     def pair_kern(self, first: str, second: str) -> int:
         """X-advance adjustment (font units) for the glyph pair."""

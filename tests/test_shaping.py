@@ -150,3 +150,39 @@ def test_arabic_shaping_lam_alef(tid):
     assert "uniFEDF" in names and "uniFEB4" in names, names
     xs = [g.pos.x for g in arr.arranged_glyphs]
     assert xs == sorted(xs, reverse=True)
+
+
+# --- GPOS mark attachment ------------------------------------------------------------
+
+def test_mark_attachment_latin(tid):
+    """Combining marks anchor on their base (GPOS 4) with zero pen advance."""
+    tf = get_typeface(tid)
+    arr = _typeset(tid, "éx")  # e + combining acute + x
+    mark = arr.arranged_glyphs[1]
+    assert tf.glyph_name(mark.glyph_id) == "acutecomb"
+    assert mark.advance.x == 0.0
+    assert mark.offset.x != 0.0  # pulled back over the 'e'
+    # kerning for the following glyph lands on the BASE, not the mark
+    assert arr.arranged_glyphs[0].advance.x != 0.0
+
+
+def test_mark_attachment_stacking(tid):
+    """Multiple marks on one base all anchor with zero advance (GPOS 4/6)."""
+    arr = _typeset(tid, "ẹ́x")  # e + dot below + acute
+    assert arr.arranged_glyphs[1].advance.x == 0.0
+    assert arr.arranged_glyphs[2].advance.x == 0.0
+    # total line width unaffected by the marks
+    base = _typeset(tid, "ex")
+    got = sum(g.advance.x for g in arr.arranged_glyphs)
+    want = sum(g.advance.x for g in base.arranged_glyphs)
+    assert abs(got - want) < 1e-6
+
+
+def test_mark_attachment_arabic(tid):
+    """Harakat anchor on Arabic letters (beh + fatha)."""
+    tf = get_typeface(tid)
+    arr = _typeset(tid, "بَ")
+    m = arr.arranged_glyphs[1]
+    assert tf.glyph_name(m.glyph_id) == "uni064E"
+    assert m.advance.x == 0.0
+    assert m.offset.x < 0.0  # pulled back over the beh

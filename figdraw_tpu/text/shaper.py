@@ -4,17 +4,19 @@ The reference's harfbuzzy backend shapes through HarfBuzz (features,
 ligatures, GPOS kerning — textbackends/harfbuzzy.nim:395+). HarfBuzz isn't in
 this image, so this is a direct mini-shaper on the font's own tables:
 
-- GSUB lookup types 1 (single substitution) and 4 (ligatures), applied in
-  LookupList order for the selected features; extension (7) unwrapped.
-  Default feature set mirrors HarfBuzz's horizontal defaults that these
-  lookup types can express: ccmp, liga, clig, rlig (+ FigFont.features
-  overrides: value 0 disables, >0 enables extra tags like dlig/hlig/salt).
+- GSUB lookup types 1 (single), 3 (alternates, first variant), 4 (ligatures)
+  and 5/6 ((chain) contexts, all three formats, with nested lookup
+  application) — applied position-wise in LookupList order for the selected
+  features; extensions (7) unwrapped. Default feature set mirrors HarfBuzz's
+  horizontal defaults: ccmp, liga, clig, rlig (+ FigFont.features overrides:
+  value 0 disables, >0 enables extra tags like dlig/hlig/salt).
 - GPOS lookup type 2 (pair positioning, both formats; extension 9 unwrapped)
-  for the kern feature — modern fonts carry kerning here rather than in the
-  legacy kern table, which layout.py uses as the fallback.
+  for kern — modern fonts carry kerning here rather than in the legacy kern
+  table, which layout.py uses as the fallback — plus mark-to-base (4) and
+  mark-to-mark (6) anchor attachment for combining marks.
 
-Unsupported (documented subset): contextual/chained lookups (GSUB 5/6,
-GPOS 7/8), mark attachment (GPOS 4-6), lookup flags (mark skipping).
+Unsupported (documented subset): cursive attachment (GPOS 3), contextual
+positioning (GPOS 7/8), lookup flags (mark skipping), reverse chains (GSUB 8).
 """
 
 from __future__ import annotations
@@ -57,8 +59,9 @@ class OpenTypeShaper:
 
     def __init__(self, tt):
         self._gsub = tt.get("GSUB")
-        # feature set → ordered plan of ("single", mapping) / ("liga", map)
-        self._plans: Dict[frozenset, List[Tuple[str, dict]]] = {}
+        # feature set → ordered list of compiled lookups (lists of entries)
+        self._plans: Dict[frozenset, List[list]] = {}
+        self._lookups: Dict[int, list] = {}  # lookup index → compiled entries
         self._forms: Optional[Dict[str, dict]] = None
 
         self._pair_specific: Dict[Tuple[str, str], int] = {}
@@ -74,32 +77,217 @@ class OpenTypeShaper:
             self._build_gpos(gpos.table)
 
     # --- GSUB -----------------------------------------------------------------
+    #
+    # A lookup compiles to a list of subtable entries, tried in order at each
+    # sequence position; the first match applies and the cursor moves past the
+    # replaced input (OpenType lookup application model). Contextual chains
+    # apply their nested lookups at the recorded input offsets.
 
-    def _plan(self, feature_tags: frozenset) -> List[Tuple[str, dict]]:
+    def _compile_lookup(self, li: int):
+        cached = self._lookups.get(li)
+        if cached is not None:
+            return cached
+        table = self._gsub.table
+        lookup = table.LookupList.Lookup[li]
+        entries: List[tuple] = []
+        for sub in lookup.SubTable:
+            ltype, sub = _unwrap(lookup, sub)
+            if ltype == 1:
+                entries.append(("single", dict(sub.mapping)))
+            elif ltype == 3:
+                entries.append((
+                    "single",
+                    {g: alts[0] for g, alts in sub.alternates.items() if alts},
+                ))
+            elif ltype == 4:
+                table_map: Dict[str, List[Tuple[Tuple[str, ...], str]]] = {}
+                for first, ligs in sub.ligatures.items():
+                    ents = [(tuple(l.Component), l.LigGlyph) for l in ligs]
+                    ents.sort(key=lambda e: -len(e[0]))  # longest chains first
+                    table_map[first] = ents
+                entries.append(("liga", table_map))
+            elif ltype in (5, 6):
+                compiled = self._compile_context(ltype, sub)
+                if compiled is not None:
+                    entries.append(compiled)
+            # other types: unsupported, skipped
+        self._lookups[li] = entries
+        return entries
+
+    def _compile_context(self, ltype: int, sub):
+        """(Chain)ContextSubst → ("ctx", fmt, data). Rules are stored as
+        (backtrack, input_rest, lookahead, records) with glyph names (fmt 1),
+        class ids (fmt 2) or coverage sets (fmt 3)."""
+        chained = ltype == 6
+        fmt = sub.Format
+        if fmt == 1:
+            rules: Dict[str, list] = {}
+            sets = sub.ChainSubRuleSet if chained else sub.SubRuleSet
+            for first, rule_set in zip(sub.Coverage.glyphs, sets):
+                if rule_set is None:
+                    continue
+                rlist = rule_set.ChainSubRule if chained else rule_set.SubRule
+                out = []
+                for r in rlist:
+                    if chained:
+                        out.append((
+                            tuple(r.Backtrack), tuple(r.Input),
+                            tuple(r.LookAhead),
+                            [(s.SequenceIndex, s.LookupListIndex)
+                             for s in r.SubstLookupRecord],
+                        ))
+                    else:
+                        out.append((
+                            (), tuple(r.Input), (),
+                            [(s.SequenceIndex, s.LookupListIndex)
+                             for s in r.SubstLookupRecord],
+                        ))
+                rules[first] = out
+            return ("ctx", 1, {"cov": rules})
+        if fmt == 2:
+            cov = set(sub.Coverage.glyphs)
+            in_cd = sub.InputClassDef.classDefs if sub.InputClassDef else {}
+            bt_cd = (sub.BacktrackClassDef.classDefs
+                     if chained and sub.BacktrackClassDef else {})
+            la_cd = (sub.LookAheadClassDef.classDefs
+                     if chained and sub.LookAheadClassDef else {})
+            class_rules: Dict[int, list] = {}
+            sets = sub.ChainSubClassSet if chained else sub.SubClassSet
+            for ci, cs in enumerate(sets):
+                if cs is None:
+                    continue
+                rlist = cs.ChainSubClassRule if chained else cs.SubClassRule
+                out = []
+                for r in rlist:
+                    if chained:
+                        out.append((
+                            tuple(r.Backtrack), tuple(r.Input),
+                            tuple(r.LookAhead),
+                            [(s.SequenceIndex, s.LookupListIndex)
+                             for s in r.SubstLookupRecord],
+                        ))
+                    else:
+                        out.append((
+                            (), tuple(r.Input), (),
+                            [(s.SequenceIndex, s.LookupListIndex)
+                             for s in r.SubstLookupRecord],
+                        ))
+                class_rules[ci] = out
+            return ("ctx", 2, {
+                "cov": cov, "in_cd": in_cd, "bt_cd": bt_cd, "la_cd": la_cd,
+                "rules": class_rules,
+            })
+        if fmt == 3:
+            if chained:
+                bt = [set(c.glyphs) for c in sub.BacktrackCoverage]
+                inp = [set(c.glyphs) for c in sub.InputCoverage]
+                la = [set(c.glyphs) for c in sub.LookAheadCoverage]
+            else:
+                bt, la = [], []
+                inp = [set(c.glyphs) for c in sub.Coverage]
+            recs = [(s.SequenceIndex, s.LookupListIndex)
+                    for s in sub.SubstLookupRecord]
+            return ("ctx", 3, {"bt": bt, "inp": inp, "la": la, "recs": recs})
+        return None
+
+    def _try_entry_at(self, entry, names, clusters, i) -> Optional[int]:
+        """Apply one compiled subtable entry at position i (in place).
+        Returns the next cursor position on match, else None."""
+        kind = entry[0]
+        if kind == "single":
+            repl = entry[1].get(names[i])
+            if repl is None:
+                return None
+            names[i] = repl
+            return i + 1
+        if kind == "liga":
+            ents = entry[1].get(names[i])
+            if not ents:
+                return None
+            for comps, lig in ents:
+                k = len(comps)
+                if names[i + 1 : i + 1 + k] == list(comps):
+                    names[i : i + k + 1] = [lig]
+                    clusters[i : i + k + 1] = [
+                        (clusters[i][0], clusters[i + k][1])
+                    ]
+                    return i + 1
+            return None
+        # contextual
+        _, fmt, data = entry
+        match = None  # (input_len, records)
+        if fmt == 1:
+            for bt, inp, la, recs in data["cov"].get(names[i], ()):  # noqa: B020
+                if self._match_ctx(names, i, bt, inp, la, mode="glyph"):
+                    match = (1 + len(inp), recs)
+                    break
+        elif fmt == 2:
+            if names[i] in data["cov"]:
+                ci = data["in_cd"].get(names[i], 0)
+                for bt, inp, la, recs in data["rules"].get(ci, ()):  # noqa: B020
+                    if self._match_ctx(names, i, bt, inp, la, mode="class",
+                                       cds=(data["bt_cd"], data["in_cd"],
+                                            data["la_cd"])):
+                        match = (1 + len(inp), recs)
+                        break
+        else:
+            inp = data["inp"]
+            if inp and names[i] in inp[0] and self._match_ctx(
+                names, i, data["bt"], inp[1:], data["la"], mode="cov",
+                la_cov=True,
+            ):
+                match = (len(inp), data["recs"])
+        if match is None:
+            return None
+        input_len, recs = match
+        # nested lookups at recorded input offsets; positions track length
+        # changes from earlier records (ligatures shrink the sequence)
+        delta = 0
+        for seq_idx, nested_li in recs:
+            pos = i + seq_idx + delta
+            if pos >= len(names):
+                continue
+            before = len(names)
+            for nested in self._compile_lookup(nested_li):
+                if self._try_entry_at(nested, names, clusters, pos) is not None:
+                    break
+            delta += len(names) - before
+        return i + input_len + delta
+
+    def _match_ctx(self, names, i, bt, inp, la, mode, cds=None, la_cov=False):
+        def matches(j, want, which):
+            if j < 0 or j >= len(names):
+                return False
+            g = names[j]
+            if mode == "glyph":
+                return g == want
+            if mode == "class":
+                bt_cd, in_cd, la_cd = cds
+                cd = (bt_cd, in_cd, la_cd)[which]
+                return cd.get(g, 0) == want
+            return g in want  # coverage sets
+
+        for k, want in enumerate(bt):  # closest-first order
+            if not matches(i - 1 - k, want, 0):
+                return False
+        for k, want in enumerate(inp):
+            if not matches(i + 1 + k, want, 1):
+                return False
+        in_len = len(inp) + 1
+        for k, want in enumerate(la):
+            if not matches(i + in_len + k, want, 2):
+                return False
+        return True
+
+    def _plan(self, feature_tags: frozenset) -> List[list]:
         plan = self._plans.get(feature_tags)
-        if plan is not None:
-            return plan
-        plan = []
-        if self._gsub is not None:
-            table = self._gsub.table
-            for li in _select_lookups(table, set(feature_tags)):
-                lookup = table.LookupList.Lookup[li]
-                for sub in lookup.SubTable:
-                    ltype, sub = _unwrap(lookup, sub)
-                    if ltype == 1:
-                        plan.append(("single", dict(sub.mapping)))
-                    elif ltype == 4:
-                        table_map: Dict[str, List[Tuple[Tuple[str, ...], str]]] = {}
-                        for first, ligs in sub.ligatures.items():
-                            entries = [
-                                (tuple(l.Component), l.LigGlyph) for l in ligs
-                            ]
-                            # longest component chains first
-                            entries.sort(key=lambda e: -len(e[0]))
-                            table_map[first] = entries
-                        plan.append(("liga", table_map))
-                    # other types: unsupported, skipped
-        self._plans[feature_tags] = plan
+        if plan is None:
+            plan = []
+            if self._gsub is not None:
+                table = self._gsub.table
+                for li in _select_lookups(table, set(feature_tags)):
+                    plan.append(self._compile_lookup(li))
+            self._plans[feature_tags] = plan
         return plan
 
     def substitute(
@@ -115,35 +303,15 @@ class OpenTypeShaper:
         )
         out_n = list(names)
         out_c = list(clusters)
-        for kind, data in plan:
-            if kind == "single":
-                mapping = data
-                out_n = [mapping.get(nm, nm) for nm in out_n]
-            else:
-                table_map = data
-                res_n: List[str] = []
-                res_c: List[Tuple[int, int]] = []
-                i = 0
-                while i < len(out_n):
-                    entries = table_map.get(out_n[i])
-                    matched = False
-                    if entries:
-                        for comps, lig in entries:
-                            k = len(comps)
-                            if out_n[i + 1 : i + 1 + k] == list(comps):
-                                res_n.append(lig)
-                                res_c.append((
-                                    out_c[i][0],
-                                    out_c[i + k][1],
-                                ))
-                                i += k + 1
-                                matched = True
-                                break
-                    if not matched:
-                        res_n.append(out_n[i])
-                        res_c.append(out_c[i])
-                        i += 1
-                out_n, out_c = res_n, res_c
+        for entries in plan:
+            i = 0
+            while i < len(out_n):
+                nxt = None
+                for entry in entries:
+                    nxt = self._try_entry_at(entry, out_n, out_c, i)
+                    if nxt is not None:
+                        break
+                i = nxt if nxt is not None else i + 1
         return out_n, out_c
 
     def apply_arabic_forms(

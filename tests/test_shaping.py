@@ -186,3 +186,15 @@ def test_mark_attachment_arabic(tid):
     assert tf.glyph_name(m.glyph_id) == "uni064E"
     assert m.advance.x == 0.0
     assert m.offset.x < 0.0  # pulled back over the beh
+
+
+def test_ccmp_chain_context(tid):
+    """Chained contextual GSUB (type 6): DejaVu's ccmp turns 'i' into
+    dotless-i before a combining mark above."""
+    tf = get_typeface(tid)
+    arr = _typeset(tid, "i̇x")  # i + combining dot above + x
+    names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    assert names[0] == "dotlessi", names
+    # plain 'i' stays dotted
+    arr2 = _typeset(tid, "ix")
+    assert tf.glyph_name(arr2.arranged_glyphs[0].glyph_id) == "i"

@@ -43,7 +43,7 @@ def generate_glyph(
     shift = subpixel_variant / 10.0 if subpixel_variant else 0.0
     return rasterize_glyph(
         tf, glyph_id, font.size * _ui_scale_for(font_id), subpixel_shift=shift,
-        lcd_filtering=lcd_filtering,
+        lcd_filtering=lcd_filtering, variations=font.variations,
     )
 
 

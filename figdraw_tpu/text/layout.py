@@ -419,7 +419,10 @@ def typeset(
             prev_mark = None  # (name, offset) of the previous ATTACHED mark
             for name, (cs, ce) in zip(names, clusters):
                 gid = rtf._name_to_gid.get(name, 0)
-                adv = rtf.advance(gid) * rs
+                if font.variations and rtf is tf:
+                    adv = rtf.var_advance(gid, font.variations) * rs
+                else:
+                    adv = rtf.advance(gid) * rs
                 rune = full_text[cs]
                 # GPOS mark-to-base / mark-to-mark: anchor combining marks on
                 # their base instead of the pen position (GPOS 4/6)

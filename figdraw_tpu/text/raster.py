@@ -154,13 +154,14 @@ def rasterize_glyph(
     size: float,
     subpixel_shift: float = 0.0,
     lcd_filtering: bool = False,
+    variations=(),
 ) -> Optional[Tuple[np.ndarray, Tuple[float, float]]]:
     """Returns (rgba image, image_offset) or None for empty glyphs.
 
     image_offset is the raster origin relative to the baseline pen position
     (ArrangedGlyph.imageOffset semantics, fonttypes.nim:96).
     """
-    path_ops = typeface.glyph_path(glyph_id)
+    path_ops = typeface.glyph_path(glyph_id, variations)
     if not path_ops:
         return None
     scale = typeface.scale_for(size)

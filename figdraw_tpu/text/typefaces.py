@@ -101,6 +101,7 @@ class Typeface:
         self._glyph_set = self._tt.getGlyphSet()
         self._kern = self._load_kern()
         self._advance_cache: Dict[int, int] = {}
+        self._var_glyphsets: Dict[tuple, object] = {}
         self.family_name = self._name(1) or os.path.basename(path)
         self.subfamily_name = self._name(2) or ""
 
@@ -154,13 +155,39 @@ class Typeface:
             (self.glyph_name(left_gid), self.glyph_name(right_gid)), 0.0
         )
 
-    def glyph_path(self, gid: FontGlyphId):
-        """Glyph outline as a fontTools RecordingPen value list (font units)."""
+    def is_variable(self) -> bool:
+        return "fvar" in self._tt
+
+    def _var_glyph_set(self, variations):
+        """Cached glyph set instanced at a variation location (fvar/avar
+        normalization via fontTools); falls back to the default set for
+        non-variable faces."""
+        if not variations or not self.is_variable():
+            return self._glyph_set
+        key = tuple(sorted((v.tag, float(v.value)) for v in variations))
+        gs = self._var_glyphsets.get(key)
+        if gs is None:
+            gs = self._tt.getGlyphSet(location=dict(key))
+            self._var_glyphsets[key] = gs
+        return gs
+
+    def var_advance(self, gid: FontGlyphId, variations) -> float:
+        """Advance width at a variation location (gvar phantom points /
+        HVAR applied by fontTools), font units."""
+        if not variations or not self.is_variable():
+            return self.advance(gid)
+        gs = self._var_glyph_set(variations)
+        return gs[self.glyph_name(gid)].width
+
+    def glyph_path(self, gid: FontGlyphId, variations=()):
+        """Glyph outline as a fontTools RecordingPen value list (font units),
+        optionally instanced at a variation location."""
         from fontTools.pens.recordingPen import DecomposingRecordingPen
 
-        pen = DecomposingRecordingPen(self._glyph_set)
+        gs = self._var_glyph_set(variations)
+        pen = DecomposingRecordingPen(gs)
         name = self.glyph_name(gid)
-        self._glyph_set[name].draw(pen)
+        gs[name].draw(pen)
         return pen.value
 
     # --- scaled metrics ---------------------------------------------------------

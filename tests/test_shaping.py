@@ -198,3 +198,79 @@ def test_ccmp_chain_context(tid):
     # plain 'i' stays dotted
     arr2 = _typeset(tid, "ix")
     assert tf.glyph_name(arr2.arranged_glyphs[0].glyph_id) == "i"
+
+
+# --- variable fonts -------------------------------------------------------------------
+
+def _build_var_font(tmp_path):
+    """Two-master wght variable font built with fontTools varLib."""
+    from fontTools.designspaceLib import (
+        AxisDescriptor, DesignSpaceDocument, SourceDescriptor,
+    )
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+    from fontTools import varLib
+
+    def master(width):
+        fb = FontBuilder(1000, isTTF=True)
+        fb.setupGlyphOrder([".notdef", "A"])
+        fb.setupCharacterMap({65: "A"})
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((width, 0))
+        pen.lineTo((width, 700)); pen.lineTo((50, 700)); pen.closePath()
+        fb.setupGlyf({".notdef": TTGlyphPen(None).glyph(), "A": pen.glyph()})
+        fb.setupHorizontalMetrics({".notdef": (300, 0), "A": (width + 100, 50)})
+        fb.setupHorizontalHeader(ascent=800, descent=-200)
+        fb.setupNameTable({"familyName": "VarTest", "styleName": "Regular"})
+        fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+        fb.setupPost()
+        return fb.font
+
+    ds = DesignSpaceDocument()
+    ax = AxisDescriptor()
+    ax.tag, ax.name = "wght", "Weight"
+    ax.minimum, ax.default, ax.maximum = 100, 100, 900
+    ds.addAxis(ax)
+    for w, width in ((100, 400), (900, 800)):
+        s = SourceDescriptor()
+        s.font = master(width)
+        s.location = {"Weight": w}
+        if w == 100:
+            s.copyLib = s.copyInfo = True
+        ds.addSource(s)
+    vf, _, _ = varLib.build(ds)
+    path = str(tmp_path / "vartest.ttf")
+    vf.save(path)
+    return path
+
+
+def test_variable_font_instancing(tmp_path):
+    """FigFont.variations instance outlines + advances (gvar phantom points)
+    at typeset and raster time."""
+    from figdraw_tpu.text.raster import rasterize_glyph
+    from figdraw_tpu.text.typefaces import FontVariation
+
+    path = _build_var_font(tmp_path)
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    assert tf.is_variable()
+    a = tf.glyph_id(65)
+    assert tf.var_advance(a, (FontVariation("wght", 900),)) == 900
+    assert tf.var_advance(a, (FontVariation("wght", 100),)) == 500
+
+    # typeset advances reflect the variation
+    light = FigFont(typeface_id=tid, size=20.0,
+                    variations=(FontVariation("wght", 100),))
+    heavy = FigFont(typeface_id=tid, size=20.0,
+                    variations=(FontVariation("wght", 900),))
+    c = fill(rgba(0, 0, 0, 255))
+    al = typeset(vec2(1000, 100), [(light, c, "AA")])
+    ah = typeset(vec2(1000, 100), [(heavy, c, "AA")])
+    assert ah.max_size.x > al.max_size.x
+    # distinct FontIds → distinct glyph cache identities
+    assert al.arranged_glyphs[0].font_id != ah.arranged_glyphs[0].font_id
+
+    # rasters widen with the instance
+    rl = rasterize_glyph(tf, a, 40.0, variations=(FontVariation("wght", 100),))
+    rh = rasterize_glyph(tf, a, 40.0, variations=(FontVariation("wght", 900),))
+    assert rh[0].shape[1] > rl[0].shape[1]

@@ -60,6 +60,13 @@ def runtime_backend_override():
     return None
 
 
+def test_one_frame_path():
+    """The -d:testOneFrame analog (figrender.nim:1997-2002): when set to a
+    path, the renderer writes the first rendered frame there as a PNG (CI
+    smoke screenshots without a frame loop)."""
+    return os.environ.get("FIGDRAW_TEST_ONE_FRAME") or None
+
+
 def apply_startup_env() -> None:
     """Reads FIGDRAW_DATA_DIR / FIGDRAW_UI_SCALE / HDI once at import."""
     data_dir = os.environ.get("FIGDRAW_DATA_DIR")

@@ -131,6 +131,7 @@ class FigRenderer:
             config.runtime_text_subpixel_glyph_variants_requested()
         )
         self.last_frame = None  # device (H, W, 4) f32 of the last render
+        self._one_frame_written = False
         self._subscription = None
         self._bus = None
         self._image_owners: Dict[Hashable, set] = {}
@@ -622,7 +623,24 @@ class FigRenderer:
                 with perf("execute"):
                     frame = self.execute(tape)
             self.publish_atlas_usage()
+        self._maybe_write_one_frame()
         return frame
+
+    def _maybe_write_one_frame(self) -> None:
+        """FIGDRAW_TEST_ONE_FRAME: write the first frame as a PNG (the
+        reference's -d:testOneFrame screenshot hook, figrender.nim:1997-2002)."""
+        if self._one_frame_written:
+            return
+        from .config import test_one_frame_path
+
+        path = test_one_frame_path()
+        if not path:
+            self._one_frame_written = True
+            return
+        from PIL import Image
+
+        Image.fromarray(self.take_screenshot()).save(path)
+        self._one_frame_written = True
 
     def _render_native_fast(self, renders, fs, clear_main, clear_color):
         """Mask-heavy fast path: C++ walk → megakernel combo → ONE Pallas

@@ -350,3 +350,33 @@ def apply_font_case(text: str, font_case: int) -> str:
     if font_case == FontCase.Title:
         return text.title()
     return text
+
+
+# --- backend information (fonttypes.nim textBackend/textBackendFeatures) ---------
+
+
+def text_backend() -> str:
+    """The compiled text backend name. The reference builds one of pixie /
+    harfbuzzy / hybrid (fonttypes.nim:131-143); this engine ships a single
+    built-in stack: fontTools faces + the OpenType mini-shaper + the scanline
+    rasterizer — reported as "fonttools"."""
+    return "fonttools"
+
+
+def text_backend_features() -> list:
+    """Capability list in the reference's vocabulary (ttext_backend_info.nim):
+    what a harfbuzzy-class backend advertises, minus what this one lacks."""
+    return [
+        "opentype-shaping",
+        "outline-rasterization",
+        "bidirectional-text",
+        "font-fallback",
+        "opentype-features",
+        "font-variations",
+        "mark-attachment",
+        "arabic-joining",
+    ]
+
+
+def supported_font_file_extensions() -> list:
+    return [".ttf", ".otf", ".ttc", ".otc"]

@@ -315,3 +315,40 @@ def test_overlay_layer_composition():
     ren3 = FigRenderer(atlas_size=64, use_pallas=False)
     same = np.asarray(ren3.render_frame_with_overlays(renders, vec2(128, 96), {}))
     assert np.array_equal(plain, same)
+
+
+def test_text_backend_info():
+    """ttext_backend_info.nim analog: backend name, feature list, extensions."""
+    from figdraw_tpu.text.typefaces import (
+        supported_font_file_extensions, text_backend, text_backend_features,
+    )
+
+    assert text_backend() == "fonttools"
+    feats = text_backend_features()
+    for f in ("opentype-shaping", "bidirectional-text", "font-fallback",
+              "opentype-features", "font-variations", "mark-attachment"):
+        assert f in feats
+    assert supported_font_file_extensions() == [".ttf", ".otf", ".ttc", ".otc"]
+
+
+def test_one_frame_screenshot_env(monkeypatch, tmp_path):
+    """tfigrender_oneframe_screenshot analog: FIGDRAW_TEST_ONE_FRAME writes
+    the first frame as a PNG."""
+    from PIL import Image
+
+    out = str(tmp_path / "one_frame.png")
+    monkeypatch.setenv("FIGDRAW_TEST_ONE_FRAME", out)
+    from figdraw_tpu import Fig, FigKind
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 64, 48),
+                            fill=fill(rgba(0, 128, 255, 255))))
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.render_frame(renders, vec2(64, 48))
+    img = np.asarray(Image.open(out))
+    assert img.shape == (48, 64, 4)
+    assert img[24, 32, 2] > 200  # the blue fill made it to disk
+    # only the first frame writes
+    os.remove(out)
+    ren.render_frame(renders, vec2(64, 48))
+    assert not os.path.exists(out)

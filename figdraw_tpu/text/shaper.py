@@ -15,8 +15,10 @@ this image, so this is a direct mini-shaper on the font's own tables:
   table, which layout.py uses as the fallback — plus mark-to-base (4) and
   mark-to-mark (6) anchor attachment for combining marks.
 
-Unsupported (documented subset): cursive attachment (GPOS 3), contextual
-positioning (GPOS 7/8), lookup flags (mark skipping), reverse chains (GSUB 8).
+Lookup flags honor GDEF glyph classes (IgnoreBaseGlyphs/Ligatures/Marks;
+mark-filtering sets approximated as IgnoreMarks), so e.g. lam-alef ligates
+across harakat. Unsupported (documented subset): cursive attachment (GPOS 3),
+contextual positioning (GPOS 7/8), reverse chains (GSUB 8).
 """
 
 from __future__ import annotations
@@ -59,10 +61,15 @@ class OpenTypeShaper:
 
     def __init__(self, tt):
         self._gsub = tt.get("GSUB")
-        # feature set → ordered list of compiled lookups (lists of entries)
-        self._plans: Dict[frozenset, List[list]] = {}
-        self._lookups: Dict[int, list] = {}  # lookup index → compiled entries
+        # feature set → ordered list of compiled lookups (skip_classes, entries)
+        self._plans: Dict[frozenset, List[tuple]] = {}
+        self._lookups: Dict[int, tuple] = {}  # lookup index → (skip, entries)
         self._forms: Optional[Dict[str, dict]] = None
+        # GDEF glyph classes (1 base, 2 ligature, 3 mark) for lookup flags
+        self._gdef_class: Dict[str, int] = {}
+        gdef = tt.get("GDEF")
+        if gdef is not None and gdef.table.GlyphClassDef is not None:
+            self._gdef_class = dict(gdef.table.GlyphClassDef.classDefs)
 
         self._pair_specific: Dict[Tuple[str, str], int] = {}
         self._pair_class: List[Tuple[dict, dict, dict]] = []
@@ -82,6 +89,23 @@ class OpenTypeShaper:
     # sequence position; the first match applies and the cursor moves past the
     # replaced input (OpenType lookup application model). Contextual chains
     # apply their nested lookups at the recorded input offsets.
+
+    def _skipped(self, name: str, skip_classes: frozenset) -> bool:
+        """LookupFlag glyph skipping: IgnoreBaseGlyphs/Ligatures/Marks map to
+        GDEF classes 1/2/3 (mark-filtering sets and MarkAttachmentType are
+        treated as plain IgnoreMarks)."""
+        return bool(skip_classes) and self._gdef_class.get(name, 0) in skip_classes
+
+    @staticmethod
+    def _flag_skip_classes(flag: int) -> frozenset:
+        classes = set()
+        if flag & 0x02:
+            classes.add(1)  # IgnoreBaseGlyphs
+        if flag & 0x04:
+            classes.add(2)  # IgnoreLigatures
+        if flag & 0x08 or (flag >> 8):
+            classes.add(3)  # IgnoreMarks (+ MarkAttachmentType approximated)
+        return frozenset(classes)
 
     def _compile_lookup(self, li: int):
         cached = self._lookups.get(li)
@@ -111,8 +135,9 @@ class OpenTypeShaper:
                 if compiled is not None:
                     entries.append(compiled)
             # other types: unsupported, skipped
-        self._lookups[li] = entries
-        return entries
+        result = (self._flag_skip_classes(lookup.LookupFlag or 0), entries)
+        self._lookups[li] = result
+        return result
 
     def _compile_context(self, ltype: int, sub):
         """(Chain)ContextSubst → ("ctx", fmt, data). Rules are stored as
@@ -190,8 +215,22 @@ class OpenTypeShaper:
             return ("ctx", 3, {"bt": bt, "inp": inp, "la": la, "recs": recs})
         return None
 
-    def _try_entry_at(self, entry, names, clusters, i) -> Optional[int]:
-        """Apply one compiled subtable entry at position i (in place).
+    def _next_pos(self, names, j, skip):
+        """First non-skipped position >= j, or len(names)."""
+        n = len(names)
+        while j < n and self._skipped(names[j], skip):
+            j += 1
+        return j
+
+    def _prev_pos(self, names, j, skip):
+        """First non-skipped position <= j, or -1."""
+        while j >= 0 and self._skipped(names[j], skip):
+            j -= 1
+        return j
+
+    def _try_entry_at(self, entry, names, clusters, i, skip) -> Optional[int]:
+        """Apply one compiled subtable entry at position i (in place),
+        skipping LookupFlag-ignored glyphs when matching multi-glyph input.
         Returns the next cursor position on match, else None."""
         kind = entry[0]
         if kind == "single":
@@ -205,81 +244,111 @@ class OpenTypeShaper:
             if not ents:
                 return None
             for comps, lig in ents:
-                k = len(comps)
-                if names[i + 1 : i + 1 + k] == list(comps):
-                    names[i : i + k + 1] = [lig]
-                    clusters[i : i + k + 1] = [
-                        (clusters[i][0], clusters[i + k][1])
-                    ]
-                    return i + 1
+                pos = [i]
+                j = i + 1
+                ok = True
+                for comp in comps:
+                    j = self._next_pos(names, j, skip)
+                    if j >= len(names) or names[j] != comp:
+                        ok = False
+                        break
+                    pos.append(j)
+                    j += 1
+                if not ok:
+                    continue
+                # the ligature replaces the first component; later matched
+                # components are removed, skipped glyphs in between stay put
+                # (they ride after the ligature, HarfBuzz-style)
+                names[i] = lig
+                clusters[i] = (clusters[pos[0]][0], clusters[pos[-1]][1])
+                for p in reversed(pos[1:]):
+                    del names[p]
+                    del clusters[p]
+                return i + 1
             return None
         # contextual
         _, fmt, data = entry
-        match = None  # (input_len, records)
+        match = None  # (matched input positions, records)
         if fmt == 1:
             for bt, inp, la, recs in data["cov"].get(names[i], ()):  # noqa: B020
-                if self._match_ctx(names, i, bt, inp, la, mode="glyph"):
-                    match = (1 + len(inp), recs)
+                m = self._match_ctx(names, i, bt, inp, la, skip, mode="glyph")
+                if m is not None:
+                    match = (m, recs)
                     break
         elif fmt == 2:
             if names[i] in data["cov"]:
                 ci = data["in_cd"].get(names[i], 0)
                 for bt, inp, la, recs in data["rules"].get(ci, ()):  # noqa: B020
-                    if self._match_ctx(names, i, bt, inp, la, mode="class",
-                                       cds=(data["bt_cd"], data["in_cd"],
-                                            data["la_cd"])):
-                        match = (1 + len(inp), recs)
+                    m = self._match_ctx(names, i, bt, inp, la, skip,
+                                        mode="class",
+                                        cds=(data["bt_cd"], data["in_cd"],
+                                             data["la_cd"]))
+                    if m is not None:
+                        match = (m, recs)
                         break
         else:
             inp = data["inp"]
-            if inp and names[i] in inp[0] and self._match_ctx(
-                names, i, data["bt"], inp[1:], data["la"], mode="cov",
-                la_cov=True,
-            ):
-                match = (len(inp), data["recs"])
+            if inp and names[i] in inp[0]:
+                m = self._match_ctx(names, i, data["bt"], inp[1:], data["la"],
+                                    skip, mode="cov")
+                if m is not None:
+                    match = (m, data["recs"])
         if match is None:
             return None
-        input_len, recs = match
-        # nested lookups at recorded input offsets; positions track length
-        # changes from earlier records (ligatures shrink the sequence)
+        input_pos, recs = match
+        end = input_pos[-1] + 1
+        # nested lookups run at the recorded INPUT indices (which address the
+        # matched, skip-filtered input sequence); earlier records may change
+        # the sequence length, shifting later positions
         delta = 0
         for seq_idx, nested_li in recs:
-            pos = i + seq_idx + delta
+            if seq_idx >= len(input_pos):
+                continue
+            pos = input_pos[seq_idx] + delta
             if pos >= len(names):
                 continue
             before = len(names)
-            for nested in self._compile_lookup(nested_li):
-                if self._try_entry_at(nested, names, clusters, pos) is not None:
+            n_skip, n_entries = self._compile_lookup(nested_li)
+            if self._skipped(names[pos], n_skip):
+                continue
+            for nested in n_entries:
+                if self._try_entry_at(nested, names, clusters, pos, n_skip) is not None:
                     break
             delta += len(names) - before
-        return i + input_len + delta
+        return end + delta
 
-    def _match_ctx(self, names, i, bt, inp, la, mode, cds=None, la_cov=False):
-        def matches(j, want, which):
-            if j < 0 or j >= len(names):
-                return False
-            g = names[j]
+    def _match_ctx(self, names, i, bt, inp, la, skip, mode, cds=None):
+        """Match a (chain) context at i with flag skipping. Returns the list
+        of matched input positions (starting with i), or None."""
+
+        def value_match(g, want, which):
             if mode == "glyph":
                 return g == want
             if mode == "class":
-                bt_cd, in_cd, la_cd = cds
-                cd = (bt_cd, in_cd, la_cd)[which]
+                cd = cds[which]
                 return cd.get(g, 0) == want
             return g in want  # coverage sets
 
-        for k, want in enumerate(bt):  # closest-first order
-            if not matches(i - 1 - k, want, 0):
-                return False
-        for k, want in enumerate(inp):
-            if not matches(i + 1 + k, want, 1):
-                return False
-        in_len = len(inp) + 1
-        for k, want in enumerate(la):
-            if not matches(i + in_len + k, want, 2):
-                return False
-        return True
+        j = i
+        for want in bt:  # closest-first order
+            j = self._prev_pos(names, j - 1, skip)
+            if j < 0 or not value_match(names[j], want, 0):
+                return None
+        input_pos = [i]
+        j = i
+        for want in inp:
+            j = self._next_pos(names, j + 1, skip)
+            if j >= len(names) or not value_match(names[j], want, 1):
+                return None
+            input_pos.append(j)
+        j = input_pos[-1]
+        for want in la:
+            j = self._next_pos(names, j + 1, skip)
+            if j >= len(names) or not value_match(names[j], want, 2):
+                return None
+        return input_pos
 
-    def _plan(self, feature_tags: frozenset) -> List[list]:
+    def _plan(self, feature_tags: frozenset) -> List[tuple]:
         plan = self._plans.get(feature_tags)
         if plan is None:
             plan = []
@@ -303,12 +372,15 @@ class OpenTypeShaper:
         )
         out_n = list(names)
         out_c = list(clusters)
-        for entries in plan:
+        for skip, entries in plan:
             i = 0
             while i < len(out_n):
+                if self._skipped(out_n[i], skip):
+                    i += 1
+                    continue
                 nxt = None
                 for entry in entries:
-                    nxt = self._try_entry_at(entry, out_n, out_c, i)
+                    nxt = self._try_entry_at(entry, out_n, out_c, i, skip)
                     if nxt is not None:
                         break
                 i = nxt if nxt is not None else i + 1

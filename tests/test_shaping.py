@@ -274,3 +274,15 @@ def test_variable_font_instancing(tmp_path):
     rl = rasterize_glyph(tf, a, 40.0, variations=(FontVariation("wght", 100),))
     rh = rasterize_glyph(tf, a, 40.0, variations=(FontVariation("wght", 900),))
     assert rh[0].shape[1] > rl[0].shape[1]
+
+
+def test_lookup_flag_mark_skipping(tid):
+    """IgnoreMarks lookup flag: lam + fatha + alef still ligates to lam-alef
+    with the mark riding after (GDEF class-3 skipping)."""
+    tf = get_typeface(tid)
+    arr = _typeset(tid, "لَا")
+    names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    assert names == ["uniFEFB", "uni064E"], names
+    # the ligature cluster spans lam..alef (source runes 0-2)
+    lig = arr.arranged_glyphs[0]
+    assert (lig.source.rune_start, lig.source.rune_end) == (0, 3)

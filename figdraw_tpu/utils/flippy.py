@@ -181,13 +181,18 @@ def _py_uncompress(data: bytes) -> bytes:
 
 
 def _minify_by_2(img: np.ndarray) -> np.ndarray:
-    """2x box filter (pixie minifyBy2 analog), u8 RGBA in/out."""
+    """2x box filter, u8 RGBA in/out. Odd dimensions round UP with edge
+    duplication — matching pixie's minifyBy2 so our mip chains have the same
+    shape ladder as the reference's .flippy files (25→13, 7→4, …)."""
+    h, w = img.shape[0], img.shape[1]
+    if h % 2 or w % 2:
+        img = np.pad(img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
     h2, w2 = img.shape[0] // 2, img.shape[1] // 2
     acc = (
-        img[: h2 * 2 : 2, : w2 * 2 : 2].astype(np.uint16)
-        + img[1 : h2 * 2 : 2, : w2 * 2 : 2]
-        + img[: h2 * 2 : 2, 1 : w2 * 2 : 2]
-        + img[1 : h2 * 2 : 2, 1 : w2 * 2 : 2]
+        img[::2, ::2].astype(np.uint16)
+        + img[1::2, ::2]
+        + img[::2, 1::2]
+        + img[1::2, 1::2]
     )
     return ((acc + 2) // 4).astype(np.uint8)
 

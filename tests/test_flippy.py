@@ -120,3 +120,35 @@ def test_load_image_publishes_flippy_mips():
         expect = ren.atlas._normalize(stored.mipmaps[1])
         got = ren.atlas._images[(ref.id, 1)]
         assert np.array_equal(np.asarray(got), np.asarray(expect))
+
+
+def test_reads_reference_flippy_files():
+    """The clean-room snappy decoder reads the reference's own supersnappy-
+    compressed assets (data/arrow.flippy, data/img1.flippy)."""
+    import os
+
+    from PIL import Image
+
+    for name, exact in (("arrow", 1), ("img1", 0)):
+        path = f"/root/reference/data/{name}.flippy"
+        if not os.path.exists(path):
+            pytest.skip("reference data not mounted")
+        f = fl.load_flippy(path)
+        png = np.asarray(Image.open(f"/root/reference/data/{name}.png").convert("RGBA"))
+        assert f.mipmaps[0].shape == png.shape
+        opaque = png[..., 3] > 0
+        diff = np.abs(
+            f.mipmaps[0][opaque].astype(int) - png[opaque].astype(int)
+        ).max()
+        assert diff <= exact  # transparent texels were alpha-bled by pixie
+        assert min(f.mipmaps[-1].shape[:2]) == 1
+
+
+def test_mip_chain_shape_ladder_matches_pixie():
+    """Odd dims round up with edge duplication (pixie minifyBy2): the
+    reference's img1 chain is 100→50→25→13→7→4→2→1."""
+    img = np.zeros((100, 100, 4), np.uint8)
+    img[..., 3] = 255
+    f = fl.image_to_flippy(img, bleed=False)
+    sizes = [m.shape[0] for m in f.mipmaps]
+    assert sizes == [100, 50, 25, 13, 7, 4, 2, 1]

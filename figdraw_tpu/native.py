@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from .nodesarray import FIG_DTYPE, OP_DTYPE, RendersArray
+from .nodesarray import FIG_DTYPE, GLYPH_DTYPE, OP_DTYPE, TRECT_DTYPE, RendersArray
 from .ops.layout import QF_WIDTH, QI_WIDTH
 from .tape import BlurItem, ClearMaskItem, DrawItem, Tape
 
@@ -71,6 +71,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_double,
             ctypes.c_double,
+        ]
+        lib.fd_set_text_geometry.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.fd_set_text_config.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_set_glyph_offsets.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ]
         lib.fd_set_atlas.argtypes = [
             ctypes.c_void_p,
@@ -143,6 +153,16 @@ def _load() -> Optional[ctypes.CDLL]:
             f"OP_DTYPE ({OP_DTYPE.itemsize} B) out of sync with native DrawOp "
             f"({op_expected} B)"
         )
+        lib.fd_glyph_struct_size.restype = ctypes.c_int
+        assert lib.fd_glyph_struct_size() == GLYPH_DTYPE.itemsize, (
+            f"GLYPH_DTYPE ({GLYPH_DTYPE.itemsize} B) out of sync with native "
+            f"GlyphRow ({lib.fd_glyph_struct_size()} B)"
+        )
+        lib.fd_trect_struct_size.restype = ctypes.c_int
+        assert lib.fd_trect_struct_size() == TRECT_DTYPE.itemsize, (
+            f"TRECT_DTYPE ({TRECT_DTYPE.itemsize} B) out of sync with native "
+            f"TextRect ({lib.fd_trect_struct_size()} B)"
+        )
         _lib = lib
         return _lib
 
@@ -170,8 +190,25 @@ def pack_atlas_entries(entries: dict, atlas_size: int):
     return ids, levels, rects
 
 
-def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv) -> None:
+def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
+              text_config=(False, False, False), glyph_offsets=None) -> None:
     """Shared context setup + layer walk for the export variants."""
+    lib.fd_set_text_config(
+        ctx, int(text_config[0]), int(text_config[1]), int(text_config[2])
+    )
+    if glyph_offsets:
+        keys = np.fromiter(glyph_offsets.keys(), dtype=np.int64,
+                           count=len(glyph_offsets))
+        order = np.argsort(keys)
+        keys = np.ascontiguousarray(keys[order])
+        offs = np.asarray(list(glyph_offsets.values()), dtype=np.float32)
+        offs = np.ascontiguousarray(offs[order])
+        lib.fd_set_glyph_offsets(
+            ctx,
+            keys.ctypes.data_as(ctypes.c_void_p),
+            offs.ctypes.data_as(ctypes.c_void_p),
+            keys.shape[0],
+        )
     if atlas_entries:
         ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
         lib.fd_set_atlas(
@@ -197,6 +234,16 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv) -> None:
             ops.shape[0],
             points.ctypes.data_as(ctypes.c_void_p),
             points.shape[0],
+        )
+        glyphs, trects = lst.text_view()
+        glyphs = np.ascontiguousarray(glyphs)
+        trects = np.ascontiguousarray(trects)
+        lib.fd_set_text_geometry(
+            ctx,
+            glyphs.ctypes.data_as(ctypes.c_void_p),
+            glyphs.shape[0],
+            trects.ctypes.data_as(ctypes.c_void_p),
+            trects.shape[0],
         )
         lib.fd_flatten_layer(
             ctx,
@@ -251,6 +298,8 @@ def flatten_fast(
     white_uv=(0.0, 0.0),
     min_items: int = 24,
     bucket=None,
+    text_config=(False, False, False),
+    glyph_offsets=None,
 ):
     """One C++ walk, best export for the scene:
 
@@ -267,7 +316,8 @@ def flatten_fast(
         ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
     )
     try:
-        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv)
+        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
+                  text_config, glyph_offsets)
         info = np.zeros(4, np.int32)
         lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
         n_quads, n_items, mask_count, flags = (int(v) for v in info)
@@ -295,6 +345,8 @@ def flatten_renders_array(
     atlas_entries: Optional[dict] = None,
     atlas_size: int = 1,
     white_uv=(0.0, 0.0),
+    text_config=(False, False, False),
+    glyph_offsets=None,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported."""
@@ -308,7 +360,8 @@ def flatten_renders_array(
         ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
     )
     try:
-        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv)
+        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
+                  text_config, glyph_offsets)
         return _export_tape(lib, ctx, frame_w, frame_h, clear_color)
     finally:
         lib.fd_destroy(ctx)

@@ -83,6 +83,38 @@ FIG_DTYPE = np.dtype(
         ("draw_steps", np.uint16),
         ("draw_aa", np.float32),
         ("draw_stroke_fill", FILL_DTYPE),
+        # nkText payload: glyphs + selection/decoration rects in side arrays
+        ("glyphs_start", np.int32),
+        ("glyphs_count", np.int32),
+        ("trects_start", np.int32),
+        ("trects_count", np.int32),
+    ]
+)
+
+# nkText side-array rows: placed glyph (logical pen x/y from the arrangement,
+# physical raster image offset, tint) and pre-computed selection/decoration
+# rects (text/glyphs.py draw_text_layout emission order: selections,
+# decorations, then glyphs). Coordinates stay f64 so the C++ walk reproduces
+# the Python walk bit-for-bit.
+GLYPH_DTYPE = np.dtype(
+    [
+        ("font_id", np.int64),
+        ("glyph_id", np.int32),
+        ("color", np.uint8, 4),
+        ("x", np.float64),
+        ("y", np.float64),
+        ("img_ox", np.float64),
+        ("img_oy", np.float64),
+    ]
+)
+
+TRECT_DTYPE = np.dtype(
+    [
+        ("x", np.float64),
+        ("y", np.float64),
+        ("w", np.float64),
+        ("h", np.float64),
+        ("fill", FILL_DTYPE),
     ]
 )
 
@@ -114,6 +146,7 @@ NATIVE_KINDS = frozenset(
         int(FigKind.nkMsdfImage),
         int(FigKind.nkMtsdfImage),
         int(FigKind.nkDrawable),
+        int(FigKind.nkText),
     }
 )
 
@@ -177,6 +210,112 @@ def pack_ops(row, node: Fig, ops_rows: list, points_rows: list) -> None:
         ops_rows.append(r)
 
 
+def _row_total(blocks: list) -> int:
+    return sum(b.shape[0] if b.ndim else 1 for b in blocks)
+
+
+def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
+    """Pre-compute the text node's draw list (text/glyphs.py draw_text_layout):
+    selection bands + underline/strikethrough rects into trects, placed
+    glyphs into glyph rows. Logical (pre-ui-scale) coordinates; the flattener
+    applies scaling, invertY and subpixel policy."""
+    from .fill import center_color_rgba, fill_alpha_max
+    from .geometry import rect as _rect
+
+    layout = node.text_layout
+    row["glyphs_start"] = _row_total(glyph_rows)
+    row["trects_start"] = len(trect_rows)
+    if layout is None:
+        return
+
+    sel_a, sel_b = node.selection_range
+    if (
+        FigFlags.NfSelectText in node.flags
+        and fill_alpha_max(node.fill) > 0
+        and sel_a <= sel_b
+    ):
+        for selection in layout.selection_rects_for((sel_a, sel_b)):
+            if selection.h > 0:
+                r = np.zeros((), dtype=TRECT_DTYPE)
+                r["x"], r["y"] = selection.x, selection.y
+                r["w"], r["h"] = max(selection.w, 1.0), selection.h
+                pack_fill(r["fill"], node.fill)
+                trect_rows.append(r)
+
+    # decorations (figrender.nim:370-415 band math, done here once)
+    for span_index, (ss, se) in enumerate(layout.spans):
+        if span_index >= len(layout.fonts):
+            break
+        gf = layout.fonts[span_index]
+        if not (gf.underline or gf.strikethrough):
+            continue
+        color = (
+            layout.span_colors[span_index]
+            if span_index < len(layout.span_colors)
+            else None
+        )
+        if color is None:
+            continue
+        thickness = max(round(gf.size / 16.0), 1.0)
+        for line_s, line_e in layout.lines:
+            start, stop = max(ss, line_s), min(se, line_e)
+            if start > stop:
+                continue
+            min_x = min_y = float("inf")
+            max_x = max_y = float("-inf")
+            for gi in range(start, stop + 1):
+                gr = layout.glyph_rect(gi)
+                min_x, max_x = min(min_x, gr.x), max(max_x, gr.x + gr.w)
+                min_y, max_y = min(min_y, gr.y), max(max_y, gr.y + gr.h)
+            if not (min_x < max_x and min_y < max_y):
+                continue
+            bands = []
+            if gf.underline:
+                bands.append(_rect(min_x, max_y - thickness * 1.5,
+                                   max_x - min_x, thickness))
+            if gf.strikethrough:
+                bands.append(_rect(
+                    min_x, min_y + (max_y - min_y) * 0.5 - thickness * 0.5,
+                    max_x - min_x, thickness,
+                ))
+            for band in bands:
+                if band.w <= 0 or band.h <= 0:
+                    continue
+                r = np.zeros((), dtype=TRECT_DTYPE)
+                r["x"], r["y"], r["w"], r["h"] = band.x, band.y, band.w, band.h
+                pack_fill(r["fill"], color)
+                trect_rows.append(r)
+
+    drawn = [g for g in layout.arranged_glyphs if not g.is_whitespace]
+    if drawn:
+        block = np.zeros(len(drawn), dtype=GLYPH_DTYPE)
+        block["font_id"] = [g.font_id for g in drawn]
+        block["glyph_id"] = [g.glyph_id for g in drawn]
+        fill_colors = {}
+        colors = np.empty((len(drawn), 4), np.uint8)
+        for i, g in enumerate(drawn):
+            f = g.fill
+            if f is None:
+                colors[i] = (0, 0, 0, 255)
+                continue
+            key = id(f)
+            c = fill_colors.get(key)
+            if c is None:
+                cc = center_color_rgba(f)
+                c = (cc.r, cc.g, cc.b, cc.a)
+                fill_colors[key] = c
+            colors[i] = c
+        block["color"] = colors
+        block["x"] = [g.pos.x + g.offset.x for g in drawn]
+        block["y"] = [g.pos.y + g.offset.y for g in drawn]
+        block["img_ox"] = [g.image_offset.x for g in drawn]
+        block["img_oy"] = [g.image_offset.y for g in drawn]
+        glyph_rows.append(block)
+
+    row["glyphs_count"] = _row_total(glyph_rows) - int(row["glyphs_start"])
+    row["trects_count"] = len(trect_rows) - int(row["trects_start"])
+
+
 def pack_fig(row, node: Fig, ops_rows: list = None, points_rows: list = None) -> None:
     row["kind"] = int(node.kind)
     row["zlevel"] = node.zlevel
@@ -230,7 +369,11 @@ class RenderListArray:
         self.root_ids: list[int] = []
         self.ops_rows: list = []
         self.points_rows: list = []
+        self.glyph_rows: list = []
+        self.trect_rows: list = []
+        self.text_objects: dict = {}  # row idx → (layout, selection_range)
         self._ops_cache = None
+        self._text_cache = None
 
     def ops_view(self):
         """(ops array, points array) for the native walk."""
@@ -248,6 +391,29 @@ class RenderListArray:
             self._ops_cache = (len(self.ops_rows), ops, pts)
         return self._ops_cache[1], self._ops_cache[2]
 
+    def text_view(self):
+        """(glyphs array, trects array) for the native walk. glyph_rows holds
+        one block array per text node; trect_rows holds 0-d rows."""
+        if self._text_cache is None or self._text_cache[0] != len(self.glyph_rows):
+            glyphs = (
+                np.concatenate([np.atleast_1d(b) for b in self.glyph_rows])
+                if self.glyph_rows
+                else np.zeros(0, dtype=GLYPH_DTYPE)
+            )
+            trects = (
+                np.stack(self.trect_rows).astype(TRECT_DTYPE, copy=False)
+                if self.trect_rows
+                else np.zeros(0, dtype=TRECT_DTYPE)
+            )
+            self._text_cache = (len(self.glyph_rows), glyphs, trects)
+        return self._text_cache[1], self._text_cache[2]
+
+    def _pack(self, i: int, node: Fig) -> None:
+        pack_fig(self.nodes[i], node, self.ops_rows, self.points_rows)
+        if node.kind == FigKind.nkText:
+            pack_text(self.nodes[i], node, self.glyph_rows, self.trect_rows)
+            self.text_objects[i] = (node.text_layout, node.selection_range)
+
     def _grow(self) -> None:
         new = np.zeros(self.nodes.shape[0] * 2, dtype=FIG_DTYPE)
         new[: self.count] = self.nodes[: self.count]
@@ -262,7 +428,7 @@ class RenderListArray:
 
     def add_root(self, node: Fig) -> int:
         i = self._alloc()
-        pack_fig(self.nodes[i], node, self.ops_rows, self.points_rows)
+        self._pack(i, node)
         self.nodes[i]["parent"] = -1
         self.nodes[i]["child_count"] = 0
         self.root_ids.append(i)
@@ -270,7 +436,7 @@ class RenderListArray:
 
     def add_child(self, parent_idx: int, node: Fig) -> int:
         i = self._alloc()
-        pack_fig(self.nodes[i], node, self.ops_rows, self.points_rows)
+        self._pack(i, node)
         self.nodes[i]["parent"] = parent_idx
         self.nodes[i]["child_count"] = 0
         self.nodes[parent_idx]["child_count"] += 1
@@ -295,7 +461,7 @@ def from_render_list(lst: RenderList) -> RenderListArray:
     arr = RenderListArray(capacity=max(len(lst.nodes), 1))
     arr.count = len(lst.nodes)
     for i, node in enumerate(lst.nodes):
-        pack_fig(arr.nodes[i], node, arr.ops_rows, arr.points_rows)
+        arr._pack(i, node)
     arr.root_ids = list(lst.root_ids)
     return arr
 
@@ -367,7 +533,7 @@ def _unpack_ops(row, ops, points):
     return tuple(out)
 
 
-def unpack_fig(row, ops=None, points=None) -> Fig:
+def unpack_fig(row, ops=None, points=None, text=None) -> Fig:
     from .basics import (
         BackdropBlurStyle,
         RenderShadow,
@@ -456,6 +622,8 @@ def unpack_fig(row, ops=None, points=None) -> Fig:
         ),
         draw_steps=int(row["draw_steps"]),
         draw_aa=float(row["draw_aa"]),
+        text_layout=text[0] if text is not None else None,
+        selection_range=text[1] if text is not None else (0, -1),
     )
 
 
@@ -495,7 +663,8 @@ def to_renders(arr: RendersArray) -> Renders:
         ops, points = lst.ops_view()
         rl = RenderList()
         rl.nodes = [
-            unpack_fig(lst.nodes[i], ops, points) for i in range(lst.count)
+            unpack_fig(lst.nodes[i], ops, points, lst.text_objects.get(i))
+            for i in range(lst.count)
         ]
         rl.root_ids = list(lst.root_ids)
         out.set_layer(lvl, rl)

@@ -316,6 +316,61 @@ class FigRenderer:
         x, y, w, h = self.atlas.entries[WHITE_IMAGE_KEY]
         return (x + w / 2.0, y + h / 2.0)
 
+    def _text_config(self):
+        return (
+            self.text_lcd_filtering,
+            self.text_subpixel_positioning,
+            self.text_subpixel_positioning and self.text_subpixel_glyph_variants,
+        )
+
+    def _ensure_packed_glyphs(self, renders) -> None:
+        """Rasterize any glyphs the packed text rows reference that are not
+        in the atlas yet — the cold-miss hook the Python walk runs lazily
+        (figrender.nim:477-491), vectorized over GLYPH_DTYPE rows so the C++
+        walk only ever sees warm keys."""
+        from types import SimpleNamespace
+
+        from .basics import fig_ui_scale
+
+        lcd, subpixel, variants_on = self._text_config()
+        ui = fig_ui_scale()
+        entries = self.atlas.entries
+        for _lvl, lst in renders.sorted_pairs():
+            glyphs, _trects = lst.text_view()
+            n = glyphs.shape[0]
+            if n == 0:
+                continue
+            if variants_on:
+                gx = glyphs["x"] * ui + glyphs["img_ox"]
+                frac = np.clip(gx - np.floor(gx), 0.0, 0.999)
+                variant = np.minimum((frac * 10.0).astype(np.int64), 9)
+            else:
+                variant = np.zeros(n, np.int64)
+            # vectorized text/glyphs.py glyph_hash
+            h = np.full(n, 0xCBF29CE484222325, np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for v in (
+                np.full(n, 2344, np.uint64),
+                glyphs["font_id"].astype(np.uint64),
+                glyphs["glyph_id"].astype(np.uint64),
+                np.full(n, int(lcd), np.uint64),
+                variant.astype(np.uint64),
+            ):
+                h = (h ^ v) * prime
+            keys = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            uniq, first = np.unique(keys, return_index=True)
+            for k, i in zip(uniq.tolist(), first.tolist()):
+                if k in entries:
+                    continue
+                g = glyphs[i]
+                self._load_glyph(
+                    k,
+                    SimpleNamespace(font_id=int(g["font_id"]),
+                                    glyph_id=int(g["glyph_id"])),
+                    lcd,
+                    int(variant[i]),
+                )
+
     def _device_atlas(self):
         if self.atlas.dirty or self._atlas_device is None:
             self._atlas_device = jnp.asarray(self.atlas.data)
@@ -367,6 +422,7 @@ class FigRenderer:
             from . import native
             from .basics import fig_ui_scale
 
+            self._ensure_packed_glyphs(renders)
             tape = native.flatten_renders_array(
                 renders,
                 frame_size.x,
@@ -378,6 +434,8 @@ class FigRenderer:
                 atlas_entries=self.atlas.entries,
                 atlas_size=self.atlas.size,
                 white_uv=self._white_uv(),
+                text_config=self._text_config(),
+                glyph_offsets=self._glyph_offsets,
             )
             if tape is not None:
                 return tape
@@ -652,6 +710,7 @@ class FigRenderer:
         from . import executor as ex
         from .basics import fig_ui_scale
 
+        self._ensure_packed_glyphs(renders)
         result = native.flatten_fast(
             renders,
             fs.x,
@@ -669,6 +728,8 @@ class FigRenderer:
             white_uv=self._white_uv(),
             min_items=ROLLED_THRESHOLD,
             bucket=_bucket,
+            text_config=self._text_config(),
+            glyph_offsets=self._glyph_offsets,
         )
         if result is None:
             return None, None

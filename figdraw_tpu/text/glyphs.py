@@ -24,8 +24,14 @@ from .typefaces import get_fig_font, get_typeface
 
 
 def glyph_hash(font_id: int, glyph_id: int, lcd: bool = False, variant: int = 0) -> int:
-    """Cache identity (fontglyphs.nim:54-59)."""
-    return hash((2344, font_id, glyph_id, lcd, variant)) & 0x7FFFFFFFFFFFFFFF
+    """Cache identity (fontglyphs.nim:54-59). FNV-1a over the identity tuple —
+    deterministic integer math so the C++ flattener computes identical keys
+    (native/flatten.cpp fd_glyph_key)."""
+    h = 0xCBF29CE484222325
+    for v in (2344, font_id & 0xFFFFFFFFFFFFFFFF, glyph_id, int(lcd), variant):
+        h ^= v
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
 
 
 def generate_glyph(

@@ -333,7 +333,13 @@ def typeset(
 
     span_texts = [apply_font_case(t, f.font_case) for f, _c, t in spans]
     full_text = "".join(span_texts)
-    levels, bases = bidi_mod.compute_levels(full_text) if full_text else ([], [])
+    if full_text.isascii():
+        # ASCII has no RTL/AL characters: every level resolves to 0 in an
+        # LTR paragraph — skip the UAX#9 pass entirely (hot-path win)
+        levels = [0] * len(full_text)
+        bases = [0] * len(full_text)
+    else:
+        levels, bases = bidi_mod.compute_levels(full_text) if full_text else ([], [])
     arr.bidi_levels = levels
     arr.bidi_bases = bases
     any_rtl = any(l % 2 for l in levels)
@@ -595,6 +601,44 @@ def typeset_for_measurement(spans, bounds=None, ui_scale: float = 1.0) -> GlyphA
     """Unbounded layout for content measurement (fontutils.nim:93-123)."""
     b = bounds if bounds is not None else vec2(0, 0)
     return typeset(b, spans, wrap=bounds is not None, ui_scale=ui_scale)
+
+
+_typeset_cache: "OrderedDict" = None  # lazily created
+_TYPESET_CACHE_CAP = 2048
+
+
+def typeset_cached(
+    bounds: Vec2,
+    spans: Sequence[Tuple[FigFont, Fill, str]],
+    h_align: int = HAlign.Left,
+    v_align: int = VAlign.Top,
+    wrap: bool = True,
+    ui_scale: float = 1.0,
+) -> GlyphArrangement:
+    """LRU-cached typeset for frame loops: UI text rarely changes between
+    frames, and the reference's GlyphArrangement carries a contentHash for
+    exactly this reuse (fonttypes.nim:86). Arrangements are immutable after
+    layout — share them across frames; do not mutate."""
+    global _typeset_cache
+    from collections import OrderedDict
+
+    if _typeset_cache is None:
+        _typeset_cache = OrderedDict()
+    key = (
+        tuple((f.typeface_id, f.size, f.line_height, f.font_case,
+               f.no_kerning_adjustments, f.fallback_typeface_ids,
+               f.features, f.variations, id(c), t) for f, c, t in spans),
+        bounds.x, bounds.y, h_align, v_align, wrap, ui_scale,
+    )
+    hit = _typeset_cache.get(key)
+    if hit is not None:
+        _typeset_cache.move_to_end(key)
+        return hit
+    arr = typeset(bounds, spans, h_align, v_align, wrap, ui_scale)
+    _typeset_cache[key] = arr
+    if len(_typeset_cache) > _TYPESET_CACHE_CAP:
+        _typeset_cache.popitem(last=False)
+    return arr
 
 
 class GlyphOrigin:

@@ -135,9 +135,35 @@ class OpenTypeShaper:
                 if compiled is not None:
                     entries.append(compiled)
             # other types: unsupported, skipped
-        result = (self._flag_skip_classes(lookup.LookupFlag or 0), entries)
+        result = (
+            self._flag_skip_classes(lookup.LookupFlag or 0),
+            entries,
+            self._trigger_set(entries),
+        )
         self._lookups[li] = result
         return result
+
+    @staticmethod
+    def _trigger_set(entries) -> Optional[frozenset]:
+        """Union of glyphs that can start a match for any entry — a fast
+        prefilter so the per-position loop skips irrelevant lookups with one
+        set test. None = cannot prefilter (match anything)."""
+        triggers = set()
+        for entry in entries:
+            kind = entry[0]
+            if kind in ("single", "liga"):
+                triggers.update(entry[1].keys())
+            else:
+                _, fmt, data = entry
+                if fmt == 1:
+                    triggers.update(data["cov"].keys())
+                elif fmt == 2:
+                    triggers.update(data["cov"])
+                else:
+                    if not data["inp"]:
+                        return None
+                    triggers.update(data["inp"][0])
+        return frozenset(triggers)
 
     def _compile_context(self, ltype: int, sub):
         """(Chain)ContextSubst → ("ctx", fmt, data). Rules are stored as
@@ -308,7 +334,7 @@ class OpenTypeShaper:
             if pos >= len(names):
                 continue
             before = len(names)
-            n_skip, n_entries = self._compile_lookup(nested_li)
+            n_skip, n_entries, _n_trig = self._compile_lookup(nested_li)
             if self._skipped(names[pos], n_skip):
                 continue
             for nested in n_entries:
@@ -372,10 +398,14 @@ class OpenTypeShaper:
         )
         out_n = list(names)
         out_c = list(clusters)
-        for skip, entries in plan:
+        for skip, entries, triggers in plan:
+            if triggers is not None and not triggers.intersection(out_n):
+                continue  # nothing in this run can start a match
             i = 0
             while i < len(out_n):
-                if self._skipped(out_n[i], skip):
+                nm = out_n[i]
+                if (triggers is not None and nm not in triggers) or \
+                        self._skipped(nm, skip):
                     i += 1
                     continue
                 nxt = None

@@ -71,6 +71,20 @@ struct Fig {
   uint16_t draw_steps;
   float draw_aa;
   PackedFill draw_stroke_fill;
+  int32_t glyphs_start, glyphs_count;
+  int32_t trects_start, trects_count;
+};
+
+struct GlyphRow {  // nodesarray.py GLYPH_DTYPE
+  int64_t font_id;
+  int32_t glyph_id;
+  uint8_t color[4];
+  double x, y, img_ox, img_oy;
+};
+
+struct TextRect {  // nodesarray.py TRECT_DTYPE
+  double x, y, w, h;
+  PackedFill fill;
 };
 #pragma pack(pop)
 
@@ -83,7 +97,7 @@ struct DrawOp {
 };
 #pragma pack(pop)
 
-constexpr uint8_t NK_RECT = 2, NK_DRAWABLE = 3, NK_IMAGE = 5, NK_MSDF = 6,
+constexpr uint8_t NK_TEXT = 1, NK_RECT = 2, NK_DRAWABLE = 3, NK_IMAGE = 5, NK_MSDF = 6,
                   NK_MTSDF = 7, NK_BACKDROP = 8, NK_TRANSFORM = 9;
 constexpr uint8_t DK_LINE = 0, DK_CIRCLE = 1, DK_RECT = 2, DK_BEZIER = 3,
                   DK_ARC = 4, DK_ELLIPSE = 5;
@@ -255,6 +269,24 @@ struct Ctx {
   double white_u = 0.0, white_v = 0.0;
   const DrawOp* ops = nullptr;  // drawable geometry for the current layer
   const float* points = nullptr;
+  const GlyphRow* glyphs = nullptr;  // text geometry for the current layer
+  const TextRect* trects = nullptr;
+  bool text_lcd = false, text_subpixel = false, text_variants = false;
+  double subpixel_shift = 0.0;  // active per-quad shift (tape.py semantics)
+  std::vector<int64_t> glyph_off_keys;  // sorted; parallel to glyph_offs
+  std::vector<float> glyph_offs;        // (n, 2) raster origin offsets
+
+  const float* find_glyph_offset(int64_t key) const {
+    size_t lo = 0, hi = glyph_off_keys.size();
+    while (lo < hi) {
+      size_t mid = (lo + hi) / 2;
+      if (glyph_off_keys[mid] < key) lo = mid + 1;
+      else hi = mid;
+    }
+    if (lo < glyph_off_keys.size() && glyph_off_keys[lo] == key)
+      return &glyph_offs[lo * 2];
+    return nullptr;
+  }
   std::vector<AtlasEntry> atlas_entries;  // sorted by (id, level)
   float atlas_size = 1.0f;
 
@@ -389,7 +421,7 @@ void emit_quad(Ctx& ctx, const double pq[4][2], const double uv[4][2],
   f[QF_FACTORS + 0] = factors[0];
   f[QF_FACTORS + 1] = factors[1];
   f[QF_AA] = ctx.aa;
-  f[QF_SUBPIX] = 0.0f;
+  f[QF_SUBPIX] = (float)ctx.subpixel_shift;
   const RectMask* rm = ctx.active_rect_mask();
   if (rm) {
     for (int i = 0; i < 4; i++) f[QF_RECT + i] = rm->params[i];
@@ -521,6 +553,79 @@ void draw_image_node(Ctx& ctx, const Fig& n, double bx, double by, double bw,
   }
 }
 
+
+
+// text/glyphs.py glyph_hash: FNV-1a style mix, identical in Python and here
+inline uint64_t glyph_key(int64_t font_id, int32_t glyph_id, bool lcd,
+                          int variant) {
+  uint64_t h = 0xCBF29CE484222325ull;
+  const uint64_t vals[5] = {2344ull, (uint64_t)font_id, (uint64_t)glyph_id,
+                            lcd ? 1ull : 0ull, (uint64_t)variant};
+  for (int i = 0; i < 5; i++) {
+    h ^= vals[i];
+    h *= 0x100000001B3ull;
+  }
+  return h & 0x7FFFFFFFFFFFFFFFull;
+}
+
+// renderText port over packed rows (text/glyphs.py draw_text_layout):
+// selection/decoration rects then per-glyph atlas quads, with the subpixel
+// snap/variant policy and the glyph-raster origin offsets.
+void render_text_node(Ctx& ctx, const Fig& n) {
+  ctx.mats.push_back(ctx.mat);
+  ctx.mat = matmul(ctx.mat, mat_translate(ctx.s(n.box[0]), ctx.s(n.box[1])));
+  if (n.flags & NF_INVERT_Y) {
+    ctx.mat = matmul(ctx.mat, mat_translate(0.0, ctx.s(n.box[3])));
+    ctx.mat = matmul(ctx.mat, mat_scale(1.0, -1.0));
+  }
+  double zero4[4] = {0, 0, 0, 0};
+  if (ctx.trects) {
+    for (int i = n.trects_start; i < n.trects_start + n.trects_count; i++) {
+      const TextRect& tr = ctx.trects[i];
+      draw_rounded_rect(ctx, ctx.s(tr.x), ctx.s(tr.y), ctx.s(tr.w),
+                        ctx.s(tr.h), tr.fill, zero4, zero4, MODE_CLIP_AA, 4.0,
+                        0.0, 0.0, 0.0);
+    }
+  }
+  if (ctx.glyphs) {
+    for (int i = n.glyphs_start; i < n.glyphs_start + n.glyphs_count; i++) {
+      const GlyphRow& g = ctx.glyphs[i];
+      double gx = ctx.s(g.x) + g.img_ox;
+      double gy = ctx.s(g.y) + g.img_oy;
+      double shift = 0.0;
+      int variant = 0;
+      if (ctx.text_subpixel) {
+        double snapped = std::floor(gx);
+        double frac = gx - snapped;
+        if (frac < 0.0) frac = 0.0;
+        if (frac > 0.999) frac = 0.999;
+        gx = snapped;
+        if (ctx.text_variants) {
+          variant = (int)(frac * 10.0);
+          if (variant > 9) variant = 9;
+        } else {
+          shift = frac;
+        }
+      }
+      uint64_t key = glyph_key(g.font_id, g.glyph_id, ctx.text_lcd, variant);
+      const AtlasEntry* e = ctx.find_entry((int64_t)key, 0);
+      if (!e) continue;  // renderer pre-pass rasterizes misses
+      const float* off = ctx.find_glyph_offset((int64_t)key);
+      double ox = off ? off[0] : 0.0, oy = off ? off[1] : 0.0;
+      double drw = e->w * ctx.atlas_size, drh = e->h * ctx.atlas_size;
+      uint8_t colors[4][4];
+      for (int v = 0; v < 4; v++) std::memcpy(colors[v], g.color, 4);
+      double params[4] = {0, 0, 0, 0};
+      ctx.subpixel_shift = shift;
+      draw_uv_rect(ctx, gx + ox, gy + oy, gx + ox + drw, gy + oy + drh,
+                   e->x, e->y, e->x + e->w, e->y + e->h, colors, MODE_ATLAS,
+                   0.0, 0.0, params);
+      ctx.subpixel_shift = 0.0;
+    }
+  }
+  ctx.mat = ctx.mats.back();
+  ctx.mats.pop_back();
+}
 
 // ---- drawable decomposition (render.py port of figrender.nim:908-1651) -------
 
@@ -1164,6 +1269,8 @@ void render_node(Ctx& ctx, const Fig* nodes, int n_nodes, int idx) {
     if (fill_alpha_max(n.stroke_fill) > 0 && n.stroke_weight > 0)
       draw_rounded_rect(ctx, bx, by, bw, bh, n.stroke_fill, radx, rady,
                         MODE_ANNULAR_AA, ctx.s(n.stroke_weight), 0.0, 0.0, 0.0);
+  } else if (n.kind == NK_TEXT) {
+    if (n.glyphs_count > 0 || n.trects_count > 0) render_text_node(ctx, n);
   } else if (n.kind == NK_DRAWABLE) {
     if (ctx.ops && n.ops_count > 0)
       render_drawable_node(ctx, n, ctx.ops, ctx.points);
@@ -1394,6 +1501,32 @@ void fd_set_geometry(Ctx* ctx, const void* ops, int n_ops, const float* points,
   ctx->ops = (const DrawOp*)ops;
   ctx->points = points;
 }
+
+// Text geometry for subsequent fd_flatten_layer calls (GLYPH_DTYPE /
+// TRECT_DTYPE rows from nodesarray.py pack_text).
+void fd_set_text_geometry(Ctx* ctx, const void* glyphs, int n_glyphs,
+                          const void* trects, int n_trects) {
+  (void)n_glyphs; (void)n_trects;
+  ctx->glyphs = (const GlyphRow*)glyphs;
+  ctx->trects = (const TextRect*)trects;
+}
+
+// Runtime text flags (figrender.nim:103-162 runtime toggles).
+void fd_set_text_config(Ctx* ctx, int lcd, int subpixel, int variants) {
+  ctx->text_lcd = lcd != 0;
+  ctx->text_subpixel = subpixel != 0;
+  ctx->text_variants = variants != 0;
+}
+
+// Glyph raster-origin offsets keyed by glyph hash (sorted ascending).
+void fd_set_glyph_offsets(Ctx* ctx, const int64_t* keys, const float* offs,
+                          int n) {
+  ctx->glyph_off_keys.assign(keys, keys + n);
+  ctx->glyph_offs.assign(offs, offs + (size_t)n * 2);
+}
+
+int fd_glyph_struct_size() { return (int)sizeof(GlyphRow); }
+int fd_trect_struct_size() { return (int)sizeof(TextRect); }
 
 // White-texel uv for bevel/miter join quads (tape.py draw_filled_quad).
 void fd_set_white_uv(Ctx* ctx, double u, double v) {

@@ -119,14 +119,17 @@ def test_native_ui_scale():
         set_fig_ui_scale(old)
 
 
-def test_native_rejects_unsupported_kinds():
+def test_all_kinds_native_and_rejection_path():
+    """Every FigKind flattens natively now; the gate still rejects rows with
+    unknown kind values (forward compatibility)."""
     from figdraw_tpu import Fig, FigKind, new_renders, rect
+    from figdraw_tpu.nodesarray import NATIVE_KINDS
 
+    assert {int(k) for k in FigKind} <= NATIVE_KINDS
     renders = new_renders()
-    renders.add_root(0, Fig(
-        kind=FigKind.nkText, screen_box=rect(0, 0, 10, 10),
-    ))
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 4, 4)))
     arr = from_renders(renders)
+    arr.layers[0].nodes[0]["kind"] = 99  # not a FigKind
     assert not arr.all_native_kinds()
 
 
@@ -288,3 +291,68 @@ def test_native_image_and_msdf_parity():
     py_tape = ren.flatten(to_renders(arr), vec2(120, 90))
     native_tape = ren.flatten(arr, vec2(120, 90))
     assert_tapes_equal(py_tape, native_tape)
+
+
+def test_native_text_parity():
+    """nkText through the C++ walk == Python walk bit-for-bit: glyph quads,
+    underline decoration, selection bands, invertY, RTL layouts."""
+    from figdraw_tpu import FigFlags, fill, rgba
+    from figdraw_tpu.nodesarray import to_renders
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    ink = fill(rgba(20, 20, 30, 255))
+
+    from figdraw_tpu import Fig, FigKind, new_renders, rect
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 300, 120),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    f = FigFont(typeface_id=tid, size=18.0, underline=True)
+    arr1 = typeset(vec2(280, 24), [(f, ink, "Efficient AV text")])
+    renders.add_root(0, Fig(kind=FigKind.nkText, screen_box=rect(10, 8, 280, 24),
+                            text_layout=arr1))
+    f2 = FigFont(typeface_id=tid, size=18.0)
+    arr2 = typeset(vec2(280, 24), [(f2, fill(rgba(180, 30, 30, 255)), "sel שלום")])
+    renders.add_root(0, Fig(kind=FigKind.nkText, screen_box=rect(10, 40, 280, 24),
+                            text_layout=arr2, flags=FigFlags.NfSelectText,
+                            selection_range=(1, 5),
+                            fill=fill(rgba(90, 150, 255, 120))))
+    arr3 = typeset(vec2(280, 24), [(f2, ink, "inverted")])
+    renders.add_root(0, Fig(kind=FigKind.nkText, screen_box=rect(10, 72, 280, 24),
+                            text_layout=arr3, flags=FigFlags.NfInvertY))
+
+    ren = FigRenderer(atlas_size=512, use_pallas=False)
+    arr = from_renders(renders)
+    # python walk first warms the glyph atlas; native pre-pass covers the rest
+    py_tape = ren.flatten(to_renders(arr), vec2(300, 120))
+    native_tape = ren.flatten(arr, vec2(300, 120))
+    assert py_tape.count > 20
+    assert_tapes_equal(py_tape, native_tape)
+
+
+def test_native_text_cold_start():
+    """The glyph pre-pass rasterizes everything the packed rows reference, so
+    a fresh renderer renders text natively with no Python-walk warmup."""
+    from figdraw_tpu import Fig, FigKind, fill, new_renders, rect, rgba
+    from figdraw_tpu.nodesarray import to_renders
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    f = FigFont(typeface_id=tid, size=20.0)
+    renders = new_renders()
+    arr_l = typeset(vec2(200, 28), [(f, fill(rgba(0, 0, 0, 255)), "Cold start!")])
+    renders.add_root(0, Fig(kind=FigKind.nkText, screen_box=rect(4, 4, 200, 28),
+                            text_layout=arr_l))
+    arr = from_renders(renders)
+
+    ren_native = FigRenderer(atlas_size=512, use_pallas=False)
+    ren_native.render_frame(arr, vec2(220, 40))
+    native_png = ren_native.take_screenshot()
+    ren_py = FigRenderer(atlas_size=512, use_pallas=False)
+    ren_py.render_frame(to_renders(arr), vec2(220, 40))
+    py_png = ren_py.take_screenshot()
+    assert np.array_equal(native_png, py_png)
+    assert (native_png[..., :3] < 100).any()  # glyphs actually drawn

@@ -159,3 +159,35 @@ def test_capi_rejects_bad_parent():
         assert lib.fd_renders_add_child(renders, 0, 7, _row_ptr(fig)) == -1
     finally:
         lib.fd_renders_free(renders)
+
+
+def test_c_host_demo_compiles_and_runs(tmp_path):
+    """native/examples/scene_demo.c: a real C program against the public
+    header builds a layered scene and flattens it — the external-host path
+    (native dynlib consumers)."""
+    import os
+    import subprocess
+
+    from figdraw_tpu.nodesarray import FIG_DTYPE
+
+    native._load()  # ensure the .so exists
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "examples", "scene_demo.c")
+    lib_dir = os.path.join(root, "native", "build")
+    exe = str(tmp_path / "scene_demo")
+    offs = {name: FIG_DTYPE.fields[name][1]
+            for name in ("ops_start", "draw_weight", "draw_stroke_fill")}
+    subprocess.run(
+        [
+            "gcc", src, "-I", os.path.join(root, "native"),
+            f"-DFD_OFF_OPS_START={offs['ops_start']}",
+            f"-DFD_OFF_DRAW_WEIGHT={offs['draw_weight']}",
+            f"-DFD_OFF_DRAW_STROKE_FILL={offs['draw_stroke_fill']}",
+            "-L", lib_dir, "-lfigdraw_flatten",
+            f"-Wl,-rpath,{lib_dir}", "-o", exe,
+        ],
+        check=True, capture_output=True,
+    )
+    out = subprocess.run([exe], check=True, capture_output=True, text=True)
+    assert out.stdout.startswith("quads=")
+    assert int(out.stdout.split("=")[1]) >= 3

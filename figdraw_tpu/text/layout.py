@@ -423,6 +423,7 @@ def typeset(
                 # full GPOS kerning pass: single/pair/contextual lookups with
                 # flag skipping (shaper.position)
                 gpos_deltas = shaper.position(names)
+            cursive = shaper.cursive_chain(names) if shaper is not None else None
             prev_name = None
             base_name = None  # last non-mark glyph (GPOS mark attachment)
             last_pen_glyph = None  # index of the glyph carrying the pen advance
@@ -453,6 +454,12 @@ def typeset(
                                 delta[0] * rs - pen_since_base,
                                 -delta[1] * rs,
                             )
+                curs_dy = 0.0
+                if cursive is not None:
+                    c_adv, c_dy = cursive
+                    if c_adv[out_i] is not None:
+                        adv = c_adv[out_i] * rs  # exit→entry advance (GPOS 3)
+                    curs_dy = -c_dy[out_i] * rs  # font y-up → screen y-down
                 if gpos_deltas is not None:
                     if attach is None and gpos_deltas[out_i]:
                         adv += gpos_deltas[out_i] * rs
@@ -470,7 +477,8 @@ def typeset(
                     source=GlyphSourceRange(cs, ce),
                     rune=rune, is_whitespace=rune.isspace(), pos=vec2(0, 0),
                     advance=vec2(0.0 if attach is not None else adv, 0.0),
-                    offset=attach if attach is not None else vec2(0, 0),
+                    offset=(attach if attach is not None
+                            else vec2(0.0, curs_dy)),
                     span_index=span_index, fill=color_fill,
                 ))
                 if attach is not None:

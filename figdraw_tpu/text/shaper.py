@@ -17,10 +17,11 @@ this image, so this is a direct mini-shaper on the font's own tables:
   and mark-to-mark (6) anchor attachment for combining marks.
 
 Reverse chaining single substitution (GSUB 8) applies last-to-first for the
-rclt/calt feature set. Lookup flags honor GDEF glyph classes
+rclt/calt feature set; cursive attachment (GPOS 3) chains exit/entry anchors
+(Nastaliq-style descending baselines). Lookup flags honor GDEF glyph classes
 (IgnoreBaseGlyphs/Ligatures/Marks; mark-filtering sets approximated as
-IgnoreMarks), so e.g. lam-alef ligates across harakat. Unsupported
-(documented subset): cursive attachment (GPOS 3).
+IgnoreMarks), so e.g. lam-alef ligates across harakat. Every GSUB/GPOS
+lookup type the spec defines is now covered.
 """
 
 from __future__ import annotations
@@ -660,8 +661,66 @@ class OpenTypeShaper:
             )
         return self._kern_lookups
 
+    def cursive_chain(self, names: Sequence[str]):
+        """GPOS 3 cursive attachment: per-glyph (advance_override, dy) in
+        font units, or None. Logical-order model: glyph i's exit anchor meets
+        glyph i+1's entry anchor — the x-advance of i becomes
+        exit_i.x - entry_{i+1}.x and the vertical offset accumulates
+        (Nastaliq-style descending baselines)."""
+        if not self._cursive:
+            return None
+        n = len(names)
+        adv: List[Optional[int]] = [None] * n
+        dy = [0.0] * n
+        cur_dy = 0.0
+        prev = None  # (index, exit anchor)
+        for i, nm in enumerate(names):
+            rec = None
+            for table in self._cursive:
+                rec = table.get(nm)
+                if rec is not None:
+                    break
+            if rec is None:
+                prev = None
+                cur_dy = 0.0
+                continue
+            entry, exit_ = rec
+            if prev is not None and entry is not None:
+                pidx, pexit = prev
+                adv[pidx] = pexit[0] - entry[0]
+                cur_dy += pexit[1] - entry[1]
+                dy[i] = cur_dy
+            else:
+                cur_dy = 0.0
+            prev = (i, exit_) if exit_ is not None else None
+        if all(a is None for a in adv) and not any(dy):
+            return None
+        return adv, dy
+
     def _build_gpos(self, table) -> None:
         self._gpos_table = table
+        # GPOS 3 cursive attachment: glyph → (entry (x, y) | None, exit | None)
+        self._cursive: List[Dict[str, tuple]] = []
+        for li in _select_lookups(table, {"curs"},
+                                  scripts=("DFLT", "latn", "arab")):
+            lookup = table.LookupList.Lookup[li]
+            for sub in lookup.SubTable:
+                ltype, sub = _unwrap(lookup, sub)
+                if ltype != 3:
+                    continue
+                m: Dict[str, tuple] = {}
+                for g, rec in zip(sub.Coverage.glyphs, sub.EntryExitRecord):
+                    entry = (
+                        (rec.EntryAnchor.XCoordinate, rec.EntryAnchor.YCoordinate)
+                        if rec.EntryAnchor is not None else None
+                    )
+                    exit_ = (
+                        (rec.ExitAnchor.XCoordinate, rec.ExitAnchor.YCoordinate)
+                        if rec.ExitAnchor is not None else None
+                    )
+                    m[g] = (entry, exit_)
+                if m:
+                    self._cursive.append(m)
         self._build_marks(table)
         for li in _select_lookups(table, {"kern"}):
             lookup = table.LookupList.Lookup[li]

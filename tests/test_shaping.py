@@ -367,3 +367,61 @@ def test_gsub_reverse_chain(tmp_path):
     names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
     # 'a' before 'f' substitutes to 'o'; the second 'a' (before 'b') stays
     assert names == ["o", "f", "a", "b"], names
+
+
+def test_gpos_cursive_attachment(tmp_path):
+    """GPOS 3: exit/entry anchors chain adjacent glyphs — the following glyph
+    inherits the accumulated vertical offset and the advance becomes
+    exit.x - entry.x (Nastaliq-style descent)."""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef", "a", "b", "c"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord(c): c for c in "abc"})
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((0, 0)); pen.lineTo((400, 0))
+        pen.lineTo((400, 600)); pen.lineTo((0, 600)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics({g: (500, 0) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "CursTest", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    addOpenTypeFeaturesFromString(fb.font, """
+        feature curs {
+            position cursive a <anchor 0 100> <anchor 450 -100>;
+            position cursive b <anchor 50 100> <anchor 450 -100>;
+        } curs;
+    """)
+    path = str(tmp_path / "curstest.ttf")
+    fb.font.save(path)
+
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    from figdraw_tpu.text.shaper import get_shaper
+
+    sh = get_shaper(tf)
+    res = sh.cursive_chain(["a", "b", "c"])
+    assert res is not None
+    adv, dy = res
+    # a→b: a's advance becomes exit.x(450) - entry.x(50) = 400
+    assert adv[0] == 400
+    # b drops by exit.y(-100) - entry.y(100) = -200 font units
+    assert dy[1] == -200
+    # c has no cursive record → chain ends
+    assert adv[1] is None or adv[1] == 400  # b→c no link (c uncovered)
+    assert dy[2] == 0.0
+
+    f = FigFont(typeface_id=tid, size=20.0)
+    c = fill(rgba(0, 0, 0, 255))
+    arr = typeset(vec2(1000, 60), [(f, c, "ab")])
+    s = tf.scale_for(20.0)
+    assert abs(arr.arranged_glyphs[0].advance.x - 400 * s) < 1e-6
+    # screen y-down: a drop of -200 font units moves the glyph DOWN (+y)
+    assert arr.arranged_glyphs[1].offset.y > 0

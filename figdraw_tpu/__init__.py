@@ -135,6 +135,23 @@ from .debugtools import (  # noqa: F401
     hits_at_point,
     top_fig_at_point,
 )
+from .text.typefaces import (  # noqa: F401
+    FigFont,
+    FontFeature,
+    FontVariation,
+    load_typeface,
+    register_font,
+    supported_font_file_extensions,
+    text_backend,
+    text_backend_features,
+)
+from .text.layout import (  # noqa: F401
+    HAlign,
+    VAlign,
+    typeset,
+    typeset_cached,
+    typeset_for_measurement,
+)
 from .config import apply_startup_env as _apply_startup_env
 
 # (the persistent TPU compile cache is enabled lazily by FigRenderer —

@@ -379,6 +379,11 @@ def _raster_mega(fields, modes, tile_idx, tile_counts, frame_planes,
 
 def draw_pass_mega(fields, modes, frame_planes, n_masks: int):
     """One-kernel whole frame over target-baked modes; frame_planes (4, PH, PW)."""
+    import os
+
+    if os.environ.get("FIGDRAW_PALLAS_CRASH_TEST") == "1":
+        # fault injection exercising the renderer's XLA fallback
+        raise RuntimeError("pallas crash test requested")
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
     tile_idx, tile_counts = prebin(fields, jnp.int32(fields.shape[0]), ph, pw)
     return _raster_mega(

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-WIDTH, HEIGHT = 1920, 1080
+WIDTH = int(os.environ.get("FIGDRAW_BENCH_W", "1920"))
+HEIGHT = int(os.environ.get("FIGDRAW_BENCH_H", "1080"))
 WARMUP = 4
 FRAMES = 24
 BASELINE_MS = 1000.0 / 120.0  # reference demo: "running at 120 FPS"

@@ -89,10 +89,11 @@ def draw_pass_mask_range(
     masks,  # (K, H, W) parent planes for the read multiply
     atlas=None,
     subpixel_positioning: bool = False,
+    y_offset=0.0,  # global row of mask_plane[0] when row-sharded over a mesh
 ):
     """Composites quads into a mask plane (glsl/mask.frag:233 semantics)."""
     height, width = mask_plane.shape
-    px, py = pixel_centers(height, width)
+    px, py = pixel_centers(height, width, y0=y_offset)
 
     def body(i, m):
         f = fields[i]

@@ -183,34 +183,36 @@ class ShardedFigRenderer:
             ),
             frame_sh,
         )
-        # masks: the sharded path supports the rect-mask fast path (per quad)
-        # and no nested mask planes yet; scenes needing real mask passes
-        # should use the single-chip renderer.
-        masks = jax.device_put(jnp.ones((1, height, width), jnp.float32), masks_sh)
+        n_masks = tape.mask_count + 1
+        masks = jax.device_put(
+            jnp.zeros((n_masks, height, width), jnp.float32).at[0].set(1.0),
+            masks_sh,
+        )
         backdrop = jax.device_put(
             jnp.zeros((height, width, 4), jnp.float32), frame_sh
         )
 
+        atlas = self._flattener._device_atlas()
         for item in tape.items:
             if isinstance(item, BlurItem):
                 backdrop = self._blur(frame, jnp.float32(item.radius))
+            elif isinstance(item, ClearMaskItem):
+                masks = masks.at[item.index].set(0.0)
             elif isinstance(item, DrawItem) and item.target == FRAME_TARGET:
-                run_fields = fields_d
-                run_modes = modes_d
-                # draw only [start, end): zero out other quads via bounds —
-                # the sharded pass composites [0, count); slice instead
                 frame = self._draw_range(
-                    run_fields, run_modes, item.start, item.end, frame, masks, backdrop
+                    fields_d, modes_d, item.start, item.end, frame, masks,
+                    backdrop, atlas,
                 )
-            else:
-                raise NotImplementedError(
-                    "sharded renderer supports frame draws + backdrop blur; "
-                    "use FigRenderer for mask passes"
+            else:  # mask-plane write, row-sharded like the frame
+                masks = self._mask_range(
+                    fields_d, modes_d, item.start, item.end, item.target,
+                    masks, atlas,
                 )
         self.last_frame = frame
         return frame[: int(round(tape.frame_size[1]))]
 
-    def _draw_range(self, fields, modes, start, end, frame, masks, backdrop):
+    def _draw_range(self, fields, modes, start, end, frame, masks, backdrop,
+                    atlas):
         # make_sharded_draw_pass composites [0, count); generalize via the
         # range-aware core
         import functools
@@ -226,20 +228,61 @@ class ShardedFigRenderer:
                     P(ROWS_AXIS, None, None),
                     P(None, ROWS_AXIS, None),
                     P(ROWS_AXIS, None, None),
+                    P(),
                 ),
                 out_specs=P(ROWS_AXIS, None, None),
                 check_rep=False,
             )
-            def draw(fields, modes, s, e, frame, masks, backdrop):
+            def draw(fields, modes, s, e, frame, masks, backdrop, atlas):
                 local_h = frame.shape[0]
                 row0 = jax.lax.axis_index(ROWS_AXIS) * local_h
                 return raster_ref.draw_pass_frame_range(
                     fields, modes, s, e, frame, masks,
+                    atlas=atlas,
                     backdrop=backdrop,
                     y_offset=row0.astype(jnp.float32),
                 )
 
             self._draw_range_fn = jax.jit(draw)
         return self._draw_range_fn(
-            fields, modes, jnp.int32(start), jnp.int32(end), frame, masks, backdrop
+            fields, modes, jnp.int32(start), jnp.int32(end), frame, masks,
+            backdrop, atlas,
+        )
+
+    def _mask_range(self, fields, modes, start, end, target, masks, atlas):
+        """Row-sharded mask-plane write: per-pixel a^2 + m(1-a), no cross-row
+        dependence, so the band split is free."""
+        import functools
+
+        if not hasattr(self, "_mask_range_fn"):
+            mesh = self.mesh
+
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(
+                    P(), P(), P(), P(), P(),
+                    P(None, ROWS_AXIS, None),
+                    P(),
+                ),
+                out_specs=P(None, ROWS_AXIS, None),
+                check_rep=False,
+            )
+            def write(fields, modes, s, e, target, masks, atlas):
+                local_h = masks.shape[1]
+                row0 = jax.lax.axis_index(ROWS_AXIS) * local_h
+                plane = jax.lax.dynamic_index_in_dim(masks, target, 0,
+                                                     keepdims=False)
+                plane = raster_ref.draw_pass_mask_range(
+                    fields, modes, s, e, plane, masks, atlas=atlas,
+                    y_offset=row0.astype(jnp.float32),
+                )
+                return jax.lax.dynamic_update_index_in_dim(
+                    masks, plane, target, 0
+                )
+
+            self._mask_range_fn = jax.jit(write)
+        return self._mask_range_fn(
+            fields, modes, jnp.int32(start), jnp.int32(end),
+            jnp.int32(target), masks, atlas,
         )

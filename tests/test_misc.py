@@ -352,3 +352,39 @@ def test_one_frame_screenshot_env(monkeypatch, tmp_path):
     os.remove(out)
     ren.render_frame(renders, vec2(64, 48))
     assert not os.path.exists(out)
+
+
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 2, reason="needs multi-device mesh"
+)
+def test_sharded_renderer_masks_and_text():
+    """Row-sharded clip masks (mask planes sharded with the frame) and
+    atlas-sampling glyph quads match the single-chip renderer bit-for-bit."""
+    from figdraw_tpu import Fig, FigFlags, FigKind
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 256, 128),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    clip = renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(10, 10, 90, 70),
+        corners=(12, 12, 12, 12), flags=FigFlags.NfClipContent,
+        fill=fill(rgba(220, 220, 240, 255))))
+    renders.add_child(0, clip, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(0, 0, 300, 300),
+        fill=fill(rgba(200, 40, 40, 160)), rotation=20.0))
+    f = FigFont(typeface_id=tid, size=18.0)
+    arr = typeset(vec2(200, 24), [(f, fill(rgba(0, 0, 0, 255)), "sharded text AV")])
+    renders.add_root(0, Fig(kind=FigKind.nkText, screen_box=rect(110, 20, 140, 24),
+                            text_layout=arr))
+
+    single = FigRenderer(atlas_size=256, use_pallas=False)
+    single.render_frame(renders, vec2(256, 128))
+    ref = single.take_screenshot()
+    sr = ShardedFigRenderer(atlas_size=256)
+    out = np.asarray(sr.render_frame(renders, vec2(256, 128)))
+    got = (np.clip(out, 0, 1) * 255).round().astype(np.uint8)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1

@@ -38,6 +38,7 @@ class Atlas:
         self.meta: Dict[Hashable, AtlasEntryMeta] = {}
         self._images: Dict[Hashable, np.ndarray] = {}  # retained for repack
         self.generation = 1
+        self.entries_version = 0  # bumped on any entry add/move/remove
         self.rebuild_count = 0
         self.dirty = True
 
@@ -76,6 +77,7 @@ class Atlas:
         s = float(self.size)
         self.entries[key] = (x / s, y / s, w / s, h / s)
         self.dirty = True
+        self.entries_version += 1
         return True
 
     def _rebuild(self, new_size: int) -> None:
@@ -174,6 +176,8 @@ class Atlas:
         self.dirty = True
 
     def remove(self, key: Hashable) -> None:
+        if key in self.entries:
+            self.entries_version += 1
         self.entries.pop(key, None)
         self.meta.pop(key, None)
         self._images.pop(key, None)

@@ -192,17 +192,22 @@ def pack_atlas_entries(entries: dict, atlas_size: int):
 
 def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config=(False, False, False), glyph_offsets=None) -> None:
-    """Shared context setup + layer walk for the export variants."""
+    """Shared context setup + layer walk for the export variants.
+    atlas_entries: the entries dict, or a prepacked (ids, levels, rects)
+    tuple from pack_atlas_entries (renderer caches it by atlas version)."""
     lib.fd_set_text_config(
         ctx, int(text_config[0]), int(text_config[1]), int(text_config[2])
     )
     if glyph_offsets:
-        keys = np.fromiter(glyph_offsets.keys(), dtype=np.int64,
-                           count=len(glyph_offsets))
-        order = np.argsort(keys)
-        keys = np.ascontiguousarray(keys[order])
-        offs = np.asarray(list(glyph_offsets.values()), dtype=np.float32)
-        offs = np.ascontiguousarray(offs[order])
+        if isinstance(glyph_offsets, tuple):
+            keys, offs = glyph_offsets
+        else:
+            keys = np.fromiter(glyph_offsets.keys(), dtype=np.int64,
+                               count=len(glyph_offsets))
+            order = np.argsort(keys)
+            keys = np.ascontiguousarray(keys[order])
+            offs = np.asarray(list(glyph_offsets.values()), dtype=np.float32)
+            offs = np.ascontiguousarray(offs[order])
         lib.fd_set_glyph_offsets(
             ctx,
             keys.ctypes.data_as(ctypes.c_void_p),
@@ -210,7 +215,10 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
             keys.shape[0],
         )
     if atlas_entries:
-        ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
+        if isinstance(atlas_entries, tuple):
+            ids, levels, rects = atlas_entries
+        else:
+            ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
         lib.fd_set_atlas(
             ctx,
             ids.ctypes.data_as(ctypes.c_void_p),

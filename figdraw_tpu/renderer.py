@@ -371,6 +371,40 @@ class FigRenderer:
                     int(variant[i]),
                 )
 
+    def _atlas_pack(self):
+        """Prepacked fd_set_atlas arrays, cached by atlas entries version."""
+        from . import native
+
+        version = (self.atlas.entries_version, self.atlas.size)
+        cached = getattr(self, "_atlas_pack_cache", None)
+        if cached is None or cached[0] != version:
+            cached = (
+                version,
+                native.pack_atlas_entries(self.atlas.entries, self.atlas.size),
+            )
+            self._atlas_pack_cache = cached
+        return cached[1]
+
+    def _glyph_offsets_pack(self):
+        """Sorted (keys, offsets) arrays for fd_set_glyph_offsets, cached by
+        the offsets-table size (entries are only ever added)."""
+        n = len(self._glyph_offsets)
+        cached = getattr(self, "_glyph_pack_cache", None)
+        if cached is None or cached[0] != n:
+            if n:
+                keys = np.fromiter(self._glyph_offsets.keys(), dtype=np.int64,
+                                   count=n)
+                order = np.argsort(keys)
+                keys = np.ascontiguousarray(keys[order])
+                offs = np.asarray(list(self._glyph_offsets.values()),
+                                  dtype=np.float32)
+                offs = np.ascontiguousarray(offs[order])
+                cached = (n, (keys, offs))
+            else:
+                cached = (0, None)
+            self._glyph_pack_cache = cached
+        return cached[1]
+
     def _device_atlas(self):
         if self.atlas.dirty or self._atlas_device is None:
             self._atlas_device = jnp.asarray(self.atlas.data)
@@ -431,11 +465,11 @@ class FigRenderer:
                 self._pixel_scale,
                 self.aa_factor,
                 cc,
-                atlas_entries=self.atlas.entries,
+                atlas_entries=self._atlas_pack(),
                 atlas_size=self.atlas.size,
                 white_uv=self._white_uv(),
                 text_config=self._text_config(),
-                glyph_offsets=self._glyph_offsets,
+                glyph_offsets=self._glyph_offsets_pack(),
             )
             if tape is not None:
                 return tape
@@ -723,13 +757,13 @@ class FigRenderer:
                 if clear_main
                 else None
             ),
-            atlas_entries=self.atlas.entries,
+            atlas_entries=self._atlas_pack(),
             atlas_size=self.atlas.size,
             white_uv=self._white_uv(),
             min_items=ROLLED_THRESHOLD,
             bucket=_bucket,
             text_config=self._text_config(),
-            glyph_offsets=self._glyph_offsets,
+            glyph_offsets=self._glyph_offsets_pack(),
         )
         if result is None:
             return None, None

@@ -32,7 +32,7 @@ _load_failed = False
 
 def _build() -> None:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

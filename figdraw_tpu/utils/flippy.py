@@ -49,7 +49,7 @@ def _load():
             if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
                 os.makedirs(_LIB_DIR, exist_ok=True)
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(_LIB)

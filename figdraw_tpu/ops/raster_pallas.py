@@ -32,8 +32,10 @@ from .binning import bin_quads
 from .quad_eval_planar import eval_quad_planar
 from .layout import QI_MASK, QI_MODE
 
-TILE_H = 128
-TILE_W = 128
+import os as _os
+
+TILE_H = int(_os.environ.get("FIGDRAW_TILE", "128"))
+TILE_W = TILE_H
 
 # modes that sample the atlas texture: sdfModeAtlas + the MSDF family
 ATLAS_BASE_MODES = (0, 13, 14, 15, 16)

@@ -41,6 +41,8 @@ class Atlas:
         self.entries_version = 0  # bumped on any entry add/move/remove
         self.rebuild_count = 0
         self.dirty = True
+        self.full_dirty = True  # whole-array upload needed (resize/first use)
+        self.dirty_rects = []  # (x, y, w, h) px regions changed since upload
 
     # --- packing (glcontext.nim:541-579) -------------------------------------
 
@@ -77,6 +79,7 @@ class Atlas:
         s = float(self.size)
         self.entries[key] = (x / s, y / s, w / s, h / s)
         self.dirty = True
+        self.dirty_rects.append((x, y, w, h))
         self.entries_version += 1
         return True
 
@@ -88,6 +91,8 @@ class Atlas:
         self.rebuild_count += 1
         self.generation += 1
         self.dirty = True
+        self.full_dirty = True
+        self.dirty_rects.clear()
         for key, img in self._images.items():
             assert self._place(key, img), "atlas rebuild overflow"
 
@@ -174,6 +179,7 @@ class Atlas:
         self.data[y : y + h, x : x + w] = img
         self._images[key] = img
         self.dirty = True
+        self.dirty_rects.append((x, y, w, h))
 
     def remove(self, key: Hashable) -> None:
         if key in self.entries:

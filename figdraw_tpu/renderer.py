@@ -10,6 +10,8 @@ signatures stay stable across frames (SURVEY.md §7 "bucketed static shapes").
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import Dict, Hashable, Optional, Tuple
 
@@ -68,6 +70,11 @@ def atlas_usage_snapshot() -> AtlasUsage:
     """Cheap cross-thread last-published snapshot (figbackend.nim:347-353)."""
     with _atlas_usage_lock:
         return _last_atlas_usage
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _atlas_patch(atlas, patch, y, x):
+    return jax.lax.dynamic_update_slice(atlas, patch, (y, x, 0))
 
 
 @jax.jit
@@ -406,9 +413,37 @@ class FigRenderer:
         return cached[1]
 
     def _device_atlas(self):
-        if self.atlas.dirty or self._atlas_device is None:
-            self._atlas_device = jnp.asarray(self.atlas.data)
-            self.atlas.dirty = False
+        """Device copy of the atlas. Small changes upload only their region
+        (the glTexSubImage2D analog: host ships the patch, the device splices
+        it with dynamic_update_slice) — a streamed video frame costs its own
+        bytes, not the whole atlas."""
+        atlas = self.atlas
+        if atlas.full_dirty or self._atlas_device is None:
+            self._atlas_device = jnp.asarray(atlas.data)
+            self.atlas_upload_bytes = atlas.data.nbytes
+            atlas.full_dirty = False
+            atlas.dirty = False
+            atlas.dirty_rects.clear()
+            return self._atlas_device
+        if atlas.dirty and atlas.dirty_rects:
+            rects = atlas.dirty_rects
+            patched = sum(w * h for (_x, _y, w, h) in rects)
+            if patched * 4 >= atlas.data.size:  # not worth patching
+                self._atlas_device = jnp.asarray(atlas.data)
+                self.atlas_upload_bytes = atlas.data.nbytes
+            else:
+                dev = self._atlas_device
+                total = 0
+                for (x, y, w, h) in rects:
+                    patch = jnp.asarray(
+                        np.ascontiguousarray(atlas.data[y : y + h, x : x + w])
+                    )
+                    dev = _atlas_patch(dev, patch, y, x)
+                    total += patch.nbytes
+                self._atlas_device = dev
+                self.atlas_upload_bytes = total
+            atlas.dirty = False
+            atlas.dirty_rects.clear()
         return self._atlas_device
 
     def rebuild_image_atlas(self, minimum_size: int = 0) -> None:

@@ -271,3 +271,32 @@ def test_generated_glyph_sdf_renders_scaled():
     # ring shape: hole in the middle
     cy, cx = int(ys.mean()), int(xs.mean())
     assert img[cy, cx, 0] > 200
+
+
+def test_incremental_atlas_upload():
+    """replace_image streams ship only the changed region to the device
+    (glTexSubImage2D analog), not the whole atlas."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.renderer import FigRenderer
+    from figdraw_tpu.resources import ImageMessageBus, put_image, replace_image
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=512, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    frame0 = np.zeros((64, 64, 4), np.uint8)
+    frame0[..., 0] = 10
+    put_image(9001, frame0, bus=bus)
+    ren.process_image_messages()
+    full = np.asarray(ren._device_atlas())
+    assert ren.atlas_upload_bytes == ren.atlas.data.nbytes  # first: full
+
+    # stream a new frame: same dims → in-place update → region upload only
+    frame1 = np.zeros((64, 64, 4), np.uint8)
+    frame1[..., 1] = 200
+    replace_image(9001, frame1, bus=bus)
+    ren.process_image_messages()
+    dev = np.asarray(ren._device_atlas())
+    assert ren.atlas_upload_bytes == 64 * 64 * 4 * 4  # one 64x64 f32 patch
+    assert np.array_equal(dev, ren.atlas.data)  # device matches host exactly
+    assert not np.array_equal(dev, full)

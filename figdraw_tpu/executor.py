@@ -65,6 +65,7 @@ def get_frame_executor(
     use_pallas: bool,
     subpixel_positioning: bool,
     has_init_frame: bool,
+    pixelate: bool = False,
 ):
     """Returns jitted run(combo, init_frame, atlas) -> (H, W, 4) frame.
 
@@ -141,6 +142,7 @@ def get_frame_executor(
                             atlas=atlas if uses_atlas else None,
                             backdrop=to_hwc(backdrop) if needs_backdrop else None,
                             subpixel_positioning=subpixel_positioning,
+                            pixelate=pixelate,
                         )
                         planes = to_planes(hwc)
                 else:
@@ -148,6 +150,7 @@ def get_frame_executor(
                         fields, modes, s, e, masks[target], masks,
                         atlas=atlas if uses_atlas else None,
                         subpixel_positioning=subpixel_positioning,
+                        pixelate=pixelate,
                     )
                     masks = masks.at[target].set(plane)
 
@@ -327,6 +330,7 @@ def get_rolled_executor(
     use_pallas: bool,
     subpixel_positioning: bool,
     has_init_frame: bool,
+    pixelate: bool = False,
 ):
     """Returns jitted run(combo, items, radii, init_frame, atlas) -> frame.
 
@@ -405,6 +409,7 @@ def get_rolled_executor(
                     fields, modes, s, e, to_hwc(planes), masks, atlas=atlas,
                     backdrop=to_hwc(backdrop),
                     subpixel_positioning=subpixel_positioning,
+                    pixelate=pixelate,
                 )
             )
             return out, masks, backdrop
@@ -420,6 +425,7 @@ def get_rolled_executor(
                 plane = raster_ref.draw_pass_mask_range(
                     fields, modes, s, e, plane, masks, atlas=atlas,
                     subpixel_positioning=subpixel_positioning,
+                    pixelate=pixelate,
                 )
             return planes, jax.lax.dynamic_update_index_in_dim(masks, plane, target, 0), backdrop
 

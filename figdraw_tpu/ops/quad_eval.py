@@ -94,6 +94,15 @@ def sample_atlas_bilinear(atlas, u, v):
     return top * (1.0 - fy) + bot * fy
 
 
+def sample_atlas_nearest(atlas, u, v):
+    """GL_NEAREST, clamp-to-edge (the reference's pixelate=true mag filter,
+    glcontext.nim:165-168)."""
+    size = atlas.shape[0]
+    xi = jnp.clip(jnp.floor(u * size).astype(jnp.int32), 0, size - 1)
+    yi = jnp.clip(jnp.floor(v * size).astype(jnp.int32), 0, size - 1)
+    return atlas[yi, xi]
+
+
 def eval_quad(
     f,  # (QF_WIDTH,) float32 quad record
     mode_packed,  # () int32
@@ -102,6 +111,7 @@ def eval_quad(
     atlas=None,  # (S, S, 4) f32 or None
     backdrop=None,  # px.shape + (4,) f32 or None (mode-17 source)
     subpixel_positioning: bool = False,
+    pixelate: bool = False,
 ):
     """Evaluate one quad at pixel centers → (rgb: shape+(3,), a: shape).
 
@@ -259,7 +269,8 @@ def eval_quad(
         au = tex_u
         if subpixel_positioning:
             au = au - f[QF_SUBPIXEL_SHIFT] / atlas_size
-        tex = sample_atlas_bilinear(atlas, au, tex_v)
+        _sample = sample_atlas_nearest if pixelate else sample_atlas_bilinear
+        tex = _sample(atlas, au, tex_v)
         atlas_rgb = tex[..., 0:3] * vert_color[..., 0:3]
         atlas_a = tex[..., 3] * vert_color[..., 3]
         is_atlas = mode == MODE_ATLAS
@@ -271,7 +282,8 @@ def eval_quad(
         is_sd_stroke = (mode == MODE_MSDF_ANNULAR) | (mode == MODE_MTSDF_ANNULAR)
         px_range = sdf_factor
         sd_threshold = f[QF_FACTORS + 1]
-        tex0 = sample_atlas_bilinear(atlas, tex_u, tex_v)
+        _sample = sample_atlas_nearest if pixelate else sample_atlas_bilinear
+        tex0 = _sample(atlas, tex_u, tex_v)
         sd = jnp.where(
             is_mtsdf, tex0[..., 3], sdf.median3(tex0[..., 0], tex0[..., 1], tex0[..., 2])
         )

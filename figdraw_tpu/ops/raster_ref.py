@@ -43,6 +43,7 @@ def draw_pass_frame_range(
     backdrop=None,  # (H, W, 4) f32 blurred backdrop for mode 17
     subpixel_positioning: bool = False,
     y_offset=0.0,  # global row of frame[0] — nonzero when row-sharded over a mesh
+    pixelate: bool = False,
 ):
     """Composites quads [start, end) into the frame in order (traceable)."""
     height, width = frame.shape[0], frame.shape[1]
@@ -55,7 +56,7 @@ def draw_pass_frame_range(
         mask_idx = modes[i, QI_MASK]
         frag_rgb, frag_a = eval_quad(
             f, mode, px, py, atlas=atlas, backdrop=backdrop,
-            subpixel_positioning=subpixel_positioning,
+            subpixel_positioning=subpixel_positioning, pixelate=pixelate,
         )
         mask_val = jax.lax.dynamic_index_in_dim(masks, mask_idx, 0, keepdims=False)
         frag_a = frag_a * mask_val
@@ -90,6 +91,7 @@ def draw_pass_mask_range(
     atlas=None,
     subpixel_positioning: bool = False,
     y_offset=0.0,  # global row of mask_plane[0] when row-sharded over a mesh
+    pixelate: bool = False,
 ):
     """Composites quads into a mask plane (glsl/mask.frag:233 semantics)."""
     height, width = mask_plane.shape
@@ -101,7 +103,7 @@ def draw_pass_mask_range(
         mask_idx = modes[i, QI_MASK]
         _frag_rgb, frag_a = eval_quad(
             f, mode, px, py, atlas=atlas, backdrop=None,
-            subpixel_positioning=subpixel_positioning,
+            subpixel_positioning=subpixel_positioning, pixelate=pixelate,
         )
         parent = jax.lax.dynamic_index_in_dim(masks, mask_idx, 0, keepdims=False)
         frag_a = frag_a * parent

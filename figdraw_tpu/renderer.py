@@ -106,6 +106,7 @@ class FigRenderer:
         atlas_size: int = 512,
         pixel_scale: float = 1.0,
         use_pallas: Optional[bool] = None,
+        pixelate: bool = False,
     ):
         self.atlas = Atlas(size=atlas_size)
         # white texel for drawFilledQuad (glcontext.nim:966-973)
@@ -130,6 +131,7 @@ class FigRenderer:
 
         enable_compilation_cache()  # no-op off-TPU
         self.aa_factor = DEFAULT_SDF_AA_FACTOR
+        self.pixelate = pixelate  # GL_NEAREST atlas sampling (pixel-art)
         self.text_lcd_filtering = config.runtime_text_lcd_filtering_requested()
         self.text_subpixel_positioning = (
             config.runtime_text_subpixel_positioning_requested()
@@ -672,6 +674,7 @@ class FigRenderer:
             make_run = lambda use_pallas: ex.get_rolled_executor(
                 height, width, n_masks, bucket, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
+                self.pixelate,
             )
             args = (
                 jnp.asarray(combo), jnp.asarray(items_arr), jnp.asarray(radii_arr),
@@ -688,6 +691,7 @@ class FigRenderer:
             make_run = lambda use_pallas: ex.get_frame_executor(
                 tuple(structure), height, width, n_masks, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
+                self.pixelate,
             )
             args = (jnp.asarray(combo), init_frame, self._device_atlas())
 

@@ -300,3 +300,37 @@ def test_incremental_atlas_upload():
     assert ren.atlas_upload_bytes == 64 * 64 * 4 * 4  # one 64x64 f32 patch
     assert np.array_equal(dev, ren.atlas.data)  # device matches host exactly
     assert not np.array_equal(dev, full)
+
+
+def test_pixelate_nearest_sampling():
+    """pixelate=True samples the atlas with GL_NEAREST (glcontext.nim:165-168
+    newContext(pixelate)) — pixel-art stays blocky under magnification."""
+    from figdraw_tpu import Fig, FigKind, image_style
+    from figdraw_tpu.renderer import FigRenderer
+    from figdraw_tpu.resources import ImageMessageBus, put_image
+
+    bus = ImageMessageBus()
+    img = np.zeros((2, 2, 4), np.uint8)
+    img[0, 0] = (255, 0, 0, 255)
+    img[0, 1] = (0, 255, 0, 255)
+    img[1, 0] = (0, 0, 255, 255)
+    img[1, 1] = (255, 255, 0, 255)
+
+    def render(pixelate):
+        ren = FigRenderer(atlas_size=64, use_pallas=False, pixelate=pixelate)
+        ren.ensure_image_message_subscription(bus)
+        put_image(4242, img, bus=bus)
+        ren.process_image_messages()
+        renders = new_renders()
+        renders.add_root(0, Fig(kind=FigKind.nkImage,
+                                screen_box=rect(0, 0, 32, 32),
+                                image=image_style(4242)))
+        ren.render_frame(renders, vec2(32, 32))
+        return ren.take_screenshot()
+
+    near = render(True)
+    lin = render(False)
+    assert tuple(near[12, 12][:3]) == (255, 0, 0)  # pure texel color
+    c = lin[15, 15][:3].astype(int)
+    assert 40 < c[0] < 230 and 40 < c[1] < 230  # bilinear blend at the seam
+    assert not np.array_equal(near, lin)

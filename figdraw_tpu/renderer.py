@@ -104,11 +104,15 @@ class FigRenderer:
     def __init__(
         self,
         atlas_size: int = 512,
+        atlas_margin: int = 4,
         pixel_scale: float = 1.0,
         use_pallas: Optional[bool] = None,
         pixelate: bool = False,
     ):
-        self.atlas = Atlas(size=atlas_size)
+        # newContext(atlasSize, atlasMargin, maxQuads, pixelate, pixelScale)
+        # parity (glcontext.nim:255); maxQuads has no analog — quad capacity
+        # buckets dynamically instead of the GL u16-index quadLimit
+        self.atlas = Atlas(size=atlas_size, margin=atlas_margin)
         # white texel for drawFilledQuad (glcontext.nim:966-973)
         self.atlas.put_image(
             WHITE_IMAGE_KEY,

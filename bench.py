@@ -20,6 +20,7 @@ import numpy as np
 
 WIDTH = int(os.environ.get("FIGDRAW_BENCH_W", "1920"))
 HEIGHT = int(os.environ.get("FIGDRAW_BENCH_H", "1080"))
+COPIES = int(os.environ.get("FIGDRAW_BENCH_COPIES", "100"))  # 3 boxes per copy
 WARMUP = 4
 FRAMES = 24
 BASELINE_MS = 1000.0 / 120.0  # reference demo: "running at 120 FPS"
@@ -34,7 +35,7 @@ def main():
 
     # warmup: animated frames hit every jit signature (pass structure is stable)
     for f in range(WARMUP):
-        frame = renderer.render_frame(make_render_tree_array(WIDTH, HEIGHT, f), size)
+        frame = renderer.render_frame(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES), size)
     frame.block_until_ready()
 
     # --- sequential latency: block every frame -------------------------------
@@ -43,7 +44,7 @@ def main():
     total_ms = []
     for f in range(WARMUP, WARMUP + FRAMES):
         t0 = time.perf_counter()
-        renders = make_render_tree_array(WIDTH, HEIGHT, f)
+        renders = make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES)
         tape = renderer.flatten(renders, size)
         t1 = time.perf_counter()
         out = renderer.execute(tape)
@@ -62,7 +63,7 @@ def main():
         t0 = time.perf_counter()
         out = None
         for f in range(WARMUP, WARMUP + FRAMES):
-            tape = renderer.flatten(make_render_tree_array(WIDTH, HEIGHT, f), size)
+            tape = renderer.flatten(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES), size)
             out = renderer.execute(tape)
         out.block_until_ready()
         pipe = (time.perf_counter() - t0) * 1000.0 / FRAMES

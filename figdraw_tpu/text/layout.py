@@ -329,7 +329,7 @@ def typeset(
 
     # --- bidi analysis over the full logical text (UAX#9, text/bidi.py) ----------
     from . import bidi as bidi_mod
-    from .shaper import DEFAULT_GSUB_FEATURES, get_shaper
+    from .shaper import DEFAULT_GSUB_FEATURES, get_shaper, ot_language_tag
 
     span_texts = [apply_font_case(t, f.font_case) for f, _c, t in spans]
     full_text = "".join(span_texts)
@@ -416,7 +416,9 @@ def typeset(
                     names = shaper.apply_arabic_forms(
                         names, [r[2] for r in seg]
                     )
-                names, clusters = shaper.substitute(names, clusters, feats)
+                names, clusters = shaper.substitute(
+                    names, clusters, feats, ot_language_tag(font.language)
+                )
             use_gpos = shaper is not None and shaper.has_gpos_kern
             gpos_deltas = None
             if use_gpos and not font.no_kerning_adjustments:

@@ -28,14 +28,32 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig", "calt", "rclt")
+DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig", "calt", "rclt", "locl")
+
+# BCP-47 primary subtags → OpenType language system tags (the common set the
+# reference reaches through HarfBuzz's full registry)
+OT_LANG_TAGS = {
+    "sr": "SRB", "mk": "MKD", "tr": "TRK", "az": "AZE", "ro": "ROM",
+    "mo": "MOL", "ca": "CAT", "es": "ESP", "gl": "GAL", "ur": "URD",
+    "ku": "KUR", "sd": "SND", "nl": "NLD", "de": "DEU", "fr": "FRA",
+    "pl": "PLK", "vi": "VIT", "bg": "BGR", "ru": "RUS", "uk": "UKR",
+}
 
 
-def _select_lookups(table, wanted_tags, scripts=("DFLT", "latn", "arab")) -> List[int]:
+def ot_language_tag(bcp47: str):
+    """Primary-subtag lookup: "sr-Latn-RS" → "SRB"; unknown → None."""
+    if not bcp47:
+        return None
+    return OT_LANG_TAGS.get(bcp47.split("-")[0].lower())
+
+
+def _select_lookups(table, wanted_tags, scripts=("DFLT", "latn", "arab"),
+                    lang=None) -> List[int]:
     """Lookup indices for the wanted feature tags, unioned over the given
     script tags (features live per script; lookups are glyph-driven, so a
     union is safe — e.g. arab ligature lookups never match latin glyphs), in
-    LookupList order."""
+    LookupList order. When `lang` names an OpenType language-system tag, each
+    script's matching LangSys replaces its DefaultLangSys (locl et al)."""
     if table is None or table.FeatureList is None or table.ScriptList is None:
         return []
     by_tag = {sr.ScriptTag: sr.Script for sr in table.ScriptList.ScriptRecord}
@@ -44,10 +62,29 @@ def _select_lookups(table, wanted_tags, scripts=("DFLT", "latn", "arab")) -> Lis
     chosen = [by_tag[t] for t in scripts if t in by_tag]
     if not chosen and table.ScriptList.ScriptRecord:
         chosen = [table.ScriptList.ScriptRecord[0].Script]
+    # the cyrl/grek/hebr scripts aren't in the default union; include any
+    # script that carries the requested language so locl rules are reachable
+    if lang is not None:
+        for sr in table.ScriptList.ScriptRecord:
+            script = sr.Script
+            if script in chosen:
+                continue
+            for lr in getattr(script, "LangSysRecord", ()) or ():
+                if lr.LangSysTag.strip() == lang:
+                    chosen.append(script)
+                    break
     for script in chosen:
-        if script is None or script.DefaultLangSys is None:
+        if script is None:
             continue
-        for fi in script.DefaultLangSys.FeatureIndex:
+        langsys = script.DefaultLangSys
+        if lang is not None:
+            for lr in getattr(script, "LangSysRecord", ()) or ():
+                if lr.LangSysTag.strip() == lang:
+                    langsys = lr.LangSys
+                    break
+        if langsys is None:
+            continue
+        for fi in langsys.FeatureIndex:
             if fi < len(records) and records[fi].FeatureTag in wanted_tags:
                 lookups.extend(records[fi].Feature.LookupListIndex)
     return sorted(set(lookups))
@@ -412,15 +449,16 @@ class OpenTypeShaper:
                 return None
         return input_pos
 
-    def _plan(self, feature_tags: frozenset) -> List[tuple]:
-        plan = self._plans.get(feature_tags)
+    def _plan(self, feature_tags: frozenset, lang=None) -> List[tuple]:
+        key = (feature_tags, lang)
+        plan = self._plans.get(key)
         if plan is None:
             plan = []
             if self._gsub is not None:
                 table = self._gsub.table
-                for li in _select_lookups(table, set(feature_tags)):
+                for li in _select_lookups(table, set(feature_tags), lang=lang):
                     plan.append(self._compile_lookup(li))
-            self._plans[feature_tags] = plan
+            self._plans[key] = plan
         return plan
 
     def substitute(
@@ -428,11 +466,14 @@ class OpenTypeShaper:
         names: Sequence[str],
         clusters: Sequence[Tuple[int, int]],
         features: Optional[frozenset] = None,
+        lang: Optional[str] = None,
     ) -> Tuple[List[str], List[Tuple[int, int]]]:
         """Apply the selected GSUB lookups; clusters are (source_start,
-        source_end) per glyph and merge across ligated components."""
+        source_end) per glyph and merge across ligated components. lang is an
+        OpenType language-system tag (ot_language_tag maps BCP-47)."""
         plan = self._plan(
-            features if features is not None else frozenset(DEFAULT_GSUB_FEATURES)
+            features if features is not None else frozenset(DEFAULT_GSUB_FEATURES),
+            lang,
         )
         out_n = list(names)
         out_c = list(clusters)

@@ -425,3 +425,20 @@ def test_gpos_cursive_attachment(tmp_path):
     assert abs(arr.arranged_glyphs[0].advance.x - 400 * s) < 1e-6
     # screen y-down: a drop of -200 font units moves the glyph DOWN (+y)
     assert arr.arranged_glyphs[1].offset.y > 0
+
+
+def test_language_system_locl(tid):
+    """FigFont.language selects OpenType language systems: Serbian locl in
+    DejaVu substitutes the be form (cyrl/SRB locl: uni0431 -> uniF6C5)."""
+    tf = get_typeface(tid)
+    c = fill(rgba(0, 0, 0, 255))
+    a_sr = typeset(vec2(200, 30), [(FigFont(typeface_id=tid, size=20.0,
+                                            language="sr"), c, "б")])
+    a_def = typeset(vec2(200, 30), [(FigFont(typeface_id=tid, size=20.0),
+                                     c, "б")])
+    assert tf.glyph_name(a_sr.arranged_glyphs[0].glyph_id) == "uniF6C5"
+    assert tf.glyph_name(a_def.arranged_glyphs[0].glyph_id) == "uni0431"
+    # language tags resolve from BCP-47 primary subtags
+    from figdraw_tpu.text.shaper import ot_language_tag
+    assert ot_language_tag("sr-Latn-RS") == "SRB"
+    assert ot_language_tag("") is None

@@ -3,10 +3,11 @@
 Counterpart of the reference's text layout stack
 (/root/reference/src/figdraw/common/fonttypes.nim:80-130 GlyphArrangement
 model, fontutils.nim:45-123 typeset dispatch, textbackends/pixie.nim line
-layout with baselineOffset = round((ascent + lineGap/2)·scale)). Shaping is
-cmap + advances + kern pairs (a HarfBuzz-class shaper can slot in behind the
-same GlyphArrangement contract later); wrapping is greedy word wrap with
-CJK break-anywhere, like the reference's line breaker.
+layout with baselineOffset = round((ascent + lineGap/2)·scale)). Shaping runs
+through the OpenType shaper (text/shaper.py: full GSUB/GPOS lookup coverage,
+per-font features/variations/language) with UAX#9 bidi reordering
+(text/bidi.py); wrapping is greedy word wrap with CJK break-anywhere, like
+the reference's line breaker.
 
 Pure host-side geometry — the TPU only ever sees the resulting glyph quads.
 """
@@ -165,27 +166,54 @@ class GlyphArrangement:
         return heights
 
     def caret_positions_for(self, source_rune: int) -> List["TextCaretPosition"]:
-        """Caret rect(s) at a source insertion index (fonttypes.nim:718-785).
-        LTR-only: one caret per index."""
+        """Visual caret position(s) at a source insertion index
+        (fonttypes.nim:718-785): bidi boundaries can produce more than one —
+        the leading edge in one directional run and the trailing edge in the
+        other, each on its glyph's visual side (caretX, :696-706)."""
         if not self.arranged_glyphs:
-            return [TextCaretPosition(source_rune, 0, 0, vec2(0, 0), rect(0, 0, 1, 0))]
+            if source_rune == 0:
+                return [TextCaretPosition(0, -1, 0, vec2(0, 0),
+                                          rect(0, 0, 1, 0))]
+            return []
+
+        def caret_x(r: Rect, rtl: bool, source_start: bool) -> float:
+            if source_start:
+                return r.x + r.w if rtl else r.x
+            return r.x if rtl else r.x + r.w
+
+        out: List[TextCaretPosition] = []
+
+        def add(c: TextCaretPosition) -> None:
+            for e in out:
+                if (e.line_index == c.line_index
+                        and abs(e.pos.x - c.pos.x) < 1e-3
+                        and abs(e.pos.y - c.pos.y) < 1e-3):
+                    return
+            out.append(c)
+
         for i, g in enumerate(self.arranged_glyphs):
-            if g.source.rune_start <= source_rune < g.source.rune_end:
-                top = self._line_top(g.line_index)
-                gf = self.fonts[g.span_index]
-                return [TextCaretPosition(
-                    source_rune, i, g.line_index, vec2(g.rect.x, top),
-                    rect(g.rect.x, top, 1.0, gf.line_height),
-                )]
-        # past the end → trailing edge of the last glyph
-        g = self.arranged_glyphs[-1]
-        gf = self.fonts[g.span_index]
-        top = self._line_top(g.line_index)
-        x = g.pos.x + g.advance.x
-        return [TextCaretPosition(
-            source_rune, len(self.arranged_glyphs) - 1, g.line_index,
-            vec2(x, top), rect(x, top, 1.0, gf.line_height),
-        )]
+            src = g.source
+            r = self.cluster_rect(i)
+            rtl = self.is_rtl_at(i)
+            if src.rune_start == source_rune:
+                x = caret_x(r, rtl, True)
+                add(TextCaretPosition(source_rune, i, g.line_index,
+                                      vec2(x, r.y), rect(x, r.y, 1.0, r.h),
+                                      affinity="leading"))
+            if src.rune_end == source_rune:
+                x = caret_x(r, rtl, False)
+                add(TextCaretPosition(source_rune, i, g.line_index,
+                                      vec2(x, r.y), rect(x, r.y, 1.0, r.h),
+                                      affinity="trailing"))
+            if src.rune_start < source_rune < src.rune_end:
+                t = (source_rune - src.rune_start) / max(
+                    src.rune_end - src.rune_start, 1
+                )
+                x = r.x + r.w * ((1.0 - t) if rtl else t)
+                add(TextCaretPosition(source_rune, i, g.line_index,
+                                      vec2(x, r.y), rect(x, r.y, 1.0, r.h),
+                                      affinity="inside"))
+        return out
 
     def glyph_selection_rects_for(self, rune_range) -> List[Rect]:
         """Per-glyph rects (unmerged), unlike the per-line bands of
@@ -268,6 +296,7 @@ class TextCaretPosition:
     line_index: int
     pos: Vec2
     rect: Rect
+    affinity: str = "inside"  # "leading" | "trailing" | "inside"
 
 
 def _is_cjk(ch: str) -> bool:

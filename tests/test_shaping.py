@@ -442,3 +442,17 @@ def test_language_system_locl(tid):
     from figdraw_tpu.text.shaper import ot_language_tag
     assert ot_language_tag("sr-Latn-RS") == "SRB"
     assert ot_language_tag("") is None
+
+
+def test_bidi_multi_caret(tid):
+    """A caret at an LTR/RTL boundary has two visual positions
+    (fonttypes.nim:718-785 addCaret semantics)."""
+    f = FigFont(typeface_id=tid, size=20.0)
+    c = fill(rgba(0, 0, 0, 255))
+    arr = typeset(vec2(400, 30), [(f, c, "ab" + HEB)])
+    boundary = arr.caret_positions_for(2)
+    assert len(boundary) == 2
+    affs = {cp.affinity for cp in boundary}
+    assert affs == {"leading", "trailing"}
+    # plain LTR positions dedupe to one caret
+    assert len(arr.caret_positions_for(1)) == 1

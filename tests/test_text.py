@@ -239,3 +239,45 @@ def test_subpixel_and_lcd_flags(typeface_id, monkeypatch):
     img = ren.take_screenshot()
     assert (img[..., 0] < 200).sum() > 5  # glyphs rendered
     assert ren.atlas_usage().glyph_count >= 1
+
+
+def test_place_glyphs(typeface_id):
+    """Explicit grid placement (fontutils.nim:125-244): top-left vs baseline
+    origins, advances, rects, and an end-to-end render."""
+    from figdraw_tpu.text.layout import GlyphOrigin, place_glyphs
+
+    font = make_font(typeface_id, size=20.0)
+    ink = fill(rgba(0, 0, 0, 255))
+    cells = [("A", vec2(0, 0)), ("B", vec2(24, 0)), ("C", vec2(48, 10))]
+    top = place_glyphs(font, ink, cells, origin=GlyphOrigin.TopLeft)
+    assert len(top.arranged_glyphs) == 3
+    assert top.arranged_glyphs[1].pos.x == 24.0
+    # baseline sits below the top-left anchor by the font's baseline offset
+    gf = top.fonts[0]
+    assert top.arranged_glyphs[0].pos.y == gf.baseline_offset
+    base = place_glyphs(font, ink, cells, origin=GlyphOrigin.Baseline)
+    assert base.arranged_glyphs[0].pos.y == 0.0
+    assert top.bounding.w > 0 and top.bounding.h > 0
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkText, screen_box=rect(4, 4, 120, 40),
+                            text_layout=top))
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    ren.render_frame(renders, vec2(128, 48))
+    img = ren.take_screenshot()
+    assert (img[..., :3] < 100).any()  # glyphs drawn
+
+
+def test_typeset_for_measurement(typeface_id):
+    """Unbounded measurement layout (fontutils.nim:93-123): no wrapping
+    without bounds; min-content equals the widest word."""
+    from figdraw_tpu.text.layout import typeset_for_measurement
+
+    font = make_font(typeface_id, size=20.0)
+    ink = fill(rgba(0, 0, 0, 255))
+    arr = typeset_for_measurement([(font, ink, "hello wide world")])
+    assert len(arr.lines) == 1
+    assert arr.min_size.x < arr.max_size.x  # widest word < full line
+    bounded = typeset_for_measurement([(font, ink, "hello wide world")],
+                                      bounds=vec2(60, 200))
+    assert len(bounded.lines) > 1

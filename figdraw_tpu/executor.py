@@ -137,13 +137,22 @@ def get_frame_executor(
                         )
                     else:
                         hwc = to_hwc(planes)
-                        hwc = raster_ref.draw_pass_frame_range(
-                            fields, modes, s, e, hwc, masks,
-                            atlas=atlas if uses_atlas else None,
-                            backdrop=to_hwc(backdrop) if needs_backdrop else None,
-                            subpixel_positioning=subpixel_positioning,
-                            pixelate=pixelate,
-                        )
+                        if uses_atlas and not needs_backdrop:
+                            # glyph/image quads are tiny: evaluate each in a
+                            # bbox window instead of the whole frame
+                            hwc = raster_ref.draw_pass_frame_range_windowed(
+                                fields, modes, s, e, hwc, masks, atlas=atlas,
+                                subpixel_positioning=subpixel_positioning,
+                                pixelate=pixelate,
+                            )
+                        else:
+                            hwc = raster_ref.draw_pass_frame_range(
+                                fields, modes, s, e, hwc, masks,
+                                atlas=atlas if uses_atlas else None,
+                                backdrop=to_hwc(backdrop) if needs_backdrop else None,
+                                subpixel_positioning=subpixel_positioning,
+                                pixelate=pixelate,
+                            )
                         planes = to_planes(hwc)
                 else:
                     plane = raster_ref.draw_pass_mask_range(
@@ -405,9 +414,8 @@ def get_rolled_executor(
 
         def draw_frame_atlas(planes, masks, backdrop, target, s, e, radius):
             out = to_planes(
-                raster_ref.draw_pass_frame_range(
+                raster_ref.draw_pass_frame_range_windowed(
                     fields, modes, s, e, to_hwc(planes), masks, atlas=atlas,
-                    backdrop=to_hwc(backdrop),
                     subpixel_positioning=subpixel_positioning,
                     pixelate=pixelate,
                 )

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .layout import QI_MASK, QI_MODE
+from .layout import QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1, QI_MASK, QI_MODE
 from .quad_eval import blend_over, eval_quad
 
 
@@ -66,6 +66,84 @@ def draw_pass_frame_range(
         start, end, body, (frame[..., 0:3], frame[..., 3])
     )
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+
+def draw_pass_frame_range_windowed(
+    fields,
+    modes,
+    start,
+    end,
+    frame,
+    masks,
+    atlas=None,
+    subpixel_positioning: bool = False,
+    pixelate: bool = False,
+    window: int = 128,
+):
+    """Like draw_pass_frame_range, but each quad whose bbox fits a
+    (window, window) tile is evaluated only there (dynamic_slice → blend →
+    dynamic_update_slice); oversized quads take the full-frame branch.
+
+    Glyph and image quads are tiny relative to the frame, so atlas-sampling
+    runs drop from O(quads × pixels) to O(quads × window²) — the XLA-path
+    analog of the Pallas kernel's tile binning. Order is preserved: the loop
+    is still one quad at a time in draw order."""
+    height, width = frame.shape[0], frame.shape[1]
+    if height < window or width < window:
+        return draw_pass_frame_range(
+            fields, modes, start, end, frame, masks, atlas=atlas,
+            subpixel_positioning=subpixel_positioning, pixelate=pixelate,
+        )
+    px_full, py_full = pixel_centers(height, width)
+    wiy = jnp.arange(window, dtype=jnp.float32)[:, None] + 0.5
+    wix = jnp.arange(window, dtype=jnp.float32)[None, :] + 0.5
+
+    def body(i, frame):
+        f = fields[i]
+        mode = modes[i, QI_MODE]
+        mask_idx = modes[i, QI_MASK]
+        bx0 = f[QF_BBOX_X0]
+        by0 = f[QF_BBOX_Y0]
+        bx1 = f[QF_BBOX_X1]
+        by1 = f[QF_BBOX_Y1]
+        fits = ((bx1 - bx0) <= window) & ((by1 - by0) <= window)
+
+        def windowed(frame):
+            x0 = jnp.clip(jnp.floor(bx0).astype(jnp.int32), 0, width - window)
+            y0 = jnp.clip(jnp.floor(by0).astype(jnp.int32), 0, height - window)
+            tile = jax.lax.dynamic_slice(frame, (y0, x0, 0), (window, window, 4))
+            px = x0.astype(jnp.float32) + wix
+            py = y0.astype(jnp.float32) + wiy
+            px = jnp.broadcast_to(px, (window, window))
+            py = jnp.broadcast_to(py, (window, window))
+            frag_rgb, frag_a = eval_quad(
+                f, mode, px, py, atlas=atlas, backdrop=None,
+                subpixel_positioning=subpixel_positioning, pixelate=pixelate,
+            )
+            mask_tile = jax.lax.dynamic_slice(
+                masks, (mask_idx, y0, x0), (1, window, window)
+            )[0]
+            frag_a = frag_a * mask_tile
+            rgb, a = blend_over(tile[..., 0:3], tile[..., 3], frag_rgb, frag_a)
+            return jax.lax.dynamic_update_slice(
+                frame, jnp.concatenate([rgb, a[..., None]], axis=-1), (y0, x0, 0)
+            )
+
+        def full(frame):
+            frag_rgb, frag_a = eval_quad(
+                f, mode, px_full, py_full, atlas=atlas, backdrop=None,
+                subpixel_positioning=subpixel_positioning, pixelate=pixelate,
+            )
+            mask_val = jax.lax.dynamic_index_in_dim(
+                masks, mask_idx, 0, keepdims=False
+            )
+            frag_a = frag_a * mask_val
+            rgb, a = blend_over(frame[..., 0:3], frame[..., 3], frag_rgb, frag_a)
+            return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+        return jax.lax.cond(fits, windowed, full, frame)
+
+    return jax.lax.fori_loop(start, end, body, frame)
 
 
 @partial(jax.jit, static_argnames=("subpixel_positioning",))

@@ -242,6 +242,19 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
                 pack_fill(r["fill"], node.fill)
                 trect_rows.append(r)
 
+    # decorations + glyph block depend only on the (immutable) arrangement —
+    # cache them on it so retained layouts pack as an append, not a walk
+    cached = getattr(layout, "_fig_pack_cache", None)
+    if cached is not None:
+        deco_rows, glyph_block = cached
+        trect_rows.extend(deco_rows)
+        if glyph_block is not None:
+            glyph_rows.append(glyph_block)
+        row["glyphs_count"] = _row_total(glyph_rows) - int(row["glyphs_start"])
+        row["trects_count"] = len(trect_rows) - int(row["trects_start"])
+        return
+
+    deco_rows = []
     # decorations (figrender.nim:370-415 band math, done here once)
     for span_index, (ss, se) in enumerate(layout.spans):
         if span_index >= len(layout.fonts):
@@ -284,7 +297,8 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
                 r = np.zeros((), dtype=TRECT_DTYPE)
                 r["x"], r["y"], r["w"], r["h"] = band.x, band.y, band.w, band.h
                 pack_fill(r["fill"], color)
-                trect_rows.append(r)
+                deco_rows.append(r)
+    trect_rows.extend(deco_rows)
 
     drawn = [g for g in layout.arranged_glyphs if not g.is_whitespace]
     if drawn:
@@ -311,6 +325,7 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
         block["img_ox"] = [g.image_offset.x for g in drawn]
         block["img_oy"] = [g.image_offset.y for g in drawn]
         glyph_rows.append(block)
+    layout._fig_pack_cache = (deco_rows, block if drawn else None)
 
     row["glyphs_count"] = _row_total(glyph_rows) - int(row["glyphs_start"])
     row["trects_count"] = len(trect_rows) - int(row["trects_start"])

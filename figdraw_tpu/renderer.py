@@ -910,11 +910,18 @@ class FigRenderer:
                 self.last_frame = frame
         return frame
 
-    def take_screenshot(self, frame=None) -> np.ndarray:
-        """Last rendered frame as uint8 RGBA (readPixels analog)."""
+    def take_screenshot(self, frame=None, frame_rect=None) -> np.ndarray:
+        """Rendered frame as uint8 RGBA (readPixels analog,
+        glcontext.nim:2094-2135). frame_rect: optional (x, y, w, h) crop in
+        pixels, clamped to the frame like the GL readback."""
         if frame is None:
             frame = self.last_frame
         arr = np.asarray(frame)
+        if frame_rect is not None:
+            x, y, w, h = (int(round(v)) for v in frame_rect)
+            x = max(0, min(x, arr.shape[1]))
+            y = max(0, min(y, arr.shape[0]))
+            arr = arr[y : y + max(h, 0), x : x + max(w, 0)]
         return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
 
 

@@ -388,3 +388,20 @@ def test_sharded_renderer_masks_and_text():
     out = np.asarray(sr.render_frame(renders, vec2(256, 128)))
     got = (np.clip(out, 0, 1) * 255).round().astype(np.uint8)
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_take_screenshot_rect():
+    """readPixels with a crop rect (glcontext.nim:2094-2135)."""
+    from figdraw_tpu import Fig, FigKind
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle, screen_box=rect(8, 8, 16, 16),
+                            fill=fill(rgba(255, 0, 0, 255))))
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren.render_frame(renders, vec2(64, 48))
+    crop = ren.take_screenshot(frame_rect=(8, 8, 16, 16))
+    assert crop.shape == (16, 16, 4)
+    assert (crop[..., 0] > 200).all()
+    # clamped out-of-range rect
+    edge = ren.take_screenshot(frame_rect=(60, 40, 100, 100))
+    assert edge.shape == (8, 4, 4)

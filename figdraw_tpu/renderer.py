@@ -29,7 +29,7 @@ from .render import render_root
 from .tape import BlurItem, ClearMaskItem, DrawItem, FRAME_TARGET, Tape, TapeBackend
 from .ops.layout import QF_WIDTH, QI_WIDTH
 
-QUAD_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
+QUAD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 WHITE_IMAGE_KEY = "__figdraw_white__"
 ROLLED_THRESHOLD = 24  # structure items above this use the rolled executor

@@ -10,11 +10,10 @@ every backend shares.
 from __future__ import annotations
 
 import enum
-import math
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Tuple
 
-from .basics import CornerRadii2D, StrokeCap, scaled
+from .basics import CornerRadii2D, StrokeCap
 from .colors import Color, ColorRGBA, lerp_color
 from .fill import Fill, FillGradientAxis, FillKind, gradient_mid_pos01
 from .geometry import Mat3, Rect, Vec2, vec2

@@ -12,7 +12,7 @@ from typing import Optional, Sequence, Tuple, Union
 
 from .colors import ColorRGBA
 from .fill import Fill, fill
-from .geometry import Mat3, Rect, Vec2, vec2
+from .geometry import Mat3, Rect, Vec2
 
 SHADOW_COUNT = 4  # figbasics.nim:12
 

@@ -13,7 +13,7 @@ scene graph's shape changes rarely), so the jit cache stays small.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,8 @@ Port of /root/reference/src/figdraw/figextras.nim:3-49.
 from __future__ import annotations
 
 from .basics import FigKind, RenderStroke, ZLevel
-from .fill import Fill, fill as make_fill
-from .geometry import Rect, Vec2, rect, vec2
+from .fill import fill as make_fill
+from .geometry import Vec2, rect, vec2
 from .nodes import Fig, drawable_circle, drawable_line
 
 

@@ -9,10 +9,10 @@ fragment's list in place, fixing nested references.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional
 
-from .nodes import Fig, FigIdx, NIL_IDX, RenderList, Renders, ZLevel, new_renders
+from .nodes import Fig, FigIdx, RenderList, Renders, ZLevel, new_renders
 
 
 @dataclass

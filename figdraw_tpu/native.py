@@ -17,7 +17,7 @@ from typing import Optional
 import numpy as np
 
 from .nodesarray import FIG_DTYPE, GLYPH_DTYPE, OP_DTYPE, TRECT_DTYPE, RendersArray
-from .ops.layout import QF_WIDTH, QI_WIDTH
+from .ops.layout import QF_WIDTH
 from .tape import BlurItem, ClearMaskItem, DrawItem, Tape
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -9,7 +9,6 @@ tile inside the Pallas kernel).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

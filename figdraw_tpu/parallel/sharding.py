@@ -17,7 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding as P
 
 try:  # jax >= 0.8: no check_rep kwarg
     from jax import shard_map as _new_shard_map
@@ -29,7 +29,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops import raster_ref
-from ..ops.blur import TAP_RADIUS, _blur_axis
+from ..ops.blur import _blur_axis
 
 ROWS_AXIS = "rows"
 
@@ -152,7 +152,7 @@ class ShardedFigRenderer:
     def render_frame(self, renders, frame_size, clear_color=(1.0, 1.0, 1.0, 1.0)):
         """Flatten on host, rasterize row-sharded; returns global (H, W, 4)."""
         import numpy as np
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import NamedSharding
 
         from ..basics import scaled
         from ..executor import FRAME_TARGET

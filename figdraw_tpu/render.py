@@ -11,7 +11,7 @@ backdrop-blur pass break (:1734-1754). Draw calls land on any BackendContext
 from __future__ import annotations
 
 import math
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from .backend import BackendContext, SdfMode, to_backend_fill
 from .basics import (

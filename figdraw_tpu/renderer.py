@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from .atlas import Atlas, AtlasEntryMeta
 from .backend import DEFAULT_SDF_AA_FACTOR
 from .colors import Color
-from .geometry import Vec2, vec2
+from .geometry import Vec2
 from .nodes import Renders
 from .render import render_root
 from .tape import BlurItem, ClearMaskItem, DrawItem, FRAME_TARGET, Tape, TapeBackend

@@ -24,8 +24,8 @@ import enum
 import itertools
 import threading
 from collections import deque
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 import numpy as np
 

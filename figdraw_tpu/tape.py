@@ -18,7 +18,7 @@ against atlas.frag line-by-line:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple, Union
 
 import numpy as np
@@ -37,7 +37,7 @@ from .backend import (
 )
 from .basics import CornerRadii2D, StrokeCap
 from .colors import Color, ColorRGBA
-from .geometry import Mat3, Rect, Vec2, vec2
+from .geometry import Rect, Vec2, vec2
 from .ops.layout import (
     QF_AA,
     QF_BBOX_X0,

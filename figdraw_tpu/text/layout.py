@@ -14,8 +14,6 @@ Pure host-side geometry — the TPU only ever sees the resulting glyph quads.
 
 from __future__ import annotations
 
-import math
-import unicodedata
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 

@@ -13,9 +13,8 @@ from __future__ import annotations
 import hashlib
 import os
 import threading
-import unicodedata
-from dataclasses import dataclass, field, replace
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass, replace
+from typing import Dict, List, Optional, Tuple
 
 TypefaceId = int
 FontId = int

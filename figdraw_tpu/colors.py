@@ -52,6 +52,19 @@ def color(r: float, g: float, b: float, a: float = 1.0) -> Color:
     return Color(float(r), float(g), float(b), float(a))
 
 
+def as_color(c) -> Color:
+    """Coerce any public color form (Color, ColorRGBA, or a 3/4-tuple of
+    floats) to a normalized Color — render_frame/clear_color accept all."""
+    if isinstance(c, Color):
+        return c
+    if isinstance(c, ColorRGBA):
+        return c.to_color()
+    vals = tuple(float(v) for v in c)
+    if len(vals) == 3:
+        vals = vals + (1.0,)
+    return Color(*vals)
+
+
 def lerp_color(a: ColorRGBA, b: ColorRGBA, t: float) -> ColorRGBA:
     """Per-channel lerp with round-half-away, matching the reference
     (filltypes.nim:67-74)."""

@@ -145,16 +145,17 @@ class ShardedFigRenderer:
         self.n = self.mesh.shape[ROWS_AXIS]
         # reuse the single-chip renderer for flattening + atlas management
         self._flattener = FigRenderer(atlas_size=atlas_size, use_pallas=False)
-        self._draw = make_sharded_draw_pass(self.mesh)
         self._blur = make_sharded_blur(self.mesh)
         self.last_frame = None
 
-    def render_frame(self, renders, frame_size, clear_color=(1.0, 1.0, 1.0, 1.0)):
+    def render_frame(self, renders, frame_size, clear_main=True,
+                     clear_color=(1.0, 1.0, 1.0, 1.0)):
         """Flatten on host, rasterize row-sharded; returns global (H, W, 4)."""
         import numpy as np
         from jax.sharding import NamedSharding
 
         from ..basics import scaled
+        from ..colors import as_color
         from ..executor import FRAME_TARGET
         from ..ops.layout import QF_WIDTH, QI_WIDTH
         from ..renderer import _bucket
@@ -162,7 +163,8 @@ class ShardedFigRenderer:
 
         fs = scaled(frame_size)
         self._flattener.process_image_messages()
-        tape = self._flattener.flatten(renders, fs)
+        tape = self._flattener.flatten(renders, fs, clear_main,
+                                       as_color(clear_color))
         width = int(round(tape.frame_size[0]))
         height = -(-int(round(tape.frame_size[1])) // self.n) * self.n  # pad rows
 

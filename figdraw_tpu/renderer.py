@@ -486,7 +486,10 @@ class FigRenderer:
 
         Accepts `Renders` (Python walk) or `RendersArray` (native C++ walk —
         ~50x faster; see native/flatten.cpp)."""
+        from .colors import as_color
         from .nodesarray import RendersArray
+
+        clear_color = as_color(clear_color)
 
         cc = (
             (clear_color.r, clear_color.g, clear_color.b, clear_color.a)
@@ -732,9 +735,11 @@ class FigRenderer:
         """Full frame: flatten on host, rasterize on device
         (figrender.nim:1960-1995)."""
         from .basics import scaled
+        from .colors import as_color
 
         from .utils.perf import perf
 
+        clear_color = as_color(clear_color)
         fs = scaled(frame_size)
         if fs.x <= 0 or fs.y <= 0:
             return self.last_frame

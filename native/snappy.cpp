@@ -163,19 +163,23 @@ int fd_snappy_uncompress(const uint8_t* src, int n, uint8_t* dst, int cap) {
     uint8_t tag = src[ip++];
     int kind = tag & 3;
     if (kind == 0) {  // literal
-      int len = (tag >> 2) + 1;
+      // assemble the length unsigned/wide: a 4-extra-byte length with the top
+      // bit set would overflow a signed int to negative and slip past the
+      // bounds checks into a huge memcpy
+      int64_t len = (tag >> 2) + 1;
       if (len > 60) {
-        int extra = len - 60;
+        int extra = (int)len - 60;
         if (ip + extra > n) return -1;
-        len = 0;
-        for (int i = 0; i < extra; i++) len |= (int)src[ip + i] << (8 * i);
-        len += 1;
+        uint32_t raw = 0;
+        for (int i = 0; i < extra; i++) raw |= (uint32_t)src[ip + i] << (8 * i);
+        len = (int64_t)raw + 1;
         ip += extra;
       }
-      if (ip + len > n || op + len > cap) return -1;
-      std::memcpy(dst + op, src + ip, len);
-      ip += len;
-      op += len;
+      if (len <= 0 || len > (int64_t)(n - ip) || len > (int64_t)(cap - op))
+        return -1;
+      std::memcpy(dst + op, src + ip, (size_t)len);
+      ip += (int)len;
+      op += (int)len;
     } else {
       int len, offset;
       if (kind == 1) {

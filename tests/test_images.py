@@ -288,7 +288,9 @@ def test_incremental_atlas_upload():
     frame0[..., 0] = 10
     put_image(9001, frame0, bus=bus)
     ren.process_image_messages()
-    full = np.asarray(ren._device_atlas())
+    # copy: np.asarray of a CPU jax array is a zero-copy view, and the patch
+    # path donates the device buffer — the view would mutate under us
+    full = np.array(ren._device_atlas(), copy=True)
     assert ren.atlas_upload_bytes == ren.atlas.data.nbytes  # first: full
 
     # stream a new frame: same dims → in-place update → region upload only

@@ -56,6 +56,44 @@ def pack_tape_upload(fields, modes, bounds, radii, clear_color):
     return combo
 
 
+def tape_structure(tape, modes):
+    """Static pass structure from a tape: (structure, bounds, radii,
+    is_atlas_mode, is_backdrop_mode). `modes` is the (padded) i32 lane array;
+    structure items are the hashable tuples get_frame_executor keys on."""
+    import numpy as np
+
+    from .ops.layout import QI_MODE
+    from .ops.raster_pallas import ATLAS_BASE_MODES
+    from .tape import BlurItem, ClearMaskItem, DrawItem
+
+    base_modes = modes[:, QI_MODE] % 256
+    base_modes = np.where(base_modes >= 128, base_modes - 128, base_modes)
+    is_atlas_mode = np.isin(base_modes, ATLAS_BASE_MODES)
+    is_backdrop_mode = base_modes == 17
+
+    structure = []
+    bounds = []
+    radii = []
+    seen_blur = False
+    for item in tape.items:
+        if isinstance(item, ClearMaskItem):
+            structure.append(("clear_mask", item.index))
+        elif isinstance(item, BlurItem):
+            structure.append(("blur",))
+            radii.append(item.radius)
+            seen_blur = True
+        elif isinstance(item, DrawItem):
+            if item.end <= item.start:
+                continue
+            uses_atlas = bool(is_atlas_mode[item.start : item.end].any())
+            needs_backdrop = seen_blur and bool(
+                is_backdrop_mode[item.start : item.end].any()
+            )
+            structure.append(("draw", item.target, uses_atlas, needs_backdrop))
+            bounds.append((item.start, item.end))
+    return structure, bounds, radii, is_atlas_mode, is_backdrop_mode
+
+
 @lru_cache(maxsize=64)
 def get_frame_executor(
     structure: Tuple,

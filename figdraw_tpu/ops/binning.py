@@ -17,13 +17,15 @@ from .layout import QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1
 
 
 @partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile_h", "tile_w"))
-def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int):
+def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int,
+              y_offset=0.0):
     """Returns (tile_idx (T, N) i32, tile_counts (T,) i32).
 
     tile_idx[t, :counts[t]] are indices of quads in [start, end) whose bbox
     intersects tile t, in draw order; the rest is padding. The [start, end)
     window lets one padded tape hold every draw run of a frame so the whole
-    frame executes as a single device call.
+    frame executes as a single device call. y_offset: global row of tile row
+    0 — nonzero when binning one device's row band of a mesh-sharded frame.
     """
     n = fields.shape[0]
     x0 = fields[:, QF_BBOX_X0]
@@ -31,7 +33,7 @@ def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_
     x1 = fields[:, QF_BBOX_X1]
     y1 = fields[:, QF_BBOX_Y1]
 
-    ty = jnp.arange(tiles_y, dtype=jnp.float32) * tile_h
+    ty = y_offset + jnp.arange(tiles_y, dtype=jnp.float32) * tile_h
     tx = jnp.arange(tiles_x, dtype=jnp.float32) * tile_w
     # tile t covers pixel centers [t0 + 0.5, t0 + tile - 0.5]
     tx0 = tx[None, :, None]  # (1, TX, 1)

@@ -79,10 +79,12 @@ def _lower_bound(tidx_ref, count, value):
 def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
             masks_ref, *rest, tiles_x: int, has_backdrop: bool,
             mask_target: bool = False):
-    """seg_ref: (1, 2) SMEM [start, end) quad-id range of this draw run, or
-    None semantics via seg covering everything. Within a tile the binned list
-    is ascending, and a run's quads form a contiguous segment of it
-    (runs partition the tape in draw order)."""
+    """seg_ref: (3,) SMEM [start, end, row0]: the [start, end) quad-id range
+    of this draw run (or a range covering everything) plus the global row of
+    tile row 0 (nonzero when this kernel rasterizes one device's row band of
+    a mesh-sharded frame). Within a tile the binned list is ascending, and a
+    run's quads form a contiguous segment of it (runs partition the tape in
+    draw order)."""
     if has_backdrop:
         backdrop_ref, out_ref = rest
     else:
@@ -93,11 +95,12 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
     count = counts_ref[t]
     run_start = seg_ref[0]
     run_end = seg_ref[1]
+    row0 = seg_ref[2]
     j_lo = _lower_bound(tidx_ref, count, run_start)
     j_hi = _lower_bound(tidx_ref, count, run_end)
 
     th, tw = frame_ref.shape[1], frame_ref.shape[2]
-    y0 = (ty * th).astype(jnp.float32)
+    y0 = (row0 + ty * th).astype(jnp.float32)
     x0 = (tx * tw).astype(jnp.float32)
     iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -151,14 +154,16 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_y", "tiles_x", "has_backdrop", "mask_target"),
+    static_argnames=("tiles_y", "tiles_x", "has_backdrop", "mask_target",
+                     "tile_h", "tile_w"),
 )
 def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks,
                   backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool,
-                  mask_target: bool = False):
+                  mask_target: bool = False, tile_h: int = 0, tile_w: int = 0):
     n = fields.shape[0]
     n_masks = masks.shape[0]
-    th, tw = TILE_H, TILE_W
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
     planes = frame_planes.shape[0]
 
     def tile_map(ty, tx, *_refs):
@@ -200,12 +205,14 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
 
 
 def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
-                     backdrop_planes=None):
+                     backdrop_planes=None, y_offset=None,
+                     tile_h: int = 0, tile_w: int = 0):
     """Planar-layout draw pass over quads [start, end) — the building block the
     fused frame executor chains inside one jit.
 
     frame_planes: (4, PH, PW) f32 with PH, PW multiples of the tile size;
-    masks_p: (K, PH, PW); backdrop_planes: (4, PH, PW) or None.
+    masks_p: (K, PH, PW); backdrop_planes: (4, PH, PW) or None. y_offset:
+    global row of frame_planes row 0 when row-sharded over a mesh.
     """
     import os
 
@@ -213,51 +220,83 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
         # fault injection exercising the renderer's XLA fallback
         # (the reference's -d:vulkanCrashTest analog, siwinshim.nim:769-774)
         raise RuntimeError("pallas crash test requested")
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
-    assert ph % TILE_H == 0 and pw % TILE_W == 0
-    tiles_y = ph // TILE_H
-    tiles_x = pw // TILE_W
+    assert ph % th == 0 and pw % tw == 0
+    tiles_y = ph // th
+    tiles_x = pw // tw
 
-    tile_idx, tile_counts = bin_quads(fields, start, end, tiles_y, tiles_x, TILE_H, TILE_W)
+    row0 = (
+        jnp.int32(0) if y_offset is None
+        else jnp.asarray(y_offset).astype(jnp.int32)
+    )
+    tile_idx, tile_counts = bin_quads(
+        fields, start, end, tiles_y, tiles_x, th, tw,
+        y_offset=row0.astype(jnp.float32),
+    )
     tile_idx = tile_idx[:, None, :]  # (T, 1, N): TPU block dims must tile the last two axes
 
-    seg = jnp.stack([jnp.int32(0), jnp.int32(2**30)])  # whole binned list
+    seg = jnp.stack([jnp.int32(0), jnp.int32(2**30), row0])  # whole binned list
     return _raster_tiles(
         fields, modes, tile_idx, tile_counts, seg, frame_planes, masks_p,
         backdrop_planes, tiles_y, tiles_x, backdrop_planes is not None,
+        tile_h=th, tile_w=tw,
     )
 
 
-def prebin(fields, n_quads, ph: int, pw: int):
+def prebin(fields, n_quads, ph: int, pw: int, y_offset=None,
+           tile_h: int = 0, tile_w: int = 0):
     """Bin the whole tape once; draw runs then select their contiguous
     per-tile segments in-kernel (runs partition the tape in draw order, and
     each tile's binned list is ascending)."""
-    tiles_y = ph // TILE_H
-    tiles_x = pw // TILE_W
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
+    tiles_y = ph // th
+    tiles_x = pw // tw
+    y0 = jnp.float32(0) if y_offset is None else y_offset.astype(jnp.float32)
     tile_idx, tile_counts = bin_quads(
-        fields, jnp.int32(0), n_quads, tiles_y, tiles_x, TILE_H, TILE_W
+        fields, jnp.int32(0), n_quads, tiles_y, tiles_x, th, tw, y_offset=y0
     )
     return tile_idx[:, None, :], tile_counts
 
 
+def _seg3(start, end, y_offset):
+    row0 = (
+        jnp.int32(0) if y_offset is None
+        else jnp.asarray(y_offset).astype(jnp.int32)
+    )
+    return jnp.stack([
+        jnp.asarray(start).astype(jnp.int32),
+        jnp.asarray(end).astype(jnp.int32),
+        row0,
+    ])
+
+
 def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
-                               frame_planes, masks_p, backdrop_planes=None):
+                               frame_planes, masks_p, backdrop_planes=None,
+                               y_offset=None, tile_h: int = 0, tile_w: int = 0):
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
-    seg = jnp.stack([start.astype(jnp.int32), end.astype(jnp.int32)])
     return _raster_tiles(
-        fields, modes, tile_idx, tile_counts, seg, frame_planes, masks_p,
-        backdrop_planes, ph // TILE_H, pw // TILE_W, backdrop_planes is not None,
+        fields, modes, tile_idx, tile_counts, _seg3(start, end, y_offset),
+        frame_planes, masks_p, backdrop_planes, ph // th, pw // tw,
+        backdrop_planes is not None, tile_h=th, tile_w=tw,
     )
 
 
 def draw_pass_mask_prebinned(fields, modes, start, end, tile_idx, tile_counts,
-                             mask_plane, masks_p):
+                             mask_plane, masks_p, y_offset=None,
+                             tile_h: int = 0, tile_w: int = 0):
     """Binned mask-plane write (a^2 + m(1-a) blend); mask_plane: (1, PH, PW)."""
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
     ph, pw = mask_plane.shape[1], mask_plane.shape[2]
-    seg = jnp.stack([start.astype(jnp.int32), end.astype(jnp.int32)])
     return _raster_tiles(
-        fields, modes, tile_idx, tile_counts, seg, mask_plane, masks_p,
-        None, ph // TILE_H, pw // TILE_W, False, mask_target=True,
+        fields, modes, tile_idx, tile_counts, _seg3(start, end, y_offset),
+        mask_plane, masks_p, None, ph // th, pw // tw, False,
+        mask_target=True, tile_h=th, tile_w=tw,
     )
 
 
@@ -284,15 +323,16 @@ MEGA_TARGET_SHIFT = 16
 MEGA_MODE_MASK = 0xFFF
 
 
-def _mega_kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
+def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
                  out_ref, *, tiles_x: int, n_masks: int):
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * tiles_x + tx
     count = counts_ref[t]
+    row0 = seg_ref[0]  # global row of tile row 0 (row-sharded bands)
 
     th, tw = frame_ref.shape[1], frame_ref.shape[2]
-    y0 = (ty * th).astype(jnp.float32)
+    y0 = (row0 + ty * th).astype(jnp.float32)
     x0 = (tx * tw).astype(jnp.float32)
     iy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1).astype(jnp.float32)
@@ -349,17 +389,21 @@ def _mega_kernel(counts_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
     out_ref[3] = a
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "n_masks"))
-def _raster_mega(fields, modes, tile_idx, tile_counts, frame_planes,
-                 tiles_y: int, tiles_x: int, n_masks: int):
+@functools.partial(
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "n_masks", "tile_h", "tile_w")
+)
+def _raster_mega(fields, modes, tile_idx, tile_counts, seg, frame_planes,
+                 tiles_y: int, tiles_x: int, n_masks: int,
+                 tile_h: int = 0, tile_w: int = 0):
     n = fields.shape[0]
-    th, tw = TILE_H, TILE_W
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
 
     def tile_map(ty, tx, *_refs):
         return (0, ty, tx)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # tile_counts
+        num_scalar_prefetch=2,  # tile_counts, seg (row0)
         grid=(tiles_y, tiles_x),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fields
@@ -376,21 +420,31 @@ def _raster_mega(fields, modes, tile_idx, tile_counts, frame_planes,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(frame_planes.shape, jnp.float32),
         interpret=_interpret(),
-    )(tile_counts, fields, modes, tile_idx, frame_planes)
+    )(tile_counts, seg, fields, modes, tile_idx, frame_planes)
 
 
-def draw_pass_mega(fields, modes, frame_planes, n_masks: int):
+def draw_pass_mega(fields, modes, frame_planes, n_masks: int, y_offset=None,
+                   tile_h: int = 0, tile_w: int = 0):
     """One-kernel whole frame over target-baked modes; frame_planes (4, PH, PW)."""
     import os
 
     if os.environ.get("FIGDRAW_PALLAS_CRASH_TEST") == "1":
         # fault injection exercising the renderer's XLA fallback
         raise RuntimeError("pallas crash test requested")
+    th = tile_h or TILE_H
+    tw = tile_w or TILE_W
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
-    tile_idx, tile_counts = prebin(fields, jnp.int32(fields.shape[0]), ph, pw)
+    tile_idx, tile_counts = prebin(
+        fields, jnp.int32(fields.shape[0]), ph, pw, y_offset=y_offset,
+        tile_h=th, tile_w=tw,
+    )
+    row0 = (
+        jnp.int32(0) if y_offset is None
+        else jnp.asarray(y_offset).astype(jnp.int32)
+    )
     return _raster_mega(
-        fields, modes, tile_idx, tile_counts, frame_planes,
-        ph // TILE_H, pw // TILE_W, n_masks,
+        fields, modes, tile_idx, tile_counts, row0[None], frame_planes,
+        ph // th, pw // tw, n_masks, tile_h=th, tile_w=tw,
     )
 
 

@@ -79,6 +79,7 @@ def draw_pass_frame_range_windowed(
     subpixel_positioning: bool = False,
     pixelate: bool = False,
     window: int = 128,
+    y_offset=0.0,  # global row of frame[0] — nonzero when row-sharded over a mesh
 ):
     """Like draw_pass_frame_range, but each quad whose bbox fits a
     (window, window) tile is evaluated only there (dynamic_slice → blend →
@@ -93,8 +94,10 @@ def draw_pass_frame_range_windowed(
         return draw_pass_frame_range(
             fields, modes, start, end, frame, masks, atlas=atlas,
             subpixel_positioning=subpixel_positioning, pixelate=pixelate,
+            y_offset=y_offset,
         )
-    px_full, py_full = pixel_centers(height, width)
+    y_offset = jnp.asarray(y_offset, jnp.float32)
+    px_full, py_full = pixel_centers(height, width, y0=y_offset)
     wiy = jnp.arange(window, dtype=jnp.float32)[:, None] + 0.5
     wix = jnp.arange(window, dtype=jnp.float32)[None, :] + 0.5
 
@@ -109,11 +112,14 @@ def draw_pass_frame_range_windowed(
         fits = ((bx1 - bx0) <= window) & ((by1 - by0) <= window)
 
         def windowed(frame):
+            # window origin in band-local rows; pixel centers stay global
             x0 = jnp.clip(jnp.floor(bx0).astype(jnp.int32), 0, width - window)
-            y0 = jnp.clip(jnp.floor(by0).astype(jnp.int32), 0, height - window)
+            y0 = jnp.clip(
+                jnp.floor(by0 - y_offset).astype(jnp.int32), 0, height - window
+            )
             tile = jax.lax.dynamic_slice(frame, (y0, x0, 0), (window, window, 4))
             px = x0.astype(jnp.float32) + wix
-            py = y0.astype(jnp.float32) + wiy
+            py = y_offset + y0.astype(jnp.float32) + wiy
             px = jnp.broadcast_to(px, (window, window))
             py = jnp.broadcast_to(py, (window, window))
             frag_rgb, frag_a = eval_quad(

@@ -26,7 +26,7 @@ from .colors import Color
 from .geometry import Vec2
 from .nodes import Renders
 from .render import render_root
-from .tape import BlurItem, ClearMaskItem, DrawItem, FRAME_TARGET, Tape, TapeBackend
+from .tape import FRAME_TARGET, Tape, TapeBackend
 from .ops.layout import QF_WIDTH, QI_WIDTH
 
 QUAD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
@@ -544,8 +544,7 @@ class FigRenderer:
 
     def execute(self, tape: Tape) -> jnp.ndarray:
         """Runs the whole tape as ONE jitted device call (executor.py)."""
-        from .ops.layout import QI_MODE
-        from .ops.raster_pallas import ATLAS_BASE_MODES
+        from .executor import tape_structure
 
         width = int(round(tape.frame_size[0]))
         height = int(round(tape.frame_size[1]))
@@ -558,31 +557,10 @@ class FigRenderer:
         fields[: tape.count] = tape.fields[: tape.count]
         modes[: tape.count] = tape.modes[: tape.count]
 
-        base_modes = modes[:, QI_MODE] % 256
-        base_modes = np.where(base_modes >= 128, base_modes - 128, base_modes)
-        is_atlas_mode = np.isin(base_modes, ATLAS_BASE_MODES)
-        is_backdrop_mode = base_modes == 17
-
-        structure = []
-        bounds = []
-        radii = []
-        seen_blur = False
-        for item in tape.items:
-            if isinstance(item, ClearMaskItem):
-                structure.append(("clear_mask", item.index))
-            elif isinstance(item, BlurItem):
-                structure.append(("blur",))
-                radii.append(item.radius)
-                seen_blur = True
-            elif isinstance(item, DrawItem):
-                if item.end <= item.start:
-                    continue
-                uses_atlas = bool(is_atlas_mode[item.start : item.end].any())
-                needs_backdrop = seen_blur and bool(
-                    is_backdrop_mode[item.start : item.end].any()
-                )
-                structure.append(("draw", item.target, uses_atlas, needs_backdrop))
-                bounds.append((item.start, item.end))
+        structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
+            tape_structure(tape, modes)
+        )
+        seen_blur = any(item[0] == "blur" for item in structure)
 
         has_init_frame = tape.clear_color is None
         if has_init_frame:

@@ -437,13 +437,14 @@ def typeset(
             seg = records[i:j]
             names = [rtf.glyph_name(rtf.glyph_id(r[2])) for r in seg]
             clusters = [(r[0], r[0] + 1) for r in seg]
+            ligc = None  # per-glyph (lig_size, attach_comp) for GPOS 5
             shaper = get_shaper(rtf)
             if shaper is not None:
                 if any(0x0600 <= r[2] <= 0x077F for r in seg):
                     names = shaper.apply_arabic_forms(
                         names, [r[2] for r in seg]
                     )
-                names, clusters = shaper.substitute(
+                names, clusters, ligc = shaper.substitute_ex(
                     names, clusters, feats, ot_language_tag(font.language)
                 )
             use_gpos = shaper is not None and shaper.has_gpos_kern
@@ -455,6 +456,7 @@ def typeset(
             cursive = shaper.cursive_chain(names) if shaper is not None else None
             prev_name = None
             base_name = None  # last non-mark glyph (GPOS mark attachment)
+            base_lig_size = 1  # component count when the base is a ligature
             last_pen_glyph = None  # index of the glyph carrying the pen advance
             pen_since_base = 0.0
             prev_mark = None  # (name, offset) of the previous ATTACHED mark
@@ -477,7 +479,18 @@ def typeset(
                                 prev_mark[1].y - delta[1] * rs,
                             )
                     if attach is None and base_name is not None:
-                        delta = shaper.mark_attach(base_name, name)
+                        delta = None
+                        if base_lig_size > 1:
+                            # GPOS 5: the base is a ligature — anchor on the
+                            # component this mark logically follows (tagged
+                            # through ligation; untagged trailing marks take
+                            # the last component)
+                            comp = ligc[out_i][1] if ligc is not None else -1
+                            delta = shaper.mark_attach_ligature(
+                                base_name, name, comp
+                            )
+                        if delta is None:
+                            delta = shaper.mark_attach(base_name, name)
                         if delta is not None:
                             attach = vec2(
                                 delta[0] * rs - pen_since_base,
@@ -514,6 +527,7 @@ def typeset(
                     prev_mark = (name, attach)
                 else:
                     base_name = name
+                    base_lig_size = ligc[out_i][0] if ligc is not None else 1
                     last_pen_glyph = len(glyphs) - 1
                     pen_since_base = adv
                     prev_mark = None

@@ -4,24 +4,28 @@ The reference's harfbuzzy backend shapes through HarfBuzz (features,
 ligatures, GPOS kerning — textbackends/harfbuzzy.nim:395+). HarfBuzz isn't in
 this image, so this is a direct mini-shaper on the font's own tables:
 
-- GSUB lookup types 1 (single), 3 (alternates, first variant), 4 (ligatures)
-  and 5/6 ((chain) contexts, all three formats, with nested lookup
-  application) — applied position-wise in LookupList order for the selected
-  features; extensions (7) unwrapped. Default feature set mirrors HarfBuzz's
-  horizontal defaults: ccmp, liga, clig, rlig (+ FigFont.features overrides:
-  value 0 disables, >0 enables extra tags like dlig/hlig/salt).
-- GPOS kerning as a full positioning pass (shaper.position): single (1),
-  pair (2, both formats) and (chain) contextual (7/8) lookups with nested
-  application — modern fonts carry kerning here rather than in the legacy
-  kern table, which layout.py uses as the fallback — plus mark-to-base (4)
-  and mark-to-mark (6) anchor attachment for combining marks.
+- GSUB lookup types 1 (single), 2 (multiple substitution — decomposed glyphs
+  inherit the source cluster), 3 (alternates, first variant), 4 (ligatures,
+  with per-component mark tagging for GPOS 5), and 5/6 ((chain) contexts,
+  all three formats, with nested lookup application) — applied position-wise
+  in LookupList order for the selected features; extensions (7) unwrapped;
+  reverse chaining single substitution (8) applies last-to-first for the
+  rclt/calt feature set. Default feature set mirrors HarfBuzz's horizontal
+  defaults: ccmp, liga, clig, rlig (+ FigFont.features overrides: value 0
+  disables, >0 enables extra tags like dlig/hlig/salt).
+- GPOS kerning as a full positioning pass (shaper.position): single (1,
+  XAdvance), pair (2, both formats) and (chain) contextual (7/8) lookups
+  with nested application — modern fonts carry kerning here rather than in
+  the legacy kern table, which layout.py uses as the fallback. Anchor
+  attachment: cursive (3) chains exit/entry anchors (Nastaliq-style
+  descending baselines), mark-to-base (4), mark-to-ligature (5 — anchor
+  selected by the ligature component the mark logically follows, tracked
+  through ligation) and mark-to-mark (6).
 
-Reverse chaining single substitution (GSUB 8) applies last-to-first for the
-rclt/calt feature set; cursive attachment (GPOS 3) chains exit/entry anchors
-(Nastaliq-style descending baselines). Lookup flags honor GDEF glyph classes
-(IgnoreBaseGlyphs/Ligatures/Marks; mark-filtering sets approximated as
-IgnoreMarks), so e.g. lam-alef ligates across harakat. Every GSUB/GPOS
-lookup type the spec defines is now covered.
+Lookup flags honor GDEF glyph classes (IgnoreBaseGlyphs/Ligatures/Marks;
+mark-filtering sets approximated as IgnoreMarks), so e.g. lam-alef ligates
+across harakat and the skipped haraka then anchors onto the correct
+ligature component.
 """
 
 from __future__ import annotations
@@ -119,6 +123,9 @@ class OpenTypeShaper:
         self.has_gpos_kern = False
         # mark-to-base (GPOS 4): [(mark {g: (cls, x, y)}, base {g: {cls: (x, y)}})]
         self._mark_base: List[Tuple[dict, dict]] = []
+        # mark-to-ligature (GPOS 5):
+        # [(mark {g: (cls, x, y)}, lig {g: [{cls: (x, y)} per component]})]
+        self._mark_lig: List[Tuple[dict, dict]] = []
         # mark-to-mark (GPOS 6): [(mark1 {g: (cls, x, y)}, mark2 {g: {cls: (x, y)}})]
         self._mark_mark: List[Tuple[dict, dict]] = []
         self._mark_glyphs: set = set()
@@ -161,6 +168,13 @@ class OpenTypeShaper:
             ltype, sub = _unwrap(lookup, sub)
             if ltype == 1:
                 entries.append(("single", dict(sub.mapping)))
+            elif ltype == 2:
+                # multiple substitution (one glyph → a sequence, e.g. ccmp
+                # decompositions); harfbuzzy.nim:395+ gets this via HarfBuzz
+                entries.append((
+                    "multiple",
+                    {g: tuple(seq) for g, seq in sub.mapping.items()},
+                ))
             elif ltype == 3:
                 entries.append((
                     "single",
@@ -202,7 +216,7 @@ class OpenTypeShaper:
         triggers = set()
         for entry in entries:
             kind = entry[0]
-            if kind in ("single", "liga"):
+            if kind in ("single", "multiple", "liga"):
                 triggers.update(entry[1].keys())
             elif kind == "rchain":
                 triggers.update(entry[1]["map"].keys())
@@ -312,10 +326,12 @@ class OpenTypeShaper:
             j -= 1
         return j
 
-    def _try_entry_at(self, entry, names, clusters, i, skip) -> Optional[int]:
+    def _try_entry_at(self, entry, names, clusters, comps, i, skip) -> Optional[int]:
         """Apply one compiled subtable entry at position i (in place),
         skipping LookupFlag-ignored glyphs when matching multi-glyph input.
-        Returns the next cursor position on match, else None."""
+        comps is the parallel (lig_size, attach_comp) list substitute_ex
+        threads through for GPOS 5. Returns the next cursor position on
+        match, else None."""
         kind = entry[0]
         if kind == "single":
             repl = entry[1].get(names[i])
@@ -323,15 +339,31 @@ class OpenTypeShaper:
                 return None
             names[i] = repl
             return i + 1
+        if kind == "multiple":
+            seq = entry[1].get(names[i])
+            if seq is None:
+                return None
+            if not seq:
+                # empty sequence = glyph deletion (HarfBuzz semantics)
+                del names[i]
+                del clusters[i]
+                del comps[i]
+                return i
+            # every decomposed glyph inherits the source cluster
+            cl = clusters[i]
+            names[i : i + 1] = list(seq)
+            clusters[i : i + 1] = [cl] * len(seq)
+            comps[i : i + 1] = [(1, -1)] * len(seq)
+            return i + len(seq)
         if kind == "liga":
             ents = entry[1].get(names[i])
             if not ents:
                 return None
-            for comps, lig in ents:
+            for comp_seq, lig in ents:
                 pos = [i]
                 j = i + 1
                 ok = True
-                for comp in comps:
+                for comp in comp_seq:
                     j = self._next_pos(names, j, skip)
                     if j >= len(names) or names[j] != comp:
                         ok = False
@@ -342,12 +374,19 @@ class OpenTypeShaper:
                     continue
                 # the ligature replaces the first component; later matched
                 # components are removed, skipped glyphs in between stay put
-                # (they ride after the ligature, HarfBuzz-style)
+                # (they ride after the ligature, HarfBuzz-style) tagged with
+                # the ligature component they followed (GPOS 5 anchors are
+                # per-component)
                 names[i] = lig
                 clusters[i] = (clusters[pos[0]][0], clusters[pos[-1]][1])
+                comps[i] = (len(pos), -1)
+                for k in range(len(pos) - 1):
+                    for q in range(pos[k] + 1, pos[k + 1]):
+                        comps[q] = (comps[q][0], k)
                 for p in reversed(pos[1:]):
                     del names[p]
                     del clusters[p]
+                    del comps[p]
                 return i + 1
             return None
         if kind == "rchain":
@@ -413,7 +452,9 @@ class OpenTypeShaper:
             if self._skipped(names[pos], n_skip):
                 continue
             for nested in n_entries:
-                if self._try_entry_at(nested, names, clusters, pos, n_skip) is not None:
+                if self._try_entry_at(
+                    nested, names, clusters, comps, pos, n_skip
+                ) is not None:
                     break
             delta += len(names) - before
         return end + delta
@@ -471,12 +512,28 @@ class OpenTypeShaper:
         """Apply the selected GSUB lookups; clusters are (source_start,
         source_end) per glyph and merge across ligated components. lang is an
         OpenType language-system tag (ot_language_tag maps BCP-47)."""
+        out_n, out_c, _comps = self.substitute_ex(names, clusters, features, lang)
+        return out_n, out_c
+
+    def substitute_ex(
+        self,
+        names: Sequence[str],
+        clusters: Sequence[Tuple[int, int]],
+        features: Optional[frozenset] = None,
+        lang: Optional[str] = None,
+    ) -> Tuple[List[str], List[Tuple[int, int]], List[Tuple[int, int]]]:
+        """substitute() plus per-glyph ligature-component info for GPOS 5:
+        the third list holds (lig_size, attach_comp) — lig_size > 1 marks a
+        ligature of that many components; attach_comp >= 0 tags a skipped
+        mark with the 0-based component it logically follows (-1 = untagged;
+        marks following the whole ligature attach to its last component)."""
         plan = self._plan(
             features if features is not None else frozenset(DEFAULT_GSUB_FEATURES),
             lang,
         )
         out_n = list(names)
         out_c = list(clusters)
+        out_l: List[Tuple[int, int]] = [(1, -1)] * len(out_n)
         for skip, entries, triggers in plan:
             if triggers is not None and not triggers.intersection(out_n):
                 continue  # nothing in this run can start a match
@@ -488,7 +545,9 @@ class OpenTypeShaper:
                             self._skipped(nm, skip):
                         continue
                     for entry in entries:
-                        if self._try_entry_at(entry, out_n, out_c, i, skip) is not None:
+                        if self._try_entry_at(
+                            entry, out_n, out_c, out_l, i, skip
+                        ) is not None:
                             break
                 continue
             i = 0
@@ -500,11 +559,11 @@ class OpenTypeShaper:
                     continue
                 nxt = None
                 for entry in entries:
-                    nxt = self._try_entry_at(entry, out_n, out_c, i, skip)
+                    nxt = self._try_entry_at(entry, out_n, out_c, out_l, i, skip)
                     if nxt is not None:
                         break
                 i = nxt if nxt is not None else i + 1
-        return out_n, out_c
+        return out_n, out_c, out_l
 
     def apply_arabic_forms(
         self, names: Sequence[str], cps: Sequence[int]
@@ -817,6 +876,21 @@ class OpenTypeShaper:
                         bases[g] = anchors
                     self._mark_base.append((marks, bases))
                     self._mark_glyphs.update(marks)
+                elif ltype == 5:  # mark-to-ligature (per-component anchors)
+                    marks = mark_map(sub.MarkCoverage, sub.MarkArray)
+                    ligs: Dict[str, list] = {}
+                    for g, att in zip(sub.LigatureCoverage.glyphs,
+                                      sub.LigatureArray.LigatureAttach):
+                        comps = []
+                        for crec in att.ComponentRecord:
+                            anchors = {}
+                            for cls, a in enumerate(crec.LigatureAnchor):
+                                if a is not None:
+                                    anchors[cls] = (a.XCoordinate, a.YCoordinate)
+                            comps.append(anchors)
+                        ligs[g] = comps
+                    self._mark_lig.append((marks, ligs))
+                    self._mark_glyphs.update(marks)
                 elif ltype == 6:  # mark-to-mark
                     marks1 = mark_map(sub.Mark1Coverage, sub.Mark1Array)
                     marks2: Dict[str, dict] = {}
@@ -843,6 +917,29 @@ class OpenTypeShaper:
             cls, mx, my = rec
             anchors = bases.get(base)
             if anchors is None or cls not in anchors:
+                continue
+            bx, by = anchors[cls]
+            return bx - mx, by - my
+        return None
+
+    def mark_attach_ligature(
+        self, lig: str, mark: str, component: int
+    ) -> Optional[Tuple[int, int]]:
+        """GPOS 5: (dx, dy) in font units placing `mark`'s anchor on the
+        anchor of the given 0-based `component` of ligature glyph `lig`
+        (relative to the ligature origin, y-up). component < 0 selects the
+        last component (marks trailing the whole ligature)."""
+        for marks, ligs in self._mark_lig:
+            rec = marks.get(mark)
+            if rec is None:
+                continue
+            comps = ligs.get(lig)
+            if not comps:
+                continue
+            cls, mx, my = rec
+            ci = component if component >= 0 else len(comps) - 1
+            anchors = comps[min(ci, len(comps) - 1)]
+            if cls not in anchors:
                 continue
             bx, by = anchors[cls]
             return bx - mx, by - my

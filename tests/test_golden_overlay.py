@@ -160,6 +160,30 @@ def make_overlay_ui(w: float, h: float):
     return r
 
 
+def _render_overlay(w, h, pyramid, legacy_shadow: bool):
+    """Render the UI-over-pyramid sandwich; legacy_shadow remaps drop-shadow
+    quads (mode 7) to the LEGACY LINEAR falloff (mode 21) the golden was
+    generated with — see the profile measurement in test_3d_overlay_golden."""
+    from figdraw_tpu.ops.layout import QI_MODE
+
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    if not legacy_shadow:
+        frame = ren.render_frame_with_overlays(
+            make_overlay_ui(float(w), float(h)), vec2(w, h), {0: pyramid},
+        )
+        return np.asarray(frame)
+    # reproduce render_frame_with_overlays for the single-overlay case, with
+    # the tape's shadow modes rewritten before execution
+    import jax.numpy as jnp
+
+    ren.last_frame = jnp.asarray(pyramid, jnp.float32)
+    tape = ren.flatten(make_overlay_ui(float(w), float(h)), vec2(w, h),
+                       clear_main=False)
+    base = tape.modes[: tape.count, QI_MODE] % 128
+    tape.modes[: tape.count, QI_MODE] += np.where(base == 7, 14, 0)
+    return np.asarray(ren.execute(tape))
+
+
 @goldens
 def test_3d_overlay_golden():
     from PIL import Image
@@ -170,16 +194,30 @@ def test_3d_overlay_golden():
     )
     h, w = expected.shape[:2]
     pyramid = rasterize_pyramid(w, h)
-    ren = FigRenderer(atlas_size=256, use_pallas=False)
-    frame = np.asarray(ren.render_frame_with_overlays(
-        make_overlay_ui(float(w), float(h)), vec2(w, h), {0: pyramid},
-    ))
-    got = (np.clip(frame, 0.0, 1.0) * 255.0).round()
-    diff = np.abs(got[..., :3] - expected[..., :3]) / 255.0
-    rmse = float(np.sqrt((diff ** 2).mean()))
-    bad = float((diff.max(axis=-1) > 32 / 255.0).mean())
-    print(f"render_3d_overlay: rmse={rmse:.5f} bad_pixel_ratio={bad:.5f}")
-    # measured 0.0015 / 0.0: pyramid edge pixels land on LLVMpipe's own
-    # rasterization grid, everything else is exact
-    assert rmse < 0.005, rmse
+
+    def score(frame):
+        got = (np.clip(frame, 0.0, 1.0) * 255.0).round()
+        diff = np.abs(got[..., :3] - expected[..., :3]) / 255.0
+        return (
+            float(np.sqrt((diff ** 2).mean())),
+            float((diff.max(axis=-1) > 32 / 255.0).mean()),
+        )
+
+    # The golden predates the reference's gaussian shadowProfile calibration
+    # (atlas.frag:211-216): its measured panel-shadow falloff is exactly
+    # linear, alpha = A * clamp(1 - sd/blur, 0, 1), with a hard cutoff at
+    # sd = blur (verified against the flat-background profile rows above and
+    # below the panel; the gaussian renders rmse = 0.0015, all of it in the
+    # shadow band, with the pyramid region at 3e-5). Pin the golden with the
+    # legacy profile (mode 21) at the 1e-3 north star.
+    rmse, bad = score(_render_overlay(w, h, pyramid, legacy_shadow=True))
+    print(f"render_3d_overlay (legacy shadow): rmse={rmse:.5f} bad={bad:.5f}")
+    assert rmse < 0.001, rmse
     assert bad < 0.001, bad
+
+    # and the CURRENT reference shader semantics (gaussian) stay within the
+    # documented profile-delta bound
+    rmse_g, bad_g = score(_render_overlay(w, h, pyramid, legacy_shadow=False))
+    print(f"render_3d_overlay (gaussian): rmse={rmse_g:.5f} bad={bad_g:.5f}")
+    assert rmse_g < 0.002, rmse_g
+    assert bad_g < 0.001, bad_g

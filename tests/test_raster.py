@@ -280,3 +280,54 @@ def test_remaining_sdf_modes_direct():
     edge_out = a8[40, 64]  # past shape+spread: gaussian falloff
     further = a8[40, 72]
     assert 0.0 < further < edge_out < 1.0
+
+
+def test_opaque_occlusion_culls_and_stays_correct():
+    """A full-tile opaque rounded rect truncates each covered tile's binned
+    list (bin_quads modes= path) — occluded translucent quads drop out of the
+    per-tile walk with no pixel change (SURVEY.md §7 hard-part 7)."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.ops.binning import bin_quads
+    from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
+    from figdraw_tpu.renderer import _bucket
+
+    lst = RenderList()
+    # 60 translucent boxes underneath
+    for i in range(60):
+        lst.add_root(Fig(kind=FigKind.nkRectangle,
+                         screen_box=rect(5 + (i % 10) * 12, 5 + (i // 10) * 18,
+                                         30, 24),
+                         corners=(4,) * 4,
+                         fill=fill(rgba(50 + i * 3, 90, 200 - i * 2, 155))))
+    # opaque rounded cover whose interior contains the whole 128px tile
+    lst.add_root(Fig(kind=FigKind.nkRectangle,
+                     screen_box=rect(-16, -16, 160, 160),
+                     corners=(10,) * 4, fill=fill(rgba(240, 240, 250, 255))))
+    # something translucent on top so order still matters
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(30, 30, 60, 60),
+                     fill=fill(rgba(200, 40, 40, 120))))
+    r = new_renders()
+    r.set_layer(0, lst)
+
+    ref = render_scene(lst, w=128, h=128, use_pallas=False)
+    pal = render_scene(lst, w=128, h=128, use_pallas=True)
+    assert np.abs(ref.astype(int) - pal.astype(int)).max() <= 1
+
+    # the binning itself must cull: flatten and compare per-tile counts
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    tape = ren.flatten(r, vec2(128, 128))
+    n = _bucket(tape.count)
+    fields = np.zeros((n, QF_WIDTH), np.float32)
+    modes = np.zeros((n, QI_WIDTH), np.int32)
+    fields[: tape.count] = tape.fields[: tape.count]
+    modes[: tape.count] = tape.modes[: tape.count]
+    f = jnp.asarray(fields)
+    m = jnp.asarray(modes)
+    _, plain = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1, 128, 128)
+    _, culled = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1, 128, 128,
+                          modes=m)
+    # the inner 128x128 tile center sits inside the opaque cover: everything
+    # before it is culled (cover + top quad remain; clear handled separately)
+    assert int(culled[0]) < int(plain[0])
+    assert int(culled[0]) <= 3

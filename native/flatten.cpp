@@ -13,8 +13,9 @@
 // scrollbar, image/MSDF/MTSDF (atlas lookup + mip select), and drawables
 // (lines/circles/rects/ellipses, adaptive+fixed bezier/arc quadratic spans,
 // caps/joins, per-node AA override — figrender.nim:908-1667), plus clip
-// masks, rect-mask fast path and rotation. Text stays on the Python walk
-// (nodesarray.py NATIVE_KINDS gates dispatch).
+// masks, rect-mask fast path, rotation, and text (GlyphRow/TextRect rows:
+// glyph atlas quads, selection bands, decorations — see render_text_node below;
+// nodesarray.py NATIVE_KINDS gates dispatch).
 //
 // Build: g++ -O2 -shared -fPIC -o libfigdraw_flatten.so flatten.cpp
 

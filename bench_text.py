@@ -2,7 +2,7 @@
 
 The reference's windy_text demo class of workload. Measures the production
 path: cached typeset layouts, packed glyph rows, the native C++ walk and the
-XLA atlas-sampling rasterizer. Prints one JSON line.
+Pallas rasterizer with in-kernel 1:1 atlas sampling. Prints one JSON line.
 """
 
 import json
@@ -52,7 +52,8 @@ def main() -> None:
 
     tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
     ink = fill(rgba(20, 20, 30, 255))
-    ren = FigRenderer(atlas_size=1024)
+    ren = FigRenderer(atlas_size=512)  # <= raster_pallas.ATLAS11_MAX_SIZE:
+    # the glyph set lives in VMEM and atlas quads sample in-kernel
     size = vec2(W, H)
     scene, n_glyphs = build_scene(tid, ink, 0)
     for _ in range(WARMUP):

@@ -22,10 +22,20 @@ from .ops import raster_pallas, raster_ref
 from .ops.blur import backdrop_blur_planar
 
 # structure items (static, hashable):
-#   ("draw", target, uses_atlas, needs_backdrop)   target: -1 frame, else mask k
+#   ("draw", target, uses_atlas, needs_backdrop[, atlas11])
+#     target: -1 frame, else mask k; atlas11: every atlas quad in the run is
+#     1:1-eligible (raster_pallas.mark_atlas11) so the run stays on Pallas
 #   ("blur",)
 #   ("clear_mask", k)
 FRAME_TARGET = -1
+
+
+def _draw_flags(item):
+    """(target, uses_atlas, needs_backdrop, atlas11) from a draw item (the
+    atlas11 field is optional for cache-key stability of old tuples)."""
+    target, uses_atlas, needs_backdrop = item[1], item[2], item[3]
+    atlas11 = item[4] if len(item) > 4 else False
+    return target, uses_atlas, needs_backdrop, atlas11
 
 
 COMBO_EXTRA = 2  # i32 mode lanes bitcast into the last two f32 columns
@@ -153,6 +163,12 @@ def get_frame_executor(
             jnp.zeros((4, ph, pw), jnp.float32) if any_blur else None
         )
 
+        atlas_planes = None
+        if use_pallas and any(
+            item[0] == "draw" and _draw_flags(item)[3] for item in structure
+        ):
+            atlas_planes = jnp.transpose(atlas, (2, 0, 1))
+
         di = 0
         bi = 0
         for item in structure:
@@ -163,15 +179,17 @@ def get_frame_executor(
                 backdrop = backdrop_blur_planar(planes, radii[bi])
                 bi += 1
             else:
-                _, target, uses_atlas, needs_backdrop = item
+                target, uses_atlas, needs_backdrop, atlas11 = _draw_flags(item)
                 s = bounds[di, 0]
                 e = bounds[di, 1]
                 di += 1
                 if target == FRAME_TARGET:
-                    if use_pallas and not uses_atlas:
+                    if use_pallas and (not uses_atlas or atlas11):
                         planes = raster_pallas.draw_pass_planar(
                             fields, modes, s, e, planes, masks,
                             backdrop if needs_backdrop else None,
+                            atlas_planes=atlas_planes if atlas11 else None,
+                            subpixel_positioning=subpixel_positioning,
                         )
                     else:
                         hwc = to_hwc(planes)
@@ -312,15 +330,20 @@ def pack_mega_modes(tape, fields, modes):
 
 
 @lru_cache(maxsize=32)
-def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: bool):
-    """Returns jitted run(combo, init_frame) -> (H, W, 4) frame; combo packs
-    target-baked fields/modes (pack_mega_modes) with rolled-style meta."""
+def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: bool,
+                      has_atlas: bool = False,
+                      subpixel_positioning: bool = False):
+    """Returns jitted run(combo, init_frame[, atlas]) -> (H, W, 4) frame;
+    combo packs target-baked fields/modes (pack_mega_modes) with rolled-style
+    meta. has_atlas: 1:1 atlas quads (mark_atlas11) sample a VMEM-resident
+    atlas in-kernel — text/image-bearing clip scenes stay in the one-kernel
+    path instead of falling back to pass-per-item."""
     th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
     tiles_y = -(-height // th)
     tiles_x = -(-width // tw)
     ph, pw = tiles_y * th, tiles_x * tw
 
-    def run(combo, init_frame):
+    def run(combo, init_frame, atlas=None):
         from .ops.layout import QF_WIDTH
 
         fields = combo[:-1, :QF_WIDTH]
@@ -337,7 +360,13 @@ def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: boo
                 clear_color[:, None, None], (4, ph, pw)
             ).astype(jnp.float32)
 
-        planes = raster_pallas.draw_pass_mega(fields, modes, planes, n_masks)
+        planes = raster_pallas.draw_pass_mega(
+            fields, modes, planes, n_masks,
+            atlas_planes=(
+                jnp.transpose(atlas, (2, 0, 1)) if has_atlas else None
+            ),
+            subpixel_positioning=subpixel_positioning,
+        )
         return jnp.transpose(planes, (1, 2, 0))[:height, :width]
 
     return jax.jit(run)
@@ -378,6 +407,7 @@ def get_rolled_executor(
     subpixel_positioning: bool,
     has_init_frame: bool,
     pixelate: bool = False,
+    pallas_atlas: bool = False,  # 1:1 atlas quads sample in-kernel
 ):
     """Returns jitted run(combo, items, radii, init_frame, atlas) -> frame.
 
@@ -420,17 +450,27 @@ def get_rolled_executor(
             tile_idx, tile_counts = raster_pallas.prebin(
                 fields, jnp.int32(fields.shape[0]), ph, pw
             )
+        atlas_planes = (
+            jnp.transpose(atlas, (2, 0, 1))
+            if use_pallas and pallas_atlas else None
+        )
 
         def draw_frame_sdf(planes, masks, backdrop, target, s, e, radius):
             if use_pallas:
                 out = raster_pallas.draw_pass_planar_prebinned(
-                    fields, modes, s, e, tile_idx, tile_counts, planes, masks
+                    fields, modes, s, e, tile_idx, tile_counts, planes, masks,
+                    atlas_planes=atlas_planes,
+                    subpixel_positioning=subpixel_positioning,
                 )
             else:
+                # atlas passed so runs mapped to SDF under pallas_atlas stay
+                # correct when this executor is the runtime fallback
                 out = to_planes(
                     raster_ref.draw_pass_frame_range(
                         fields, modes, s, e, to_hwc(planes), masks,
+                        atlas=atlas,
                         subpixel_positioning=subpixel_positioning,
+                        pixelate=pixelate,
                     )
                 )
             return out, masks, backdrop
@@ -438,14 +478,18 @@ def get_rolled_executor(
         def draw_frame_sdf_bd(planes, masks, backdrop, target, s, e, radius):
             if use_pallas:
                 out = raster_pallas.draw_pass_planar_prebinned(
-                    fields, modes, s, e, tile_idx, tile_counts, planes, masks, backdrop
+                    fields, modes, s, e, tile_idx, tile_counts, planes, masks, backdrop,
+                    atlas_planes=atlas_planes,
+                    subpixel_positioning=subpixel_positioning,
                 )
             else:
                 out = to_planes(
                     raster_ref.draw_pass_frame_range(
                         fields, modes, s, e, to_hwc(planes), masks,
+                        atlas=atlas,
                         backdrop=to_hwc(backdrop),
                         subpixel_positioning=subpixel_positioning,
+                        pixelate=pixelate,
                     )
                 )
             return out, masks, backdrop

@@ -68,6 +68,14 @@ MODE_BEZIER_SQUARE = 20
 # 7 -> 21 to pin that golden; nothing else emits this mode.
 MODE_DROP_SHADOW_LINEAR = 21
 
+# Mode-lane bit 13: the quad samples the atlas through an EXACT 1:1
+# axis-aligned uv map (glyphs, unscaled images) — the Pallas kernels then
+# sample in-kernel via a dynamic-offset VMEM window + pltpu.roll instead of
+# exiling the run to the XLA gather path. Set host-side
+# (raster_pallas.mark_atlas11) only after validating the quad's affine; the
+# XLA evaluators ignore it (fill-mode extraction masks to 3 bits).
+MODE_ATLAS11_BIT = 1 << 13
+
 
 def sample_atlas_bilinear(atlas, u, v):
     """GL_LINEAR, clamp-to-edge sample of the RGBA atlas; uv normalized.
@@ -124,8 +132,8 @@ def eval_quad(
     Returns straight-alpha fragColor with quad coverage and rect-mask applied.
     """
     shape = px.shape
-    fm = mode_packed // 256
-    rest = mode_packed - fm * 256
+    fm = (mode_packed // 256) % 8  # fill mode 0-4; high bits are kernel flags
+    rest = mode_packed % 256
     elliptical = rest >= 128
     mode = jnp.where(elliptical, rest - 128, rest)
 

@@ -36,6 +36,8 @@ from .layout import (
     QF_RECT_PARAMS,
     QF_RECT_RADII,
     QF_STOP_COLOR,
+    QF_SUBPIXEL_SHIFT,
+    QF_UV3_X,
 )
 from .quad_eval import (
     MODE_ANNULAR,
@@ -51,19 +53,26 @@ from .quad_eval import (
 )
 
 
-def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
+def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
+                     atlas_ref=None, tile_origin=None,
+                     subpixel_positioning: bool = False):
     """Evaluate one SDF quad over a 2D pixel tile.
 
     fget(k) -> scalar f32 field at layout offset k (reads from a VMEM row or a
     captured array — keeps this function agnostic of the memory source).
     mode_packed: scalar i32. px, py: (TH, TW) pixel centers.
     backdrop_planes: optional tuple of 4 (TH, TW) planes for mode 17.
+    atlas_ref: optional channel-planar (4, S, S) VMEM ref; quads carrying
+    MODE_ATLAS11_BIT sample it in-kernel (exact 1:1 axis-aligned uv maps —
+    glyphs/unscaled images — validated host-side by mark_atlas11).
+    tile_origin: (x0, y0) f32 scalars of the tile's top-left pixel corner in
+    global frame coordinates, required with atlas_ref.
 
     Returns (r, g, b, a): straight-alpha fragment planes with quad coverage
     and rect-mask applied.
     """
-    fm = mode_packed // 256
-    rest = mode_packed - fm * 256
+    fm = (mode_packed // 256) % 8  # fill mode 0-4; high bits are kernel flags
+    rest = mode_packed % 256
     elliptical = rest >= 128
     mode = jnp.where(elliptical, rest - 128, rest)
 
@@ -233,10 +242,67 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None):
 
         return tuple(fill_channel(ch) for ch in range(4))
 
-    fr, fg, fb, fa = jax.lax.cond(fm == 0, vertex_fill, gradient3_fill, None)
+    if atlas_ref is None:
+        fr, fg, fb, fa = jax.lax.cond(fm == 0, vertex_fill, gradient3_fill, None)
+        out_r, out_g, out_b = fr, fg, fb
+        out_a = fa * alpha
+    else:
+        # 1:1 atlas quads (bit 13): in-kernel window sample — one
+        # dynamic-offset VMEM load per channel, pltpu.roll realigning the
+        # clamped window, constant-weight bilinear (the GL_LINEAR sample of
+        # atlas.frag:284-295 specialized to the exact-identity uv maps glyph
+        # and unscaled-image quads carry; atlas margin 4 guarantees the +1
+        # bilinear taps stay inside the entry)
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
-    out_r, out_g, out_b = fr, fg, fb
-    out_a = fa * alpha
+        is_a11 = jax.lax.shift_right_logical(mode_packed, 13) % 2 == 1
+        th, tw = px.shape
+
+        def sdf_eval(_):
+            fr, fg, fb, fa = jax.lax.cond(
+                fm == 0, vertex_fill, gradient3_fill, None
+            )
+            return fr, fg, fb, fa * alpha
+
+        def atlas_eval(_):
+            size = atlas_ref.shape[1]
+            shift = fget(QF_SUBPIXEL_SHIFT) if subpixel_positioning else 0.0
+            # texel index at tile pixel (ix, iy): tex*S - 0.5 evaluated at the
+            # +0.5 pixel center — the two halves cancel, leaving a pure
+            # integer-plus-constant offset per axis
+            cx = size * fget(QF_UV3_X) - fget(QF_ORG_X) - shift
+            cy = size * fget(QF_UV3_X + 1) - fget(QF_ORG_Y)
+            bx = tile_origin[0] + cx
+            by = tile_origin[1] + cy
+            ibx = jnp.floor(bx).astype(jnp.int32)
+            iby = jnp.floor(by).astype(jnp.int32)
+            fx = bx - ibx.astype(jnp.float32)
+            fy = by - iby.astype(jnp.float32)
+            ph = th + 8
+            pw = tw + 128
+            by2 = jnp.clip(iby, 0, size - ph)
+            bx2 = jnp.clip(ibx, 0, size - pw)
+            sy = jnp.mod(by2 - iby, ph)  # roll shift realigning the clamp
+            sx = jnp.mod(bx2 - ibx, pw)
+            taps = []
+            for ch in range(4):
+                win = atlas_ref[ch, pl.ds(by2, ph), pl.ds(bx2, pw)]
+                win = pltpu.roll(win, sy, 0)
+                win = pltpu.roll(win, sx, 1)
+                c00 = win[0:th, 0:tw]
+                c10 = win[0:th, 1 : tw + 1]
+                c01 = win[1 : th + 1, 0:tw]
+                c11 = win[1 : th + 1, 1 : tw + 1]
+                top = c00 * (1.0 - fx) + c10 * fx
+                bot = c01 * (1.0 - fx) + c11 * fx
+                taps.append(top * (1.0 - fy) + bot * fy)
+            fr, fg, fb, fa = vertex_fill(None)  # vertex tint (glyph color)
+            return taps[0] * fr, taps[1] * fg, taps[2] * fb, taps[3] * fa
+
+        out_r, out_g, out_b, out_a = jax.lax.cond(
+            is_a11, atlas_eval, sdf_eval, None
+        )
 
     if backdrop_planes is not None:
         is_bd = mode == MODE_BACKDROP_BLUR

@@ -56,6 +56,58 @@ def run_uses_atlas(modes_np, count: int) -> bool:
     return bool(np.isin(base, ATLAS_BASE_MODES).any())
 
 
+ATLAS11_MAX_SIZE = 512  # whole-atlas VMEM residency cap (4·S²·4B ≤ 4 MB)
+
+
+def mark_atlas11(fields_np, modes_np, count: int, atlas_size: int,
+                 pixelate: bool = False) -> bool:
+    """Host pre-pass: validate every atlas-sampling quad in [0, count) for
+    the in-kernel 1:1 window-sample path and set MODE_ATLAS11_BIT on them
+    (in place, on the padded upload copy). Returns True iff ALL atlas quads
+    qualified — the gate for keeping atlas runs on the Pallas path.
+
+    Eligibility (conservative): plain atlas mode 0 (the MSDF family needs
+    the median + screen-px-range path), axis-aligned (no rotation, no uv
+    cross terms), uv scale exactly 1 texel per pixel on both axes (glyph and
+    unscaled-image quads; flipY and scaled draws fail), GL_LINEAR filtering
+    (pixelate uses GL_NEAREST), and an atlas small enough to live in VMEM.
+    The XLA evaluators ignore the bit, so marked quads stay valid on every
+    fallback path.
+    """
+    import numpy as np
+
+    from .layout import (
+        QF_INV_A, QF_INV_B, QF_INV_C, QF_INV_D,
+        QF_UVDU_X, QF_UVDU_Y, QF_UVDV_X, QF_UVDV_Y,
+    )
+    from .quad_eval import MODE_ATLAS11_BIT
+
+    if count <= 0:
+        return True
+    m = modes_np[:count, QI_MODE]
+    rest = m % 256
+    base = np.where(rest >= 128, rest - 128, rest)
+    is_atlas = np.isin(base, ATLAS_BASE_MODES)
+    if not is_atlas.any():
+        return True
+    if pixelate or atlas_size > ATLAS11_MAX_SIZE:
+        return False
+    f = fields_np[:count]
+    ok = (
+        (base == 0)
+        & (f[:, QF_INV_B] == 0.0)
+        & (f[:, QF_INV_C] == 0.0)
+        & (f[:, QF_UVDU_Y] == 0.0)
+        & (f[:, QF_UVDV_X] == 0.0)
+        & (np.abs(f[:, QF_INV_A] * f[:, QF_UVDU_X] * atlas_size - 1.0) < 1e-4)
+        & (np.abs(f[:, QF_INV_D] * f[:, QF_UVDV_Y] * atlas_size - 1.0) < 1e-4)
+    )
+    if not bool((ok | ~is_atlas).all()):
+        return False
+    modes_np[:count, QI_MODE] = np.where(is_atlas, m | MODE_ATLAS11_BIT, m)
+    return True
+
+
 def _lower_bound(tidx_ref, count, value):
     """First position in the tile's (ascending) valid index list with
     tidx >= value — scalar binary search over SMEM."""
@@ -78,17 +130,18 @@ def _lower_bound(tidx_ref, count, value):
 
 def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
             masks_ref, *rest, tiles_x: int, has_backdrop: bool,
-            mask_target: bool = False):
+            mask_target: bool = False, has_atlas: bool = False,
+            subpixel_positioning: bool = False):
     """seg_ref: (3,) SMEM [start, end, row0]: the [start, end) quad-id range
     of this draw run (or a range covering everything) plus the global row of
     tile row 0 (nonzero when this kernel rasterizes one device's row band of
     a mesh-sharded frame). Within a tile the binned list is ascending, and a
     run's quads form a contiguous segment of it (runs partition the tape in
     draw order)."""
-    if has_backdrop:
-        backdrop_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+    rest = list(rest)
+    backdrop_ref = rest.pop(0) if has_backdrop else None
+    atlas_ref = rest.pop(0) if has_atlas else None
+    (out_ref,) = rest
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * tiles_x + tx
@@ -139,7 +192,11 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
 
         mode = modes_ref[qi, QI_MODE]
         mask_i = modes_ref[qi, QI_MASK]
-        fr, fg, fb, fa = eval_quad_planar(fget, mode, px, py, backdrop_planes=bd)
+        fr, fg, fb, fa = eval_quad_planar(
+            fget, mode, px, py, backdrop_planes=bd,
+            atlas_ref=atlas_ref, tile_origin=(x0, y0),
+            subpixel_positioning=subpixel_positioning,
+        )
         fa = fa * masks_ref[mask_i]
         inv = 1.0 - fa
         return (fr * fa + r * inv, fg * fa + g * inv, fb * fa + b * inv, fa + a * inv)
@@ -155,16 +212,18 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_y", "tiles_x", "has_backdrop", "mask_target",
-                     "tile_h", "tile_w"),
+                     "tile_h", "tile_w", "subpixel_positioning"),
 )
 def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks,
                   backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool,
-                  mask_target: bool = False, tile_h: int = 0, tile_w: int = 0):
+                  mask_target: bool = False, tile_h: int = 0, tile_w: int = 0,
+                  atlas_planes=None, subpixel_positioning: bool = False):
     n = fields.shape[0]
     n_masks = masks.shape[0]
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
     planes = frame_planes.shape[0]
+    has_atlas = atlas_planes is not None
 
     def tile_map(ty, tx, *_refs):
         return (0, ty, tx)
@@ -184,6 +243,11 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
             pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM)
         )
         inputs.append(backdrop_planes)
+    if has_atlas:
+        # whole channel-planar atlas resident in VMEM (gated <= 512 px by the
+        # executor); 1:1 quads window-sample it in-kernel
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(atlas_planes)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_counts, seg
@@ -193,7 +257,9 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
     )
 
     kernel = functools.partial(
-        _kernel, tiles_x=tiles_x, has_backdrop=has_backdrop, mask_target=mask_target
+        _kernel, tiles_x=tiles_x, has_backdrop=has_backdrop,
+        mask_target=mask_target, has_atlas=has_atlas,
+        subpixel_positioning=subpixel_positioning,
     )
     out = pl.pallas_call(
         kernel,
@@ -206,7 +272,8 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
 
 def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
                      backdrop_planes=None, y_offset=None,
-                     tile_h: int = 0, tile_w: int = 0):
+                     tile_h: int = 0, tile_w: int = 0,
+                     atlas_planes=None, subpixel_positioning: bool = False):
     """Planar-layout draw pass over quads [start, end) — the building block the
     fused frame executor chains inside one jit.
 
@@ -243,7 +310,8 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
     return _raster_tiles(
         fields, modes, tile_idx, tile_counts, seg, frame_planes, masks_p,
         backdrop_planes, tiles_y, tiles_x, backdrop_planes is not None,
-        tile_h=th, tile_w=tw,
+        tile_h=th, tile_w=tw, atlas_planes=atlas_planes,
+        subpixel_positioning=subpixel_positioning,
     )
 
 
@@ -277,7 +345,9 @@ def _seg3(start, end, y_offset):
 
 def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
                                frame_planes, masks_p, backdrop_planes=None,
-                               y_offset=None, tile_h: int = 0, tile_w: int = 0):
+                               y_offset=None, tile_h: int = 0, tile_w: int = 0,
+                               atlas_planes=None,
+                               subpixel_positioning: bool = False):
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
@@ -285,6 +355,7 @@ def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
         fields, modes, tile_idx, tile_counts, _seg3(start, end, y_offset),
         frame_planes, masks_p, backdrop_planes, ph // th, pw // tw,
         backdrop_planes is not None, tile_h=th, tile_w=tw,
+        atlas_planes=atlas_planes, subpixel_positioning=subpixel_positioning,
     )
 
 
@@ -323,10 +394,18 @@ def draw_pass_mask_prebinned(fields, modes, start, end, tile_idx, tile_counts,
 MEGA_CLEAR_BIT = 1 << 12
 MEGA_TARGET_SHIFT = 16
 MEGA_MODE_MASK = 0xFFF
+# bits passed through to the evaluator: the 0xFFF packed mode + the 1:1
+# atlas-sample flag (bit 13, quad_eval.MODE_ATLAS11_BIT); the clear bit (12)
+# and target bits (16+) stay kernel-internal
+MEGA_EVAL_MASK = 0x2FFF
 
 
 def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
-                 out_ref, *, tiles_x: int, n_masks: int):
+                 *rest, tiles_x: int, n_masks: int, has_atlas: bool = False,
+                 subpixel_positioning: bool = False):
+    rest = list(rest)
+    atlas_ref = rest.pop(0) if has_atlas else None
+    (out_ref,) = rest
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * tiles_x + tx
@@ -350,7 +429,7 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
         raw = modes_ref[qi, QI_MODE]
         tgt_enc = jax.lax.shift_right_logical(raw, MEGA_TARGET_SHIFT)
         is_clear = jax.lax.shift_right_logical(raw, 12) & 1
-        mode = raw & MEGA_MODE_MASK
+        mode = raw & MEGA_EVAL_MASK
         mask_i = modes_ref[qi, QI_MASK]
 
         def clear_branch(c):
@@ -364,7 +443,11 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
             def fget(k):
                 return fields_ref[qi, k]
 
-            fr, fg, fb, fa = eval_quad_planar(fget, mode, px, py)
+            fr, fg, fb, fa = eval_quad_planar(
+                fget, mode, px, py,
+                atlas_ref=atlas_ref, tile_origin=(x0, y0),
+                subpixel_positioning=subpixel_positioning,
+            )
             parent = jnp.where(kiota == mask_i, masks, 0.0).sum(axis=0)
             fa = fa * parent
 
@@ -392,41 +475,53 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tiles_y", "tiles_x", "n_masks", "tile_h", "tile_w")
+    jax.jit, static_argnames=("tiles_y", "tiles_x", "n_masks", "tile_h", "tile_w",
+                              "subpixel_positioning")
 )
 def _raster_mega(fields, modes, tile_idx, tile_counts, seg, frame_planes,
                  tiles_y: int, tiles_x: int, n_masks: int,
-                 tile_h: int = 0, tile_w: int = 0):
+                 tile_h: int = 0, tile_w: int = 0, atlas_planes=None,
+                 subpixel_positioning: bool = False):
     n = fields.shape[0]
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
+    has_atlas = atlas_planes is not None
 
     def tile_map(ty, tx, *_refs):
         return (0, ty, tx)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # fields
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # modes
+        pl.BlockSpec((1, 1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
+    ]
+    inputs = [fields, modes, tile_idx, frame_planes]
+    if has_atlas:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(atlas_planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tile_counts, seg (row0)
         grid=(tiles_y, tiles_x),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # fields
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # modes
-            pl.BlockSpec((1, 1, n), lambda ty, tx, *_r: (ty * tiles_x + tx, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((4, th, tw), tile_map, memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_mega_kernel, tiles_x=tiles_x, n_masks=n_masks)
+    kernel = functools.partial(
+        _mega_kernel, tiles_x=tiles_x, n_masks=n_masks, has_atlas=has_atlas,
+        subpixel_positioning=subpixel_positioning,
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(frame_planes.shape, jnp.float32),
         interpret=_interpret(),
-    )(tile_counts, seg, fields, modes, tile_idx, frame_planes)
+    )(tile_counts, seg, *inputs)
 
 
 def draw_pass_mega(fields, modes, frame_planes, n_masks: int, y_offset=None,
-                   tile_h: int = 0, tile_w: int = 0):
+                   tile_h: int = 0, tile_w: int = 0, atlas_planes=None,
+                   subpixel_positioning: bool = False):
     """One-kernel whole frame over target-baked modes; frame_planes (4, PH, PW)."""
     import os
 
@@ -447,6 +542,7 @@ def draw_pass_mega(fields, modes, frame_planes, n_masks: int, y_offset=None,
     return _raster_mega(
         fields, modes, tile_idx, tile_counts, row0[None], frame_planes,
         ph // th, pw // tw, n_masks, tile_h=th, tile_w=tw,
+        atlas_planes=atlas_planes, subpixel_positioning=subpixel_positioning,
     )
 
 

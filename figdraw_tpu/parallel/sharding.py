@@ -251,6 +251,11 @@ def get_sharded_frame_executor(
                 fields, jnp.int32(fields.shape[0]), pband, pw,
                 y_offset=row0, tile_h=th, tile_w=tw,
             )
+        atlas_planes = None
+        if use_pallas and any(
+            item[0] == "draw" and ex._draw_flags(item)[3] for item in structure
+        ):
+            atlas_planes = jnp.transpose(atlas, (2, 0, 1))
 
         di = 0
         bi = 0
@@ -262,17 +267,19 @@ def get_sharded_frame_executor(
                 backdrop = _banded_blur_planar(planes, radii[bi], n_dev)
                 bi += 1
             else:
-                _, target, uses_atlas, needs_backdrop = item
+                target, uses_atlas, needs_backdrop, atlas11 = ex._draw_flags(item)
                 s = bounds[di, 0]
                 e = bounds[di, 1]
                 di += 1
                 if target == ex.FRAME_TARGET:
-                    if use_pallas and not uses_atlas:
+                    if use_pallas and (not uses_atlas or atlas11):
                         planes = raster_pallas.draw_pass_planar_prebinned(
                             fields, modes, s, e, tile_idx, tile_counts,
                             planes, masks,
                             backdrop if needs_backdrop else None,
                             y_offset=row0, tile_h=th, tile_w=tw,
+                            atlas_planes=atlas_planes if atlas11 else None,
+                            subpixel_positioning=subpixel_positioning,
                         )
                     else:
                         hwc = to_hwc(planes)
@@ -321,17 +328,19 @@ def get_sharded_frame_executor(
 
 @lru_cache(maxsize=32)
 def get_sharded_mega_executor(
-    mesh: Mesh, height: int, width: int, n_masks: int, has_init_frame: bool
+    mesh: Mesh, height: int, width: int, n_masks: int, has_init_frame: bool,
+    has_atlas: bool = False, subpixel_positioning: bool = False,
 ):
     """Mesh-sharded megakernel (executor.get_mega_executor): ONE Pallas tile
-    walk per row band over target-baked modes. Returns (run, (gh, pw))."""
+    walk per row band over target-baked modes; 1:1 atlas quads sample the
+    replicated VMEM atlas in-kernel. Returns (run, (gh, pw))."""
     from .. import executor as ex
     from ..ops import raster_pallas
     from ..ops.layout import QF_WIDTH
 
     n_dev, th, tw, pband, gh, pw = _band_geometry(mesh, height, width)
 
-    def run_local(combo, init_frame):
+    def run_local(combo, init_frame, atlas=None):
         fields = combo[:-1, :QF_WIDTH]
         modes = jax.lax.bitcast_convert_type(
             combo[:-1, QF_WIDTH : QF_WIDTH + ex.COMBO_EXTRA], jnp.int32
@@ -347,14 +356,19 @@ def get_sharded_mega_executor(
         planes = raster_pallas.draw_pass_mega(
             fields, modes, planes, n_masks,
             y_offset=row0, tile_h=th, tile_w=tw,
+            atlas_planes=(
+                jnp.transpose(atlas, (2, 0, 1)) if has_atlas else None
+            ),
+            subpixel_positioning=subpixel_positioning,
         )
         return jnp.transpose(planes, (1, 2, 0))
 
     init_spec = P(ROWS_AXIS, None, None) if has_init_frame else P()
+    in_specs = (P(), init_spec) + ((P(),) if has_atlas else ())
     sharded = shard_map(
         run_local,
         mesh=mesh,
-        in_specs=(P(), init_spec),
+        in_specs=in_specs,
         out_specs=P(ROWS_AXIS, None, None),
         check_rep=False,
     )
@@ -444,23 +458,35 @@ class ShardedFigRenderer:
         fields[: tape.count] = tape.fields[: tape.count]
         modes[: tape.count] = tape.modes[: tape.count]
 
+        from ..ops.raster_pallas import mark_atlas11
+
+        pallas_atlas_ok = self.use_pallas and mark_atlas11(
+            fields, modes, tape.count, self._flattener.atlas.size,
+            self._flattener.pixelate,
+        )
         structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
             ex.tape_structure(tape, modes)
         )
+        structure = [
+            item if item[0] != "draw"
+            else item + (bool(item[2] and pallas_atlas_ok),)
+            for item in structure
+        ]
         seen_blur = any(item[0] == "blur" for item in structure)
         has_init_frame = tape.clear_color is None
         clear = np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32)
 
+        mega_atlas = bool(is_atlas_mode[: tape.count].any())
         mega = (
             len(structure) > ROLLED_THRESHOLD
             and self.use_pallas
             and not seen_blur
-            and not bool(is_atlas_mode[: tape.count].any())
+            and (not mega_atlas or pallas_atlas_ok)
             and not bool(is_backdrop_mode[: tape.count].any())
         )
         if mega:
             mf, mm = ex.pack_mega_modes(
-                tape, tape.fields[: tape.count], tape.modes[: tape.count]
+                tape, fields[: tape.count], modes[: tape.count]
             )
             nm = _bucket(max(mf.shape[0], 1))
             mega_fields = np.zeros((nm, QF_WIDTH), dtype=np.float32)
@@ -472,12 +498,15 @@ class ShardedFigRenderer:
                 np.zeros((0,), np.float32), clear,
             )
             run, (gh, pw) = get_sharded_mega_executor(
-                self.mesh, height, width, n_masks, has_init_frame
+                self.mesh, height, width, n_masks, has_init_frame,
+                has_atlas=mega_atlas,
+                subpixel_positioning=self._flattener.text_subpixel_positioning,
             )
             try:
-                frame = run(
-                    jnp.asarray(combo), self._init_frame(gh, pw, has_init_frame)
-                )
+                mega_args = (
+                    jnp.asarray(combo), self._init_frame(gh, pw, has_init_frame),
+                ) + ((self._flattener._device_atlas(),) if mega_atlas else ())
+                frame = run(*mega_args)
                 self._last_padded = frame
                 self.last_frame = frame[:height, :width]
                 return self.last_frame

@@ -557,9 +557,23 @@ class FigRenderer:
         fields[: tape.count] = tape.fields[: tape.count]
         modes[: tape.count] = tape.modes[: tape.count]
 
+        # 1:1 atlas quads (glyphs, unscaled images) can sample a VMEM-resident
+        # atlas inside the Pallas kernels; validate + mark them on the upload
+        # copy so atlas-bearing runs stay on the performance path
+        from .ops.raster_pallas import mark_atlas11
+
+        pallas_atlas_ok = self.use_pallas and mark_atlas11(
+            fields, modes, tape.count, self.atlas.size, self.pixelate
+        )
+
         structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
             tape_structure(tape, modes)
         )
+        structure = [
+            item if item[0] != "draw"
+            else item + (bool(item[2] and pallas_atlas_ok),)
+            for item in structure
+        ]
         seen_blur = any(item[0] == "blur" for item in structure)
 
         has_init_frame = tape.clear_color is None
@@ -579,19 +593,24 @@ class FigRenderer:
         clear = np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32)
         rolled = len(structure) > ROLLED_THRESHOLD  # mask-heavy: constant compile cost
 
-        # mask-heavy pure-SDF scenes: bake targets into the mode lane and run
-        # the whole frame as ONE Pallas kernel (executor.get_mega_executor) —
-        # constant HBM traffic instead of a full-frame pass per item
+        # mask-heavy scenes: bake targets into the mode lane and run the whole
+        # frame as ONE Pallas kernel (executor.get_mega_executor) — constant
+        # HBM traffic instead of a full-frame pass per item. Atlas quads are
+        # allowed when they all carry the 1:1 in-kernel sample flag (glyphs
+        # inside clipped cells — the text-heavy clip scene, atlas.frag:284-295
+        # sampling inside the one shader).
+        mega_atlas = bool(is_atlas_mode[: tape.count].any())
         mega = (
             rolled
             and self.use_pallas
             and not seen_blur
-            and not bool(is_atlas_mode[: tape.count].any())
+            and (not mega_atlas or pallas_atlas_ok)
             and not bool(is_backdrop_mode[: tape.count].any())
         )
         if mega:
+            # fields/modes carry the atlas11 marks (mark_atlas11 ran on them)
             mf, mm = ex.pack_mega_modes(
-                tape, tape.fields[: tape.count], tape.modes[: tape.count]
+                tape, fields[: tape.count], modes[: tape.count]
             )
             nm = _bucket(max(mf.shape[0], 1))
             mega_fields = np.zeros((nm, QF_WIDTH), dtype=np.float32)
@@ -603,9 +622,16 @@ class FigRenderer:
                 np.zeros((0,), np.float32), clear,
             )
             try:
-                frame = ex.get_mega_executor(
-                    height, width, n_masks, has_init_frame
-                )(jnp.asarray(combo), init_frame)
+                run = ex.get_mega_executor(
+                    height, width, n_masks, has_init_frame,
+                    has_atlas=mega_atlas,
+                    subpixel_positioning=self.text_subpixel_positioning,
+                )
+                if mega_atlas:
+                    frame = run(jnp.asarray(combo), init_frame,
+                                self._device_atlas())
+                else:
+                    frame = run(jnp.asarray(combo), init_frame)
                 self.last_frame = frame
                 return frame
             except Exception as exc:
@@ -634,13 +660,17 @@ class FigRenderer:
                     item_radii.append(radii[bi])
                     bi += 1
                 else:
-                    _, target, uses_atlas, needs_backdrop = item
+                    target, uses_atlas, needs_backdrop, atlas11 = (
+                        ex._draw_flags(item)
+                    )
                     s, e = bounds[di]
                     di += 1
                     if target == FRAME_TARGET:
+                        # atlas11 runs ride the Pallas prebinned path (the
+                        # kernel samples the VMEM atlas for marked quads)
                         k = (
                             ex.ITEM_DRAW_ATLAS
-                            if uses_atlas
+                            if uses_atlas and not atlas11
                             else (ex.ITEM_DRAW_SDF_BD if needs_backdrop else ex.ITEM_DRAW_SDF)
                         )
                         item_rows.append((k, 0, s, e))
@@ -660,6 +690,7 @@ class FigRenderer:
                 height, width, n_masks, bucket, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
                 self.pixelate,
+                pallas_atlas=bool(use_pallas and pallas_atlas_ok),
             )
             args = (
                 jnp.asarray(combo), jnp.asarray(items_arr), jnp.asarray(radii_arr),

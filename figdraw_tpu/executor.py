@@ -45,6 +45,42 @@ def _meta_rows(n_draws: int, n_blurs: int, row_width: int) -> int:
     return max(1, -(-(2 * n_draws + n_blurs + 4) // row_width))
 
 
+DENSE_TILE_H = 64
+DENSE_QUADS_PER_TILE = 48.0  # long per-tile walks amortize smaller tiles
+SHORT_QUAD_H = 64.0  # short quads waste most of a 128-row tile
+
+
+def pick_tile_h(fields_np, count: int, height: int, width: int) -> int:
+    """Adaptive Pallas tile height (measured on the real chip): 64-row tiles
+    win when per-tile quad lists run long (3000-box: 200 quads/tile, 2.3x)
+    or the quads themselves are short (glyph runs: most of a 128-row tile is
+    wasted per quad, text bench 1.35x); sparse big-quad scenes keep the tall
+    tile — per-tile fixed costs dominate there (300-box: 21 quads/tile, 128
+    is ~15% faster). The choice is a static jit key, so recompiles only
+    happen when a scene changes density class. Returns raster_pallas.TILE_H
+    (the env default) or DENSE_TILE_H."""
+    import numpy as np
+
+    from .ops.layout import QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1
+    from .ops.raster_pallas import TILE_H, TILE_W
+
+    if count <= 0 or TILE_H <= DENSE_TILE_H:
+        return TILE_H
+    f = fields_np[:count]
+    bw = np.maximum(f[:, QF_BBOX_X1] - f[:, QF_BBOX_X0], 0.0)
+    bh = np.maximum(f[:, QF_BBOX_Y1] - f[:, QF_BBOX_Y0], 0.0)
+    live = (bw > 0) & (bh > 0)
+    if not live.any():
+        return TILE_H
+    tiles = max((-(-height // TILE_H)) * (-(-width // TILE_W)), 1)
+    pairs = ((bw // TILE_W) + 1) * ((bh // TILE_H) + 1)
+    quads_per_tile = float(pairs.sum()) / tiles
+    median_h = float(np.median(bh[live]))
+    if quads_per_tile > DENSE_QUADS_PER_TILE or median_h <= SHORT_QUAD_H:
+        return DENSE_TILE_H
+    return TILE_H
+
+
 def pack_tape_upload(fields, modes, bounds, radii, clear_color):
     """One host buffer per frame: quad fields + bitcast mode lanes + meta
     rows carrying draw-run bounds, blur radii and the clear color. A single
@@ -114,13 +150,16 @@ def get_frame_executor(
     subpixel_positioning: bool,
     has_init_frame: bool,
     pixelate: bool = False,
+    tile_h: int = 0,
 ):
     """Returns jitted run(combo, init_frame, atlas) -> (H, W, 4) frame.
 
     combo: pack_tape_upload's buffer; init_frame: (H, W, 4) previous frame
-    (only read when has_init_frame, else a (1, 1, 4) dummy).
+    (only read when has_init_frame, else a (1, 1, 4) dummy). tile_h: Pallas
+    tile height override (pick_tile_h), 0 = env default.
     """
-    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    th = tile_h or raster_pallas.TILE_H
+    tw = raster_pallas.TILE_W
     tiles_y = -(-height // th)
     tiles_x = -(-width // tw)
     ph, pw = tiles_y * th, tiles_x * tw
@@ -188,6 +227,7 @@ def get_frame_executor(
                         planes = raster_pallas.draw_pass_planar(
                             fields, modes, s, e, planes, masks,
                             backdrop if needs_backdrop else None,
+                            tile_h=th, tile_w=tw,
                             atlas_planes=atlas_planes if atlas11 else None,
                             subpixel_positioning=subpixel_positioning,
                         )
@@ -332,13 +372,15 @@ def pack_mega_modes(tape, fields, modes):
 @lru_cache(maxsize=32)
 def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: bool,
                       has_atlas: bool = False,
-                      subpixel_positioning: bool = False):
+                      subpixel_positioning: bool = False,
+                      tile_h: int = 0):
     """Returns jitted run(combo, init_frame[, atlas]) -> (H, W, 4) frame;
     combo packs target-baked fields/modes (pack_mega_modes) with rolled-style
     meta. has_atlas: 1:1 atlas quads (mark_atlas11) sample a VMEM-resident
     atlas in-kernel — text/image-bearing clip scenes stay in the one-kernel
     path instead of falling back to pass-per-item."""
-    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    th = tile_h or raster_pallas.TILE_H
+    tw = raster_pallas.TILE_W
     tiles_y = -(-height // th)
     tiles_x = -(-width // tw)
     ph, pw = tiles_y * th, tiles_x * tw
@@ -362,6 +404,7 @@ def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: boo
 
         planes = raster_pallas.draw_pass_mega(
             fields, modes, planes, n_masks,
+            tile_h=th, tile_w=tw,
             atlas_planes=(
                 jnp.transpose(atlas, (2, 0, 1)) if has_atlas else None
             ),
@@ -408,12 +451,14 @@ def get_rolled_executor(
     has_init_frame: bool,
     pixelate: bool = False,
     pallas_atlas: bool = False,  # 1:1 atlas quads sample in-kernel
+    tile_h: int = 0,
 ):
     """Returns jitted run(combo, items, radii, init_frame, atlas) -> frame.
 
     items: (n_items, 4) i32 [kind, target, start, end]; radii: (n_items,) f32.
     """
-    th, tw = raster_pallas.TILE_H, raster_pallas.TILE_W
+    th = tile_h or raster_pallas.TILE_H
+    tw = raster_pallas.TILE_W
     tiles_y = -(-height // th)
     tiles_x = -(-width // tw)
     ph, pw = tiles_y * th, tiles_x * tw
@@ -448,7 +493,8 @@ def get_rolled_executor(
             # bin the whole tape ONCE; each draw item selects its contiguous
             # per-tile segment in-kernel (vs. an argsort per item)
             tile_idx, tile_counts = raster_pallas.prebin(
-                fields, jnp.int32(fields.shape[0]), ph, pw
+                fields, jnp.int32(fields.shape[0]), ph, pw,
+                tile_h=th, tile_w=tw,
             )
         atlas_planes = (
             jnp.transpose(atlas, (2, 0, 1))
@@ -459,6 +505,7 @@ def get_rolled_executor(
             if use_pallas:
                 out = raster_pallas.draw_pass_planar_prebinned(
                     fields, modes, s, e, tile_idx, tile_counts, planes, masks,
+                    tile_h=th, tile_w=tw,
                     atlas_planes=atlas_planes,
                     subpixel_positioning=subpixel_positioning,
                 )
@@ -479,6 +526,7 @@ def get_rolled_executor(
             if use_pallas:
                 out = raster_pallas.draw_pass_planar_prebinned(
                     fields, modes, s, e, tile_idx, tile_counts, planes, masks, backdrop,
+                    tile_h=th, tile_w=tw,
                     atlas_planes=atlas_planes,
                     subpixel_positioning=subpixel_positioning,
                 )
@@ -508,7 +556,8 @@ def get_rolled_executor(
             if use_pallas:
                 plane = jax.lax.dynamic_index_in_dim(masks, target, 0, keepdims=True)
                 plane = raster_pallas.draw_pass_mask_prebinned(
-                    fields, modes, s, e, tile_idx, tile_counts, plane, masks
+                    fields, modes, s, e, tile_idx, tile_counts, plane, masks,
+                    tile_h=th, tile_w=tw,
                 )[0]
             else:
                 plane = jax.lax.dynamic_index_in_dim(masks, target, 0, keepdims=False)

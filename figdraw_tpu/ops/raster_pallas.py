@@ -35,7 +35,9 @@ from .layout import QI_MASK, QI_MODE
 import os as _os
 
 TILE_H = int(_os.environ.get("FIGDRAW_TILE", "128"))
-TILE_W = TILE_H
+# lanes are 128-wide; shrinking the tile height cuts wasted eval area for
+# mid-sized quads without giving up lane occupancy
+TILE_W = int(_os.environ.get("FIGDRAW_TILE_W", "128"))
 
 # modes that sample the atlas texture: sdfModeAtlas + the MSDF family
 ATLAS_BASE_MODES = (0, 13, 14, 15, 16)

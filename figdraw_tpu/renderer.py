@@ -575,6 +575,9 @@ class FigRenderer:
             for item in structure
         ]
         seen_blur = any(item[0] == "blur" for item in structure)
+        from .executor import pick_tile_h
+
+        tile_h = pick_tile_h(fields, tape.count, height, width)
 
         has_init_frame = tape.clear_color is None
         if has_init_frame:
@@ -626,6 +629,7 @@ class FigRenderer:
                     height, width, n_masks, has_init_frame,
                     has_atlas=mega_atlas,
                     subpixel_positioning=self.text_subpixel_positioning,
+                    tile_h=tile_h,
                 )
                 if mega_atlas:
                     frame = run(jnp.asarray(combo), init_frame,
@@ -691,6 +695,7 @@ class FigRenderer:
                 self.text_subpixel_positioning, has_init_frame,
                 self.pixelate,
                 pallas_atlas=bool(use_pallas and pallas_atlas_ok),
+                tile_h=tile_h,
             )
             args = (
                 jnp.asarray(combo), jnp.asarray(items_arr), jnp.asarray(radii_arr),
@@ -707,7 +712,7 @@ class FigRenderer:
             make_run = lambda use_pallas: ex.get_frame_executor(
                 tuple(structure), height, width, n_masks, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
-                self.pixelate,
+                self.pixelate, tile_h=tile_h,
             )
             args = (jnp.asarray(combo), init_frame, self._device_atlas())
 
@@ -843,8 +848,11 @@ class FigRenderer:
             )
             init_frame = self._dummy_init_frame()
         try:
+            # adaptive tile height from the combo's own bbox columns (the
+            # C++ export carries the same field layout)
+            tile_h = ex.pick_tile_h(combo, combo.shape[0] - 1, height, width)
             frame = ex.get_mega_executor(
-                height, width, mask_count + 1, has_init_frame
+                height, width, mask_count + 1, has_init_frame, tile_h=tile_h
             )(jnp.asarray(combo), init_frame)
         except Exception as exc:
             from .utils.perf import log_kv

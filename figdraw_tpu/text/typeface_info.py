@@ -78,12 +78,23 @@ def get_typeface_info(typeface_id: TypefaceId) -> TypefaceInfo:
         name = tt["name"]
         info.full_name = name.getDebugName(4) or ""
         info.postscript_name = name.getDebugName(6) or ""
+        # BCP-47 language tags for localized family names (typefaceinfos.nim
+        # localizedNames): Windows LCIDs / Mac language ids map through
+        # fontTools' registry; unknown ids keep the numeric key
+        from fontTools.ttLib.tables._n_a_m_e import (
+            _MAC_LANGUAGES, _WINDOWS_LANGUAGES,
+        )
+
         for rec in name.names:
             if rec.nameID == 1:
-                lang = rec.toUnicode() if False else None
                 try:
-                    tag = rec.langID
-                    info.localized_names[str(tag)] = rec.toUnicode()
+                    if rec.platformID == 3:
+                        tag = _WINDOWS_LANGUAGES.get(rec.langID, str(rec.langID))
+                    elif rec.platformID == 1:
+                        tag = _MAC_LANGUAGES.get(rec.langID, str(rec.langID))
+                    else:
+                        tag = str(rec.langID)
+                    info.localized_names[tag] = rec.toUnicode()
                 except Exception:
                     pass
     except Exception:

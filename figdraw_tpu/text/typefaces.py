@@ -204,6 +204,7 @@ class Typeface:
 _registry_lock = threading.Lock()
 _typefaces: Dict[TypefaceId, Typeface] = {}
 _path_ids: Dict[str, TypefaceId] = {}
+_id_digests: Dict[TypefaceId, bytes] = {}
 _fonts: Dict[FontId, Tuple[FigFont, float]] = {}  # font id → (font, ui_scale)
 
 
@@ -283,15 +284,18 @@ def load_typeface(name: str, face_name: Optional[str] = None) -> TypefaceId:
     digest = hashlib.sha256(data + face_index.to_bytes(2, "little")).digest()
     typeface_id = int.from_bytes(digest[:8], "little") & 0x7FFFFFFFFFFFFFFF
     with _registry_lock:
+        # identity is the CONTENT digest: identical bytes loaded through
+        # different paths/aliases reuse the same id; only true digest
+        # collisions salt (typefaces.nim:186-200)
         salt = 0
         while typeface_id in _typefaces and (
-            _typefaces[typeface_id].path != path
-            or _typefaces[typeface_id].face_index != face_index
+            _id_digests.get(typeface_id) != digest
         ):
             salt += 1
             typeface_id = (typeface_id + 0x9E3779B9 + salt) & 0x7FFFFFFFFFFFFFFF
         if typeface_id not in _typefaces:
             _typefaces[typeface_id] = Typeface(path, data, typeface_id, face_index)
+            _id_digests[typeface_id] = digest
         _path_ids[cache_key] = typeface_id
     return typeface_id
 

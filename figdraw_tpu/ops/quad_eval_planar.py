@@ -279,17 +279,27 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
             iby = jnp.floor(by).astype(jnp.int32)
             fx = bx - ibx.astype(jnp.float32)
             fy = by - iby.astype(jnp.float32)
-            ph = th + 8
-            pw = tw + 128
+            # window clamped to the atlas (small atlases can be narrower
+            # than a tile); the roll modulus is the window size, and quad
+            # texels never wrap (their atlas span fits the clamped window —
+            # entries carry a >= 4 px margin)
+            ph = min(th + 8, size)
+            pw = min(tw + 128, size)
             by2 = jnp.clip(iby, 0, size - ph)
             bx2 = jnp.clip(ibx, 0, size - pw)
             sy = jnp.mod(by2 - iby, ph)  # roll shift realigning the clamp
             sx = jnp.mod(bx2 - ibx, pw)
+            pad_y = max(th + 1 - ph, 0)
+            pad_x = max(tw + 1 - pw, 0)
             taps = []
             for ch in range(4):
                 win = atlas_ref[ch, pl.ds(by2, ph), pl.ds(bx2, pw)]
                 win = pltpu.roll(win, sy, 0)
                 win = pltpu.roll(win, sx, 1)
+                if pad_y or pad_x:
+                    # tile larger than the atlas: padding is only ever read
+                    # for pixels outside the quad (alpha-masked)
+                    win = jnp.pad(win, ((0, pad_y), (0, pad_x)), mode="edge")
                 c00 = win[0:th, 0:tw]
                 c10 = win[0:th, 1 : tw + 1]
                 c01 = win[1 : th + 1, 0:tw]

@@ -205,3 +205,34 @@ def test_mega_text_in_clipped_cells():
     assert hits and hits[0].get("has_atlas"), "scene did not take the atlas mega"
     got = r2.take_screenshot()
     assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_atlas11_window_smaller_atlas_than_tile():
+    """Atlases narrower than a Pallas tile (e.g. 64 px) clamp the sampling
+    window to the atlas and edge-pad the bilinear taps — the dryrun's tiny
+    64-px atlas hit this exact slice-overrun."""
+    import numpy as np
+
+    from figdraw_tpu import Fig, FigKind, fill, new_renders, rect, rgba, vec2
+    from figdraw_tpu.renderer import FigRenderer
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, 160, 96),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    f = FigFont(typeface_id=tid, size=12.0)
+    arr = typeset(vec2(150, 20), [(f, fill(rgba(0, 0, 0, 255)), "tiny AV")])
+    renders.add_root(0, Fig(kind=FigKind.nkText,
+                            screen_box=rect(6, 6, 150, 20), text_layout=arr))
+
+    r1 = FigRenderer(atlas_size=64, use_pallas=False)
+    r1.render_frame(renders, vec2(160, 96))
+    ref = r1.take_screenshot()
+    r2 = FigRenderer(atlas_size=64, use_pallas=True)
+    r2.render_frame(renders, vec2(160, 96))
+    assert r2.use_pallas, "tiny-atlas pallas path fell back"
+    got = r2.take_screenshot()
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1

@@ -53,6 +53,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fd_create.restype = ctypes.c_void_p
         lib.fd_create.argtypes = [ctypes.c_float, ctypes.c_float, ctypes.c_float]
         lib.fd_destroy.argtypes = [ctypes.c_void_p]
+        lib.fd_reset.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ]
         lib.fd_flatten_layer.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -293,6 +296,32 @@ def _export_tape(lib, ctx, frame_w, frame_h, clear_color) -> Tape:
     return tape
 
 
+_tls = threading.local()
+
+
+def _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor):
+    """Thread-local reusable walk context.
+
+    fd_reset keeps the C++ tape vectors' capacity across frames, so
+    steady-state frames do no heap growth — the reference's "few or no
+    allocations per frame" target (README.md:7). Thread-local because a Ctx
+    is single-walker state (the renderer's thread guard already serializes
+    per-renderer use)."""
+    ctx = getattr(_tls, "ctx", None)
+    if ctx is None:
+        ctx = lib.fd_create(
+            ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale),
+            ctypes.c_float(aa_factor),
+        )
+        _tls.ctx = ctx
+    else:
+        lib.fd_reset(
+            ctx, ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale),
+            ctypes.c_float(aa_factor),
+        )
+    return ctx
+
+
 def flatten_fast(
     renders: RendersArray,
     frame_w: float,
@@ -320,26 +349,21 @@ def flatten_fast(
     if lib is None or not renders.all_native_kinds():
         return None
     row_width = QF_WIDTH + 2
-    ctx = lib.fd_create(
-        ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
-    )
-    try:
-        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
-                  text_config, glyph_offsets)
-        info = np.zeros(4, np.int32)
-        lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
-        n_quads, n_items, mask_count, flags = (int(v) for v in info)
-        if n_items > min_items and flags == 0:
-            cap = (bucket or (lambda v: v))(n_quads + n_items)
-            combo = np.zeros((cap + 1, row_width), np.float32)  # +1 meta row
-            rows = lib.fd_export_mega(
-                ctx, combo.ctypes.data_as(ctypes.c_void_p), cap, row_width
-            )
-            if rows >= 0:
-                return "mega", combo, mask_count
-        return "tape", _export_tape(lib, ctx, frame_w, frame_h, clear_color)
-    finally:
-        lib.fd_destroy(ctx)
+    ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
+    _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
+              text_config, glyph_offsets)
+    info = np.zeros(4, np.int32)
+    lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
+    n_quads, n_items, mask_count, flags = (int(v) for v in info)
+    if n_items > min_items and flags == 0:
+        cap = (bucket or (lambda v: v))(n_quads + n_items)
+        combo = np.zeros((cap + 1, row_width), np.float32)  # +1 meta row
+        rows = lib.fd_export_mega(
+            ctx, combo.ctypes.data_as(ctypes.c_void_p), cap, row_width
+        )
+        if rows >= 0:
+            return "mega", combo, mask_count
+    return "tape", _export_tape(lib, ctx, frame_w, frame_h, clear_color)
 
 
 def flatten_renders_array(
@@ -364,12 +388,7 @@ def flatten_renders_array(
     if not renders.all_native_kinds():
         return None
 
-    ctx = lib.fd_create(
-        ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale), ctypes.c_float(aa_factor)
-    )
-    try:
-        _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
-                  text_config, glyph_offsets)
-        return _export_tape(lib, ctx, frame_w, frame_h, clear_color)
-    finally:
-        lib.fd_destroy(ctx)
+    ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
+    _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
+              text_config, glyph_offsets)
+    return _export_tape(lib, ctx, frame_w, frame_h, clear_color)

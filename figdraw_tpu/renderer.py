@@ -33,6 +33,8 @@ QUAD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 WHITE_IMAGE_KEY = "__figdraw_white__"
 ROLLED_THRESHOLD = 24  # structure items above this use the rolled executor
+EMPTY_BOUNDS = np.zeros((0, 2), np.int32)
+EMPTY_RADII = np.zeros((0,), np.float32)
 
 
 @dataclass
@@ -550,12 +552,33 @@ class FigRenderer:
         height = int(round(tape.frame_size[1]))
         n_masks = tape.mask_count + 1
 
-        # pad the whole tape once per bucket
+        structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
+            tape_structure(tape, tape.modes)
+        )
+        seen_blur = any(item[0] == "blur" for item in structure)
+        rolled_pre = len(structure) > ROLLED_THRESHOLD
+
+        from . import executor as ex
+
+        clear = np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32)
+
+        # one upload buffer per frame, padded to the bucket, with the tape's
+        # quads copied in ONCE: fields/modes below are views into it (the old
+        # path padded into fresh arrays and then copied them again into the
+        # combo — two 2 MB allocations per 3000-box frame). The rolled path
+        # carries draw bounds in its items array, so its meta is just the
+        # clear color.
         n = _bucket(max(tape.count, 1))
-        fields = np.zeros((n, QF_WIDTH), dtype=np.float32)
-        modes = np.zeros((n, QI_WIDTH), dtype=np.int32)
-        fields[: tape.count] = tape.fields[: tape.count]
-        modes[: tape.count] = tape.modes[: tape.count]
+        if rolled_pre:
+            combo = ex.pack_tape_combo(tape, n, EMPTY_BOUNDS, EMPTY_RADII, clear)
+        else:
+            combo = ex.pack_tape_combo(
+                tape, n,
+                np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
+                np.asarray(radii, dtype=np.float32), clear,
+            )
+        fields = combo[:n, :QF_WIDTH]
+        modes = combo[:n, QF_WIDTH : QF_WIDTH + QI_WIDTH].view(np.int32)
 
         # 1:1 atlas quads (glyphs, unscaled images) can sample a VMEM-resident
         # atlas inside the Pallas kernels; validate + mark them on the upload
@@ -566,15 +589,11 @@ class FigRenderer:
             fields, modes, tape.count, self.atlas.size, self.pixelate
         )
 
-        structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
-            tape_structure(tape, modes)
-        )
         structure = [
             item if item[0] != "draw"
             else item + (bool(item[2] and pallas_atlas_ok),)
             for item in structure
         ]
-        seen_blur = any(item[0] == "blur" for item in structure)
         from .executor import pick_tile_h
 
         tile_h = pick_tile_h(fields, tape.count, height, width)
@@ -591,10 +610,7 @@ class FigRenderer:
         else:
             init_frame = self._dummy_init_frame()
 
-        from . import executor as ex
-
-        clear = np.asarray(tape.clear_color or (0, 0, 0, 0), dtype=np.float32)
-        rolled = len(structure) > ROLLED_THRESHOLD  # mask-heavy: constant compile cost
+        rolled = rolled_pre  # mask-heavy: constant compile cost
 
         # mask-heavy scenes: bake targets into the mode lane and run the whole
         # frame as ONE Pallas kernel (executor.get_mega_executor) — constant
@@ -620,7 +636,7 @@ class FigRenderer:
             mega_modes = np.zeros((nm, QI_WIDTH), dtype=np.int32)
             mega_fields[: mf.shape[0]] = mf
             mega_modes[: mm.shape[0]] = mm
-            combo = ex.pack_tape_upload(
+            mega_combo = ex.pack_tape_upload(
                 mega_fields, mega_modes, np.zeros((0, 2), np.int32),
                 np.zeros((0,), np.float32), clear,
             )
@@ -632,10 +648,10 @@ class FigRenderer:
                     tile_h=tile_h,
                 )
                 if mega_atlas:
-                    frame = run(jnp.asarray(combo), init_frame,
+                    frame = run(jnp.asarray(mega_combo), init_frame,
                                 self._device_atlas())
                 else:
-                    frame = run(jnp.asarray(combo), init_frame)
+                    frame = run(jnp.asarray(mega_combo), init_frame)
                 self.last_frame = frame
                 return frame
             except Exception as exc:
@@ -686,10 +702,6 @@ class FigRenderer:
             radii_arr = np.zeros((bucket,), dtype=np.float32)
             items_arr[: len(item_rows)] = item_rows
             radii_arr[: len(item_radii)] = item_radii
-            combo = ex.pack_tape_upload(
-                fields, modes, np.zeros((0, 2), np.int32), np.zeros((0,), np.float32),
-                clear,
-            )
             make_run = lambda use_pallas: ex.get_rolled_executor(
                 height, width, n_masks, bucket, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
@@ -702,13 +714,6 @@ class FigRenderer:
                 init_frame, self._device_atlas(),
             )
         else:
-            combo = ex.pack_tape_upload(
-                fields,
-                modes,
-                np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
-                np.asarray(radii, dtype=np.float32),
-                clear,
-            )
             make_run = lambda use_pallas: ex.get_frame_executor(
                 tuple(structure), height, width, n_masks, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,

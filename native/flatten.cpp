@@ -1474,6 +1474,43 @@ Ctx* fd_create(float ui_scale, float pixel_scale, float aa_factor) {
 
 void fd_destroy(Ctx* ctx) { delete ctx; }
 
+// Reuse a context across frames: clears the logical tape/walk state but
+// keeps the fields/modes/items allocations, so steady-state frames do no
+// heap growth (the reference's "few or no allocations per frame" design
+// target, README.md:7). Callers must re-set atlas/geometry/text state —
+// fd_reset drops them so a walk without e.g. glyph offsets cannot see a
+// previous frame's tables.
+void fd_reset(Ctx* ctx, float ui_scale, float pixel_scale, float aa_factor) {
+  ctx->ui_scale = ui_scale;
+  ctx->aa = aa_factor;
+  ctx->mat = mat_scale(pixel_scale, pixel_scale);
+  ctx->white_u = 0.0;
+  ctx->white_v = 0.0;
+  ctx->ops = nullptr;
+  ctx->points = nullptr;
+  ctx->glyphs = nullptr;
+  ctx->trects = nullptr;
+  ctx->text_lcd = ctx->text_subpixel = ctx->text_variants = false;
+  ctx->subpixel_shift = 0.0;
+  ctx->glyph_off_keys.clear();
+  ctx->glyph_offs.clear();
+  ctx->atlas_entries.clear();
+  ctx->atlas_size = 1.0f;
+  ctx->mats.clear();
+  ctx->count = 0;
+  ctx->items.clear();
+  ctx->mask_write = 0;
+  ctx->mask_count = 0;
+  ctx->mask_begun = false;
+  ctx->any_atlas = false;
+  ctx->any_backdrop = false;
+  ctx->rect_masks.clear();
+  ctx->run_open = false;
+  ctx->run_target = 0;
+  ctx->run_mask = 0;
+  ctx->run_start = 0;
+}
+
 // Atlas entry table for image/MSDF quads: parallel arrays sorted by
 // (id, level); rects are normalized (x, y, w, h).
 void fd_set_atlas(Ctx* ctx, const int64_t* ids, const int32_t* levels,

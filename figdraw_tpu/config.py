@@ -12,6 +12,8 @@ figrender.nim:103-176, utils/glutils.nim:12-40):
   FIGDRAW_TEXT_SUBPIXEL_GLYPH_VARIANTS  1 → 10 pre-baked subpixel variants
   FIGDRAW_DATA_DIR                  asset root (shared.nim figDataDir)
   FIGDRAW_UI_SCALE / HDI            global UI scale override
+  FIGDRAW_ATLAS11                   mega (default) | always | never — where
+                                    the in-kernel 1:1 atlas sample applies
 
 Compile-time defines become constructor arguments; nimble feature flags
 become optional imports.
@@ -46,6 +48,14 @@ def runtime_force_xla_requested() -> bool:
         return True
     backend = os.environ.get("FIGDRAW_BACKEND", "").strip().lower()
     return backend in ("xla", "ref", "reference")
+
+
+def atlas11_policy() -> str:
+    """Where the in-kernel 1:1 atlas sample is used: "mega" (default —
+    megakernel only, measured fastest; plain runs take the XLA windowed
+    path), "always" (every eligible Pallas run), or "never"."""
+    v = os.environ.get("FIGDRAW_ATLAS11", "").strip().lower()
+    return v if v in ("always", "never", "mega") else "mega"
 
 
 def runtime_backend_override():

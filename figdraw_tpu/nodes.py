@@ -9,7 +9,7 @@ the Renders layer table keyed by ZLevel.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 from .basics import (
@@ -173,7 +173,17 @@ class Fig:
         self.draw_ops = tuple(self.draw_ops)
 
     def copy(self) -> "Fig":
-        return replace(self)
+        # value-type copy semantics like Nim's Fig, but without
+        # dataclasses.replace (which rebuilds kwargs and re-runs
+        # __post_init__ — ~3x slower; this copy is the hottest call in
+        # per-frame object-scene builds). Fields are already normalized.
+        new = object.__new__(Fig)
+        for name in _FIG_SLOTS:
+            setattr(new, name, getattr(self, name))
+        return new
+
+
+_FIG_SLOTS = Fig.__slots__
 
 
 @dataclass(slots=True)
@@ -281,9 +291,13 @@ class RenderList:
 
     def add_root(self, root: Fig) -> FigIdx:
         """O(1) append of a new root (fignodes.nim:316-330)."""
+        return self._add_root_owned(root.copy())
+
+    def _add_root_owned(self, node: Fig) -> FigIdx:
+        """add_root for a node the caller owns (already copied) — the
+        Renders-level overloads copy once, not twice."""
         new_idx = len(self.nodes)
         assert new_idx <= MAX_NODES
-        node = root.copy()
         node.parent = NIL_IDX
         self.nodes.append(node)
         self.root_ids.append(new_idx)
@@ -303,11 +317,13 @@ class RenderList:
 
     def add_child(self, parent_idx: FigIdx, child: Fig) -> FigIdx:
         """O(1) append of a child (fignodes.nim:352-374)."""
+        return self._add_child_owned(parent_idx, child.copy())
+
+    def _add_child_owned(self, parent_idx: FigIdx, node: Fig) -> FigIdx:
         assert self._valid_idx(parent_idx)
         new_idx = len(self.nodes)
         assert new_idx <= MAX_NODES
         self.nodes[parent_idx].child_count += 1
-        node = child.copy()
         node.parent = parent_idx
         self.nodes.append(node)
         return new_idx
@@ -402,7 +418,7 @@ class Renders:
             node_in = root
         node = node_in.copy()
         node.zlevel = lvl
-        return self[lvl].add_root(node)
+        return self[lvl]._add_root_owned(node)
 
     def insert_root(self, *args) -> FigIdx:
         if len(args) == 3:
@@ -417,7 +433,7 @@ class Renders:
     def add_child(self, lvl: ZLevel, parent_idx: FigIdx, child: Fig) -> FigIdx:
         node = child.copy()
         node.zlevel = lvl
-        return self[lvl].add_child(parent_idx, node)
+        return self[lvl]._add_child_owned(parent_idx, node)
 
     def insert_child(
         self, lvl: ZLevel, parent_idx: FigIdx, child: Fig, child_pos: int

@@ -214,19 +214,25 @@ def _row_total(blocks: list) -> int:
     return sum(b.shape[0] if b.ndim else 1 for b in blocks)
 
 
-def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
+def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
+              glyph_total: int = -1) -> int:
     """Pre-compute the text node's draw list (text/glyphs.py draw_text_layout):
     selection bands + underline/strikethrough rects into trects, placed
     glyphs into glyph rows. Logical (pre-ui-scale) coordinates; the flattener
-    applies scaling, invertY and subpixel policy."""
+    applies scaling, invertY and subpixel policy.
+
+    glyph_total: running row count of glyph_rows (pass -1 to recount);
+    returns the updated total so callers with many text nodes stay O(1) per
+    node instead of re-summing every block."""
     from .fill import center_color_rgba, fill_alpha_max
     from .geometry import rect as _rect
 
     layout = node.text_layout
-    row["glyphs_start"] = _row_total(glyph_rows)
+    start = _row_total(glyph_rows) if glyph_total < 0 else glyph_total
+    row["glyphs_start"] = start
     row["trects_start"] = len(trect_rows)
     if layout is None:
-        return
+        return start
 
     sel_a, sel_b = node.selection_range
     if (
@@ -248,11 +254,13 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
     if cached is not None:
         deco_rows, glyph_block = cached
         trect_rows.extend(deco_rows)
+        added = 0
         if glyph_block is not None:
             glyph_rows.append(glyph_block)
-        row["glyphs_count"] = _row_total(glyph_rows) - int(row["glyphs_start"])
+            added = int(glyph_block.shape[0])
+        row["glyphs_count"] = added
         row["trects_count"] = len(trect_rows) - int(row["trects_start"])
-        return
+        return start + added
 
     deco_rows = []
     # decorations (figrender.nim:370-415 band math, done here once)
@@ -327,8 +335,10 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list) -> None:
         glyph_rows.append(block)
     layout._fig_pack_cache = (deco_rows, block if drawn else None)
 
-    row["glyphs_count"] = _row_total(glyph_rows) - int(row["glyphs_start"])
+    added = len(drawn)
+    row["glyphs_count"] = added
     row["trects_count"] = len(trect_rows) - int(row["trects_start"])
+    return start + added
 
 
 def pack_fig(row, node: Fig, ops_rows: list = None, points_rows: list = None) -> None:
@@ -387,6 +397,7 @@ class RenderListArray:
         self.glyph_rows: list = []
         self.trect_rows: list = []
         self.text_objects: dict = {}  # row idx → (layout, selection_range)
+        self.glyph_total = 0  # running _row_total(glyph_rows)
         self._ops_cache = None
         self._text_cache = None
 
@@ -426,7 +437,10 @@ class RenderListArray:
     def _pack(self, i: int, node: Fig) -> None:
         pack_fig(self.nodes[i], node, self.ops_rows, self.points_rows)
         if node.kind == FigKind.nkText:
-            pack_text(self.nodes[i], node, self.glyph_rows, self.trect_rows)
+            self.glyph_total = pack_text(
+                self.nodes[i], node, self.glyph_rows, self.trect_rows,
+                glyph_total=self.glyph_total,
+            )
             self.text_objects[i] = (node.text_layout, node.selection_range)
 
     def _grow(self) -> None:

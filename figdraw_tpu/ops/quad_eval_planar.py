@@ -283,11 +283,20 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
             # than a tile); the roll modulus is the window size, and quad
             # texels never wrap (their atlas span fits the clamped window —
             # entries carry a >= 4 px margin)
-            ph = min(th + 8, size)
-            pw = min(tw + 128, size)
+            ph = min(-(-(th + 8) // 8) * 8, size)
+            pw = min(-(-(tw + 128) // 128) * 128, size)
             by2 = jnp.clip(iby, 0, size - ph)
             bx2 = jnp.clip(ibx, 0, size - pw)
-            sy = jnp.mod(by2 - iby, ph)  # roll shift realigning the clamp
+            # Mosaic requires dynamic vector-load offsets provably aligned to
+            # the (8, 128) f32 tile; snap the clamped start down in the
+            # (x // A) * A form its divisibility prover recognizes. The snap
+            # slack (<= 7 / <= 127 extra leading rows/lanes) is exactly what
+            # ph = th+8 / pw = tw+128 already reserve beyond the th+1 / tw+1
+            # bilinear span, and th, tw, and atlas sizes are all multiples of
+            # the tile, so the clamp bound size-ph stays aligned too.
+            by2 = (by2 // 8) * 8
+            bx2 = (bx2 // 128) * 128
+            sy = jnp.mod(by2 - iby, ph)  # roll shift realigning clamp + snap
             sx = jnp.mod(bx2 - ibx, pw)
             pad_y = max(th + 1 - ph, 0)
             pad_x = max(tw + 1 - pw, 0)

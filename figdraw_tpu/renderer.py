@@ -582,18 +582,24 @@ class FigRenderer:
 
         # 1:1 atlas quads (glyphs, unscaled images) can sample a VMEM-resident
         # atlas inside the Pallas kernels; validate + mark them on the upload
-        # copy so atlas-bearing runs stay on the performance path
+        # copy. Measured policy (TPU v5e, text bench): the in-kernel sample
+        # only WINS on the megakernel path, where the alternative is a full-
+        # frame pass per mask (20 ms-class); on plain draw runs the XLA
+        # windowed-gather path beats it (2.1 vs 2.8 ms — each tiny glyph pays
+        # a whole (th+8, tw+128) window load per tile in-kernel). So: mega
+        # keeps in-kernel sampling; other paths route atlas runs to XLA.
+        # FIGDRAW_ATLAS11=always|never|mega overrides for experiments.
+        from .config import atlas11_policy
         from .ops.raster_pallas import mark_atlas11
 
-        pallas_atlas_ok = self.use_pallas and mark_atlas11(
-            fields, modes, tape.count, self.atlas.size, self.pixelate
+        policy = atlas11_policy()
+        pallas_atlas_ok = (
+            self.use_pallas
+            and policy != "never"
+            and mark_atlas11(fields, modes, tape.count, self.atlas.size,
+                             self.pixelate)
         )
 
-        structure = [
-            item if item[0] != "draw"
-            else item + (bool(item[2] and pallas_atlas_ok),)
-            for item in structure
-        ]
         from .executor import pick_tile_h
 
         tile_h = pick_tile_h(fields, tape.count, height, width)
@@ -626,6 +632,12 @@ class FigRenderer:
             and (not mega_atlas or pallas_atlas_ok)
             and not bool(is_backdrop_mode[: tape.count].any())
         )
+        atlas11_runs = pallas_atlas_ok and (mega or policy == "always")
+        structure = [
+            item if item[0] != "draw"
+            else item + (bool(item[2] and atlas11_runs),)
+            for item in structure
+        ]
         if mega:
             # fields/modes carry the atlas11 marks (mark_atlas11 ran on them)
             mf, mm = ex.pack_mega_modes(
@@ -706,7 +718,7 @@ class FigRenderer:
                 height, width, n_masks, bucket, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
                 self.pixelate,
-                pallas_atlas=bool(use_pallas and pallas_atlas_ok),
+                pallas_atlas=bool(use_pallas and atlas11_runs),
                 tile_h=tile_h,
             )
             args = (

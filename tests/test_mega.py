@@ -84,10 +84,12 @@ def test_mega_frame_matches_xla():
     assert np.abs(mega.astype(int) - xla.astype(int)).max() <= 1
 
 
-def test_atlas11_in_kernel_sampling():
+def test_atlas11_in_kernel_sampling(monkeypatch):
     """1:1 atlas quads (glyphs, unscaled images) sample a VMEM-resident atlas
-    INSIDE the Pallas kernels (mark_atlas11 + MODE_ATLAS11_BIT) — atlas runs
-    no longer exile to the XLA gather path; parity within 1/255."""
+    INSIDE the Pallas kernels (mark_atlas11 + MODE_ATLAS11_BIT); parity
+    within 1/255. Forces FIGDRAW_ATLAS11=always — the default policy only
+    uses the in-kernel sample on the megakernel path."""
+    monkeypatch.setenv("FIGDRAW_ATLAS11", "always")
     import numpy as np
 
     from figdraw_tpu import (
@@ -207,10 +209,12 @@ def test_mega_text_in_clipped_cells():
     assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
 
 
-def test_atlas11_window_smaller_atlas_than_tile():
+def test_atlas11_window_smaller_atlas_than_tile(monkeypatch):
     """Atlases narrower than a Pallas tile (e.g. 64 px) clamp the sampling
     window to the atlas and edge-pad the bilinear taps — the dryrun's tiny
-    64-px atlas hit this exact slice-overrun."""
+    64-px atlas hit this exact slice-overrun. FIGDRAW_ATLAS11=always keeps
+    the in-kernel sampler on this non-mega scene."""
+    monkeypatch.setenv("FIGDRAW_ATLAS11", "always")
     import numpy as np
 
     from figdraw_tpu import Fig, FigKind, fill, new_renders, rect, rgba, vec2

@@ -12,8 +12,9 @@ figrender.nim:103-176, utils/glutils.nim:12-40):
   FIGDRAW_TEXT_SUBPIXEL_GLYPH_VARIANTS  1 → 10 pre-baked subpixel variants
   FIGDRAW_DATA_DIR                  asset root (shared.nim figDataDir)
   FIGDRAW_UI_SCALE / HDI            global UI scale override
-  FIGDRAW_ATLAS11                   mega (default) | always | never — where
-                                    the in-kernel 1:1 atlas sample applies
+  FIGDRAW_ATLAS11                   off (default) | always — in-kernel 1:1
+                                    atlas sampling (XLA gathers measured
+                                    faster; kept for experiments)
 
 Compile-time defines become constructor arguments; nimble feature flags
 become optional imports.
@@ -51,11 +52,13 @@ def runtime_force_xla_requested() -> bool:
 
 
 def atlas11_policy() -> str:
-    """Where the in-kernel 1:1 atlas sample is used: "mega" (default —
-    megakernel only, measured fastest; plain runs take the XLA windowed
-    path), "always" (every eligible Pallas run), or "never"."""
+    """Whether the in-kernel 1:1 atlas sample is used. Default "off": the
+    XLA windowed-gather path measured faster for atlas quads in every
+    scenario on TPU v5e (renderer.execute has the numbers). "always"
+    enables the in-kernel sampler on eligible Pallas runs and the
+    megakernel (kept for experiments and its regression tests)."""
     v = os.environ.get("FIGDRAW_ATLAS11", "").strip().lower()
-    return v if v in ("always", "never", "mega") else "mega"
+    return "always" if v == "always" else "off"
 
 
 def runtime_backend_override():

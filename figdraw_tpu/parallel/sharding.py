@@ -458,11 +458,19 @@ class ShardedFigRenderer:
         fields[: tape.count] = tape.fields[: tape.count]
         modes[: tape.count] = tape.modes[: tape.count]
 
+        from ..config import atlas11_policy
         from ..ops.raster_pallas import mark_atlas11
 
-        pallas_atlas_ok = self.use_pallas and mark_atlas11(
-            fields, modes, tape.count, self._flattener.atlas.size,
-            self._flattener.pixelate,
+        # same measured policy as FigRenderer.execute: atlas quads default to
+        # the XLA windowed-gather evaluator; FIGDRAW_ATLAS11=always re-enables
+        # the in-kernel VMEM-atlas sampler
+        pallas_atlas_ok = (
+            self.use_pallas
+            and atlas11_policy() == "always"
+            and mark_atlas11(
+                fields, modes, tape.count, self._flattener.atlas.size,
+                self._flattener.pixelate,
+            )
         )
         structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
             ex.tape_structure(tape, modes)

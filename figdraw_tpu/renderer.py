@@ -580,22 +580,22 @@ class FigRenderer:
         fields = combo[:n, :QF_WIDTH]
         modes = combo[:n, QF_WIDTH : QF_WIDTH + QI_WIDTH].view(np.int32)
 
-        # 1:1 atlas quads (glyphs, unscaled images) can sample a VMEM-resident
-        # atlas inside the Pallas kernels; validate + mark them on the upload
-        # copy. Measured policy (TPU v5e, text bench): the in-kernel sample
-        # only WINS on the megakernel path, where the alternative is a full-
-        # frame pass per mask (20 ms-class); on plain draw runs the XLA
-        # windowed-gather path beats it (2.1 vs 2.8 ms — each tiny glyph pays
-        # a whole (th+8, tw+128) window load per tile in-kernel). So: mega
-        # keeps in-kernel sampling; other paths route atlas runs to XLA.
-        # FIGDRAW_ATLAS11=always|never|mega overrides for experiments.
+        # 1:1 atlas quads (glyphs, unscaled images) CAN sample a VMEM-resident
+        # atlas inside the Pallas kernels (mark_atlas11 + MODE_ATLAS11_BIT),
+        # but measurement on TPU v5e says the XLA windowed-gather path beats
+        # it everywhere: 2.1 vs 2.8 ms on the text bench (each tiny glyph
+        # pays a whole (th+8, tw+128) window load per tile in-kernel) and
+        # 2.8 vs 44 ms on a 72-cell text-in-clip scene (mega+atlas). So the
+        # default routes every atlas-bearing run to the XLA evaluator and
+        # excludes atlas scenes from the megakernel; FIGDRAW_ATLAS11=always
+        # re-enables the in-kernel sampler for experiments (and its tests).
         from .config import atlas11_policy
         from .ops.raster_pallas import mark_atlas11
 
         policy = atlas11_policy()
         pallas_atlas_ok = (
             self.use_pallas
-            and policy != "never"
+            and policy == "always"
             and mark_atlas11(fields, modes, tape.count, self.atlas.size,
                              self.pixelate)
         )
@@ -620,19 +620,20 @@ class FigRenderer:
 
         # mask-heavy scenes: bake targets into the mode lane and run the whole
         # frame as ONE Pallas kernel (executor.get_mega_executor) — constant
-        # HBM traffic instead of a full-frame pass per item. Atlas quads are
-        # allowed when they all carry the 1:1 in-kernel sample flag (glyphs
-        # inside clipped cells — the text-heavy clip scene, atlas.frag:284-295
-        # sampling inside the one shader).
+        # HBM traffic instead of a full-frame pass per item. Atlas-bearing
+        # scenes stay on the rolled executor (mask passes in Pallas, glyph
+        # runs via XLA gathers) — measured 15x faster than mega with the
+        # in-kernel sampler on a text-in-clip scene; FIGDRAW_ATLAS11=always
+        # restores mega+atlas for experiments.
         mega_atlas = bool(is_atlas_mode[: tape.count].any())
         mega = (
             rolled
             and self.use_pallas
             and not seen_blur
-            and (not mega_atlas or pallas_atlas_ok)
+            and (not mega_atlas or (policy == "always" and pallas_atlas_ok))
             and not bool(is_backdrop_mode[: tape.count].any())
         )
-        atlas11_runs = pallas_atlas_ok and (mega or policy == "always")
+        atlas11_runs = pallas_atlas_ok  # policy == "always" only
         structure = [
             item if item[0] != "draw"
             else item + (bool(item[2] and atlas11_runs),)

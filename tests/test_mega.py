@@ -87,8 +87,8 @@ def test_mega_frame_matches_xla():
 def test_atlas11_in_kernel_sampling(monkeypatch):
     """1:1 atlas quads (glyphs, unscaled images) sample a VMEM-resident atlas
     INSIDE the Pallas kernels (mark_atlas11 + MODE_ATLAS11_BIT); parity
-    within 1/255. Forces FIGDRAW_ATLAS11=always — the default policy only
-    uses the in-kernel sample on the megakernel path."""
+    within 1/255. Forces FIGDRAW_ATLAS11=always — the default routes atlas
+    runs to the XLA windowed-gather path (measured faster)."""
     monkeypatch.setenv("FIGDRAW_ATLAS11", "always")
     import numpy as np
 
@@ -150,12 +150,16 @@ def test_atlas11_in_kernel_sampling(monkeypatch):
     assert np.abs(ref2.astype(int) - got2.astype(int)).max() <= 1
 
 
-def test_mega_text_in_clipped_cells():
-    """The text-heavy clip scene (glyphs inside clipping cells, > rolled
-    threshold) runs the MEGAKERNEL with in-kernel atlas sampling and matches
-    the XLA path within 1/255 — atlas.frag:284-295 sampling inside the one
-    shader, previously the round-1 exile case."""
+def test_mega_text_in_clipped_cells(monkeypatch):
+    """Under FIGDRAW_ATLAS11=always, the text-heavy clip scene (glyphs inside
+    clipping cells, > rolled threshold) runs the MEGAKERNEL with in-kernel
+    atlas sampling and matches the XLA path within 1/255 — atlas.frag:284-295
+    sampling inside the one shader. (The default routes this scene to the
+    rolled executor instead — measured 15x faster on hardware — so this
+    pins the experiment-gated path.)"""
     import numpy as np
+
+    monkeypatch.setenv("FIGDRAW_ATLAS11", "always")
 
     from figdraw_tpu import (
         Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
@@ -238,5 +242,63 @@ def test_atlas11_window_smaller_atlas_than_tile(monkeypatch):
     r2 = FigRenderer(atlas_size=64, use_pallas=True)
     r2.render_frame(renders, vec2(160, 96))
     assert r2.use_pallas, "tiny-atlas pallas path fell back"
+    got = r2.take_screenshot()
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_default_routes_atlas_clip_scene_to_rolled():
+    """DEFAULT policy: an atlas-bearing mask-heavy scene must NOT take the
+    megakernel (mega+atlas measured 44 ms vs 2.8 ms rolled on hardware) —
+    it runs the rolled executor, stays on pallas, and matches XLA."""
+    import numpy as np
+
+    from figdraw_tpu import (
+        Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
+    )
+    from figdraw_tpu import executor as ex
+    from figdraw_tpu.nodes import RenderList, Renders
+    from figdraw_tpu.renderer import FigRenderer
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    f = FigFont(typeface_id=tid, size=13.0)
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 360, 280),
+                     fill=fill(rgba(248, 249, 251, 255))))
+    for row in range(8):
+        for col in range(3):
+            cell = rect(8 + col * 116, 8 + row * 33, 110, 28)
+            ci = lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=cell,
+                                  corners=(5,) * 4,
+                                  flags=FigFlags.NfClipContent,
+                                  fill=fill(rgba(255, 255, 255, 255))))
+            arr = typeset(vec2(140, 24), [(f, fill(rgba(30, 30, 40, 255)),
+                                           f"cell r{row}c{col} spills wide")])
+            lst.add_child(ci, Fig(kind=FigKind.nkText,
+                                  screen_box=rect(cell.x + 4, cell.y + 5, 140, 20),
+                                  text_layout=arr))
+    scene = Renders()
+    scene.set_layer(0, lst)
+
+    r1 = FigRenderer(atlas_size=256, use_pallas=False)
+    r1.render_frame(scene, vec2(360, 280))
+    ref = r1.take_screenshot()
+
+    mega_hits = []
+    orig = ex.get_mega_executor
+
+    def spy(*a, **k):
+        mega_hits.append(k)
+        return orig(*a, **k)
+
+    ex.get_mega_executor = spy
+    try:
+        r2 = FigRenderer(atlas_size=256, use_pallas=True)
+        r2.render_frame(scene, vec2(360, 280))
+    finally:
+        ex.get_mega_executor = orig
+    assert not mega_hits, "atlas clip scene took the megakernel by default"
+    assert r2.use_pallas, "rolled path fell back"
     got = r2.take_screenshot()
     assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1

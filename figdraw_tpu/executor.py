@@ -47,6 +47,8 @@ def _meta_rows(n_draws: int, n_blurs: int, row_width: int) -> int:
 
 DENSE_TILE_H = 64
 DENSE_QUADS_PER_TILE = 48.0  # long per-tile walks amortize smaller tiles
+VERY_DENSE_TILE_H = 32
+VERY_DENSE_QUADS_PER_TILE = 120.0  # 3000-box class: 32-row tiles 1.7x 64
 SHORT_QUAD_H = 64.0  # short quads waste most of a 128-row tile
 
 
@@ -75,6 +77,8 @@ def pick_tile_h(fields_np, count: int, height: int, width: int) -> int:
     tiles = max((-(-height // TILE_H)) * (-(-width // TILE_W)), 1)
     pairs = ((bw // TILE_W) + 1) * ((bh // TILE_H) + 1)
     quads_per_tile = float(pairs.sum()) / tiles
+    if quads_per_tile > VERY_DENSE_QUADS_PER_TILE:
+        return VERY_DENSE_TILE_H
     if quads_per_tile > DENSE_QUADS_PER_TILE:
         return DENSE_TILE_H
     # the median (a sort) only decides the sparse case — skip it when density

@@ -99,6 +99,7 @@ from .fragments import (  # noqa: F401
     RenderCursor,
     RenderFragment,
     RenderFragments,
+    new_render_fragments,
 )
 from .renderer import (  # noqa: F401
     AtlasUsage,

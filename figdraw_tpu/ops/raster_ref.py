@@ -88,7 +88,10 @@ def draw_pass_frame_range_windowed(
     Glyph and image quads are tiny relative to the frame, so atlas-sampling
     runs drop from O(quads × pixels) to O(quads × window²) — the XLA-path
     analog of the Pallas kernel's tile binning. Order is preserved: the loop
-    is still one quad at a time in draw order."""
+    is still one quad at a time in draw order. Two window tiers: quads that
+    fit a (window//4)² tile (glyphs — typically 10-25 px) use it, cutting
+    per-quad frame traffic 16x; the rest use the full window, then the
+    whole frame."""
     height, width = frame.shape[0], frame.shape[1]
     if height < window or width < window:
         return draw_pass_frame_range(
@@ -98,8 +101,7 @@ def draw_pass_frame_range_windowed(
         )
     y_offset = jnp.asarray(y_offset, jnp.float32)
     px_full, py_full = pixel_centers(height, width, y0=y_offset)
-    wiy = jnp.arange(window, dtype=jnp.float32)[:, None] + 0.5
-    wix = jnp.arange(window, dtype=jnp.float32)[None, :] + 0.5
+    small = max(window // 4, 8)
 
     def body(i, frame):
         f = fields[i]
@@ -109,31 +111,37 @@ def draw_pass_frame_range_windowed(
         by0 = f[QF_BBOX_Y0]
         bx1 = f[QF_BBOX_X1]
         by1 = f[QF_BBOX_Y1]
-        fits = ((bx1 - bx0) <= window) & ((by1 - by0) <= window)
 
-        def windowed(frame):
-            # window origin in band-local rows; pixel centers stay global
-            x0 = jnp.clip(jnp.floor(bx0).astype(jnp.int32), 0, width - window)
-            y0 = jnp.clip(
-                jnp.floor(by0 - y_offset).astype(jnp.int32), 0, height - window
-            )
-            tile = jax.lax.dynamic_slice(frame, (y0, x0, 0), (window, window, 4))
-            px = x0.astype(jnp.float32) + wix
-            py = y_offset + y0.astype(jnp.float32) + wiy
-            px = jnp.broadcast_to(px, (window, window))
-            py = jnp.broadcast_to(py, (window, window))
-            frag_rgb, frag_a = eval_quad(
-                f, mode, px, py, atlas=atlas, backdrop=None,
-                subpixel_positioning=subpixel_positioning, pixelate=pixelate,
-            )
-            mask_tile = jax.lax.dynamic_slice(
-                masks, (mask_idx, y0, x0), (1, window, window)
-            )[0]
-            frag_a = frag_a * mask_tile
-            rgb, a = blend_over(tile[..., 0:3], tile[..., 3], frag_rgb, frag_a)
-            return jax.lax.dynamic_update_slice(
-                frame, jnp.concatenate([rgb, a[..., None]], axis=-1), (y0, x0, 0)
-            )
+        def make_windowed(win):
+            wiy = jnp.arange(win, dtype=jnp.float32)[:, None] + 0.5
+            wix = jnp.arange(win, dtype=jnp.float32)[None, :] + 0.5
+
+            def windowed(frame):
+                # window origin in band-local rows; pixel centers stay global
+                x0 = jnp.clip(jnp.floor(bx0).astype(jnp.int32), 0, width - win)
+                y0 = jnp.clip(
+                    jnp.floor(by0 - y_offset).astype(jnp.int32), 0, height - win
+                )
+                tile = jax.lax.dynamic_slice(frame, (y0, x0, 0), (win, win, 4))
+                px = x0.astype(jnp.float32) + wix
+                py = y_offset + y0.astype(jnp.float32) + wiy
+                px = jnp.broadcast_to(px, (win, win))
+                py = jnp.broadcast_to(py, (win, win))
+                frag_rgb, frag_a = eval_quad(
+                    f, mode, px, py, atlas=atlas, backdrop=None,
+                    subpixel_positioning=subpixel_positioning, pixelate=pixelate,
+                )
+                mask_tile = jax.lax.dynamic_slice(
+                    masks, (mask_idx, y0, x0), (1, win, win)
+                )[0]
+                frag_a = frag_a * mask_tile
+                rgb, a = blend_over(tile[..., 0:3], tile[..., 3], frag_rgb, frag_a)
+                return jax.lax.dynamic_update_slice(
+                    frame, jnp.concatenate([rgb, a[..., None]], axis=-1),
+                    (y0, x0, 0),
+                )
+
+            return windowed
 
         def full(frame):
             frag_rgb, frag_a = eval_quad(
@@ -147,7 +155,14 @@ def draw_pass_frame_range_windowed(
             rgb, a = blend_over(frame[..., 0:3], frame[..., 3], frag_rgb, frag_a)
             return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
-        return jax.lax.cond(fits, windowed, full, frame)
+        fits_small = ((bx1 - bx0) <= small) & ((by1 - by0) <= small)
+        fits_big = ((bx1 - bx0) <= window) & ((by1 - by0) <= window)
+        return jax.lax.cond(
+            fits_small,
+            make_windowed(small),
+            lambda fr: jax.lax.cond(fits_big, make_windowed(window), full, fr),
+            frame,
+        )
 
     return jax.lax.fori_loop(start, end, body, frame)
 

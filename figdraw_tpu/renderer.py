@@ -152,6 +152,9 @@ class FigRenderer:
         self._image_owners: Dict[Hashable, set] = {}
         self._font_owners: Dict[Hashable, set] = {}
         self._glyph_offsets: Dict[Hashable, Tuple[float, float]] = {}
+        # id(glyph block) -> (block ref, (config, atlas version) stamp);
+        # see _ensure_packed_glyphs
+        self._ensured_glyph_blocks: Dict[int, Tuple] = {}
         self._render_thread_id: Optional[int] = None
 
     def _assert_render_thread(self) -> None:
@@ -342,7 +345,13 @@ class FigRenderer:
         """Rasterize any glyphs the packed text rows reference that are not
         in the atlas yet — the cold-miss hook the Python walk runs lazily
         (figrender.nim:477-491), vectorized over GLYPH_DTYPE rows so the C++
-        walk only ever sees warm keys."""
+        walk only ever sees warm keys.
+
+        Glyph blocks are cached per arrangement (nodesarray.pack_text), so
+        their identity is stable across frames even when the scene array is
+        rebuilt; each block is scanned once per (text config, ui scale,
+        atlas entries version) instead of every frame — retained and
+        rebuilt-with-cached-layouts scenes skip the hash scan entirely."""
         from types import SimpleNamespace
 
         from .basics import fig_ui_scale
@@ -350,41 +359,59 @@ class FigRenderer:
         lcd, subpixel, variants_on = self._text_config()
         ui = fig_ui_scale()
         entries = self.atlas.entries
+        config_key = (lcd, variants_on, ui, self.atlas.entries_version,
+                      self.atlas.size)
+        cache = self._ensured_glyph_blocks
+        pending = []
         for _lvl, lst in renders.sorted_pairs():
-            glyphs, _trects = lst.text_view()
-            n = glyphs.shape[0]
-            if n == 0:
-                continue
-            if variants_on:
-                gx = glyphs["x"] * ui + glyphs["img_ox"]
-                frac = np.clip(gx - np.floor(gx), 0.0, 0.999)
-                variant = np.minimum((frac * 10.0).astype(np.int64), 9)
-            else:
-                variant = np.zeros(n, np.int64)
-            # vectorized text/glyphs.py glyph_hash
-            h = np.full(n, 0xCBF29CE484222325, np.uint64)
-            prime = np.uint64(0x100000001B3)
-            for v in (
-                np.full(n, 2344, np.uint64),
-                glyphs["font_id"].astype(np.uint64),
-                glyphs["glyph_id"].astype(np.uint64),
-                np.full(n, int(lcd), np.uint64),
-                variant.astype(np.uint64),
-            ):
-                h = (h ^ v) * prime
-            keys = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
-            uniq, first = np.unique(keys, return_index=True)
-            for k, i in zip(uniq.tolist(), first.tolist()):
-                if k in entries:
+            for block in lst.glyph_rows:
+                if block.ndim == 0 or block.shape[0] == 0:
                     continue
-                g = glyphs[i]
-                self._load_glyph(
-                    k,
-                    SimpleNamespace(font_id=int(g["font_id"]),
-                                    glyph_id=int(g["glyph_id"])),
-                    lcd,
-                    int(variant[i]),
-                )
+                marker = cache.get(id(block))
+                if (marker is not None and marker[0] is block
+                        and marker[1] == config_key):
+                    continue
+                pending.append(block)
+        if not pending:
+            return
+        glyphs = np.concatenate([np.atleast_1d(b) for b in pending])
+        n = glyphs.shape[0]
+        if variants_on:
+            gx = glyphs["x"] * ui + glyphs["img_ox"]
+            frac = np.clip(gx - np.floor(gx), 0.0, 0.999)
+            variant = np.minimum((frac * 10.0).astype(np.int64), 9)
+        else:
+            variant = np.zeros(n, np.int64)
+        # vectorized text/glyphs.py glyph_hash
+        h = np.full(n, 0xCBF29CE484222325, np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for v in (
+            np.full(n, 2344, np.uint64),
+            glyphs["font_id"].astype(np.uint64),
+            glyphs["glyph_id"].astype(np.uint64),
+            np.full(n, int(lcd), np.uint64),
+            variant.astype(np.uint64),
+        ):
+            h = (h ^ v) * prime
+        keys = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        uniq, first = np.unique(keys, return_index=True)
+        for k, i in zip(uniq.tolist(), first.tolist()):
+            if k in entries:
+                continue
+            g = glyphs[i]
+            self._load_glyph(
+                k,
+                SimpleNamespace(font_id=int(g["font_id"]),
+                                glyph_id=int(g["glyph_id"])),
+                lcd,
+                int(variant[i]),
+            )
+        # stamp with the post-load entries version so our own uploads don't
+        # immediately invalidate the markers
+        stamp = (lcd, variants_on, ui, self.atlas.entries_version,
+                 self.atlas.size)
+        for block in pending:
+            cache[id(block)] = (block, stamp)
 
     def _atlas_pack(self):
         """Prepacked fd_set_atlas arrays, cached by atlas entries version."""

@@ -32,10 +32,11 @@ def main():
 
     renderer = FigRenderer(atlas_size=256, use_pallas=True)
     size = vec2(WIDTH, HEIGHT)
+    scene_cache = {}  # retained array scene: static columns written once
 
     # warmup: animated frames hit every jit signature (pass structure is stable)
     for f in range(WARMUP):
-        frame = renderer.render_frame(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES), size)
+        frame = renderer.render_frame(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache), size)
     frame.block_until_ready()
 
     # --- sequential latency: block every frame -------------------------------
@@ -44,7 +45,7 @@ def main():
     total_ms = []
     for f in range(WARMUP, WARMUP + FRAMES):
         t0 = time.perf_counter()
-        renders = make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES)
+        renders = make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache)
         tape = renderer.flatten(renders, size)
         t1 = time.perf_counter()
         out = renderer.execute(tape)
@@ -63,7 +64,7 @@ def main():
         t0 = time.perf_counter()
         out = None
         for f in range(WARMUP, WARMUP + FRAMES):
-            tape = renderer.flatten(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES), size)
+            tape = renderer.flatten(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache), size)
             out = renderer.execute(tape)
         out.block_until_ready()
         pipe = (time.perf_counter() - t0) * 1000.0 / FRAMES

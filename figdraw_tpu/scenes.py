@@ -46,14 +46,12 @@ def _scene_randoms(copies: int, max_x: float, max_y: float):
     return cached
 
 
-def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
-    """Vectorized array-form builder of the same scene as make_render_tree —
-    the production path: numpy column writes straight into FIG_DTYPE rows,
-    consumed zero-copy by the native flattener. ~100x faster to build than
-    the object form."""
-    from .nodesarray import FIG_DTYPE, RenderListArray, RendersArray
+def _scene_static(w: float, h: float, copies: int):
+    """Everything in the 300-box scene that does NOT depend on the frame:
+    node kinds/flags, fill kinds and colors, strokes, shadow styles and
+    shadow fills, the static pill. Returns (RendersArray, RenderListArray)."""
+    from .nodesarray import RenderListArray, RendersArray
 
-    t = frame * 0.02
     n_nodes = 1 + copies * 3 + 3
     lst = RenderListArray(capacity=n_nodes)
     lst.count = n_nodes
@@ -61,62 +59,23 @@ def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
     nodes = lst.nodes
     nodes["parent"] = -1
 
-    i = np.arange(copies, dtype=np.float64)
-
     # backdrop
     nodes["kind"][0] = int(FigKind.nkRectangle)
     nodes["box"][0] = (0, 0, w, h)
     nodes["fill"]["kind"][0] = 0
     nodes["fill"]["c0"][0] = (255, 255, 255, 155)
 
-    max_w, max_h = 260.0, 180.0
-    max_x = max(0.0, w - (320.0 + max_w))
-    max_y = max(0.0, h - (300.0 + max_h))
-    base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
-    off_x = np.clip(base_xs + np.sin(t + i * 0.15) * 20, 0.0, max_x)
-    off_y = np.clip(base_ys + np.cos(t * 0.9 + i * 0.2) * 20, 0.0, max_y)
-
-    pulse_w = 0.5 + 0.5 * np.sin(t * 0.8 + i * 0.07)
-    pulse_h = 0.5 + 0.5 * np.cos(t * 0.65 + i * 0.09)
-
     red = slice(1, 1 + 3 * copies, 3)
     green = slice(2, 2 + 3 * copies, 3)
     blue = slice(3, 3 + 3 * copies, 3)
 
-    # red: elliptical stroked rect
-    cp = 0.5 + 0.5 * np.sin(t * 1.25 + i * 0.11)
-    c0f = 4.0 + 26.0 * cp
-    c1f = 6.0 + 22.0 * (1.0 - cp)
-    c2f = 8.0 + 18.0 * (0.5 + 0.5 * np.sin(t * 0.7 + i * 0.05))
-    c3f = 10.0 + 16.0 * (0.5 + 0.5 * np.cos(t * 0.8 + i * 0.06))
-    c0, c1, c2, c3 = (v.astype(np.uint16) for v in (c0f, c1f, c2f, c3f))
     nodes["kind"][red] = int(FigKind.nkRectangle)
     nodes["flags"][red] = int(FigFlags.NfEllipticalCorners)
-    nodes["box"][red] = np.stack(
-        [60.0 + off_x, 60.0 + off_y, 160.0 + 100.0 * pulse_w, 110.0 + 70.0 * pulse_h],
-        axis=1,
-    )
-    nodes["corners"][red] = np.stack([c0, c1, c2, c3], axis=1)
-    # matches int(c1 * 2) in the object form: truncate AFTER doubling
-    nodes["corners_y"][red] = np.stack(
-        [c0, (c1f * 2).astype(np.uint16), c2, (c3f * 2).astype(np.uint16)], axis=1
-    )
     nodes["fill"]["c0"][red] = (220, 40, 40, 155)
     nodes["stroke_weight"][red] = 5.0
     nodes["stroke_fill"]["c0"][red] = (0, 0, 0, 155)
 
-    # green: gradient or solid + drop shadow
-    gp = 0.5 + 0.5 * np.cos(t * 0.95 + i * 0.08)
-    g0 = (6.0 + 22.0 * gp).astype(np.uint16)
-    g1 = (8.0 + 18.0 * (1.0 - gp)).astype(np.uint16)
-    g2 = (10.0 + 16.0 * (0.5 + 0.5 * np.cos(t * 0.75 + i * 0.04))).astype(np.uint16)
-    g3 = (12.0 + 14.0 * (0.5 + 0.5 * np.sin(t * 0.85 + i * 0.05))).astype(np.uint16)
     nodes["kind"][green] = int(FigKind.nkRectangle)
-    nodes["box"][green] = np.stack(
-        [320.0 + off_x, 120.0 + off_y, 160.0 + 100.0 * pulse_h, 110.0 + 70.0 * pulse_w],
-        axis=1,
-    )
-    nodes["corners"][green] = np.stack([g0, g1, g2, g3], axis=1)
     green_grad = (np.arange(copies) % 2) == 0
     gidx = np.arange(2, 2 + 3 * copies, 3)
     gg = gidx[green_grad]
@@ -132,27 +91,10 @@ def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
     nodes["fill"]["c1"][gg] = (40, 180, 90, 255)
     nodes["fill"]["c2"][gg] = (78, 224, 188, 255)
     nodes["fill"]["c0"][gs] = (40, 180, 90, 155)
-    sp = 0.5 + 0.5 * np.sin(t * 1.1 + i * 0.05)
-    sh = nodes["shadows"][green, 0]
-    sh["style"] = 1
-    sh["blur"] = np.maximum(0.0, 6.0 + 18.0 * sp)
-    sh["spread"] = np.maximum(0.0, 4.0 + 20.0 * (1.0 - sp))
-    sh["x"] = 6.0 + 10.0 * np.sin(t * 0.9 + i * 0.03)
-    sh["y"] = 6.0 + 10.0 * np.cos(t * 0.9 + i * 0.03)
-    sh["fill"]["c0"] = (0, 0, 0, 155)
-    nodes["shadows"][green, 0] = sh
+    nodes["shadows"]["style"][green, 0] = 1
+    nodes["shadows"]["fill"]["c0"][green, 0] = (0, 0, 0, 155)
 
-    # blue: gradient or solid + stroke + inner shadow
     nodes["kind"][blue] = int(FigKind.nkRectangle)
-    nodes["box"][blue] = np.stack(
-        [
-            180.0 + off_x,
-            300.0 + off_y,
-            160.0 + 100.0 * (1.0 - pulse_w),
-            110.0 + 70.0 * (1.0 - pulse_h),
-        ],
-        axis=1,
-    )
     blue_grad = (np.arange(copies) % 3) == 0
     bidx = np.arange(3, 3 + 3 * copies, 3)
     bg_ = bidx[blue_grad]
@@ -170,21 +112,14 @@ def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
     nodes["fill"]["c0"][bs_] = (60, 90, 220, 155)
     nodes["stroke_weight"][blue] = 4.0
     nodes["stroke_fill"]["c0"][blue] = (255, 255, 255, 210)
-    ip = 0.5 + 0.5 * np.sin(t * 1.05 + i * 0.06)
-    ish = nodes["shadows"][blue, 0]
-    ish["style"] = 2
-    ish["blur"] = np.maximum(0.0, 8.0 + 10.0 * ip)
-    ish["spread"] = np.maximum(0.0, 2.0 + 10.0 * (1.0 - ip))
-    ish["x"] = 6.0 * np.sin(t * 0.85 + i * 0.04)
-    ish["y"] = 6.0 * np.cos(t * 0.8 + i * 0.04)
-    ish["fill"]["kind"][blue_grad] = 1
-    ish["fill"]["axis"][blue_grad] = int(FillGradientAxis.fgaDiagBLTR)
-    ish["fill"]["c0"][blue_grad] = (25, 25, 40, 100)
-    ish["fill"]["c1"][blue_grad] = (65, 65, 95, 180)
-    ish["fill"]["c0"][~blue_grad] = (40, 40, 60, 150)
-    nodes["shadows"][blue, 0] = ish
+    nodes["shadows"]["style"][blue, 0] = 2
+    nodes["shadows"]["fill"]["kind"][bg_, 0] = 1
+    nodes["shadows"]["fill"]["axis"][bg_, 0] = int(FillGradientAxis.fgaDiagBLTR)
+    nodes["shadows"]["fill"]["c0"][bg_, 0] = (25, 25, 40, 100)
+    nodes["shadows"]["fill"]["c1"][bg_, 0] = (65, 65, 95, 180)
+    nodes["shadows"]["fill"]["c0"][bs_, 0] = (40, 40, 60, 150)
 
-    # pill / blur panel / overlay
+    # static elliptical pill
     base = 1 + 3 * copies
     nodes["kind"][base] = int(FigKind.nkRectangle)
     nodes["box"][base] = (max(20.0, w - 200.0), 20, 180, 100)
@@ -195,23 +130,123 @@ def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100):
     nodes["stroke_weight"][base] = 4.0
     nodes["stroke_fill"]["c0"][base] = (90, 45, 0, 220)
 
-    yw, yh, ym = 360.0, 240.0, 20.0
-    yx = ym + max(0.0, w - yw - ym * 2.0) * (0.5 + 0.5 * math.sin(t * 0.33))
-    yy = ym + max(0.0, h - yh - ym * 2.0) * (0.5 + 0.5 * math.cos(t * 0.41))
-    yc = int(20.0 + 12.0 * (0.5 + 0.5 * math.sin(t * 0.7)))
+    # blur panel + overlay (boxes animate; styles don't)
     nodes["kind"][base + 1] = int(FigKind.nkBackdropBlur)
-    nodes["box"][base + 1] = (yx, yy, yw, yh)
-    nodes["corners"][base + 1] = (yc,) * 4
     nodes["blur"][base + 1] = 18.0
     nodes["kind"][base + 2] = int(FigKind.nkRectangle)
-    nodes["box"][base + 2] = (yx, yy, yw, yh)
-    nodes["corners"][base + 2] = (yc,) * 4
     nodes["fill"]["c0"][base + 2] = (255, 225, 55, 120)
     nodes["stroke_weight"][base + 2] = 6.0
     nodes["stroke_fill"]["c0"][base + 2] = (95, 72, 0, 185)
 
     out = RendersArray()
     out.set_layer(0, lst)
+    return out, lst
+
+
+def _scene_animate(nodes, w: float, h: float, frame: int, copies: int) -> None:
+    """The frame-dependent columns: box positions/sizes, corner radii,
+    shadow blur/spread/offsets, and the moving blur panel + overlay."""
+    t = frame * 0.02
+    i = np.arange(copies, dtype=np.float64)
+
+    max_w, max_h = 260.0, 180.0
+    max_x = max(0.0, w - (320.0 + max_w))
+    max_y = max(0.0, h - (300.0 + max_h))
+    base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
+    off_x = np.clip(base_xs + np.sin(t + i * 0.15) * 20, 0.0, max_x)
+    off_y = np.clip(base_ys + np.cos(t * 0.9 + i * 0.2) * 20, 0.0, max_y)
+
+    pulse_w = 0.5 + 0.5 * np.sin(t * 0.8 + i * 0.07)
+    pulse_h = 0.5 + 0.5 * np.cos(t * 0.65 + i * 0.09)
+
+    red = slice(1, 1 + 3 * copies, 3)
+    green = slice(2, 2 + 3 * copies, 3)
+    blue = slice(3, 3 + 3 * copies, 3)
+
+    # red: elliptical corner animation
+    cp = 0.5 + 0.5 * np.sin(t * 1.25 + i * 0.11)
+    c0f = 4.0 + 26.0 * cp
+    c1f = 6.0 + 22.0 * (1.0 - cp)
+    c2f = 8.0 + 18.0 * (0.5 + 0.5 * np.sin(t * 0.7 + i * 0.05))
+    c3f = 10.0 + 16.0 * (0.5 + 0.5 * np.cos(t * 0.8 + i * 0.06))
+    c0, c1, c2, c3 = (v.astype(np.uint16) for v in (c0f, c1f, c2f, c3f))
+    nodes["box"][red] = np.stack(
+        [60.0 + off_x, 60.0 + off_y, 160.0 + 100.0 * pulse_w, 110.0 + 70.0 * pulse_h],
+        axis=1,
+    )
+    nodes["corners"][red] = np.stack([c0, c1, c2, c3], axis=1)
+    # matches int(c1 * 2) in the object form: truncate AFTER doubling
+    nodes["corners_y"][red] = np.stack(
+        [c0, (c1f * 2).astype(np.uint16), c2, (c3f * 2).astype(np.uint16)], axis=1
+    )
+
+    # green: box, corners, drop shadow animation
+    gp = 0.5 + 0.5 * np.cos(t * 0.95 + i * 0.08)
+    g0 = (6.0 + 22.0 * gp).astype(np.uint16)
+    g1 = (8.0 + 18.0 * (1.0 - gp)).astype(np.uint16)
+    g2 = (10.0 + 16.0 * (0.5 + 0.5 * np.cos(t * 0.75 + i * 0.04))).astype(np.uint16)
+    g3 = (12.0 + 14.0 * (0.5 + 0.5 * np.sin(t * 0.85 + i * 0.05))).astype(np.uint16)
+    nodes["box"][green] = np.stack(
+        [320.0 + off_x, 120.0 + off_y, 160.0 + 100.0 * pulse_h, 110.0 + 70.0 * pulse_w],
+        axis=1,
+    )
+    nodes["corners"][green] = np.stack([g0, g1, g2, g3], axis=1)
+    sp = 0.5 + 0.5 * np.sin(t * 1.1 + i * 0.05)
+    sh = nodes["shadows"]
+    sh["blur"][green, 0] = np.maximum(0.0, 6.0 + 18.0 * sp)
+    sh["spread"][green, 0] = np.maximum(0.0, 4.0 + 20.0 * (1.0 - sp))
+    sh["x"][green, 0] = 6.0 + 10.0 * np.sin(t * 0.9 + i * 0.03)
+    sh["y"][green, 0] = 6.0 + 10.0 * np.cos(t * 0.9 + i * 0.03)
+
+    # blue: box + inner shadow animation
+    nodes["box"][blue] = np.stack(
+        [
+            180.0 + off_x,
+            300.0 + off_y,
+            160.0 + 100.0 * (1.0 - pulse_w),
+            110.0 + 70.0 * (1.0 - pulse_h),
+        ],
+        axis=1,
+    )
+    ip = 0.5 + 0.5 * np.sin(t * 1.05 + i * 0.06)
+    sh["blur"][blue, 0] = np.maximum(0.0, 8.0 + 10.0 * ip)
+    sh["spread"][blue, 0] = np.maximum(0.0, 2.0 + 10.0 * (1.0 - ip))
+    sh["x"][blue, 0] = 6.0 * np.sin(t * 0.85 + i * 0.04)
+    sh["y"][blue, 0] = 6.0 * np.cos(t * 0.8 + i * 0.04)
+
+    # moving blur panel + overlay
+    base = 1 + 3 * copies
+    yw, yh, ym = 360.0, 240.0, 20.0
+    yx = ym + max(0.0, w - yw - ym * 2.0) * (0.5 + 0.5 * math.sin(t * 0.33))
+    yy = ym + max(0.0, h - yh - ym * 2.0) * (0.5 + 0.5 * math.cos(t * 0.41))
+    yc = int(20.0 + 12.0 * (0.5 + 0.5 * math.sin(t * 0.7)))
+    nodes["box"][base + 1] = (yx, yy, yw, yh)
+    nodes["corners"][base + 1] = (yc,) * 4
+    nodes["box"][base + 2] = (yx, yy, yw, yh)
+    nodes["corners"][base + 2] = (yc,) * 4
+
+
+def make_render_tree_array(w: float, h: float, frame: int, copies: int = 100,
+                           cache: dict = None):
+    """Vectorized array-form builder of the same scene as make_render_tree —
+    the production path: numpy column writes straight into FIG_DTYPE rows,
+    consumed zero-copy by the native flattener. ~100x faster to build than
+    the object form.
+
+    cache: a caller-owned dict enables the RETAINED form — the static
+    columns (kinds, fills, strokes, shadow styles) are written once and only
+    the animated columns update per frame, like a production frame loop
+    mutating a retained scene array."""
+    if cache is not None:
+        key = (w, h, copies)
+        ent = cache.get(key)
+        if ent is None:
+            ent = cache[key] = _scene_static(w, h, copies)
+        out, lst = ent
+        _scene_animate(lst.nodes, w, h, frame, copies)
+        return out
+    out, lst = _scene_static(w, h, copies)
+    _scene_animate(lst.nodes, w, h, frame, copies)
     return out
 
 

@@ -235,10 +235,11 @@ def get_frame_executor(
         )
 
         atlas_planes = None
+        atlas_real = 0
         if use_pallas and any(
             item[0] == "draw" and _draw_flags(item)[3] for item in structure
         ):
-            atlas_planes = jnp.transpose(atlas, (2, 0, 1))
+            atlas_planes, atlas_real = raster_pallas.atlas_to_planes(atlas)
 
         di = 0
         bi = 0
@@ -262,6 +263,7 @@ def get_frame_executor(
                             tile_h=th, tile_w=tw,
                             atlas_planes=atlas_planes if atlas11 else None,
                             subpixel_positioning=subpixel_positioning,
+                            atlas_size=atlas_real if atlas11 else 0,
                         )
                     else:
                         hwc = to_hwc(planes)
@@ -434,13 +436,16 @@ def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: boo
                 clear_color[:, None, None], (4, ph, pw)
             ).astype(jnp.float32)
 
+        if has_atlas:
+            atlas_planes, atlas_real = raster_pallas.atlas_to_planes(atlas)
+        else:
+            atlas_planes, atlas_real = None, 0
         planes = raster_pallas.draw_pass_mega(
             fields, modes, planes, n_masks,
             tile_h=th, tile_w=tw,
-            atlas_planes=(
-                jnp.transpose(atlas, (2, 0, 1)) if has_atlas else None
-            ),
+            atlas_planes=atlas_planes,
             subpixel_positioning=subpixel_positioning,
+            atlas_size=atlas_real,
         )
         return jnp.transpose(planes, (1, 2, 0))[:height, :width]
 
@@ -528,10 +533,10 @@ def get_rolled_executor(
                 fields, jnp.int32(fields.shape[0]), ph, pw,
                 tile_h=th, tile_w=tw,
             )
-        atlas_planes = (
-            jnp.transpose(atlas, (2, 0, 1))
-            if use_pallas and pallas_atlas else None
-        )
+        if use_pallas and pallas_atlas:
+            atlas_planes, atlas_real = raster_pallas.atlas_to_planes(atlas)
+        else:
+            atlas_planes, atlas_real = None, 0
 
         def draw_frame_sdf(planes, masks, backdrop, target, s, e, radius):
             if use_pallas:
@@ -540,6 +545,7 @@ def get_rolled_executor(
                     tile_h=th, tile_w=tw,
                     atlas_planes=atlas_planes,
                     subpixel_positioning=subpixel_positioning,
+                    atlas_size=atlas_real,
                 )
             else:
                 # atlas passed so runs mapped to SDF under pallas_atlas stay
@@ -561,6 +567,7 @@ def get_rolled_executor(
                     tile_h=th, tile_w=tw,
                     atlas_planes=atlas_planes,
                     subpixel_positioning=subpixel_positioning,
+                    atlas_size=atlas_real,
                 )
             else:
                 out = to_planes(

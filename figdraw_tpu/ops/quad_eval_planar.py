@@ -55,7 +55,8 @@ from .quad_eval import (
 
 def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
                      atlas_ref=None, tile_origin=None,
-                     subpixel_positioning: bool = False):
+                     subpixel_positioning: bool = False,
+                     atlas_size: int = 0):
     """Evaluate one SDF quad over a 2D pixel tile.
 
     fget(k) -> scalar f32 field at layout offset k (reads from a VMEM row or a
@@ -266,7 +267,14 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
             return fr, fg, fb, fa * alpha
 
         def atlas_eval(_):
-            size = atlas_ref.shape[1]
+            # texel math uses the REAL atlas size (uv coords are normalized
+            # by it); window placement uses the (possibly padded) buffer —
+            # raster_pallas.atlas_to_planes pads tiny atlases up to the full
+            # window so the window never clamps below (th+8, tw+128): a
+            # 64-px atlas made those sub-tile windows and Mosaic refused the
+            # short lane roll on hardware
+            buf = atlas_ref.shape[1]
+            size = atlas_size or buf
             shift = fget(QF_SUBPIXEL_SHIFT) if subpixel_positioning else 0.0
             # texel index at tile pixel (ix, iy): tex*S - 0.5 evaluated at the
             # +0.5 pixel center — the two halves cancel, leaving a pure
@@ -279,14 +287,13 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
             iby = jnp.floor(by).astype(jnp.int32)
             fx = bx - ibx.astype(jnp.float32)
             fy = by - iby.astype(jnp.float32)
-            # window clamped to the atlas (small atlases can be narrower
-            # than a tile); the roll modulus is the window size, and quad
-            # texels never wrap (their atlas span fits the clamped window —
-            # entries carry a >= 4 px margin)
-            ph = min(-(-(th + 8) // 8) * 8, size)
-            pw = min(-(-(tw + 128) // 128) * 128, size)
-            by2 = jnp.clip(iby, 0, size - ph)
-            bx2 = jnp.clip(ibx, 0, size - pw)
+            # window clamped to the buffer; the roll modulus is the window
+            # size, and quad texels never wrap (their atlas span fits the
+            # clamped window — entries carry a >= 4 px margin)
+            ph = min(-(-(th + 8) // 8) * 8, buf)
+            pw = min(-(-(tw + 128) // 128) * 128, buf)
+            by2 = jnp.clip(iby, 0, buf - ph)
+            bx2 = jnp.clip(ibx, 0, buf - pw)
             # Mosaic requires dynamic vector-load offsets provably aligned to
             # the (8, 128) f32 tile; snap the clamped start down in the
             # (x // A) * A form its divisibility prover recognizes. The snap

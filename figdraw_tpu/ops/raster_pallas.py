@@ -43,6 +43,23 @@ TILE_W = int(_os.environ.get("FIGDRAW_TILE_W", "128"))
 ATLAS_BASE_MODES = (0, 13, 14, 15, 16)
 
 
+def atlas_to_planes(atlas):
+    """(S, S, 4) HWC atlas -> ((4, T, T) channel-planar planes, S).
+
+    T = max(S, 256) so the in-kernel sampling window (th+8 <= 136 rows,
+    tw+128 = 256 lanes) always fits the buffer whole: atlases smaller than
+    a tile would otherwise clamp the window below the tile and hit sub-128
+    lane rolls Mosaic refuses on hardware. Texel math keeps using the REAL
+    size S (returned second); the zero padding is only ever read for
+    pixels outside the quad, which are alpha-masked."""
+    planes = jnp.transpose(atlas, (2, 0, 1))
+    s = planes.shape[1]
+    t = max(s, 256)
+    if t != s:
+        planes = jnp.pad(planes, ((0, 0), (0, t - s), (0, t - s)))
+    return planes, s
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -133,7 +150,7 @@ def _lower_bound(tidx_ref, count, value):
 def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
             masks_ref, *rest, tiles_x: int, has_backdrop: bool,
             mask_target: bool = False, has_atlas: bool = False,
-            subpixel_positioning: bool = False):
+            subpixel_positioning: bool = False, atlas_size: int = 0):
     """seg_ref: (3,) SMEM [start, end, row0]: the [start, end) quad-id range
     of this draw run (or a range covering everything) plus the global row of
     tile row 0 (nonzero when this kernel rasterizes one device's row band of
@@ -197,7 +214,7 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
         fr, fg, fb, fa = eval_quad_planar(
             fget, mode, px, py, backdrop_planes=bd,
             atlas_ref=atlas_ref, tile_origin=(x0, y0),
-            subpixel_positioning=subpixel_positioning,
+            subpixel_positioning=subpixel_positioning, atlas_size=atlas_size,
         )
         fa = fa * masks_ref[mask_i]
         inv = 1.0 - fa
@@ -214,12 +231,13 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_y", "tiles_x", "has_backdrop", "mask_target",
-                     "tile_h", "tile_w", "subpixel_positioning"),
+                     "tile_h", "tile_w", "subpixel_positioning", "atlas_size"),
 )
 def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks,
                   backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool,
                   mask_target: bool = False, tile_h: int = 0, tile_w: int = 0,
-                  atlas_planes=None, subpixel_positioning: bool = False):
+                  atlas_planes=None, subpixel_positioning: bool = False,
+                  atlas_size: int = 0):
     n = fields.shape[0]
     n_masks = masks.shape[0]
     th = tile_h or TILE_H
@@ -261,7 +279,7 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
     kernel = functools.partial(
         _kernel, tiles_x=tiles_x, has_backdrop=has_backdrop,
         mask_target=mask_target, has_atlas=has_atlas,
-        subpixel_positioning=subpixel_positioning,
+        subpixel_positioning=subpixel_positioning, atlas_size=atlas_size,
     )
     out = pl.pallas_call(
         kernel,
@@ -275,7 +293,8 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
 def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
                      backdrop_planes=None, y_offset=None,
                      tile_h: int = 0, tile_w: int = 0,
-                     atlas_planes=None, subpixel_positioning: bool = False):
+                     atlas_planes=None, subpixel_positioning: bool = False,
+                     atlas_size: int = 0):
     """Planar-layout draw pass over quads [start, end) — the building block the
     fused frame executor chains inside one jit.
 
@@ -313,7 +332,7 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
         fields, modes, tile_idx, tile_counts, seg, frame_planes, masks_p,
         backdrop_planes, tiles_y, tiles_x, backdrop_planes is not None,
         tile_h=th, tile_w=tw, atlas_planes=atlas_planes,
-        subpixel_positioning=subpixel_positioning,
+        subpixel_positioning=subpixel_positioning, atlas_size=atlas_size,
     )
 
 
@@ -349,7 +368,8 @@ def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
                                frame_planes, masks_p, backdrop_planes=None,
                                y_offset=None, tile_h: int = 0, tile_w: int = 0,
                                atlas_planes=None,
-                               subpixel_positioning: bool = False):
+                               subpixel_positioning: bool = False,
+                               atlas_size: int = 0):
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]
@@ -358,6 +378,7 @@ def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
         frame_planes, masks_p, backdrop_planes, ph // th, pw // tw,
         backdrop_planes is not None, tile_h=th, tile_w=tw,
         atlas_planes=atlas_planes, subpixel_positioning=subpixel_positioning,
+        atlas_size=atlas_size,
     )
 
 
@@ -404,7 +425,7 @@ MEGA_EVAL_MASK = 0x2FFF
 
 def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
                  *rest, tiles_x: int, n_masks: int, has_atlas: bool = False,
-                 subpixel_positioning: bool = False):
+                 subpixel_positioning: bool = False, atlas_size: int = 0):
     rest = list(rest)
     atlas_ref = rest.pop(0) if has_atlas else None
     (out_ref,) = rest
@@ -449,6 +470,7 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
                 fget, mode, px, py,
                 atlas_ref=atlas_ref, tile_origin=(x0, y0),
                 subpixel_positioning=subpixel_positioning,
+                atlas_size=atlas_size,
             )
             parent = jnp.where(kiota == mask_i, masks, 0.0).sum(axis=0)
             fa = fa * parent
@@ -478,12 +500,12 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
 
 @functools.partial(
     jax.jit, static_argnames=("tiles_y", "tiles_x", "n_masks", "tile_h", "tile_w",
-                              "subpixel_positioning")
+                              "subpixel_positioning", "atlas_size")
 )
 def _raster_mega(fields, modes, tile_idx, tile_counts, seg, frame_planes,
                  tiles_y: int, tiles_x: int, n_masks: int,
                  tile_h: int = 0, tile_w: int = 0, atlas_planes=None,
-                 subpixel_positioning: bool = False):
+                 subpixel_positioning: bool = False, atlas_size: int = 0):
     n = fields.shape[0]
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
@@ -511,7 +533,7 @@ def _raster_mega(fields, modes, tile_idx, tile_counts, seg, frame_planes,
     )
     kernel = functools.partial(
         _mega_kernel, tiles_x=tiles_x, n_masks=n_masks, has_atlas=has_atlas,
-        subpixel_positioning=subpixel_positioning,
+        subpixel_positioning=subpixel_positioning, atlas_size=atlas_size,
     )
     return pl.pallas_call(
         kernel,
@@ -523,7 +545,7 @@ def _raster_mega(fields, modes, tile_idx, tile_counts, seg, frame_planes,
 
 def draw_pass_mega(fields, modes, frame_planes, n_masks: int, y_offset=None,
                    tile_h: int = 0, tile_w: int = 0, atlas_planes=None,
-                   subpixel_positioning: bool = False):
+                   subpixel_positioning: bool = False, atlas_size: int = 0):
     """One-kernel whole frame over target-baked modes; frame_planes (4, PH, PW)."""
     import os
 
@@ -545,6 +567,7 @@ def draw_pass_mega(fields, modes, frame_planes, n_masks: int, y_offset=None,
         fields, modes, tile_idx, tile_counts, row0[None], frame_planes,
         ph // th, pw // tw, n_masks, tile_h=th, tile_w=tw,
         atlas_planes=atlas_planes, subpixel_positioning=subpixel_positioning,
+        atlas_size=atlas_size,
     )
 
 

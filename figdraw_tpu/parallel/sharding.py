@@ -252,10 +252,11 @@ def get_sharded_frame_executor(
                 y_offset=row0, tile_h=th, tile_w=tw,
             )
         atlas_planes = None
+        atlas_real = 0
         if use_pallas and any(
             item[0] == "draw" and ex._draw_flags(item)[3] for item in structure
         ):
-            atlas_planes = jnp.transpose(atlas, (2, 0, 1))
+            atlas_planes, atlas_real = raster_pallas.atlas_to_planes(atlas)
 
         di = 0
         bi = 0
@@ -280,6 +281,7 @@ def get_sharded_frame_executor(
                             y_offset=row0, tile_h=th, tile_w=tw,
                             atlas_planes=atlas_planes if atlas11 else None,
                             subpixel_positioning=subpixel_positioning,
+                            atlas_size=atlas_real if atlas11 else 0,
                         )
                     else:
                         hwc = to_hwc(planes)
@@ -353,13 +355,16 @@ def get_sharded_mega_executor(
             planes = jnp.broadcast_to(
                 clear_color[:, None, None], (4, pband, pw)
             ).astype(jnp.float32)
+        if has_atlas:
+            atlas_planes, atlas_real = raster_pallas.atlas_to_planes(atlas)
+        else:
+            atlas_planes, atlas_real = None, 0
         planes = raster_pallas.draw_pass_mega(
             fields, modes, planes, n_masks,
             y_offset=row0, tile_h=th, tile_w=tw,
-            atlas_planes=(
-                jnp.transpose(atlas, (2, 0, 1)) if has_atlas else None
-            ),
+            atlas_planes=atlas_planes,
             subpixel_positioning=subpixel_positioning,
+            atlas_size=atlas_real,
         )
         return jnp.transpose(planes, (1, 2, 0))
 

@@ -132,6 +132,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int,
         ]
         lib.fd_renders_add_op.restype = ctypes.c_int
+        lib.fd_renders_glyph_count.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fd_renders_glyph_count.restype = ctypes.c_int
+        lib.fd_renders_trect_count.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fd_renders_trect_count.restype = ctypes.c_int
+        lib.fd_renders_add_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.fd_renders_add_text.restype = ctypes.c_int
         lib.fd_flatten_renders.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.fd_fill_solid.argtypes = [
             ctypes.c_void_p, ctypes.c_uint8, ctypes.c_uint8,

@@ -89,6 +89,18 @@ int fd_renders_op_count(FdRenders *renders, int zlevel);
 int fd_renders_add_op(FdRenders *renders, int zlevel, const void *op,
                       const float *pts, int n_pts);
 
+/* Text geometry for nkText nodes: pre-shaped glyph rows
+ * (fd_glyph_struct_size() bytes each, layout = nodesarray.py GLYPH_DTYPE)
+ * and selection/decoration rects (fd_trect_struct_size(), TRECT_DTYPE).
+ * Same pattern as ops: read the layer's current counts into the node's
+ * glyphs_start / trects_start, append the rows, set the counts, then add
+ * the node. Glyph atlas entries + raster origin offsets come from
+ * fd_set_atlas / fd_set_glyph_offsets on the flatten context. */
+int fd_renders_glyph_count(FdRenders *renders, int zlevel);
+int fd_renders_trect_count(FdRenders *renders, int zlevel);
+int fd_renders_add_text(FdRenders *renders, int zlevel, const void *glyphs,
+                        int n_glyphs, const void *trects, int n_trects);
+
 /* Flatten every layer (ascending zlevel) into the context's tape. */
 void fd_flatten_renders(FigdrawFlattenCtx *ctx, FdRenders *renders);
 

@@ -1338,6 +1338,8 @@ struct FdLayer {
   std::vector<int32_t> roots;
   std::vector<DrawOp> ops;
   std::vector<float> points;  // flat (n, 2)
+  std::vector<GlyphRow> glyphs;  // pre-shaped text geometry (GLYPH_DTYPE rows)
+  std::vector<TextRect> trects;
 };
 
 struct FdRenders {
@@ -1397,6 +1399,31 @@ int fd_renders_op_count(FdRenders* r, int zlevel) {
   return (int)r->layer(zlevel).ops.size();
 }
 
+// Text geometry (pre-shaped, GLYPH_DTYPE / TRECT_DTYPE rows): read the
+// counts into Fig.glyphs_start / trects_start, append the node's rows, set
+// the node's counts, then add the node — the same pattern as drawable ops.
+int fd_renders_glyph_count(FdRenders* r, int zlevel) {
+  return (int)r->layer(zlevel).glyphs.size();
+}
+
+int fd_renders_trect_count(FdRenders* r, int zlevel) {
+  return (int)r->layer(zlevel).trects.size();
+}
+
+int fd_renders_add_text(FdRenders* r, int zlevel, const void* glyphs,
+                        int n_glyphs, const void* trects, int n_trects) {
+  FdLayer& l = r->layer(zlevel);
+  if (glyphs && n_glyphs > 0) {
+    const GlyphRow* g = (const GlyphRow*)glyphs;
+    l.glyphs.insert(l.glyphs.end(), g, g + n_glyphs);
+  }
+  if (trects && n_trects > 0) {
+    const TextRect* t = (const TextRect*)trects;
+    l.trects.insert(l.trects.end(), t, t + n_trects);
+  }
+  return (int)l.glyphs.size();
+}
+
 // Append one drawable op. For bezier ops pass the control points; p_start is
 // rewritten to the layer's point pool offset. Returns the op index.
 int fd_renders_add_op(FdRenders* r, int zlevel, const void* op,
@@ -1420,11 +1447,15 @@ void fd_flatten_renders(Ctx* ctx, FdRenders* r) {
   for (FdLayer& l : r->layers) {
     ctx->ops = l.ops.empty() ? nullptr : l.ops.data();
     ctx->points = l.points.empty() ? nullptr : l.points.data();
+    ctx->glyphs = l.glyphs.empty() ? nullptr : l.glyphs.data();
+    ctx->trects = l.trects.empty() ? nullptr : l.trects.data();
     for (int32_t root : l.roots)
       render_node(*ctx, l.nodes.data(), (int)l.nodes.size(), root);
   }
   ctx->ops = nullptr;
   ctx->points = nullptr;
+  ctx->glyphs = nullptr;
+  ctx->trects = nullptr;
 }
 
 // Fill helpers (filltypes.nim fill()/linear()): kind 0 solid, 1 linear2,

@@ -191,3 +191,99 @@ def test_c_host_demo_compiles_and_runs(tmp_path):
     out = subprocess.run([exe], check=True, capture_output=True, text=True)
     assert out.stdout.startswith("quads=")
     assert int(out.stdout.split("=")[1]) >= 3
+
+
+def test_capi_text_node_matches_python_scene():
+    """fd_renders_add_text: a C host appending pre-shaped glyph rows and
+    decoration rects renders the same tape as the Python text path (the
+    reference dynlib exports text drawing the same way)."""
+    from figdraw_tpu import Fig, FigKind, fill, new_renders, rect, rgba, vec2
+    from figdraw_tpu.basics import fig_ui_scale
+    from figdraw_tpu.nodesarray import from_renders
+    from figdraw_tpu.renderer import FigRenderer
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    f = FigFont(typeface_id=tid, size=16.0, underline=True)
+    arr = typeset(vec2(140, 24), [(f, fill(rgba(20, 20, 40, 255)), "AV fi")])
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, 160, 60),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    renders.add_root(0, Fig(kind=FigKind.nkText,
+                            screen_box=rect(8, 8, 140, 24), text_layout=arr))
+    scene = from_renders(renders)
+
+    ren = FigRenderer(atlas_size=128, use_pallas=False)
+    py_tape = ren.flatten(scene, vec2(160, 60))  # rasterizes glyphs, warm atlas
+    assert py_tape.count > 3  # bg + underline + glyph quads
+
+    # --- the same scene through the C ABI ------------------------------------
+    lst = scene.layers[0]
+    glyphs, trects = lst.text_view()
+    bg_row = np.ascontiguousarray(lst.nodes[0])
+    text_row = np.ascontiguousarray(lst.nodes[1])  # glyphs_start/count packed
+
+    lib = native._load()
+    ids, levels, rects_ = native.pack_atlas_entries(ren.atlas.entries,
+                                                    ren.atlas.size)
+    go = ren._glyph_offsets_pack()
+    ctx = lib.fd_create(ctypes.c_float(fig_ui_scale()), ctypes.c_float(1.0),
+                        ctypes.c_float(1.2))
+    rend = lib.fd_renders_new()
+    try:
+        lib.fd_set_text_config(ctx, 0, 0, 0)
+        lib.fd_set_atlas(
+            ctx,
+            ids.ctypes.data_as(ctypes.c_void_p),
+            levels.ctypes.data_as(ctypes.c_void_p),
+            rects_.ctypes.data_as(ctypes.c_void_p),
+            ids.shape[0], ctypes.c_float(float(ren.atlas.size)),
+        )
+        if go:
+            gkeys, goffs = go
+            lib.fd_set_glyph_offsets(
+                ctx,
+                gkeys.ctypes.data_as(ctypes.c_void_p),
+                goffs.ctypes.data_as(ctypes.c_void_p),
+                gkeys.shape[0],
+            )
+        u, v = ren._white_uv()
+        lib.fd_set_white_uv(ctx, ctypes.c_double(u), ctypes.c_double(v))
+
+        assert lib.fd_renders_add_root(rend, 0, _row_ptr(bg_row)) == 0
+        assert lib.fd_renders_glyph_count(rend, 0) == 0
+        assert lib.fd_renders_trect_count(rend, 0) == 0
+        g = np.ascontiguousarray(glyphs)
+        t = np.ascontiguousarray(trects)
+        lib.fd_renders_add_text(
+            rend, 0,
+            g.ctypes.data_as(ctypes.c_void_p), g.shape[0],
+            t.ctypes.data_as(ctypes.c_void_p), t.shape[0],
+        )
+        assert lib.fd_renders_glyph_count(rend, 0) == g.shape[0]
+        lib.fd_renders_add_root(rend, 0, _row_ptr(text_row))
+
+        lib.fd_flatten_renders(ctx, rend)
+        n = lib.fd_quad_count(ctx)
+        fields = np.zeros((max(n, 1), 68), np.float32)
+        modes = np.zeros((max(n, 1), 2), np.int32)
+        items = np.zeros((max(lib.fd_item_count(ctx), 1), 5), np.int32)
+        rc = lib.fd_export(
+            ctx,
+            fields.ctypes.data_as(ctypes.c_void_p),
+            modes.ctypes.data_as(ctypes.c_void_p),
+            fields.shape[0],
+            items.ctypes.data_as(ctypes.c_void_p),
+            items.shape[0],
+        )
+        assert rc == n
+    finally:
+        lib.fd_renders_free(rend)
+        lib.fd_destroy(ctx)
+
+    assert n == py_tape.count
+    assert np.array_equal(py_tape.fields[:n], fields[:n])
+    assert np.array_equal(py_tape.modes[:n], modes[:n])

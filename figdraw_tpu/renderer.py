@@ -407,7 +407,11 @@ class FigRenderer:
                 int(variant[i]),
             )
         # stamp with the post-load entries version so our own uploads don't
-        # immediately invalidate the markers
+        # immediately invalidate the markers; bound the table so frame loops
+        # that typeset WITHOUT layout caching (fresh arrangements every
+        # frame) don't grow it without limit
+        if len(cache) > 4096:
+            cache.clear()
         stamp = (lcd, variants_on, ui, self.atlas.entries_version,
                  self.atlas.size)
         for block in pending:

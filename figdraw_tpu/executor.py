@@ -241,6 +241,31 @@ def get_frame_executor(
         ):
             atlas_planes, atlas_real = raster_pallas.atlas_to_planes(atlas)
 
+        # ONE binning (argsort) serves every Pallas frame draw of the frame;
+        # runs select their contiguous per-tile segments in-kernel. Occlusion
+        # culling stays run-scoped via run_bounds (binning.bin_quads) — a
+        # per-run bin_quads costs ~0.3 ms at 8k quads on chip, so multi-run
+        # frames were paying it two or three times.
+        frame_draw_pos = [
+            di_ for di_, item in enumerate(
+                [it for it in structure if it[0] == "draw"]
+            )
+            if _draw_flags(item)[0] == FRAME_TARGET
+        ]
+        pallas_frame_draws = use_pallas and any(
+            item[0] == "draw" and _draw_flags(item)[0] == FRAME_TARGET
+            and (not _draw_flags(item)[1] or _draw_flags(item)[3])
+            for item in structure
+        )
+        tile_idx = tile_counts = None
+        if pallas_frame_draws:
+            rb = bounds[jnp.asarray(frame_draw_pos, jnp.int32)]
+            tile_idx, tile_counts = raster_pallas.prebin(
+                fields, jnp.int32(fields.shape[0]), ph, pw,
+                tile_h=th, tile_w=tw, modes=modes, run_bounds=rb,
+                n_runs=len(frame_draw_pos),
+            )
+
         di = 0
         bi = 0
         for item in structure:
@@ -257,8 +282,9 @@ def get_frame_executor(
                 di += 1
                 if target == FRAME_TARGET:
                     if use_pallas and (not uses_atlas or atlas11):
-                        planes = raster_pallas.draw_pass_planar(
-                            fields, modes, s, e, planes, masks,
+                        planes = raster_pallas.draw_pass_planar_prebinned(
+                            fields, modes, s, e, tile_idx, tile_counts,
+                            planes, masks,
                             backdrop if needs_backdrop else None,
                             tile_h=th, tile_w=tw,
                             atlas_planes=atlas_planes if atlas11 else None,

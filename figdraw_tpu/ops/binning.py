@@ -19,9 +19,10 @@ from .layout import (
 )
 
 
-@partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile_h", "tile_w"))
+@partial(jax.jit, static_argnames=("tiles_y", "tiles_x", "tile_h", "tile_w",
+                                   "n_runs"))
 def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_w: int,
-              y_offset=0.0, modes=None):
+              y_offset=0.0, modes=None, run_bounds=None, n_runs: int = 0):
     """Returns (tile_idx (T, N) i32, tile_counts (T,) i32).
 
     tile_idx[t, :counts[t]] are indices of quads in [start, end) whose bbox
@@ -38,6 +39,13 @@ def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_
     conservative: mode 3 (ClipAA) solid fill, all four vertex alphas = 1,
     axis-aligned, no mask read, no rect-mask, and the tile inside the
     rounded-box interior shrunk by max corner radius + the AA half-width.
+
+    run_bounds (optional, with modes): (n_runs, 2) i32 [start, end) ranges of
+    the frame-target draw runs when ONE binning serves a whole multi-run
+    frame. Culling then stays run-scoped — a cover only truncates quads of
+    its OWN run (a later run's cover must not erase quads a mid-frame
+    backdrop blur already needs) and quads outside every listed run (mask
+    writes) are never culled. n_runs must be the static row count.
     """
     n = fields.shape[0]
     x0 = fields[:, QF_BBOX_X0]
@@ -99,10 +107,25 @@ def bin_quads(fields, start, end, tiles_y: int, tiles_x: int, tile_h: int, tile_
             & opaque[None, :]
             & valid[None, :]
         )
-        last_cover = jnp.max(
-            jnp.where(covers, idx[None, :], -1), axis=1, keepdims=True
-        )
-        mask = mask & (idx[None, :] >= last_cover)
+        if run_bounds is None:
+            last_cover = jnp.max(
+                jnp.where(covers, idx[None, :], -1), axis=1, keepdims=True
+            )
+            mask = mask & (idx[None, :] >= last_cover)
+        else:
+            # run-scoped culling: per tile, the last cover WITHIN each run
+            # bounds that run's quads only; quads outside every run keep -1
+            thresh = jnp.full((tiles_y * tiles_x, n), -1, jnp.int32)
+            for r in range(n_runs):
+                s_r = run_bounds[r, 0]
+                e_r = run_bounds[r, 1]
+                in_r = (idx >= s_r) & (idx < e_r)
+                last_r = jnp.max(
+                    jnp.where(covers & in_r[None, :], idx[None, :], -1),
+                    axis=1, keepdims=True,
+                )
+                thresh = jnp.where(in_r[None, :], last_r, thresh)
+            mask = mask & (idx[None, :] >= thresh)
 
     keys = jnp.where(mask, idx, n + idx)  # intersecting first, draw order kept
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)

@@ -337,17 +337,21 @@ def draw_pass_planar(fields, modes, start, end, frame_planes, masks_p,
 
 
 def prebin(fields, n_quads, ph: int, pw: int, y_offset=None,
-           tile_h: int = 0, tile_w: int = 0):
+           tile_h: int = 0, tile_w: int = 0, modes=None, run_bounds=None,
+           n_runs: int = 0):
     """Bin the whole tape once; draw runs then select their contiguous
     per-tile segments in-kernel (runs partition the tape in draw order, and
-    each tile's binned list is ascending)."""
+    each tile's binned list is ascending). modes + run_bounds (n_runs static)
+    enable run-scoped opaque-occlusion culling in the same single argsort
+    (see binning.bin_quads)."""
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
     tiles_y = ph // th
     tiles_x = pw // tw
     y0 = jnp.float32(0) if y_offset is None else y_offset.astype(jnp.float32)
     tile_idx, tile_counts = bin_quads(
-        fields, jnp.int32(0), n_quads, tiles_y, tiles_x, th, tw, y_offset=y0
+        fields, jnp.int32(0), n_quads, tiles_y, tiles_x, th, tw, y_offset=y0,
+        modes=modes, run_bounds=run_bounds, n_runs=n_runs,
     )
     return tile_idx[:, None, :], tile_counts
 
@@ -370,6 +374,11 @@ def draw_pass_planar_prebinned(fields, modes, start, end, tile_idx, tile_counts,
                                atlas_planes=None,
                                subpixel_positioning: bool = False,
                                atlas_size: int = 0):
+    import os
+
+    if os.environ.get("FIGDRAW_PALLAS_CRASH_TEST") == "1":
+        # fault injection exercising the renderer's XLA fallback
+        raise RuntimeError("pallas crash test requested")
     th = tile_h or TILE_H
     tw = tile_w or TILE_W
     ph, pw = frame_planes.shape[1], frame_planes.shape[2]

@@ -60,7 +60,7 @@ def pick_tile_h(fields_np, count: int, height: int, width: int) -> int:
     tile — per-tile fixed costs dominate there (300-box: 21 quads/tile, 128
     is ~15% faster). The choice is a static jit key, so recompiles only
     happen when a scene changes density class. Returns raster_pallas.TILE_H
-    (the env default) or DENSE_TILE_H."""
+    (the env default), DENSE_TILE_H, or VERY_DENSE_TILE_H."""
     import numpy as np
 
     from .ops.layout import QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1

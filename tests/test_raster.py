@@ -331,3 +331,48 @@ def test_opaque_occlusion_culls_and_stays_correct():
     # before it is culled (cover + top quad remain; clear handled separately)
     assert int(culled[0]) < int(plain[0])
     assert int(culled[0]) <= 3
+
+
+def test_run_scoped_occlusion_keeps_earlier_runs():
+    """bin_quads run_bounds: when ONE binning serves a multi-run frame, a
+    cover in a later run must truncate only its OWN run — quads of an
+    earlier run (whose pixels a mid-frame backdrop blur may read) survive;
+    global culling without run_bounds would drop them."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.ops.binning import bin_quads
+    from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
+    from figdraw_tpu.renderer import _bucket
+
+    lst = RenderList()
+    for i in range(8):  # run 1: translucent boxes
+        lst.add_root(Fig(kind=FigKind.nkRectangle,
+                         screen_box=rect(6 + i * 13, 8 + i * 11, 34, 26),
+                         fill=fill(rgba(40 + i * 9, 80, 180, 155))))
+    # run 2 (after a pass break in the real frame): an opaque full-tile cover
+    lst.add_root(Fig(kind=FigKind.nkRectangle,
+                     screen_box=rect(-16, -16, 160, 160),
+                     fill=fill(rgba(245, 245, 245, 255))))
+    r = new_renders()
+    r.set_layer(0, lst)
+
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    tape = ren.flatten(r, vec2(128, 128))
+    n = _bucket(tape.count)
+    fields = np.zeros((n, QF_WIDTH), np.float32)
+    modes = np.zeros((n, QI_WIDTH), np.int32)
+    fields[: tape.count] = tape.fields[: tape.count]
+    modes[: tape.count] = tape.modes[: tape.count]
+    f = jnp.asarray(fields)
+    m = jnp.asarray(modes)
+    split = tape.count - 1  # cover alone forms the "second run"
+    runs = jnp.asarray([[0, split], [split, tape.count]], jnp.int32)
+
+    _, counts = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1,
+                          128, 128, modes=m, run_bounds=runs, n_runs=2)
+    # every run-1 quad survives (the cover is not in their run)...
+    assert int(counts[0]) == tape.count
+    # ...while treating the whole tape as one run culls them
+    _, global_counts = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1,
+                                 128, 128, modes=m)
+    assert int(global_counts[0]) < tape.count

@@ -452,11 +452,40 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
     py = y0 + iy + 0.5
     px = x0 + ix + 0.5
 
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (n_masks, th, tw), 0)
-    masks0 = (kiota == 0).astype(jnp.float32)  # plane 0 = all-pass parent
+    # mask planes live as n_masks SEPARATE (th, tw) registers in the carry:
+    # n_masks is static, so plane selection is a lax.switch over the scalar
+    # plane index — one branch executes — instead of (n_masks, th, tw)
+    # compare/select/sum sweeps per quad (which cost ~3*n_masks tile-ops on
+    # every quad of a masked scene)
+    ones = jnp.ones((th, tw), jnp.float32)
+    zeros = jnp.zeros((th, tw), jnp.float32)
+    masks0 = (ones,) + (zeros,) * (n_masks - 1)  # plane 0 = all-pass parent
+
+    def _plane(masks, k):
+        """masks[k] for a clamped scalar k (one switch branch executes)."""
+        if n_masks == 1:
+            return masks[0]
+        k = jnp.clip(k, 0, n_masks - 1)
+        return jax.lax.switch(k, [lambda m=m: m for m in masks])
+
+    def _with_plane(masks, k, new):
+        """masks with plane k replaced (k >= 1: plane 0 is never a target)."""
+        if n_masks <= 1:
+            return masks
+        k = jnp.clip(k, 1, n_masks - 1)
+        return jax.lax.switch(
+            k - 1,
+            [
+                lambda i=i: tuple(
+                    new if j == i + 1 else masks[j] for j in range(n_masks)
+                )
+                for i in range(n_masks - 1)
+            ],
+        )
 
     def body(j, carry):
-        r, g, b, a, masks = carry
+        r, g, b, a, *masks = carry
+        masks = tuple(masks)
         qi = tidx_ref[0, 0, j]
         raw = modes_ref[qi, QI_MODE]
         tgt_enc = jax.lax.shift_right_logical(raw, MEGA_TARGET_SHIFT)
@@ -465,12 +494,12 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
         mask_i = modes_ref[qi, QI_MASK]
 
         def clear_branch(c):
-            r, g, b, a, masks = c
-            masks = jnp.where(kiota == tgt_enc - 1, 0.0, masks)
-            return r, g, b, a, masks
+            r, g, b, a, *masks = c
+            return (r, g, b, a) + _with_plane(tuple(masks), tgt_enc - 1, zeros)
 
         def draw_branch(c):
-            r, g, b, a, masks = c
+            r, g, b, a, *masks = c
+            masks = tuple(masks)
 
             def fget(k):
                 return fields_ref[qi, k]
@@ -481,26 +510,25 @@ def _mega_kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref
                 subpixel_positioning=subpixel_positioning,
                 atlas_size=atlas_size,
             )
-            parent = jnp.where(kiota == mask_i, masks, 0.0).sum(axis=0)
-            fa = fa * parent
+            fa = fa * _plane(masks, mask_i)
 
             def to_frame(_):
                 inv = 1.0 - fa
                 return (fr * fa + r * inv, fg * fa + g * inv,
-                        fb * fa + b * inv, fa + a * inv, masks)
+                        fb * fa + b * inv, fa + a * inv) + masks
 
             def to_mask(_):
                 tk = tgt_enc - 1
-                cur = jnp.where(kiota == tk, masks, 0.0).sum(axis=0)
+                cur = _plane(masks, tk)
                 new = fa * fa + cur * (1.0 - fa)  # mask.frag through GL blend
-                return (r, g, b, a, jnp.where(kiota == tk, new[None], masks))
+                return (r, g, b, a) + _with_plane(masks, tk, new)
 
             return jax.lax.cond(tgt_enc == 0, to_frame, to_mask, None)
 
         return jax.lax.cond(is_clear == 1, clear_branch, draw_branch, carry)
 
-    init = (frame_ref[0], frame_ref[1], frame_ref[2], frame_ref[3], masks0)
-    r, g, b, a, _masks = jax.lax.fori_loop(jnp.int32(0), count, body, init)
+    init = (frame_ref[0], frame_ref[1], frame_ref[2], frame_ref[3]) + masks0
+    r, g, b, a, *_masks = jax.lax.fori_loop(jnp.int32(0), count, body, init)
     out_ref[0] = r
     out_ref[1] = g
     out_ref[2] = b

@@ -336,3 +336,92 @@ def test_pixelate_nearest_sampling():
     c = lin[15, 15][:3].astype(int)
     assert 40 < c[0] < 230 and 40 < c[1] < 230  # bilinear blend at the seam
     assert not np.array_equal(near, lin)
+
+
+def test_clear_images_removes_only_listed_ids():
+    """timage_loading: a targeted ClearImages batch evicts just those atlas
+    entries; unrelated ids keep their entries and the replay table forgets
+    the cleared content."""
+    from figdraw_tpu.resources import clear_images
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=128)
+    ren.ensure_image_message_subscription(bus)
+    for i in (21, 22, 23):
+        put_image(i, checker_image(), bus=bus)
+    ren.process_image_messages()
+    assert all(ren.contains_image(i) for i in (21, 22, 23))
+
+    clear_images([21, 23], bus=bus)
+    ren.process_image_messages()
+    assert not ren.contains_image(21)
+    assert ren.contains_image(22)
+    assert not ren.contains_image(23)
+
+    # a renderer subscribing later replays only the surviving image
+    ren2 = FigRenderer(atlas_size=128)
+    ren2.ensure_image_message_subscription(bus)
+    ren2.process_image_messages()
+    assert ren2.contains_image(22)
+    assert not ren2.contains_image(21)
+
+
+def test_clear_font_glyphs_allows_regeneration():
+    """tfontutils.nim:1472-1521 — clearing a font's glyphs removes exactly
+    its atlas entries; the next frame regenerates them and renders the same
+    pixels."""
+    from figdraw_tpu.resources import clear_font_glyphs
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    f = FigFont(typeface_id=tid, size=14.0)
+    arr = typeset(vec2(140, 22), [(f, fill(rgba(10, 10, 20, 255)), "regen AV")])
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, 150, 40),
+                            fill=fill(rgba(255, 255, 255, 255))))
+    renders.add_root(0, Fig(kind=FigKind.nkText,
+                            screen_box=rect(4, 6, 140, 22), text_layout=arr))
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    ren.render_frame(renders, vec2(150, 40))
+    first = ren.take_screenshot()
+    glyph_keys = [k for k, m in ren.atlas.meta.items() if m.kind == "glyph"]
+    assert glyph_keys
+
+    # identify the glyphs' font id from the metadata, then clear that font
+    font_ids = {m.font_id for m in ren.atlas.meta.values() if m.kind == "glyph"}
+    assert len(font_ids) == 1
+    clear_font_glyphs(next(iter(font_ids)), bus=bus)
+    ren.process_image_messages()
+    assert not any(k in ren.atlas for k in glyph_keys)
+
+    # next frame regenerates the glyphs and matches exactly
+    ren.render_frame(renders, vec2(150, 40))
+    assert np.array_equal(first, ren.take_screenshot())
+
+
+def test_subscription_ring_overflow_keeps_newest():
+    """rchannels.nim ring push semantics: a bounded inbox overwrites its
+    oldest messages; the newest survive, and a fresh subscriber still gets
+    everything live through the replay table."""
+    bus = ImageMessageBus()
+    sub = bus.subscribe()
+    cap = sub._capacity if hasattr(sub, "_capacity") else 512
+    n = cap + 40
+    for i in range(n):
+        put_image(1000 + i, checker_image(), bus=bus)
+    msgs = sub.drain()
+    assert len(msgs) <= cap
+    assert msgs[-1].id == 1000 + n - 1  # newest kept
+    assert all(m.id >= 1000 + (n - cap) for m in msgs)  # oldest dropped
+
+    # replay to a late subscriber ALSO flows through the bounded ring (the
+    # reference replays via the same RChan): the newest `cap` entries arrive
+    late = bus.subscribe()
+    replayed = {m.id for m in late.drain()}
+    assert len(replayed) <= cap
+    assert 1000 + n - 1 in replayed

@@ -28,6 +28,7 @@ from .ops.blur import backdrop_blur_planar
 #   ("blur",)
 #   ("clear_mask", k)
 FRAME_TARGET = -1
+ROLLED_THRESHOLD = 24  # structure items above this use the rolled executor
 
 
 def _draw_flags(item):

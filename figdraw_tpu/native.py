@@ -109,6 +109,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
         ]
         lib.fd_export.restype = ctypes.c_int
+        lib.fd_export_items.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.fd_export_items.restype = ctypes.c_int
+        lib.fd_export_combo.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_export_combo.restype = ctypes.c_int
         lib.fd_tape_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.fd_export_mega.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -331,6 +339,72 @@ def _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor):
     return ctx
 
 
+def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket) -> Tape:
+    """Export straight into the executor's upload layout: ONE zeroed
+    (bucket(count) + meta_rows, 70) buffer, quad rows written by C++
+    (fd_export_combo), meta tail (draw bounds / blur radii / clear color —
+    executor._meta_rows layout) filled here. The Tape's fields/modes are
+    VIEWS into it, so renderer.execute uploads without re-packing."""
+    from .executor import COMBO_EXTRA, ROLLED_THRESHOLD, _meta_rows
+
+    n_quads = lib.fd_quad_count(ctx)
+    n_items = lib.fd_item_count(ctx)
+    items = np.zeros((max(n_items, 1), 5), dtype=np.int32)
+    rc = lib.fd_export_items(ctx, items.ctypes.data_as(ctypes.c_void_p),
+                             items.shape[0])
+    assert rc == n_items
+
+    tape = Tape(capacity=1)
+    tape.count = n_quads
+    tape.mask_count = lib.fd_mask_count(ctx)
+    tape.frame_size = (frame_w, frame_h)
+    tape.clear_color = clear_color
+    draws = []
+    radii = []
+    structure_len = 0
+    for i in range(n_items):
+        kind, target, start, end, rbits = items[i]
+        if kind == 0:
+            tape.items.append(DrawItem(target=int(target), start=int(start),
+                                       end=int(end)))
+            if end > start:
+                structure_len += 1
+                draws.append((int(start), int(end)))
+        elif kind == 1:
+            r = float(np.int32(rbits).view(np.float32))
+            tape.items.append(BlurItem(radius=r))
+            radii.append(r)
+            structure_len += 1
+        else:
+            tape.items.append(ClearMaskItem(index=int(target)))
+            structure_len += 1
+
+    rolled = structure_len > ROLLED_THRESHOLD
+    row_width = QF_WIDTH + COMBO_EXTRA
+    n_pad = bucket(max(n_quads, 1))
+    nd = 0 if rolled else len(draws)
+    nb = 0 if rolled else len(radii)
+    rows = _meta_rows(nd, nb, row_width)
+    combo = np.zeros((n_pad + rows, row_width), dtype=np.float32)
+    rc = lib.fd_export_combo(
+        ctx, combo.ctypes.data_as(ctypes.c_void_p), n_pad, row_width
+    )
+    assert rc == n_quads
+    meta = combo[n_pad:].reshape(-1)
+    if not rolled and nd:
+        meta[: 2 * nd] = (
+            np.asarray(draws, np.int32).view(np.float32).reshape(-1)
+        )
+    if not rolled and nb:
+        meta[2 * nd : 2 * nd + nb] = radii
+    meta[2 * nd + nb : 2 * nd + nb + 4] = clear_color or (0.0, 0.0, 0.0, 0.0)
+    tape.combo = combo
+    tape.combo_rolled = rolled
+    tape.fields = combo[:n_pad, :QF_WIDTH]
+    tape.modes = combo[:n_pad, QF_WIDTH : QF_WIDTH + COMBO_EXTRA].view(np.int32)
+    return tape
+
+
 def flatten_fast(
     renders: RendersArray,
     frame_w: float,
@@ -388,9 +462,12 @@ def flatten_renders_array(
     white_uv=(0.0, 0.0),
     text_config=(False, False, False),
     glyph_offsets=None,
+    bucket=None,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
-    None when the native path is unavailable/unsupported."""
+    None when the native path is unavailable/unsupported. With `bucket` (the
+    renderer's quad-bucket function) the tape is exported straight into the
+    upload-combo layout (_export_tape_combo)."""
     lib = _load()
     if lib is None:
         return None
@@ -400,4 +477,7 @@ def flatten_renders_array(
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config, glyph_offsets)
+    if bucket is not None:
+        return _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color,
+                                  bucket)
     return _export_tape(lib, ctx, frame_w, frame_h, clear_color)

@@ -32,7 +32,8 @@ from .ops.layout import QF_WIDTH, QI_WIDTH
 QUAD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 WHITE_IMAGE_KEY = "__figdraw_white__"
-ROLLED_THRESHOLD = 24  # structure items above this use the rolled executor
+from .executor import ROLLED_THRESHOLD  # noqa: E402
+
 EMPTY_BOUNDS = np.zeros((0, 2), np.int32)
 EMPTY_RADII = np.zeros((0,), np.float32)
 
@@ -547,6 +548,7 @@ class FigRenderer:
                 white_uv=self._white_uv(),
                 text_config=self._text_config(),
                 glyph_offsets=self._glyph_offsets_pack(),
+                bucket=_bucket,
             )
             if tape is not None:
                 return tape
@@ -598,9 +600,17 @@ class FigRenderer:
         # path padded into fresh arrays and then copied them again into the
         # combo — two 2 MB allocations per 3000-box frame). The rolled path
         # carries draw bounds in its items array, so its meta is just the
-        # clear color.
+        # clear color. Native-walk tapes arrive ALREADY in this layout
+        # (native._export_tape_combo): the C++ export wrote the quad rows
+        # into the buffer and the meta tail is filled, so nothing is copied.
         n = _bucket(max(tape.count, 1))
-        if rolled_pre:
+        if (
+            tape.combo is not None
+            and tape.combo_rolled == rolled_pre
+            and tape.fields.shape[0] == n
+        ):
+            combo = tape.combo
+        elif rolled_pre:
             combo = ex.pack_tape_combo(tape, n, EMPTY_BOUNDS, EMPTY_RADII, clear)
         else:
             combo = ex.pack_tape_combo(

@@ -117,6 +117,8 @@ class Tape:
         "mask_count",
         "frame_size",
         "clear_color",
+        "combo",
+        "combo_rolled",
     )
 
     def __init__(self, capacity: int = 1024):
@@ -127,6 +129,12 @@ class Tape:
         self.mask_count = 0
         self.frame_size: Tuple[float, float] = (0.0, 0.0)
         self.clear_color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+        # native fast path: the upload buffer itself, with fields/modes as
+        # views into it (native._export_tape_combo) — the executor uploads
+        # it without re-packing. combo_rolled records which meta layout the
+        # tail rows carry (rolled = clear color only).
+        self.combo = None
+        self.combo_rolled = False
 
     def _grow(self) -> None:
         cap = self.fields.shape[0] * 2

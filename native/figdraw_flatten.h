@@ -60,6 +60,15 @@ int fd_op_struct_size(void);
 int fd_export(FigdrawFlattenCtx *ctx, float *fields, int32_t *modes,
               int quad_cap, int32_t *items, int item_cap);
 
+/* Pass items only (n, 5) i32 — size the upload buffer before exporting. */
+int fd_export_items(FigdrawFlattenCtx *ctx, int32_t *items, int item_cap);
+
+/* Quad rows straight into an upload buffer: rows_cap rows of row_width
+ * floats (68 field lanes + 2 bitcast i32 mode lanes); the caller fills the
+ * meta tail. Returns the quad count, -1 on overflow. */
+int fd_export_combo(FigdrawFlattenCtx *ctx, float *combo, int rows_cap,
+                    int row_width);
+
 /* ---- scene-building API (native_bindings.nim analog) ----------------------
  *
  * External hosts build layered render lists directly in C: fill packed Fig

@@ -1730,6 +1730,39 @@ int fd_export_mega(Ctx* ctx, float* combo, int rows_cap, int row_width) {
   return rows;
 }
 
+// Items only (kind, target, start, end, radius-bits) — lets the host build
+// the pass structure and meta layout BEFORE sizing the upload buffer.
+int fd_export_items(Ctx* ctx, int32_t* items, int item_cap) {
+  ctx->close_run();
+  if ((int)ctx->items.size() > item_cap) return -1;
+  for (size_t i = 0; i < ctx->items.size(); i++) {
+    const Item& it = ctx->items[i];
+    items[i * 5 + 0] = it.kind;
+    items[i * 5 + 1] = it.target;
+    items[i * 5 + 2] = it.start;
+    items[i * 5 + 3] = it.end;
+    std::memcpy(&items[i * 5 + 4], &it.radius, 4);
+  }
+  return (int)ctx->items.size();
+}
+
+// Quad rows straight into an upload combo buffer: row_width floats per row,
+// QF_WIDTH field lanes then the two bitcast i32 mode lanes. The host
+// allocates (n_pad + meta_rows) zeroed rows and fills the meta tail itself.
+// Returns the quad count, or -1 if rows_cap < count.
+int fd_export_combo(Ctx* ctx, float* combo, int rows_cap, int row_width) {
+  ctx->close_run();
+  if (row_width < QF_WIDTH + QI_WIDTH || ctx->count > rows_cap) return -1;
+  for (int q = 0; q < ctx->count; q++) {
+    float* row = combo + (size_t)q * row_width;
+    std::memcpy(row, &ctx->fields[(size_t)q * QF_WIDTH],
+                QF_WIDTH * sizeof(float));
+    std::memcpy(&row[QF_WIDTH], &ctx->modes[(size_t)q * QI_WIDTH],
+                QI_WIDTH * sizeof(int32_t));
+  }
+  return ctx->count;
+}
+
 int fd_fig_struct_size() { return (int)sizeof(Fig); }
 int fd_op_struct_size() { return (int)sizeof(DrawOp); }
 

@@ -246,10 +246,23 @@ def get_sharded_frame_executor(
         backdrop = jnp.zeros((4, pband, pw), jnp.float32) if any_blur else None
 
         if use_pallas:
-            # bin the whole tape once per band; runs select their segments
+            # bin the whole tape once per band; runs select their segments.
+            # run-scoped occlusion culling, same as the single-chip executor
+            frame_draw_pos = [
+                di_ for di_, item in enumerate(
+                    [it for it in structure if it[0] == "draw"]
+                )
+                if ex._draw_flags(item)[0] == ex.FRAME_TARGET
+            ]
+            rb = (
+                bounds[jnp.asarray(frame_draw_pos, jnp.int32)]
+                if frame_draw_pos else None
+            )
             tile_idx, tile_counts = raster_pallas.prebin(
                 fields, jnp.int32(fields.shape[0]), pband, pw,
                 y_offset=row0, tile_h=th, tile_w=tw,
+                modes=modes if frame_draw_pos else None, run_bounds=rb,
+                n_runs=len(frame_draw_pos),
             )
         atlas_planes = None
         atlas_real = 0

@@ -88,6 +88,10 @@ class Atlas:
         self.data = np.zeros((self.size, self.size, 4), dtype=np.float32)
         self.heights = np.zeros(self.size, dtype=np.int32)
         self.entries.clear()
+        # a rebuild that re-places nothing (clear with no retained images)
+        # must still invalidate every entries_version-keyed cache — the
+        # packed-atlas tables and the renderer's ensured-glyph stamps
+        self.entries_version += 1
         self.rebuild_count += 1
         self.generation += 1
         self.dirty = True

@@ -76,7 +76,9 @@ def pick_tile_h(fields_np, count: int, height: int, width: int) -> int:
     if not live.any():
         return TILE_H
     tiles = max((-(-height // TILE_H)) * (-(-width // TILE_W)), 1)
-    pairs = ((bw // TILE_W) + 1) * ((bh // TILE_H) + 1)
+    # padding rows (zero bboxes) must not count — each would add a phantom
+    # tile pair and skew the density class when callers pass padded buffers
+    pairs = (((bw // TILE_W) + 1) * ((bh // TILE_H) + 1))[live]
     quads_per_tile = float(pairs.sum()) / tiles
     if quads_per_tile > VERY_DENSE_QUADS_PER_TILE:
         return VERY_DENSE_TILE_H

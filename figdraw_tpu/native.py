@@ -446,6 +446,9 @@ def flatten_fast(
         )
         if rows >= 0:
             return "mega", combo, mask_count
+    if bucket is not None:
+        return "tape", _export_tape_combo(lib, ctx, frame_w, frame_h,
+                                          clear_color, bucket)
     return "tape", _export_tape(lib, ctx, frame_w, frame_h, clear_color)
 
 

@@ -54,7 +54,11 @@ def atlas_to_planes(atlas):
     pixels outside the quad, which are alpha-masked."""
     planes = jnp.transpose(atlas, (2, 0, 1))
     s = planes.shape[1]
-    t = max(s, 256)
+    # round UP to a multiple of 256 (not just a 256 minimum): the window
+    # snap math needs buf - pw divisible by 128 and buf - ph by 8, which a
+    # non-power-of-two atlas (e.g. 320) would break — its snapped window
+    # could exclude the atlas tail and wrap-read wrong texels
+    t = max(-(-s // 256) * 256, 256)
     if t != s:
         planes = jnp.pad(planes, ((0, 0), (0, t - s), (0, t - s)))
     return planes, s

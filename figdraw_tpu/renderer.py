@@ -332,6 +332,15 @@ class FigRenderer:
         return FigRenderer._dummy_init
 
     def _white_uv(self) -> Tuple[float, float]:
+        if WHITE_IMAGE_KEY not in self.atlas.entries:
+            # ClearImageCache wipes every atlas image including the white
+            # texel filled-quad joins sample — restore it (glcontext.nim
+            # re-creates it on every atlas reset, :634-641)
+            self.atlas.put_image(
+                WHITE_IMAGE_KEY,
+                np.ones((4, 4, 4), dtype=np.float32),
+                AtlasEntryMeta(kind="generated"),
+            )
         x, y, w, h = self.atlas.entries[WHITE_IMAGE_KEY]
         return (x + w / 2.0, y + h / 2.0)
 

@@ -425,3 +425,33 @@ def test_subscription_ring_overflow_keeps_newest():
     replayed = {m.id for m in late.drain()}
     assert len(replayed) <= cap
     assert 1000 + n - 1 in replayed
+
+
+def test_clear_image_cache_recovers_and_regenerates():
+    """ClearImageCache wipes the whole atlas (white texel included); the next
+    frame must restore the white texel, re-rasterize referenced glyphs (the
+    ensured-glyph stamps key on the bumped entries version), and render the
+    same pixels."""
+    from figdraw_tpu.resources import clear_image_cache
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    f = FigFont(typeface_id=tid, size=14.0)
+    arr = typeset(vec2(120, 22), [(f, fill(rgba(10, 10, 20, 255)), "wipe AV")])
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, 140, 40),
+                            fill=fill(rgba(255, 255, 255, 255))))
+    renders.add_root(0, Fig(kind=FigKind.nkText,
+                            screen_box=rect(4, 6, 120, 22), text_layout=arr))
+
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    ren.render_frame(renders, vec2(140, 40))
+    first = ren.take_screenshot()
+
+    clear_image_cache(bus=bus)
+    ren.render_frame(renders, vec2(140, 40))  # must not crash or blank
+    assert np.array_equal(first, ren.take_screenshot())

@@ -256,8 +256,12 @@ def get_frame_executor(
             if _draw_flags(item)[0] == FRAME_TARGET
         ]
         pallas_frame_draws = use_pallas and any(
-            item[0] == "draw" and _draw_flags(item)[0] == FRAME_TARGET
-            and (not _draw_flags(item)[1] or _draw_flags(item)[3])
+            item[0] == "draw" and (
+                (_draw_flags(item)[0] == FRAME_TARGET
+                 and (not _draw_flags(item)[1] or _draw_flags(item)[3]))
+                or (_draw_flags(item)[0] != FRAME_TARGET
+                    and not _draw_flags(item)[1])
+            )
             for item in structure
         )
         tile_idx = tile_counts = None
@@ -314,12 +318,21 @@ def get_frame_executor(
                             )
                         planes = to_planes(hwc)
                 else:
-                    plane = raster_ref.draw_pass_mask_range(
-                        fields, modes, s, e, masks[target], masks,
-                        atlas=atlas if uses_atlas else None,
-                        subpixel_positioning=subpixel_positioning,
-                        pixelate=pixelate,
-                    )
+                    if use_pallas and not uses_atlas and tile_idx is not None:
+                        # tiled mask write (the rolled executor's path) —
+                        # mask shapes are SDF quads, so the whole-frame XLA
+                        # pass per clip was pure waste
+                        plane = raster_pallas.draw_pass_mask_prebinned(
+                            fields, modes, s, e, tile_idx, tile_counts,
+                            masks[target][None], masks, tile_h=th, tile_w=tw,
+                        )[0]
+                    else:
+                        plane = raster_ref.draw_pass_mask_range(
+                            fields, modes, s, e, masks[target], masks,
+                            atlas=atlas if uses_atlas else None,
+                            subpixel_positioning=subpixel_positioning,
+                            pixelate=pixelate,
+                        )
                     masks = masks.at[target].set(plane)
 
         return to_hwc(planes)[:height, :width]

@@ -46,6 +46,22 @@ def _meta_rows(n_draws: int, n_blurs: int, row_width: int) -> int:
     return max(1, -(-(2 * n_draws + n_blurs + 4) // row_width))
 
 
+def fill_meta(meta, bounds, radii, clear_color):
+    """The ONE writer of the combo meta-tail layout every executor decodes:
+    bitcast (nd, 2) draw bounds, nb blur radii, then the clear color."""
+    import numpy as np
+
+    nd = len(bounds)
+    nb = len(radii)
+    if nd:
+        meta[: 2 * nd] = (
+            np.asarray(bounds, np.int32).view(np.float32).reshape(-1)
+        )
+    if nb:
+        meta[2 * nd : 2 * nd + nb] = radii
+    meta[2 * nd + nb : 2 * nd + nb + 4] = clear_color
+
+
 DENSE_TILE_H = 64
 DENSE_QUADS_PER_TILE = 48.0  # long per-tile walks amortize smaller tiles
 VERY_DENSE_TILE_H = 32
@@ -106,10 +122,7 @@ def pack_tape_upload(fields, modes, bounds, radii, clear_color):
     combo = np.zeros((n + rows, row_width), dtype=np.float32)
     combo[:n, :width] = fields
     combo[:n, width : width + COMBO_EXTRA] = modes.view(np.float32)
-    meta = combo[n:].reshape(-1)
-    meta[: 2 * nd] = bounds.astype(np.int32).view(np.float32).reshape(-1)
-    meta[2 * nd : 2 * nd + nb] = radii
-    meta[2 * nd + nb : 2 * nd + nb + 4] = clear_color
+    fill_meta(combo[n:].reshape(-1), bounds, radii, clear_color)
     return combo
 
 
@@ -130,10 +143,7 @@ def pack_tape_combo(tape, n_pad: int, bounds, radii, clear_color):
     combo = np.zeros((n_pad + rows, row_width), dtype=np.float32)
     combo[:c, :_QFW] = tape.fields[:c]
     combo[:c, _QFW : _QFW + COMBO_EXTRA] = tape.modes[:c].view(np.float32)
-    meta = combo[n_pad:].reshape(-1)
-    meta[: 2 * nd] = bounds.astype(np.int32).view(np.float32).reshape(-1)
-    meta[2 * nd : 2 * nd + nb] = radii
-    meta[2 * nd + nb : 2 * nd + nb + 4] = clear_color
+    fill_meta(combo[n_pad:].reshape(-1), bounds, radii, clear_color)
     return combo
 
 
@@ -266,10 +276,16 @@ def get_frame_executor(
         )
         tile_idx = tile_counts = None
         if pallas_frame_draws:
-            rb = bounds[jnp.asarray(frame_draw_pos, jnp.int32)]
+            # occlusion culling only has work to do when frame-target draw
+            # runs exist (mask-only Pallas frames skip the coverage tensors)
+            rb = (
+                bounds[jnp.asarray(frame_draw_pos, jnp.int32)]
+                if frame_draw_pos else None
+            )
             tile_idx, tile_counts = raster_pallas.prebin(
                 fields, jnp.int32(fields.shape[0]), ph, pw,
-                tile_h=th, tile_w=tw, modes=modes, run_bounds=rb,
+                tile_h=th, tile_w=tw,
+                modes=modes if frame_draw_pos else None, run_bounds=rb,
                 n_runs=len(frame_draw_pos),
             )
 

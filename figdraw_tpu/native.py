@@ -390,14 +390,14 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket) -> Tape:
         ctx, combo.ctypes.data_as(ctypes.c_void_p), n_pad, row_width
     )
     assert rc == n_quads
-    meta = combo[n_pad:].reshape(-1)
-    if not rolled and nd:
-        meta[: 2 * nd] = (
-            np.asarray(draws, np.int32).view(np.float32).reshape(-1)
-        )
-    if not rolled and nb:
-        meta[2 * nd : 2 * nd + nb] = radii
-    meta[2 * nd + nb : 2 * nd + nb + 4] = clear_color or (0.0, 0.0, 0.0, 0.0)
+    from .executor import fill_meta
+
+    fill_meta(
+        combo[n_pad:].reshape(-1),
+        draws if not rolled else [],
+        radii if not rolled else [],
+        clear_color or (0.0, 0.0, 0.0, 0.0),
+    )
     tape.combo = combo
     tape.combo_rolled = rolled
     tape.fields = combo[:n_pad, :QF_WIDTH]

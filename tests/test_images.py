@@ -410,7 +410,7 @@ def test_subscription_ring_overflow_keeps_newest():
     everything live through the replay table."""
     bus = ImageMessageBus()
     sub = bus.subscribe()
-    cap = sub._capacity if hasattr(sub, "_capacity") else 512
+    cap = sub._inbox.maxlen
     n = cap + 40
     for i in range(n):
         put_image(1000 + i, checker_image(), bus=bus)

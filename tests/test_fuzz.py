@@ -143,3 +143,69 @@ def test_fuzz_pallas_matches_xla(seed):
     ren_x.render_frame(arr, vec2(W, H))
     ref = ren_x.take_screenshot()
     assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not native.available(), reason="native flattener not built")
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_text_native_matches_python_walk(seed):
+    """Random TEXT scenes (sizes, decorations, invertY, selections, clips)
+    through both walks: the C++ nkText emission (glyph quads, selection
+    bands, decoration rects) must stay bit-identical to the Python walk."""
+    from figdraw_tpu.text.layout import HAlign, VAlign, typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    rng = np.random.default_rng(7000 + seed)
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    words = ["alpha", "Bravo", "fix", "ffl", "AV.", "quick", "jump", "zig"]
+
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, W, H),
+                     fill=_rand_fill(rng)))
+    for _ in range(int(rng.integers(2, 6))):
+        f = FigFont(typeface_id=tid, size=float(rng.uniform(9, 22)),
+                    underline=bool(rng.random() < 0.3),
+                    strikethrough=bool(rng.random() < 0.2))
+        text = " ".join(rng.choice(words, size=int(rng.integers(1, 5))))
+        arr = typeset(vec2(float(rng.uniform(60, 150)), 40),
+                      [(f, _rand_fill(rng), text)],
+                      h_align=int(rng.integers(0, 3)),
+                      v_align=int(rng.integers(0, 3)),
+                      wrap=bool(rng.random() < 0.7))
+        flags = FigFlags(0)
+        r = rng.random()
+        if r < 0.2:
+            flags |= FigFlags.NfInvertY
+        kw = {}
+        if rng.random() < 0.3:
+            flags |= FigFlags.NfSelectText
+            kw["selection_range"] = (0, int(rng.integers(1, 6)))
+        parent = None
+        if rng.random() < 0.3:
+            parent = lst.add_root(Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(float(rng.uniform(0, W - 40)),
+                                float(rng.uniform(0, H - 30)), 80, 30),
+                corners=(6,) * 4, flags=FigFlags.NfClipContent,
+                fill=fill(rgba(255, 255, 255, 255)),
+            ))
+        node = Fig(kind=FigKind.nkText,
+                   screen_box=rect(float(rng.uniform(-10, W - 50)),
+                                   float(rng.uniform(-10, H - 20)),
+                                   float(rng.uniform(50, 160)), 36),
+                   text_layout=arr, flags=flags, fill=_rand_fill(rng), **kw)
+        if parent is not None:
+            lst.add_child(parent, node)
+        else:
+            lst.add_root(node)
+
+    scene = new_renders()
+    scene.set_layer(0, lst)
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    arr_scene = from_renders(scene)
+    py_tape = ren.flatten(to_renders(arr_scene), vec2(W, H))
+    native_tape = ren.flatten(arr_scene, vec2(W, H))
+    assert native_tape.count == py_tape.count
+    assert np.array_equal(py_tape.fields[: py_tape.count],
+                          native_tape.fields[: native_tape.count])
+    assert np.array_equal(py_tape.modes[: py_tape.count],
+                          native_tape.modes[: native_tape.count])

@@ -100,7 +100,7 @@ GLYPH_DTYPE = np.dtype(
     [
         ("font_id", np.int64),
         ("glyph_id", np.int32),
-        ("color", np.uint8, 4),
+        ("fill", FILL_DTYPE),
         ("x", np.float64),
         ("y", np.float64),
         ("img_ox", np.float64),
@@ -228,11 +228,13 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
     from .geometry import rect as _rect
 
     layout = node.text_layout
-    start = _row_total(glyph_rows) if glyph_total < 0 else glyph_total
-    row["glyphs_start"] = start
+    # NOTE: the decoration loop below binds its own `start, stop` span range;
+    # the running total must live under a distinct name
+    g_start = _row_total(glyph_rows) if glyph_total < 0 else glyph_total
+    row["glyphs_start"] = g_start
     row["trects_start"] = len(trect_rows)
     if layout is None:
-        return start
+        return g_start
 
     sel_a, sel_b = node.selection_range
     if (
@@ -260,7 +262,7 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
             added = int(glyph_block.shape[0])
         row["glyphs_count"] = added
         row["trects_count"] = len(trect_rows) - int(row["trects_start"])
-        return start + added
+        return g_start + added
 
     deco_rows = []
     # decorations (figrender.nim:370-415 band math, done here once)
@@ -313,21 +315,24 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
         block = np.zeros(len(drawn), dtype=GLYPH_DTYPE)
         block["font_id"] = [g.font_id for g in drawn]
         block["glyph_id"] = [g.glyph_id for g in drawn]
-        fill_colors = {}
-        colors = np.empty((len(drawn), 4), np.uint8)
+        # pack the span FILL itself (solid or gradient) — glyph quads take
+        # gradientColors vertex mapping like every other quad
+        # (figrender.nim:494: drawImage(..., glyph.fill.gradientColors()))
+        packed_fills = {}
+        black = np.zeros((), dtype=FILL_DTYPE)
+        black["c0"] = (0, 0, 0, 255)
         for i, g in enumerate(drawn):
             f = g.fill
             if f is None:
-                colors[i] = (0, 0, 0, 255)
+                block["fill"][i] = black
                 continue
             key = id(f)
-            c = fill_colors.get(key)
-            if c is None:
-                cc = center_color_rgba(f)
-                c = (cc.r, cc.g, cc.b, cc.a)
-                fill_colors[key] = c
-            colors[i] = c
-        block["color"] = colors
+            p = packed_fills.get(key)
+            if p is None:
+                p = np.zeros((), dtype=FILL_DTYPE)
+                pack_fill(p, f)
+                packed_fills[key] = p
+            block["fill"][i] = p
         block["x"] = [g.pos.x + g.offset.x for g in drawn]
         block["y"] = [g.pos.y + g.offset.y for g in drawn]
         block["img_ox"] = [g.image_offset.x for g in drawn]
@@ -338,7 +343,7 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
     added = len(drawn)
     row["glyphs_count"] = added
     row["trects_count"] = len(trect_rows) - int(row["trects_start"])
-    return start + added
+    return g_start + added
 
 
 def pack_fig(row, node: Fig, ops_rows: list = None, points_rows: list = None) -> None:

@@ -134,12 +134,11 @@ def draw_text_layout(ctx, node, layout: GlyphArrangement) -> None:
                 if loader is None or not loader(key, g, lcd, variant):
                     ctx.set_text_subpixel_shift(0.0)
                     continue
-            color = _glyph_color(g)
             offset = _glyph_image_offset(ctx, key, g)
             ctx.draw_image(
                 key,
                 pos=vec2(glyph_pos.x + offset.x, glyph_pos.y + offset.y),
-                colors=(color, color, color, color),
+                colors=_glyph_colors(g),
                 size=vec2(0, 0),
                 flip_y=False,
             )
@@ -167,6 +166,17 @@ def _glyph_color(g: ArrangedGlyph) -> ColorRGBA:
     if g.fill is None:
         return ColorRGBA(0, 0, 0, 255)
     return center_color_rgba(g.fill)
+
+
+def _glyph_colors(g: ArrangedGlyph):
+    """Span fill as 4 vertex colors — gradients tint glyphs exactly like
+    rect quads (figrender.nim:494: drawImage(..., fill.gradientColors()))."""
+    from ..backend import gradient_colors, to_backend_fill
+
+    if g.fill is None:
+        c = ColorRGBA(0, 0, 0, 255)
+        return (c, c, c, c)
+    return gradient_colors(to_backend_fill(g.fill))
 
 
 def _zero_radii():

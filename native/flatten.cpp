@@ -79,7 +79,8 @@ struct Fig {
 struct GlyphRow {  // nodesarray.py GLYPH_DTYPE
   int64_t font_id;
   int32_t glyph_id;
-  uint8_t color[4];
+  PackedFill fill;  // span fill — glyph quads take gradientColors vertex
+                    // mapping like every quad (figrender.nim:494)
   double x, y, img_ox, img_oy;
 };
 
@@ -615,7 +616,7 @@ void render_text_node(Ctx& ctx, const Fig& n) {
       double ox = off ? off[0] : 0.0, oy = off ? off[1] : 0.0;
       double drw = e->w * ctx.atlas_size, drh = e->h * ctx.atlas_size;
       uint8_t colors[4][4];
-      for (int v = 0; v < 4; v++) std::memcpy(colors[v], g.color, 4);
+      gradient_colors(g.fill, colors);
       double params[4] = {0, 0, 0, 0};
       ctx.subpixel_shift = shift;
       draw_uv_rect(ctx, gx + ox, gy + oy, gx + ox + drw, gy + oy + drh,

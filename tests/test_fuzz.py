@@ -209,3 +209,36 @@ def test_fuzz_text_native_matches_python_walk(seed):
                           native_tape.fields[: native_tape.count])
     assert np.array_equal(py_tape.modes[: py_tape.count],
                           native_tape.modes[: native_tape.count])
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_text_pallas_matches_xla(seed):
+    """Random text scenes through both rasterizers (glyph quads ride the XLA
+    gather path either way; decorations/selections are Pallas SDF quads)."""
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    rng = np.random.default_rng(8100 + seed)
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, W, H),
+                     fill=fill(rgba(250, 250, 250, 255))))
+    for _ in range(int(rng.integers(2, 5))):
+        f = FigFont(typeface_id=tid, size=float(rng.uniform(10, 20)),
+                    underline=bool(rng.random() < 0.4))
+        arr = typeset(vec2(140, 40), [(f, _rand_fill(rng), "mix AV fi 123")],
+                      wrap=True)
+        lst.add_root(Fig(kind=FigKind.nkText,
+                         screen_box=rect(float(rng.uniform(0, W - 80)),
+                                         float(rng.uniform(0, H - 30)), 140, 40),
+                         text_layout=arr))
+    r = new_renders()
+    r.set_layer(0, lst)
+    arr_scene = from_renders(r)
+    ren_p = FigRenderer(atlas_size=256, use_pallas=True)
+    ren_p.render_frame(arr_scene, vec2(W, H))
+    got = ren_p.take_screenshot()
+    ren_x = FigRenderer(atlas_size=256, use_pallas=False)
+    ren_x.render_frame(arr_scene, vec2(W, H))
+    ref = ren_x.take_screenshot()
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1

@@ -3,10 +3,12 @@
 Reproduces windy_clip_mask_benchmark.nim's methodology (:9-21, 252-275): a
 180-row × 6-col table at 1200×800 where every cell clips its spilling
 content, once with real sub-clip masks and once with the rect-mask fast
-path; 20 warmup + 120 timed frames; avg/p50/p95/min/max ms and fps per case.
+path; plus the flat no-clip table of windy_non_clip_benchmark.nim:81-105
+(plain rounded cells, no masks at all) as the mask-free control.
 
-The sub-clip case stresses the rolled pass-descriptor executor (1080 mask
-passes per frame); rect-mask rides the per-quad fast path in one draw run.
+The sub-clip case stresses the megakernel (1080 mask planes per frame);
+rect-mask rides the per-quad fast path; no-clip measures the raw quad
+throughput of the same table shape.
 """
 
 import os
@@ -71,13 +73,41 @@ def make_table_scene(kind: str, w: float, h: float):
     return renders
 
 
+def make_nonclip_scene(w: float, h: float):
+    """windy_non_clip_benchmark.nim makeNonClipRenderTree (:81-105)."""
+    from figdraw_tpu import Fig, FigKind, fill, new_renders, rect, rgba
+    from figdraw_tpu.nodes import RenderList
+
+    margin, gap, cell_h = 18.0, 5.0, 18.0
+    cell_w = (w - margin * 2 - gap * (COLS - 1)) / COLS
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, w, h),
+                     fill=fill(rgba(248, 249, 251, 255))))
+    for row in range(ROWS):
+        y = margin + row * (cell_h + gap)
+        for col in range(COLS):
+            x = margin + col * (cell_w + gap)
+            shade = 220 + (row * 3 + col * 7) % 35
+            accent = 80 + (row * 11 + col * 13) % 90
+            lst.add_root(Fig(kind=FigKind.nkRectangle,
+                             screen_box=rect(x, y, cell_w, cell_h),
+                             corners=(4,) * 4,
+                             fill=fill(rgba(shade, 245 - (col % 5) * 5,
+                                            accent, 255))))
+    renders = new_renders()
+    renders.set_layer(0, lst)
+    return renders
+
+
 def bench_case(kind: str):
     from figdraw_tpu import FigRenderer, vec2
     from figdraw_tpu.nodesarray import from_renders
 
     ren = FigRenderer(atlas_size=128)
     # array form → per-frame flatten runs through the C++ walk
-    scene = from_renders(make_table_scene(kind, float(W), float(H)))
+    maker = make_nonclip_scene if kind == "noclip" else (
+        lambda w, h: make_table_scene(kind, w, h))
+    scene = from_renders(maker(float(W), float(H)))
     size = vec2(W, H)
     for _ in range(WARMUP):
         out = ren.render_frame(scene, size)
@@ -103,7 +133,9 @@ def bench_case(kind: str):
 def main():
     print(f"clip-mask benchmark: {ROWS}x{COLS} cells @ {W}x{H}, "
           f"{WARMUP} warmup + {FRAMES} timed frames", file=sys.stderr)
-    for kind, label in (("rectmask", "clip + rect-mask"), ("subclip", "clip + sub-clip")):
+    for kind, label in (("noclip", "no-clip table"),
+                        ("rectmask", "clip + rect-mask"),
+                        ("subclip", "clip + sub-clip")):
         stats = bench_case(kind)
         print(
             f"{label:18s} avg={stats['avg']:8.2f}ms p50={stats['p50']:8.2f}ms "

@@ -70,10 +70,13 @@ def main():
         pipe = (time.perf_counter() - t0) * 1000.0 / FRAMES
         best_pipe = pipe if best_pipe is None else min(best_pipe, pipe)
 
+    metric = "frame_time_1080p_300box"
+    if (WIDTH, HEIGHT, COPIES) != (1920, 1080, 100):
+        metric = f"frame_time_{WIDTH}x{HEIGHT}_{COPIES * 3}box"
     print(
         json.dumps(
             {
-                "metric": "frame_time_1080p_300box",
+                "metric": metric,
                 "value": round(best_pipe, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / best_pipe, 3),

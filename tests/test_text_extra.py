@@ -203,3 +203,56 @@ def test_typeset_preserves_gradient_span_fills(tid):
     assert arr.span_colors[0].kind == FillKind.flLinear2
     g = next(g for g in arr.arranged_glyphs if not g.is_whitespace)
     assert g.fill is not None and g.fill.kind == FillKind.flLinear2
+
+
+def test_raster_font_ids_ignore_shaping_only_settings(tid):
+    """tfontutils.nim:280-296 — kerning/features/lineHeight only affect
+    shaping; the raster FontId keys on typeface, size, case, variations and
+    ui scale, so toggling shaping settings must not fragment the glyph
+    cache."""
+    from figdraw_tpu.text.typefaces import FigFont, FontFeature, register_font
+
+    base = FigFont(typeface_id=tid, size=16.0)
+    a = register_font(base)
+    b = register_font(FigFont(typeface_id=tid, size=16.0,
+                              features=(FontFeature("liga", 0),),
+                              no_kerning_adjustments=True,
+                              line_height=40.0))
+    assert a == b
+    # raster-relevant changes DO split the id
+    assert register_font(FigFont(typeface_id=tid, size=17.0)) != a
+    assert register_font(base, ui_scale=2.0) != a
+
+
+def test_typeface_lookup_unknown_raises(tid):
+    """tfontutils.nim:220-223 — unknown ids raise instead of returning junk."""
+    from figdraw_tpu.text.typefaces import get_fig_font, get_typeface
+
+    with pytest.raises(KeyError):
+        get_fig_font(0xDEAD_BEEF_0001)
+    assert get_typeface(tid) is not None
+
+
+def test_typeface_caches_isolated_across_threads(tid):
+    """tfontutils.nim:254-279 — shaping from worker threads must not corrupt
+    per-thread caches: concurrent typesets of the same text produce
+    identical glyph streams."""
+    import threading
+
+    from figdraw_tpu.text.layout import typeset
+
+    def shape():
+        f = FigFont(typeface_id=tid, size=15.0)
+        arr = typeset(vec2(300, 24), [(f, INK, "thread safety AV fi")])
+        return [(g.glyph_id, round(g.pos.x, 4)) for g in arr.arranged_glyphs]
+
+    expected = shape()
+    results = [None] * 6
+    def worker(i):
+        results[i] = shape()
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r == expected for r in results)

@@ -455,3 +455,44 @@ def test_clear_image_cache_recovers_and_regenerates():
     clear_image_cache(bus=bus)
     ren.render_frame(renders, vec2(140, 40))  # must not crash or blank
     assert np.array_equal(first, ren.take_screenshot())
+
+
+def test_mtsdf_and_annular_msdf_render():
+    """Modes 14 (MTSDF: alpha channel SDF) and 15/16 (annular MSDF/MTSDF —
+    stroke_weight > 0 outlines the shape): both backends render the circle /
+    ring within 1/255 (atlas.frag:296-318 family)."""
+    from figdraw_tpu import MsdfImageStyle
+
+    bus = ImageMessageBus()
+    put_image(98, synthetic_msdf(), bus=bus)
+
+    lst = RenderList()
+    lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 200, 100),
+                     fill=fill(rgba(250, 250, 250, 255))))
+    # MTSDF solid (alpha-channel SDF)
+    lst.add_root(Fig(kind=FigKind.nkMtsdfImage, screen_box=rect(10, 20, 64, 64),
+                     msdf_image=MsdfImageStyle(id=98, fill=fill(rgba(20, 60, 200, 255)),
+                                               px_range=4.0)))
+    # MSDF annular (outline ring)
+    lst.add_root(Fig(kind=FigKind.nkMsdfImage, screen_box=rect(110, 20, 64, 64),
+                     msdf_image=MsdfImageStyle(id=98, fill=fill(rgba(200, 40, 40, 255)),
+                                               px_range=4.0, stroke_weight=2.0)))
+    r = new_renders()
+    r.set_layer(0, lst)
+
+    frames = {}
+    for use_pallas in (False, True):
+        ren = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+        ren.ensure_image_message_subscription(bus)
+        ren.render_frame(r, vec2(200, 100))
+        frames[use_pallas] = ren.take_screenshot()
+    ref, pal = frames[False], frames[True]
+    assert np.abs(ref.astype(int) - pal.astype(int)).max() <= 1
+
+    # solid disc: filled center; annular: hollow center, inked ring
+    assert ref[52, 42, 2] > 150  # blue disc center (MTSDF fill)
+    cx = ref[52, 142]
+    assert cx[0] > 200 and cx[1] > 200  # ring center stays background
+    # search the ring row for red ink to avoid exact-radius brittleness
+    row = ref[52, 110:174]
+    assert ((row[:, 0] > 150) & (row[:, 1] < 120)).any()

@@ -87,7 +87,9 @@ def mark_atlas11(fields_np, modes_np, count: int, atlas_size: int,
     """Host pre-pass: validate every atlas-sampling quad in [0, count) for
     the in-kernel 1:1 window-sample path and set MODE_ATLAS11_BIT on them
     (in place, on the padded upload copy). Returns True iff ALL atlas quads
-    qualified — the gate for keeping atlas runs on the Pallas path.
+    qualified. Only consulted under FIGDRAW_ATLAS11=always — the default
+    routes atlas runs to the XLA windowed-gather evaluator, which measured
+    faster on hardware (renderer.execute has the numbers).
 
     Eligibility (conservative): plain atlas mode 0 (the MSDF family needs
     the median + screen-px-range path), axis-aligned (no rotation, no uv

@@ -118,7 +118,7 @@ def random_scene(seed: int):
 
 
 @pytest.mark.skipif(not native.available(), reason="native flattener not built")
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_native_matches_python_walk(seed):
     scene = random_scene(seed)
     ren = FigRenderer(atlas_size=64, use_pallas=False)
@@ -146,7 +146,7 @@ def test_fuzz_pallas_matches_xla(seed):
 
 
 @pytest.mark.skipif(not native.available(), reason="native flattener not built")
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzz_text_native_matches_python_walk(seed):
     """Random TEXT scenes (sizes, decorations, invertY, selections, clips)
     through both walks: the C++ nkText emission (glyph quads, selection

@@ -84,7 +84,7 @@ def main():
               GREEK_JOHN_3_16, FigFont(typeface_id=serif, size=13.0),
               FigFont(typeface_id=serif, size=17.0), ink, HAlign.Left)
     add_panel(renders, rect(60 + 2 * pw, 40, pw, 480), "Genesis 3:19",
-              ENGLISH_GENESIS_3_19, FigFont(typeface_id=serif, size=12.0),
+              ENGLISH_GENESIS_3_19, FigFont(typeface_id=serif, size=11.5),
               FigFont(typeface_id=serif, size=17.0), ink, HAlign.Left)
 
     ren = FigRenderer(atlas_size=1024)

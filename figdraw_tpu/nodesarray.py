@@ -224,7 +224,7 @@ def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
     glyph_total: running row count of glyph_rows (pass -1 to recount);
     returns the updated total so callers with many text nodes stay O(1) per
     node instead of re-summing every block."""
-    from .fill import center_color_rgba, fill_alpha_max
+    from .fill import fill_alpha_max
     from .geometry import rect as _rect
 
     layout = node.text_layout

@@ -160,14 +160,6 @@ def _glyph_image_offset(ctx, key, g: ArrangedGlyph) -> Vec2:
     return vec2(0, 0)
 
 
-def _glyph_color(g: ArrangedGlyph) -> ColorRGBA:
-    from ..fill import center_color_rgba
-
-    if g.fill is None:
-        return ColorRGBA(0, 0, 0, 255)
-    return center_color_rgba(g.fill)
-
-
 def _glyph_colors(g: ArrangedGlyph):
     """Span fill as 4 vertex colors — gradients tint glyphs exactly like
     rect quads (figrender.nim:494: drawImage(..., fill.gradientColors()))."""

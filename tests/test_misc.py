@@ -413,6 +413,13 @@ def test_native_tape_uploads_without_repacking(monkeypatch):
     the zero-copy export regressed."""
     import numpy as np
 
+    import pytest
+
+    from figdraw_tpu import native as _native
+
+    if not _native.available():
+        pytest.skip("native flattener not built")
+
     from figdraw_tpu import FigRenderer, vec2
     from figdraw_tpu import executor as ex
     from figdraw_tpu.scenes import make_render_tree_array
@@ -453,7 +460,9 @@ def test_pick_tile_h_density_classes():
         return f
 
     if TILE_H <= DENSE_TILE_H:
-        return  # env override flattens the classes
+        import pytest
+
+        pytest.skip("FIGDRAW_TILE override flattens the density classes")
     # 20 tall quads on a 256x256 frame: sparse -> default tile
     assert pick_tile_h(fields_for(20, 200, 200), 20, 256, 256) == TILE_H
     # 60 tall quads x 4 pairs over 4 tiles = 60/tile -> dense

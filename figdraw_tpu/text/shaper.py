@@ -22,10 +22,14 @@ this image, so this is a direct mini-shaper on the font's own tables:
   selected by the ligature component the mark logically follows, tracked
   through ligation) and mark-to-mark (6).
 
-Lookup flags honor GDEF glyph classes (IgnoreBaseGlyphs/Ligatures/Marks;
-mark-filtering sets approximated as IgnoreMarks), so e.g. lam-alef ligates
-across harakat and the skipped haraka then anchors onto the correct
-ligature component.
+Lookup flags honor GDEF glyph classes (IgnoreBaseGlyphs/Ligatures/Marks) with
+full HarfBuzz-grade mark handling: UseMarkFilteringSet (0x10) skips every
+mark NOT in the lookup's GDEF MarkGlyphSet (marks in the set participate in
+matching), and MarkAttachmentType (high byte) skips marks whose GDEF
+MarkAttachClassDef class differs. So e.g. lam-alef ligates across harakat
+and the skipped haraka then anchors onto the correct ligature component,
+while a mark inside a lookup's filtering set correctly blocks matches the
+ignore-all approximation would let through.
 """
 
 from __future__ import annotations
@@ -51,7 +55,8 @@ def ot_language_tag(bcp47: str):
     return OT_LANG_TAGS.get(bcp47.split("-")[0].lower())
 
 
-def _select_lookups(table, wanted_tags, scripts=("DFLT", "latn", "arab"),
+def _select_lookups(table, wanted_tags,
+                    scripts=("DFLT", "latn", "arab", "hebr", "dev2", "deva"),
                     lang=None) -> List[int]:
     """Lookup indices for the wanted feature tags, unioned over the given
     script tags (features live per script; lookups are glyph-driven, so a
@@ -111,9 +116,22 @@ class OpenTypeShaper:
         self._forms: Optional[Dict[str, dict]] = None
         # GDEF glyph classes (1 base, 2 ligature, 3 mark) for lookup flags
         self._gdef_class: Dict[str, int] = {}
+        # GDEF v1.2 MarkGlyphSets (UseMarkFilteringSet targets) and
+        # MarkAttachClassDef (MarkAttachmentType classes)
+        self._mark_glyph_sets: Optional[List[frozenset]] = None
+        self._mark_attach_class: Dict[str, int] = {}
         gdef = tt.get("GDEF")
         if gdef is not None and gdef.table.GlyphClassDef is not None:
             self._gdef_class = dict(gdef.table.GlyphClassDef.classDefs)
+        if gdef is not None:
+            mac = getattr(gdef.table, "MarkAttachClassDef", None)
+            if mac is not None:
+                self._mark_attach_class = dict(mac.classDefs)
+            mgs = getattr(gdef.table, "MarkGlyphSetsDef", None)
+            if mgs is not None:
+                self._mark_glyph_sets = [
+                    frozenset(c.glyphs) for c in mgs.Coverage
+                ]
 
         self._pair_specific: Dict[Tuple[str, str], int] = {}
         self._pair_class: List[Tuple[dict, dict, dict]] = []
@@ -140,22 +158,51 @@ class OpenTypeShaper:
     # replaced input (OpenType lookup application model). Contextual chains
     # apply their nested lookups at the recorded input offsets.
 
-    def _skipped(self, name: str, skip_classes: frozenset) -> bool:
-        """LookupFlag glyph skipping: IgnoreBaseGlyphs/Ligatures/Marks map to
-        GDEF classes 1/2/3 (mark-filtering sets and MarkAttachmentType are
-        treated as plain IgnoreMarks)."""
-        return bool(skip_classes) and self._gdef_class.get(name, 0) in skip_classes
+    def _skipped(self, name: str, skip) -> bool:
+        """LookupFlag glyph skipping. `skip` is the (classes, filter_set,
+        attach_class) triple from _lookup_skip: IgnoreBaseGlyphs/Ligatures/
+        Marks map to GDEF classes 1/2/3; when `filter_set` is a glyph set
+        (UseMarkFilteringSet), every mark NOT in it is skipped and marks in
+        it participate; else a nonzero `attach_class` (MarkAttachmentType)
+        skips marks whose GDEF MarkAttachClassDef class differs."""
+        classes, filter_set, attach_class = skip
+        cls = self._gdef_class.get(name, 0)
+        if cls and cls in classes:
+            return True
+        if cls == 3:
+            if filter_set is not None:
+                return name not in filter_set
+            if attach_class:
+                return self._mark_attach_class.get(name, 0) != attach_class
+        return False
 
-    @staticmethod
-    def _flag_skip_classes(flag: int) -> frozenset:
+    _NO_SKIP = (frozenset(), None, 0)
+
+    def _lookup_skip(self, lookup):
+        """Compile a lookup's LookupFlag (+ MarkFilteringSet index) into the
+        (classes, filter_set, attach_class) triple _skipped consumes.
+        Precedence per the OpenType spec: IgnoreMarks skips all marks;
+        otherwise UseMarkFilteringSet supersedes MarkAttachmentType."""
+        flag = lookup.LookupFlag or 0
         classes = set()
         if flag & 0x02:
             classes.add(1)  # IgnoreBaseGlyphs
         if flag & 0x04:
             classes.add(2)  # IgnoreLigatures
-        if flag & 0x08 or (flag >> 8):
-            classes.add(3)  # IgnoreMarks (+ MarkAttachmentType approximated)
-        return frozenset(classes)
+        if flag & 0x08:
+            classes.add(3)  # IgnoreMarks
+        filter_set = None
+        attach_class = 0
+        if 3 not in classes:
+            if flag & 0x10 and self._mark_glyph_sets is not None:
+                idx = getattr(lookup, "MarkFilteringSet", None)
+                if idx is not None and idx < len(self._mark_glyph_sets):
+                    filter_set = self._mark_glyph_sets[idx]
+            if filter_set is None:
+                attach_class = flag >> 8
+        if not classes and filter_set is None and not attach_class:
+            return self._NO_SKIP
+        return (frozenset(classes), filter_set, attach_class)
 
     def _compile_lookup(self, li: int):
         cached = self._lookups.get(li)
@@ -201,7 +248,7 @@ class OpenTypeShaper:
                 }))
             # other types: unsupported, skipped
         result = (
-            self._flag_skip_classes(lookup.LookupFlag or 0),
+            self._lookup_skip(lookup),
             entries,
             self._trigger_set(entries),
         )
@@ -651,7 +698,7 @@ class OpenTypeShaper:
                 if compiled is not None:
                     entries.append(compiled)
             # 3 cursive attachment unsupported; 4-6 handled by _build_marks
-        result = (self._flag_skip_classes(lookup.LookupFlag or 0), entries)
+        result = (self._lookup_skip(lookup), entries)
         self._gpos_lookups[li] = result
         return result
 

@@ -563,3 +563,101 @@ def test_mark_to_ligature_lam_alef(tid):
 
     # the two cases place the mark at DIFFERENT anchors (per-component)
     assert abs(mark.offset.x - mark2.offset.x) > 1.0
+
+
+# --- true lookup-flag mark semantics (UseMarkFilteringSet / MarkAttachmentType) --
+
+def _build_mark_filter_font(tmp_path):
+    """Font with two marks and two ligature lookups: one with
+    UseMarkFilteringSet (filter = @KEEP: 'acute' participates, 'dot' is
+    skipped), one with MarkAttachmentType @TOPCLASS (only 'acute' carries the
+    class; 'dot' is skipped). The old ignore-all-marks approximation would
+    wrongly let BOTH marks be skipped, ligating across a participating mark."""
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef", "a", "b", "c", "d", "a_b", "c_d", "acute", "dot"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord("a"): "a", ord("b"): "b", ord("c"): "c",
+                          ord("d"): "d", 0x0301: "acute", 0x0307: "dot"})
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics(
+        {g: (0 if g in ("acute", "dot") else 500, 50) for g in names}
+    )
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "MarkFilt", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    addOpenTypeFeaturesFromString(fb.font, """
+        markClass [acute] <anchor 250 700> @KEEP;
+        markClass [dot] <anchor 250 700> @OTHER;
+        feature liga {
+            lookupflag UseMarkFilteringSet @KEEP;
+            sub a b by a_b;
+        } liga;
+        feature liga {
+            lookupflag MarkAttachmentType @KEEP;
+            sub c d by c_d;
+        } liga;
+        feature mark {
+            pos base a <anchor 240 680> mark @KEEP;
+            pos base a <anchor 260 680> mark @OTHER;
+        } mark;
+    """)
+    path = str(tmp_path / "markfilt.ttf")
+    fb.font.save(path)
+    return path
+
+
+def test_use_mark_filtering_set(tmp_path):
+    """UseMarkFilteringSet: marks NOT in the set are skipped; marks IN the
+    set participate in matching (and so BLOCK a ligature whose pattern does
+    not include them) — HarfBuzz semantics, harfbuzzy.nim:395+. The former
+    IgnoreMarks approximation ligated across the in-set mark."""
+    path = _build_mark_filter_font(tmp_path)
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    sh = get_shaper(tf)
+
+    # 'dot' is NOT in @KEEP -> skipped -> ligature forms across it
+    names, _c, _l = sh.substitute_ex(
+        ["a", "dot", "b"], [(0, 1), (1, 2), (2, 3)])
+    assert names == ["a_b", "dot"], names
+    # 'acute' IS in @KEEP -> participates -> blocks the a+b match
+    names, _c, _l = sh.substitute_ex(
+        ["a", "acute", "b"], [(0, 1), (1, 2), (2, 3)])
+    assert names == ["a", "acute", "b"], names
+    # no marks at all still ligates
+    names, _c, _l = sh.substitute_ex(["a", "b"], [(0, 1), (1, 2)])
+    assert names == ["a_b"], names
+
+
+def test_mark_attachment_type(tmp_path):
+    """MarkAttachmentType (LookupFlag high byte): marks of a DIFFERENT GDEF
+    MarkAttachClassDef class are skipped; marks of the named class
+    participate and block."""
+    path = _build_mark_filter_font(tmp_path)
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    sh = get_shaper(tf)
+
+    # sanity: the font carries a MarkAttachClassDef distinguishing the marks
+    assert sh._mark_attach_class.get("acute") != \
+        sh._mark_attach_class.get("dot")
+
+    # 'dot' has a different attachment class -> skipped -> ligature forms
+    names, _c, _l = sh.substitute_ex(
+        ["c", "dot", "d"], [(0, 1), (1, 2), (2, 3)])
+    assert names == ["c_d", "dot"], names
+    # 'acute' is of the named class -> participates -> blocks
+    names, _c, _l = sh.substitute_ex(
+        ["c", "acute", "d"], [(0, 1), (1, 2), (2, 3)])
+    assert names == ["c", "acute", "d"], names

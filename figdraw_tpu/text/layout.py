@@ -610,12 +610,11 @@ def typeset(
             ligc = None  # per-glyph (lig_size, attach_comp) for GPOS 5
             shaper = get_shaper(rtf)
             if shaper is not None:
-                if any(0x0600 <= r[2] <= 0x077F for r in seg):
-                    names = shaper.apply_arabic_forms(
-                        names, [r[2] for r in seg]
-                    )
+                # cps routes Arabic runs through the staged positional
+                # pipeline (masked isol/fina/medi/init stages)
                 names, clusters, ligc = shaper.substitute_ex(
-                    names, clusters, feats, ot_language_tag(font.language)
+                    names, clusters, feats, ot_language_tag(font.language),
+                    cps=[r[2] for r in seg],
                 )
             use_gpos = shaper is not None and shaper.has_gpos_kern
             gpos_deltas = None
@@ -638,7 +637,14 @@ def typeset(
                     adv = rtf.advance(gid) * rs
                 rune = full_text[cs]
                 # GPOS mark-to-base / mark-to-mark: anchor combining marks on
-                # their base instead of the pen position (GPOS 4/6)
+                # their base instead of the pen position (GPOS 4/6). Offsets
+                # are consumed by the LEFT-to-right draw sweep (glyphs.py):
+                # in an LTR run the mark's cursor sits past the base's
+                # advance, so the anchor delta subtracts pen_since_base; in
+                # an RTL run the visual reversal puts the mark BEFORE its
+                # base, its cursor already at the base's origin — the anchor
+                # delta applies as-is.
+                is_rtl = any_rtl and cs < len(levels) and levels[cs] % 2 == 1
                 attach = None
                 if shaper is not None and shaper.is_mark(name):
                     if prev_mark is not None:
@@ -663,7 +669,8 @@ def typeset(
                             delta = shaper.mark_attach(base_name, name)
                         if delta is not None:
                             attach = vec2(
-                                delta[0] * rs - pen_since_base,
+                                delta[0] * rs
+                                - (0.0 if is_rtl else pen_since_base),
                                 -delta[1] * rs,
                             )
                 curs_dy = 0.0

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from . import indic
+
 DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig", "calt", "rclt", "locl")
 
 # BCP-47 primary subtags → OpenType language system tags (the common set the
@@ -113,7 +115,6 @@ class OpenTypeShaper:
         # feature set → ordered list of compiled lookups (skip_classes, entries)
         self._plans: Dict[frozenset, List[tuple]] = {}
         self._lookups: Dict[int, tuple] = {}  # lookup index → (skip, entries)
-        self._forms: Optional[Dict[str, dict]] = None
         # GDEF glyph classes (1 base, 2 ligature, 3 mark) for lookup flags
         self._gdef_class: Dict[str, int] = {}
         # GDEF v1.2 MarkGlyphSets (UseMarkFilteringSet targets) and
@@ -303,7 +304,9 @@ class OpenTypeShaper:
             if chained:
                 return (tuple(r.Backtrack), tuple(r.Input), tuple(r.LookAhead),
                         rule_records(r))
-            return ((), tuple(r.Input), (), rule_records(r))
+            # plain context rules: glyph rules carry Input, class rules Class
+            inp = self._attr(r, "Input", "Class") or ()
+            return ((), tuple(inp), (), rule_records(r))
 
         if fmt == 1:
             rules: Dict[str, list] = {}
@@ -373,12 +376,28 @@ class OpenTypeShaper:
             j -= 1
         return j
 
-    def _try_entry_at(self, entry, names, clusters, comps, i, skip) -> Optional[int]:
+    @staticmethod
+    def _mask_ok(masks, req, pos) -> bool:
+        """HarfBuzz lookup-mask semantics: when a stage applies a masked
+        feature (`req`), an input glyph participates only if its tag set
+        carries the tag — a mismatching glyph fails the match (it is NOT
+        skipped). Mask entries are frozensets (a glyph can be eligible for
+        several masked features, e.g. an Indic halant in both half and
+        blwf pairs) or None (no masked feature applies here)."""
+        if req is None or masks is None:
+            return True
+        m = masks[pos]
+        return m is not None and req in m
+
+    def _try_entry_at(self, entry, names, clusters, comps, i, skip,
+                      masks=None, req=None) -> Optional[int]:
         """Apply one compiled subtable entry at position i (in place),
         skipping LookupFlag-ignored glyphs when matching multi-glyph input.
         comps is the parallel (lig_size, attach_comp) list substitute_ex
-        threads through for GPOS 5. Returns the next cursor position on
-        match, else None."""
+        threads through for GPOS 5; masks is the optional parallel
+        feature-mask list staged shaping (Arabic/Indic) threads through, with
+        `req` the tag this stage requires on matched input glyphs. Returns
+        the next cursor position on match, else None."""
         kind = entry[0]
         if kind == "single":
             repl = entry[1].get(names[i])
@@ -395,12 +414,16 @@ class OpenTypeShaper:
                 del names[i]
                 del clusters[i]
                 del comps[i]
+                if masks is not None:
+                    del masks[i]
                 return i
-            # every decomposed glyph inherits the source cluster
+            # every decomposed glyph inherits the source cluster (and mask)
             cl = clusters[i]
             names[i : i + 1] = list(seq)
             clusters[i : i + 1] = [cl] * len(seq)
             comps[i : i + 1] = [(1, -1)] * len(seq)
+            if masks is not None:
+                masks[i : i + 1] = [masks[i]] * len(seq)
             return i + len(seq)
         if kind == "liga":
             ents = entry[1].get(names[i])
@@ -412,7 +435,8 @@ class OpenTypeShaper:
                 ok = True
                 for comp in comp_seq:
                     j = self._next_pos(names, j, skip)
-                    if j >= len(names) or names[j] != comp:
+                    if j >= len(names) or names[j] != comp or \
+                            not self._mask_ok(masks, req, j):
                         ok = False
                         break
                     pos.append(j)
@@ -434,6 +458,8 @@ class OpenTypeShaper:
                     del names[p]
                     del clusters[p]
                     del comps[p]
+                    if masks is not None:
+                        del masks[p]
                 return i + 1
             return None
         if kind == "rchain":
@@ -458,7 +484,8 @@ class OpenTypeShaper:
         match = None  # (matched input positions, records)
         if fmt == 1:
             for bt, inp, la, recs in data["cov"].get(names[i], ()):  # noqa: B020
-                m = self._match_ctx(names, i, bt, inp, la, skip, mode="glyph")
+                m = self._match_ctx(names, i, bt, inp, la, skip, mode="glyph",
+                                    masks=masks, req=req)
                 if m is not None:
                     match = (m, recs)
                     break
@@ -469,7 +496,8 @@ class OpenTypeShaper:
                     m = self._match_ctx(names, i, bt, inp, la, skip,
                                         mode="class",
                                         cds=(data["bt_cd"], data["in_cd"],
-                                             data["la_cd"]))
+                                             data["la_cd"]),
+                                        masks=masks, req=req)
                     if m is not None:
                         match = (m, recs)
                         break
@@ -477,7 +505,7 @@ class OpenTypeShaper:
             inp = data["inp"]
             if inp and names[i] in inp[0]:
                 m = self._match_ctx(names, i, data["bt"], inp[1:], data["la"],
-                                    skip, mode="cov")
+                                    skip, mode="cov", masks=masks, req=req)
                 if m is not None:
                     match = (m, data["recs"])
         if match is None:
@@ -500,15 +528,19 @@ class OpenTypeShaper:
                 continue
             for nested in n_entries:
                 if self._try_entry_at(
-                    nested, names, clusters, comps, pos, n_skip
+                    nested, names, clusters, comps, pos, n_skip,
+                    masks=masks, req=req
                 ) is not None:
                     break
             delta += len(names) - before
         return end + delta
 
-    def _match_ctx(self, names, i, bt, inp, la, skip, mode, cds=None):
+    def _match_ctx(self, names, i, bt, inp, la, skip, mode, cds=None,
+                   masks=None, req=None):
         """Match a (chain) context at i with flag skipping. Returns the list
-        of matched input positions (starting with i), or None."""
+        of matched input positions (starting with i), or None. Input glyphs
+        must carry the stage's feature mask (`req`); backtrack/lookahead are
+        not mask-checked (HarfBuzz semantics)."""
 
         def value_match(g, want, which):
             if mode == "glyph":
@@ -527,7 +559,8 @@ class OpenTypeShaper:
         j = i
         for want in inp:
             j = self._next_pos(names, j + 1, skip)
-            if j >= len(names) or not value_match(names[j], want, 1):
+            if j >= len(names) or not value_match(names[j], want, 1) or \
+                    not self._mask_ok(masks, req, j):
                 return None
             input_pos.append(j)
         j = input_pos[-1]
@@ -555,11 +588,13 @@ class OpenTypeShaper:
         clusters: Sequence[Tuple[int, int]],
         features: Optional[frozenset] = None,
         lang: Optional[str] = None,
+        cps: Optional[Sequence[int]] = None,
     ) -> Tuple[List[str], List[Tuple[int, int]]]:
         """Apply the selected GSUB lookups; clusters are (source_start,
         source_end) per glyph and merge across ligated components. lang is an
         OpenType language-system tag (ot_language_tag maps BCP-47)."""
-        out_n, out_c, _comps = self.substitute_ex(names, clusters, features, lang)
+        out_n, out_c, _comps = self.substitute_ex(names, clusters, features,
+                                                  lang, cps)
         return out_n, out_c
 
     def substitute_ex(
@@ -568,19 +603,32 @@ class OpenTypeShaper:
         clusters: Sequence[Tuple[int, int]],
         features: Optional[frozenset] = None,
         lang: Optional[str] = None,
+        cps: Optional[Sequence[int]] = None,
     ) -> Tuple[List[str], List[Tuple[int, int]], List[Tuple[int, int]]]:
         """substitute() plus per-glyph ligature-component info for GPOS 5:
         the third list holds (lig_size, attach_comp) — lig_size > 1 marks a
         ligature of that many components; attach_comp >= 0 tags a skipped
         mark with the 0-based component it logically follows (-1 = untagged;
-        marks following the whole ligature attach to its last component)."""
-        plan = self._plan(
-            features if features is not None else frozenset(DEFAULT_GSUB_FEATURES),
-            lang,
-        )
+        marks following the whole ligature attach to its last component).
+        `cps` (source codepoints, 1:1 with `names`) routes Arabic-script
+        runs through the staged positional pipeline."""
+        feats = (features if features is not None
+                 else frozenset(DEFAULT_GSUB_FEATURES))
         out_n = list(names)
         out_c = list(clusters)
         out_l: List[Tuple[int, int]] = [(1, -1)] * len(out_n)
+        if cps is not None and any(_is_arabic_script(cp) for cp in cps):
+            self._substitute_arabic(out_n, out_c, out_l, cps, feats, lang)
+        elif cps is not None and any(indic.is_devanagari(cp) for cp in cps):
+            self._substitute_indic(out_n, out_c, out_l, cps, feats, lang)
+        else:
+            self._apply_plan(self._plan(feats, lang), out_n, out_c, out_l)
+        return out_n, out_c, out_l
+
+    def _apply_plan(self, plan, out_n, out_c, out_l, masks=None, req=None):
+        """Run compiled lookups over the glyph run in place. `masks`/`req`
+        implement HarfBuzz stage masks: only positions tagged `req` may start
+        or participate in a match (staged Arabic/Indic shaping)."""
         for skip, entries, triggers in plan:
             if triggers is not None and not triggers.intersection(out_n):
                 continue  # nothing in this run can start a match
@@ -589,11 +637,13 @@ class OpenTypeShaper:
                 for i in range(len(out_n) - 1, -1, -1):
                     nm = out_n[i]
                     if (triggers is not None and nm not in triggers) or \
-                            self._skipped(nm, skip):
+                            self._skipped(nm, skip) or \
+                            not self._mask_ok(masks, req, i):
                         continue
                     for entry in entries:
                         if self._try_entry_at(
-                            entry, out_n, out_c, out_l, i, skip
+                            entry, out_n, out_c, out_l, i, skip,
+                            masks=masks, req=req
                         ) is not None:
                             break
                 continue
@@ -601,48 +651,158 @@ class OpenTypeShaper:
             while i < len(out_n):
                 nm = out_n[i]
                 if (triggers is not None and nm not in triggers) or \
-                        self._skipped(nm, skip):
+                        self._skipped(nm, skip) or \
+                        not self._mask_ok(masks, req, i):
                     i += 1
                     continue
                 nxt = None
                 for entry in entries:
-                    nxt = self._try_entry_at(entry, out_n, out_c, out_l, i, skip)
+                    nxt = self._try_entry_at(entry, out_n, out_c, out_l, i, skip,
+                                             masks=masks, req=req)
                     if nxt is not None:
                         break
                 i = nxt if nxt is not None else i + 1
-        return out_n, out_c, out_l
 
-    def apply_arabic_forms(
-        self, names: Sequence[str], cps: Sequence[int]
-    ) -> List[str]:
-        """Cursive-form substitution (init/medi/fina single-subst lookups,
-        'arab' script) driven by the joining-class pass below; runs before
-        liga/rlig so lam-alef ligatures see the positional forms."""
+    # Positional features, each its own masked stage in this order (HarfBuzz
+    # arabic shaper stage list; fin2/fin3/med2 are Syriac-only but harmless)
+    ARABIC_POSITIONAL = ("isol", "fina", "fin2", "fin3", "medi", "med2", "init")
+
+    def _substitute_arabic(self, out_n, out_c, out_l, cps, feats, lang) -> None:
+        """HarfBuzz-style staged Arabic shaping: ccmp/locl first, then each
+        positional feature (isol/fina/medi/init) applied ONLY at positions
+        the joining analysis tagged with it (masks survive decomposition and
+        ligation), then rlig, then the remaining common features. Fonts like
+        Noto Naskh decompose letters into skeleton+dot marks in ccmp and
+        share lookups between positional features, so a global
+        lookup-order pass mis-shapes them — the masks are load-bearing."""
         forms = arabic_forms(cps)
-        if not any(forms):
-            return list(names)
-        maps = self._form_maps()
-        return [
-            maps.get(f, {}).get(nm, nm) if f else nm
-            for nm, f in zip(names, forms)
+        masks: List[Optional[frozenset]] = [
+            frozenset({f}) if f else frozenset({"isol"}) for f in forms
         ]
+        # non-Arabic chars and transparent marks carry no positional tag
+        for k, cp in enumerate(cps):
+            if not _is_arabic_script(cp) or _joining_class(cp) == "T":
+                masks[k] = None
+        self._apply_plan(self._plan(frozenset({"ccmp", "locl"}), lang),
+                         out_n, out_c, out_l, masks=masks)
+        for tag in self.ARABIC_POSITIONAL:
+            if tag not in feats and tag not in ("isol", "fina", "medi", "init"):
+                continue
+            plan = self._plan(frozenset({tag}), lang)
+            if plan:
+                self._apply_plan(plan, out_n, out_c, out_l,
+                                 masks=masks, req=tag)
+        self._apply_plan(self._plan(frozenset({"rlig"}), lang),
+                         out_n, out_c, out_l, masks=masks)
+        rest = feats - {"ccmp", "locl", "rlig"} - set(self.ARABIC_POSITIONAL)
+        if rest:
+            self._apply_plan(self._plan(frozenset(rest), lang),
+                             out_n, out_c, out_l, masks=masks)
 
-    def _form_maps(self) -> Dict[str, dict]:
-        if self._forms is None:
-            m: Dict[str, dict] = {}
-            if self._gsub is not None:
-                table = self._gsub.table
-                for feat in ("init", "medi", "fina"):
-                    merged: Dict[str, str] = {}
-                    for li in _select_lookups(table, {feat}, scripts=("arab", "DFLT")):
-                        lookup = table.LookupList.Lookup[li]
-                        for sub in lookup.SubTable:
-                            ltype, sub = _unwrap(lookup, sub)
-                            if ltype == 1:
-                                merged.update(sub.mapping)
-                    m[feat] = merged
-            self._forms = m
-        return self._forms
+    # Indic (Devanagari) basic-feature stages, per OpenType spec order:
+    # (tags, mask requirement). Masked stages fire only at the positions the
+    # syllable analysis tagged (text/indic.py:build_masks).
+    INDIC_BASIC_STAGES = (
+        (frozenset({"locl", "nukt", "akhn"}), None),
+        (frozenset({"rphf"}), "rphf"),
+        (frozenset({"rkrf"}), None),
+        (frozenset({"pref"}), "pref"),
+        (frozenset({"blwf"}), "blwf"),
+        (frozenset({"half"}), "half"),
+        (frozenset({"pstf"}), "pstf"),
+        (frozenset({"vatu", "cjct"}), None),
+    )
+    INDIC_PRES_FEATURES = frozenset({"pres", "abvs", "blws", "psts", "haln"})
+
+    def _substitute_indic(self, out_n, out_c, out_l, cps, feats, lang) -> None:
+        """Devanagari shaping à la HarfBuzz's Indic shaper: split the run
+        into syllables (text/indic.py), apply the dev2 basic features per
+        syllable with positional masks, reorder (pre-base matra to the
+        front, reph to the after-post slot), then run the presentation
+        features over the reordered glyphs. Non-Devanagari stretches go
+        through the generic plan. Reference: HarfBuzz Indic shaping via
+        harfbuzzy.nim:395+ (surfer_text_shaping_demo.nim:19-22)."""
+        res_n: List[str] = []
+        res_c: List[Tuple[int, int]] = []
+        res_l: List[Tuple[int, int]] = []
+        n = len(cps)
+        i = 0
+        while i < n:
+            if indic.is_devanagari(cps[i]):
+                j = indic.next_syllable(cps, i)
+                s_n = out_n[i:j]
+                s_c = out_c[i:j]
+                s_m = out_l[i:j]
+                self._shape_indic_syllable(s_n, s_c, s_m, cps[i:j], feats, lang)
+            else:
+                j = i
+                while j < n and not indic.is_devanagari(cps[j]):
+                    j += 1
+                s_n = out_n[i:j]
+                s_c = out_c[i:j]
+                s_m = out_l[i:j]
+                self._apply_plan(self._plan(feats, lang), s_n, s_c, s_m)
+            res_n.extend(s_n)
+            res_c.extend(s_c)
+            res_l.extend(s_m)
+            i = j
+        out_n[:] = res_n
+        out_c[:] = res_c
+        out_l[:] = res_l
+
+    def _shape_indic_syllable(self, names, clusters, comps, cps_syl, feats,
+                              lang) -> None:
+        """Shape ONE Devanagari syllable in place (lists are the syllable's
+        slices). Order: basic features (masked per the syllable analysis) →
+        reorder reph/pre-base matra → merged clusters → presentation
+        features."""
+        base, has_reph = indic.analyze_syllable(cps_syl)
+        mask_tags = indic.build_masks(cps_syl, base, has_reph)
+        masks: List[Optional[frozenset]] = [m if m else None for m in mask_tags]
+        # identities that survive GSUB: the (start, end) source clusters
+        reph_cluster = ((clusters[0][0], clusters[1][1]) if has_reph else None)
+        matra_clusters = [clusters[k] for k, cp in enumerate(cps_syl)
+                          if indic.category(cp) == indic.C_MATRA_PRE]
+        sm_clusters = {clusters[k] for k, cp in enumerate(cps_syl)
+                       if indic.category(cp) in (indic.C_SM, indic.C_VEDIC)}
+        for tags, req in self.INDIC_BASIC_STAGES:
+            plan = self._plan(tags, lang)
+            if plan:
+                self._apply_plan(plan, names, clusters, comps,
+                                 masks=masks, req=req)
+        moved = False
+        # pre-base matra (i) moves to the front of the syllable
+        for mc in matra_clusters:
+            for k, c in enumerate(clusters):
+                if c == mc:
+                    if k != 0:
+                        for lst in (names, clusters, comps, masks):
+                            lst.insert(0, lst.pop(k))
+                        moved = True
+                    break
+        # reph moves to the after-post slot: end of syllable, before
+        # syllable modifiers (anusvara & co) — REPH_POS_AFTER_POST
+        if has_reph and reph_cluster is not None:
+            idx = next((k for k, c in enumerate(clusters)
+                        if c == reph_cluster), None)
+            if idx is not None:
+                tgt = len(names)
+                while tgt - 1 > idx and clusters[tgt - 1] in sm_clusters:
+                    tgt -= 1
+                if tgt - 1 > idx:
+                    for lst in (names, clusters, comps, masks):
+                        lst.insert(tgt - 1, lst.pop(idx))
+                    moved = True
+        if moved and clusters:
+            # HarfBuzz merges clusters across a reordered syllable
+            lo = min(c[0] for c in clusters)
+            hi = max(c[1] for c in clusters)
+            clusters[:] = [(lo, hi)] * len(clusters)
+        pres = self.INDIC_PRES_FEATURES | (
+            feats & frozenset({"calt", "clig", "liga", "dlig", "ccmp"})
+        )
+        self._apply_plan(self._plan(pres, lang), names, clusters, comps,
+                         masks=masks)
 
     # --- GPOS -----------------------------------------------------------------
 
@@ -802,7 +962,7 @@ class OpenTypeShaper:
     def _kern_lookup_indices(self) -> List[int]:
         if self._kern_lookups is None:
             self._kern_lookups = (
-                _select_lookups(self._gpos_table, {"kern"})
+                _select_lookups(self._gpos_table, {"kern", "dist"})
                 if self._gpos_table is not None
                 else []
             )
@@ -869,7 +1029,7 @@ class OpenTypeShaper:
                 if m:
                     self._cursive.append(m)
         self._build_marks(table)
-        for li in _select_lookups(table, {"kern"}):
+        for li in _select_lookups(table, {"kern", "dist"}):
             lookup = table.LookupList.Lookup[li]
             for sub in lookup.SubTable:
                 ltype, sub = _unwrap(lookup, sub)
@@ -906,8 +1066,9 @@ class OpenTypeShaper:
                     m[g] = (rec.Class, a.XCoordinate, a.YCoordinate)
             return m
 
-        for li in _select_lookups(table, {"mark", "mkmk"},
-                                  scripts=("DFLT", "latn", "arab", "hebr")):
+        # abvm/blwm are the Indic above/below mark features (reph, matras,
+        # anusvara placement in dev2 fonts) — same MarkBasePos machinery
+        for li in _select_lookups(table, {"mark", "mkmk", "abvm", "blwm"}):
             lookup = table.LookupList.Lookup[li]
             for sub in lookup.SubTable:
                 ltype, sub = _unwrap(lookup, sub)
@@ -1038,6 +1199,12 @@ _ARABIC_R = frozenset([
     0x06CD, 0x06CF, 0x06D2, 0x06D3, 0x06D5,
 ])
 _ARABIC_U = frozenset([0x0621, 0x0674, 0x06D4])
+
+
+def _is_arabic_script(cp: int) -> bool:
+    """Arabic block + Arabic Supplement (the ranges the joining-class pass
+    understands) — gates the staged positional pipeline."""
+    return 0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F
 
 
 def _joining_class(cp: int) -> str:

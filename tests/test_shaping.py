@@ -183,13 +183,17 @@ def test_mark_attachment_stacking(tid):
 
 
 def test_mark_attachment_arabic(tid):
-    """Harakat anchor on Arabic letters (beh + fatha)."""
+    """Harakat anchor on Arabic letters (beh + fatha). In an RTL run the
+    visual reversal parks the mark's cursor AT the base origin, so the
+    anchor delta applies without the base-advance pullback (the draw sweep
+    is left-to-right; the fatha lands inside the beh's advance width)."""
     tf = get_typeface(tid)
     arr = _typeset(tid, "بَ")
     m = arr.arranged_glyphs[1]
     assert tf.glyph_name(m.glyph_id) == "uni064E"
     assert m.advance.x == 0.0
-    assert m.offset.x < 0.0  # pulled back over the beh
+    base = arr.arranged_glyphs[0]
+    assert 0.0 <= m.offset.x <= base.advance.x
 
 
 def test_ccmp_chain_context(tid):
@@ -537,7 +541,9 @@ def test_mark_to_ligature_lam_alef(tid):
     ligature component — the component it logically follows, tracked through
     ligation. DejaVu Sans anchors (lookup 8): fatha mark anchor (512, 1200);
     uniFEFB component 0 (lam) (867, 1650), component 1 (alef) (150, 1500).
-    Pinned glyph-stream-exact like the bare lam-alef cases."""
+    Pinned glyph-stream-exact like the bare lam-alef cases. RTL: the mark's
+    draw cursor sits at the ligature ORIGIN (visual reversal), so the anchor
+    delta applies without a base-advance pullback."""
     tf = get_typeface(tid)
     f = FigFont(typeface_id=tid, size=20.0)
     c = fill(rgba(0, 0, 0, 255))
@@ -547,10 +553,9 @@ def test_mark_to_ligature_lam_alef(tid):
     arr = typeset(vec2(1000, 60), [(f, c, "لَا")])
     names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
     assert names == ["uniFEFB", "uni064E"], names
-    lig_adv = arr.arranged_glyphs[0].advance.x
     mark = arr.arranged_glyphs[1]
     assert mark.advance.x == 0.0
-    assert abs(mark.offset.x - ((867 - 512) * s - lig_adv)) < 1e-6
+    assert abs(mark.offset.x - (867 - 512) * s) < 1e-6
     assert abs(mark.offset.y - (-(1650 - 1200) * s)) < 1e-6
 
     # lam + alef + fatha: the fatha follows the whole ligature -> comp 1
@@ -558,7 +563,7 @@ def test_mark_to_ligature_lam_alef(tid):
     names2 = [tf.glyph_name(g.glyph_id) for g in arr2.arranged_glyphs]
     assert names2 == ["uniFEFB", "uni064E"], names2
     mark2 = arr2.arranged_glyphs[1]
-    assert abs(mark2.offset.x - ((150 - 512) * s - lig_adv)) < 1e-6
+    assert abs(mark2.offset.x - (150 - 512) * s) < 1e-6
     assert abs(mark2.offset.y - (-(1500 - 1200) * s)) < 1e-6
 
     # the two cases place the mark at DIFFERENT anchors (per-component)

@@ -67,6 +67,9 @@ def add_panel(renders, box, title, rows, font, title_font, ink, h_align):
 
 def main():
     os.makedirs(OUT, exist_ok=True)
+    # the reference's own bundled Hebrew face (siwin_genesis_shaping.nim:27)
+    hebrew = load_typeface(
+        "/root/reference/examples/fonts/NotoSansHebrew-wdth-wght.ttf")
     sans = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
     serif_path = "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"
     serif = load_typeface(serif_path) if os.path.exists(serif_path) else sans
@@ -78,8 +81,10 @@ def main():
     ink = fill(rgba(40, 34, 26, 255))
     pw = (W - 4 * 20) / 3
     add_panel(renders, rect(20, 40, pw, 480), "בראשית ג יט",
-              HEBREW_GENESIS_3_19, FigFont(typeface_id=sans, size=19.0),
-              FigFont(typeface_id=sans, size=17.0), ink, HAlign.Right)
+              HEBREW_GENESIS_3_19,
+              FigFont(typeface_id=hebrew, size=19.0,
+                      fallback_typeface_ids=(sans,)),
+              FigFont(typeface_id=hebrew, size=17.0), ink, HAlign.Right)
     add_panel(renders, rect(40 + pw, 40, pw, 480), "Κατά Ιωάννην γ 16",
               GREEK_JOHN_3_16, FigFont(typeface_id=serif, size=13.0),
               FigFont(typeface_id=serif, size=17.0), ink, HAlign.Left)

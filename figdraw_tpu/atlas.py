@@ -47,9 +47,15 @@ class Atlas:
     # --- packing (glcontext.nim:541-579) -------------------------------------
 
     def _find_empty_rect(self, w: int, h: int) -> Optional[Tuple[int, int]]:
-        """Lowest-skyline placement for a (w+margin, h+margin) block."""
-        bw = w + self.margin
-        bh = h + self.margin
+        """Lowest-skyline placement for a (w+2·margin, h+2·margin) block;
+        the returned spot is the block corner — the entry itself is inset by
+        margin on every side (findEmptyRect, glcontext.nim:541-579), so no
+        entry ever touches the atlas border. That transparent surround is
+        load-bearing: GL-parity bilinear sampling at image edges blends the
+        margin in (the golden's ~15% background bleed on border rows); an
+        entry at the border would clamp-to-edge instead."""
+        bw = w + 2 * self.margin
+        bh = h + 2 * self.margin
         if bw > self.size or bh > self.size:
             return None
         best_x = -1
@@ -71,10 +77,11 @@ class Atlas:
         spot = self._find_empty_rect(w, h)
         if spot is None:
             return False
-        x, y = spot
+        bx, by = spot
+        x, y = bx + self.margin, by + self.margin
         self.data[y : y + h, x : x + w] = img
-        self.heights[x : x + w + self.margin] = np.maximum(
-            self.heights[x : x + w + self.margin], y + h + self.margin
+        self.heights[bx : bx + w + 2 * self.margin] = np.maximum(
+            self.heights[bx : bx + w + 2 * self.margin], by + h + 2 * self.margin
         )
         s = float(self.size)
         self.entries[key] = (x / s, y / s, w / s, h / s)

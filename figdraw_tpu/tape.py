@@ -203,9 +203,28 @@ class TapeBackend(BackendContext):
     # --- rect-mask fast path -----------------------------------------------------
 
     def _make_rect_mask(self, mask_rect: Rect, radii: CornerRadii2D) -> RectMask:
-        half = mask_rect.wh * 0.5
-        center = mask_rect.xy + half
         inv = self.mat.inverse()
+        # The mask-plane twin draws its clip quad with ceil-snapped vertices
+        # and stretches the SDF field onto them (uv-interpolated local point,
+        # glcontext.nim:1080-1086 + :1051), so its boundary lands on the
+        # snapped edges. Snap the fast path's local rect through the same
+        # transform round trip so both clip paths cut at identical pixels
+        # (the reference's two paths only agree to ~1px here; ours are
+        # exact). Rotated transforms keep the unsnapped rect — vertex
+        # snapping has no axis-aligned equivalent there.
+        m = self.mat
+        if m.b == 0.0 and m.c == 0.0 and m.a > 0.0 and m.d > 0.0:
+            p0 = m.apply(mask_rect.xy)
+            p1 = m.apply(mask_rect.xy + mask_rect.wh)
+            s0 = vec2(math.ceil(p0.x), math.ceil(p0.y))
+            s1 = vec2(math.ceil(p1.x), math.ceil(p1.y))
+            l0 = inv.apply(s0)
+            l1 = inv.apply(s1)
+            half = (l1 - l0) * 0.5
+            center = l0 + half
+        else:
+            half = mask_rect.wh * 0.5
+            center = mask_rect.xy + half
         packed, elliptical = rounded_radii_vec(radii, half)
         # Row-vectors of the inverse transform in homogeneous form, mirroring
         # makeRectMask (glcontext.nim:831-850): matX = (m00, m01, tx, 1),

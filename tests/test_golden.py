@@ -142,8 +142,17 @@ def circle_rect_scene(w, h):
     return r
 
 
-def _golden_compare(scene_fn, golden_name, rmse_bound=0.02, bad_bound=0.01,
-                    use_pallas=False):
+# The fidelity bar: BASELINE.json's north star is per-pixel RMSE < 1e-3
+# against the reference's own golden PNGs on the XLA path. The Pallas kernel
+# is held to the same golden with the documented kernel tolerance on top
+# (pallas == XLA within 1/255, test_raster.py), so a Pallas-only fidelity
+# regression fails the golden suite directly.
+GOLDEN_RMSE_BOUND = 1e-3
+PALLAS_EXTRA = 1.0 / 255.0
+
+
+def _golden_compare(scene_fn, golden_name, rmse_bound=GOLDEN_RMSE_BOUND,
+                    bad_bound=1e-3, use_pallas=False):
     from PIL import Image
 
     expected = np.asarray(
@@ -157,7 +166,10 @@ def _golden_compare(scene_fn, golden_name, rmse_bound=0.02, bad_bound=0.01,
     diff = np.abs(got[..., :3] - expected[..., :3]) / 255.0
     rmse = float(np.sqrt((diff ** 2).mean()))
     bad = (diff.max(axis=-1) > 32 / 255.0).mean()
-    print(f"{golden_name}: rmse={rmse:.5f} bad_pixel_ratio={bad:.5f}")
+    if use_pallas:
+        rmse_bound += PALLAS_EXTRA
+    print(f"{golden_name} pallas={use_pallas}: "
+          f"rmse={rmse:.5f} bad_pixel_ratio={bad:.5f}")
     if rmse >= rmse_bound and os.environ.get("FIGDRAW_DUMP_GOLDEN"):
         Image.fromarray(got.astype(np.uint8)).save(f"/tmp/golden_got_{golden_name}")
     assert rmse < rmse_bound, f"{golden_name} rmse {rmse}"
@@ -167,13 +179,17 @@ def _golden_compare(scene_fn, golden_name, rmse_bound=0.02, bad_bound=0.01,
 goldens = pytest.mark.skipif(
     not os.path.isdir(EXPECTED_DIR), reason="reference goldens not mounted"
 )
+pallas_param = pytest.mark.parametrize("use_pallas", [False, True],
+                                       ids=["xla", "pallas"])
 
 
 @goldens
-def test_rgb_boxes_sdf_golden():
+@pallas_param
+def test_rgb_boxes_sdf_golden(use_pallas):
     # GL golden was rendered by LLVMpipe with its own rounding; SURVEY.md §7
     # budgets an RMSE bound (north star < 1e-3) rather than bit-exactness.
-    _golden_compare(rgb_boxes_sdf_scene, "render_rgb_boxes_sdf.png")
+    _golden_compare(rgb_boxes_sdf_scene, "render_rgb_boxes_sdf.png",
+                    use_pallas=use_pallas)
 
 
 # render_rgb_boxes.png (non-sdf) is the reference's LEGACY CPU-texture path
@@ -182,18 +198,24 @@ def test_rgb_boxes_sdf_golden():
 
 
 @goldens
-def test_linear_gradient_golden():
-    _golden_compare(linear_gradient_scene, "render_linear_gradient.png")
+@pallas_param
+def test_linear_gradient_golden(use_pallas):
+    _golden_compare(linear_gradient_scene, "render_linear_gradient.png",
+                    use_pallas=use_pallas)
 
 
 @goldens
-def test_line_rect_golden():
-    _golden_compare(line_rect_scene, "render_line_rect.png")
+@pallas_param
+def test_line_rect_golden(use_pallas):
+    _golden_compare(line_rect_scene, "render_line_rect.png",
+                    use_pallas=use_pallas)
 
 
 @goldens
-def test_circle_rect_golden():
-    _golden_compare(circle_rect_scene, "render_circle_rect.png")
+@pallas_param
+def test_circle_rect_golden(use_pallas):
+    _golden_compare(circle_rect_scene, "render_circle_rect.png",
+                    use_pallas=use_pallas)
 
 
 def image_scene(w, h, image_id):
@@ -215,7 +237,12 @@ def image_scene(w, h, image_id):
 
 
 @goldens
-def test_image_golden():
+@pallas_param
+def test_image_golden(use_pallas):
+    """Image golden incl. the GL margin-bleed semantics: bilinear at image
+    borders blends the transparent atlas margin (entries are inset by margin
+    on every side, atlas.py _find_empty_rect), darkening edge rows ~15%
+    toward the backdrop exactly like the reference's straight-alpha blend."""
     from PIL import Image
 
     from figdraw_tpu.resources import ImageMessageBus, put_image
@@ -229,7 +256,7 @@ def test_image_golden():
         Image.open("/root/reference/data/img1.png").convert("RGBA")
     )
     bus = ImageMessageBus()
-    ren = FigRenderer(atlas_size=512, use_pallas=False)
+    ren = FigRenderer(atlas_size=512, use_pallas=use_pallas)
     ren.ensure_image_message_subscription(bus)
     put_image(4242, src, bus=bus)
     ren.render_frame(image_scene(float(w), float(h), 4242), vec2(w, h))
@@ -237,6 +264,7 @@ def test_image_golden():
     diff = np.abs(got[..., :3] - expected[..., :3]) / 255.0
     rmse = float(np.sqrt((diff ** 2).mean()))
     bad = (diff.max(axis=-1) > 32 / 255.0).mean()
-    print(f"render_image.png: rmse={rmse:.5f} bad={bad:.5f}")
-    assert rmse < 0.02, rmse
-    assert bad < 0.02, bad
+    print(f"render_image.png pallas={use_pallas}: rmse={rmse:.5f} bad={bad:.5f}")
+    bound = GOLDEN_RMSE_BOUND + (PALLAS_EXTRA if use_pallas else 0.0)
+    assert rmse < bound, rmse
+    assert bad < 1e-3, bad

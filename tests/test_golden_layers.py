@@ -83,8 +83,9 @@ def layers_clip_scene(w, h, rect_mask=False):
 @pytest.mark.skipif(
     not os.path.isdir(EXPECTED_DIR), reason="reference goldens not mounted"
 )
+@pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
 @pytest.mark.parametrize("rect_mask", [False, True])
-def test_layers_clip_golden(rect_mask):
+def test_layers_clip_golden(rect_mask, use_pallas):
     from PIL import Image
 
     expected = np.asarray(
@@ -92,17 +93,30 @@ def test_layers_clip_golden(rect_mask):
         dtype=np.float32,
     )
     h, w = expected.shape[:2]
-    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    ren = FigRenderer(atlas_size=64, use_pallas=use_pallas)
     ren.render_frame(layers_clip_scene(float(w), float(h), rect_mask), vec2(w, h))
     got = ren.take_screenshot().astype(np.float32)
-    diff = np.abs(got[..., :3] - expected[..., :3]) / 255.0
+    adiff = np.abs(got[..., :3] - expected[..., :3])
+    diff = adiff / 255.0
     rmse = float(np.sqrt((diff ** 2).mean()))
     bad = (diff.max(axis=-1) > 32 / 255.0).mean()
-    print(f"layers_clip rect_mask={rect_mask}: rmse={rmse:.5f} bad={bad:.6f}")
-    # the reference holds this to diff score 1.0 — its own clip and rect-mask
-    # paths must agree; ours must match both
-    assert rmse < 0.004, rmse
-    assert bad < 0.001, bad
+    print(f"layers_clip rect_mask={rect_mask} pallas={use_pallas}: "
+          f"rmse={rmse:.5f} bad={bad:.6f} maxdiff={adiff.max():.0f}")
+    # the reference holds BOTH its paths to diff 1.0 on this golden
+    # (trender_layers_clip.nim:249-251)
+    if not rect_mask and not use_pallas:
+        # CLAUDE.md invariant: the clip path matches the golden BIT-EXACTLY
+        # on the XLA path
+        assert adiff.max() == 0.0, f"clip path no longer bit-exact: {adiff.max()}"
+    elif not use_pallas:
+        # the rect-mask fast path snaps to the same pixels as the mask-plane
+        # twin (tape.py _make_rect_mask); residue is corner-arc rounding
+        assert rmse < 1e-3, rmse
+        assert bad < 1e-3, bad
+    else:
+        # Pallas kernel: golden bound + the documented 1/255 kernel tolerance
+        assert rmse < 1e-3 + 1.0 / 255.0, rmse
+        assert bad < 1e-3, bad
 
 
 def test_layer_draw_order_and_clip_semantics():

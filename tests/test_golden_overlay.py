@@ -160,13 +160,13 @@ def make_overlay_ui(w: float, h: float):
     return r
 
 
-def _render_overlay(w, h, pyramid, legacy_shadow: bool):
+def _render_overlay(w, h, pyramid, legacy_shadow: bool, use_pallas=False):
     """Render the UI-over-pyramid sandwich; legacy_shadow remaps drop-shadow
     quads (mode 7) to the LEGACY LINEAR falloff (mode 21) the golden was
     generated with — see the profile measurement in test_3d_overlay_golden."""
     from figdraw_tpu.ops.layout import QI_MODE
 
-    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    ren = FigRenderer(atlas_size=256, use_pallas=use_pallas)
     if not legacy_shadow:
         frame = ren.render_frame_with_overlays(
             make_overlay_ui(float(w), float(h)), vec2(w, h), {0: pyramid},
@@ -185,7 +185,8 @@ def _render_overlay(w, h, pyramid, legacy_shadow: bool):
 
 
 @goldens
-def test_3d_overlay_golden():
+@pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
+def test_3d_overlay_golden(use_pallas):
     from PIL import Image
 
     expected = np.asarray(
@@ -194,6 +195,7 @@ def test_3d_overlay_golden():
     )
     h, w = expected.shape[:2]
     pyramid = rasterize_pyramid(w, h)
+    extra = (1.0 / 255.0) if use_pallas else 0.0  # documented kernel tolerance
 
     def score(frame):
         got = (np.clip(frame, 0.0, 1.0) * 255.0).round()
@@ -210,14 +212,20 @@ def test_3d_overlay_golden():
     # below the panel; the gaussian renders rmse = 0.0015, all of it in the
     # shadow band, with the pyramid region at 3e-5). Pin the golden with the
     # legacy profile (mode 21) at the 1e-3 north star.
-    rmse, bad = score(_render_overlay(w, h, pyramid, legacy_shadow=True))
-    print(f"render_3d_overlay (legacy shadow): rmse={rmse:.5f} bad={bad:.5f}")
-    assert rmse < 0.001, rmse
+    rmse, bad = score(_render_overlay(w, h, pyramid, legacy_shadow=True,
+                                      use_pallas=use_pallas))
+    print(f"render_3d_overlay (legacy shadow) pallas={use_pallas}: "
+          f"rmse={rmse:.5f} bad={bad:.5f}")
+    assert rmse < 0.001 + extra, rmse
     assert bad < 0.001, bad
 
     # and the CURRENT reference shader semantics (gaussian) stay within the
-    # documented profile-delta bound
-    rmse_g, bad_g = score(_render_overlay(w, h, pyramid, legacy_shadow=False))
-    print(f"render_3d_overlay (gaussian): rmse={rmse_g:.5f} bad={bad_g:.5f}")
-    assert rmse_g < 0.002, rmse_g
+    # documented profile-delta bound — the 1.5e-3 here is the linear→gaussian
+    # profile change itself, not a fidelity gap (the one golden carrying a
+    # documented exception to the 1e-3 bar)
+    rmse_g, bad_g = score(_render_overlay(w, h, pyramid, legacy_shadow=False,
+                                          use_pallas=use_pallas))
+    print(f"render_3d_overlay (gaussian) pallas={use_pallas}: "
+          f"rmse={rmse_g:.5f} bad={bad_g:.5f}")
+    assert rmse_g < 0.002 + extra, rmse_g
     assert bad_g < 0.001, bad_g

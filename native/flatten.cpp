@@ -1182,7 +1182,25 @@ void begin_rect_mask(Ctx& ctx, double rx, double ry, double rw, double rh,
     RectMask rm{};
     rm.fast = true;
     double hx = rw * 0.5, hy = rh * 0.5;
-    rm.params[0] = rx + hx; rm.params[1] = ry + hy;
+    double cx = rx + hx, cy = ry + hy;
+    // twin of tape._make_rect_mask: snap the local rect through the
+    // transform round trip so the fast path clips at the same pixels as
+    // the ceil-snapped mask-plane quad (axis-aligned transforms only)
+    const Mat3& m = ctx.mat;
+    if (m.b == 0.0 && m.c == 0.0 && m.a > 0.0 && m.d > 0.0) {
+      Mat3 inv0 = mat_inverse(m);
+      double p0x = m.a * rx + m.tx, p0y = m.d * ry + m.ty;
+      double p1x = m.a * (rx + rw) + m.tx, p1y = m.d * (ry + rh) + m.ty;
+      double s0x = std::ceil(p0x), s0y = std::ceil(p0y);
+      double s1x = std::ceil(p1x), s1y = std::ceil(p1y);
+      double l0x = inv0.a * s0x + inv0.b * s0y + inv0.tx;
+      double l0y = inv0.c * s0x + inv0.d * s0y + inv0.ty;
+      double l1x = inv0.a * s1x + inv0.b * s1y + inv0.tx;
+      double l1y = inv0.c * s1x + inv0.d * s1y + inv0.ty;
+      hx = (l1x - l0x) * 0.5; hy = (l1y - l0y) * 0.5;
+      cx = l0x + hx; cy = l0y + hy;
+    }
+    rm.params[0] = cx; rm.params[1] = cy;
     rm.params[2] = hx; rm.params[3] = hy;
     PackedRadii pr = pack_radii(radx, rady, hx, hy);
     for (int i = 0; i < 4; i++) rm.radii[i] = pr.v[i];

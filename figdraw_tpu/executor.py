@@ -67,6 +67,8 @@ DENSE_QUADS_PER_TILE = 48.0  # long per-tile walks amortize smaller tiles
 VERY_DENSE_TILE_H = 32
 VERY_DENSE_QUADS_PER_TILE = 120.0  # 3000-box class: 32-row tiles 1.7x 64
 SHORT_QUAD_H = 64.0  # short quads waste most of a 128-row tile
+# (a 16-row "ultra dense" class was measured at the 30k-quad scale and LOST
+# to 32 rows with the chunked fori kernel: 7.0 vs 6.6 ms device)
 
 
 def pick_tile_h(fields_np, count: int, height: int, width: int) -> int:

@@ -339,6 +339,26 @@ def _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor):
     return ctx
 
 
+# Ping-pong combo buffer pool: zeroing a fresh ~9 MB buffer per frame costs
+# ~1 ms at the 30k-quad scale. Quad rows [0, count) are fully rewritten by
+# fd_export_combo/fd_export_mega and the meta tail by fill_meta; stale rows in
+# [count, bucket) are never read (binning masks indices >= count and every
+# consumer bounds by tape.count), so reuse is safe. TWO buffers per
+# (ctx, shape) keep the PREVIOUS frame's tape views valid while the current
+# frame is exported (flatten → execute → flatten pipelining).
+_combo_pool: dict = {}
+
+
+def _pooled_combo(ctx, shape) -> np.ndarray:
+    key = (ctx.value if hasattr(ctx, "value") else int(ctx), shape)
+    entry = _combo_pool.get(key)
+    if entry is None:
+        entry = [np.zeros(shape, np.float32), np.zeros(shape, np.float32), 0]
+        _combo_pool[key] = entry
+    entry[2] ^= 1
+    return entry[entry[2]]
+
+
 def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket) -> Tape:
     """Export straight into the executor's upload layout: ONE zeroed
     (bucket(count) + meta_rows, 70) buffer, quad rows written by C++
@@ -385,7 +405,7 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket) -> Tape:
     nd = 0 if rolled else len(draws)
     nb = 0 if rolled else len(radii)
     rows = _meta_rows(nd, nb, row_width)
-    combo = np.zeros((n_pad + rows, row_width), dtype=np.float32)
+    combo = _pooled_combo(ctx, (n_pad + rows, row_width))
     rc = lib.fd_export_combo(
         ctx, combo.ctypes.data_as(ctypes.c_void_p), n_pad, row_width
     )

@@ -156,13 +156,16 @@ def _lower_bound(tidx_ref, count, value):
 def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
             masks_ref, *rest, tiles_x: int, has_backdrop: bool,
             mask_target: bool = False, has_atlas: bool = False,
-            subpixel_positioning: bool = False, atlas_size: int = 0):
+            subpixel_positioning: bool = False, atlas_size: int = 0,
+            qid_base: int = 0):
     """seg_ref: (3,) SMEM [start, end, row0]: the [start, end) quad-id range
     of this draw run (or a range covering everything) plus the global row of
     tile row 0 (nonzero when this kernel rasterizes one device's row band of
     a mesh-sharded frame). Within a tile the binned list is ascending, and a
     run's quads form a contiguous segment of it (runs partition the tape in
-    draw order)."""
+    draw order). qid_base: global quad id of fields_ref row 0 — nonzero when
+    the tape is CHUNKED to fit VMEM (fields_ref is a window; tidx keeps
+    global ids)."""
     rest = list(rest)
     backdrop_ref = rest.pop(0) if has_backdrop else None
     atlas_ref = rest.pop(0) if has_atlas else None
@@ -194,7 +197,7 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
         # mask plane write: m = a^2 + m*(1-a), parent multiply via masks_ref
         # (glsl/mask.frag:233 through the GL blend)
         def body(j, m):
-            qi = tidx_ref[0, 0, j]
+            qi = tidx_ref[0, 0, j] - qid_base
 
             def fget(k):
                 return fields_ref[qi, k]
@@ -208,9 +211,16 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
         out_ref[0] = jax.lax.fori_loop(j_lo, j_hi, body, frame_ref[0])
         return
 
+    # Back-to-front fori source-over. A front-to-back lax.while with a
+    # per-iteration max(transmittance) early-out was MEASURED SLOWER at
+    # every density (300-box 0.59→0.66 ms, 3000-box 1.4→5.9 ms device): the
+    # scalar reduce in the loop condition serializes the vector pipeline,
+    # and the scenes' shadow falloffs keep some pixel's T high enough that
+    # tiles rarely exit early anyway. The fori body has only the
+    # accumulation dependency, which Mosaic pipelines.
     def body(j, carry):
         r, g, b, a = carry
-        qi = tidx_ref[0, 0, j]
+        qi = tidx_ref[0, 0, j] - qid_base
 
         def fget(k):
             return fields_ref[qi, k]
@@ -224,7 +234,8 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
         )
         fa = fa * masks_ref[mask_i]
         inv = 1.0 - fa
-        return (fr * fa + r * inv, fg * fa + g * inv, fb * fa + b * inv, fa + a * inv)
+        return (fr * fa + r * inv, fg * fa + g * inv, fb * fa + b * inv,
+                fa + a * inv)
 
     init = (frame_ref[0], frame_ref[1], frame_ref[2], frame_ref[3])
     r, g, b, a = jax.lax.fori_loop(j_lo, j_hi, body, init)
@@ -234,16 +245,54 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
     out_ref[3] = a
 
 
+# Largest quad window one pallas_call holds in VMEM: the whole (N, 68) f32
+# tape + modes + frame/mask tiles must fit the ~16 MB scoped VMEM budget.
+# A 32k-quad tape in one call (8.9 MB of fields) sits exactly at the Mosaic
+# scoped-VMEM cliff (16.28 vs 16.00 MB — compile-variance OOM, then a
+# silent XLA fallback). Bigger tapes run as ceil(N / CHUNK) sequential
+# calls composited in draw order; each extra full-frame pass costs ~2x33 MB
+# of HBM traffic (~0.1 ms) — far cheaper than losing the kernel.
+VMEM_QUAD_CHUNK = int(_os.environ.get("FIGDRAW_VMEM_CHUNK", "8192"))
+
+
+def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes,
+                  masks, backdrop_planes, tiles_y: int, tiles_x: int,
+                  has_backdrop: bool, mask_target: bool = False,
+                  tile_h: int = 0, tile_w: int = 0, atlas_planes=None,
+                  subpixel_positioning: bool = False, atlas_size: int = 0):
+    n = fields.shape[0]
+    out = frame_planes
+    for lo in range(0, n, VMEM_QUAD_CHUNK):
+        hi = min(n, lo + VMEM_QUAD_CHUNK)
+        if lo == 0 and hi == n:
+            seg_k = seg
+        else:
+            seg_k = jnp.stack([
+                jnp.clip(seg[0], lo, hi), jnp.clip(seg[1], lo, hi), seg[2]
+            ])
+        out = _raster_tiles_call(
+            fields[lo:hi], modes[lo:hi], tile_idx, tile_counts, seg_k, out,
+            masks, backdrop_planes, tiles_y, tiles_x, has_backdrop,
+            mask_target=mask_target, tile_h=tile_h, tile_w=tile_w,
+            atlas_planes=atlas_planes,
+            subpixel_positioning=subpixel_positioning, atlas_size=atlas_size,
+            qid_base=lo,
+        )
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_y", "tiles_x", "has_backdrop", "mask_target",
-                     "tile_h", "tile_w", "subpixel_positioning", "atlas_size"),
+                     "tile_h", "tile_w", "subpixel_positioning", "atlas_size",
+                     "qid_base"),
 )
-def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks,
-                  backdrop_planes, tiles_y: int, tiles_x: int, has_backdrop: bool,
-                  mask_target: bool = False, tile_h: int = 0, tile_w: int = 0,
-                  atlas_planes=None, subpixel_positioning: bool = False,
-                  atlas_size: int = 0):
+def _raster_tiles_call(fields, modes, tile_idx, tile_counts, seg, frame_planes,
+                       masks, backdrop_planes, tiles_y: int, tiles_x: int,
+                       has_backdrop: bool, mask_target: bool = False,
+                       tile_h: int = 0, tile_w: int = 0, atlas_planes=None,
+                       subpixel_positioning: bool = False, atlas_size: int = 0,
+                       qid_base: int = 0):
     n = fields.shape[0]
     n_masks = masks.shape[0]
     th = tile_h or TILE_H
@@ -286,6 +335,7 @@ def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes, masks
         _kernel, tiles_x=tiles_x, has_backdrop=has_backdrop,
         mask_target=mask_target, has_atlas=has_atlas,
         subpixel_positioning=subpixel_positioning, atlas_size=atlas_size,
+        qid_base=qid_base,
     )
     out = pl.pallas_call(
         kernel,

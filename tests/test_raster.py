@@ -376,3 +376,27 @@ def test_run_scoped_occlusion_keeps_earlier_runs():
     _, global_counts = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1,
                                  128, 128, modes=m)
     assert int(global_counts[0]) < tape.count
+
+
+def test_chunked_carry_matches_unchunked(monkeypatch):
+    """VMEM chunking: a tape wider than VMEM_QUAD_CHUNK runs as several
+    front-to-back kernel calls carrying (acc, T) planes between them —
+    pixel output must match the single-call path (and the XLA reference)
+    including the transmittance early-out across chunk boundaries."""
+    from figdraw_tpu.ops import raster_pallas
+    from figdraw_tpu.scenes import make_render_tree
+
+    scene = make_render_tree(192.0, 128.0, frame=0, copies=10)
+
+    def render():
+        ren = FigRenderer(atlas_size=64, use_pallas=True)
+        out = np.asarray(ren.render_frame(scene, vec2(192, 128)))
+        assert ren.use_pallas, "pallas fell back"
+        return out
+
+    whole = render()
+    monkeypatch.setattr(raster_pallas, "VMEM_QUAD_CHUNK", 16)
+    chunked = render()
+    assert np.abs(chunked - whole).max() <= 1.0 / 512.0, (
+        np.abs(chunked - whole).max()
+    )

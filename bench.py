@@ -5,8 +5,11 @@ Reproduces the reference's headline demo workload
 and the driver's north star (BASELINE.json: < 2 ms/frame @ 1080p).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is the median end-to-end frame time in ms (host flatten + device rasterize)
+is the BEST-OF-3 pipelined frame time in ms (async dispatch, like a real
+render loop; the sequential blocking latency is printed alongside on stderr)
 and vs_baseline is the speedup over the reference's 120 FPS (8.333 ms).
+FIGDRAW_BENCH_COPIES scales the scene: 100 = the headline 300-box demo,
+1000 = the 10x (~7k quads), 4000 = the 40x (~28k quads) datapoint.
 """
 
 import json
@@ -84,7 +87,8 @@ def main():
         )
     )
     print(
-        f"pipelined: {best_pipe:.2f}ms/frame fps={1000.0 / best_pipe:.1f} | "
+        f"pipelined (best of 3 reps): {best_pipe:.2f}ms/frame "
+        f"fps={1000.0 / best_pipe:.1f} | "
         f"sequential latency med={latency_med:.2f}ms "
         f"p95={np.percentile(total_ms, 95):.2f}ms "
         f"(flatten med={np.median(flatten_ms):.2f}ms, "

@@ -458,8 +458,12 @@ def flatten_fast(
     info = np.zeros(4, np.int32)
     lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
     n_quads, n_items, mask_count, flags = (int(v) for v in info)
-    if n_items > min_items and flags == 0:
-        cap = (bucket or (lambda v: v))(n_quads + n_items)
+    from .ops.raster_pallas import VMEM_MEGA_ROWS
+
+    cap = (bucket or (lambda v: v))(n_quads + n_items)
+    # the mega kernel holds the whole tape in VMEM and cannot chunk — tapes
+    # past the scoped-VMEM budget take the tape export (rolled executor)
+    if n_items > min_items and flags == 0 and cap <= VMEM_MEGA_ROWS:
         combo = np.zeros((cap + 1, row_width), np.float32)  # +1 meta row
         rows = lib.fd_export_mega(
             ctx, combo.ctypes.data_as(ctypes.c_void_p), cap, row_width

@@ -253,6 +253,10 @@ def _kernel(counts_ref, seg_ref, fields_ref, modes_ref, tidx_ref, frame_ref,
 # calls composited in draw order; each extra full-frame pass costs ~2x33 MB
 # of HBM traffic (~0.1 ms) — far cheaper than losing the kernel.
 VMEM_QUAD_CHUNK = int(_os.environ.get("FIGDRAW_VMEM_CHUNK", "8192"))
+# The megakernel cannot chunk (mask planes live in VMEM registers across the
+# whole walk); its whole-tape cap is the largest row count MEASURED to
+# compile reliably (16384 rows = 4.5 MB of fields; 32768 sits on the cliff).
+VMEM_MEGA_ROWS = int(_os.environ.get("FIGDRAW_VMEM_MEGA_ROWS", "16384"))
 
 
 def _raster_tiles(fields, modes, tile_idx, tile_counts, seg, frame_planes,

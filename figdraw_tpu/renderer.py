@@ -676,12 +676,19 @@ class FigRenderer:
         # in-kernel sampler on a text-in-clip scene; FIGDRAW_ATLAS11=always
         # restores mega+atlas for experiments.
         mega_atlas = bool(is_atlas_mode[: tape.count].any())
+        from .ops.raster_pallas import VMEM_MEGA_ROWS
+
         mega = (
             rolled
             and self.use_pallas
             and not seen_blur
             and (not mega_atlas or (policy == "always" and pallas_atlas_ok))
             and not bool(is_backdrop_mode[: tape.count].any())
+            # the mega kernel holds the WHOLE tape + mask planes in VMEM and
+            # cannot chunk (mask registers would round-trip HBM); tapes past
+            # the scoped-VMEM budget stay on the rolled executor, whose
+            # per-run passes chunk fine (_raster_tiles)
+            and _bucket(max(tape.count + len(tape.items), 1)) <= VMEM_MEGA_ROWS
         )
         atlas11_runs = pallas_atlas_ok  # policy == "always" only
         structure = [

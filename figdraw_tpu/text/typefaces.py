@@ -377,7 +377,9 @@ def text_backend_features() -> list:
         "opentype-features",
         "font-variations",
         "mark-attachment",
+        "mark-filtering-sets",
         "arabic-joining",
+        "indic-shaping",
     ]
 
 

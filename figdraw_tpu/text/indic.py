@@ -187,7 +187,11 @@ def build_masks(cps: Sequence[int], base: int, has_reph: bool) -> List[frozenset
         masks[0].add("rphf")
         masks[1].add("rphf")
     start = 2 if has_reph else 0
-    # half: every consonant BEFORE base that connects forward via halant
+    # half: every consonant BEFORE base that connects forward via halant.
+    # Joiner semantics (HarfBuzz): halant+ZWJ explicitly REQUESTS the half
+    # form (the global conjunct features were already blocked by the joiner
+    # glyph sitting in their input sequence); halant+ZWNJ blocks the half
+    # form too — the consonant renders full with a visible halant.
     k = start
     while k < base:
         if cats[k] in (C_CONSONANT, C_VOWEL):
@@ -195,8 +199,9 @@ def build_masks(cps: Sequence[int], base: int, has_reph: bool) -> List[frozenset
             if j < n and cats[j] == C_NUKTA:
                 j += 1
             if j < base and cats[j] == C_HALANT:
-                for q in range(k, j + 1):
-                    masks[q].add("half")
+                if not (j + 1 < n and cps[j + 1] == ZWNJ):
+                    for q in range(k, j + 1):
+                        masks[q].add("half")
                 k = j + 1
                 continue
         k += 1

@@ -303,3 +303,31 @@ def test_devanagari_mixed_run(devanagari):
     got, _ = _shape(tf, "कि ab")
     assert got[:2] == ["uni093F.04", "uni0915"]
     assert got[2:] == ["space", "a", "b"]
+
+
+def test_firacode_stylistic_sets(firacode):
+    """FiraCode's cv/ss/zero/onum features toggle through
+    FigFont.features-style tag sets (value>0 enables beyond the defaults)."""
+    _tid, tf = firacode
+    from figdraw_tpu.text.shaper import DEFAULT_GSUB_FEATURES
+
+    base = frozenset(DEFAULT_GSUB_FEATURES)
+    assert _shape(tf, "0")[0] == ["zero"]
+    assert _shape(tf, "0", base | {"zero"})[0] == ["zero.zero"]  # slashed
+    assert _shape(tf, "r", base | {"ss01"})[0] == ["r.ss01"]
+    assert _shape(tf, "123", base | {"onum"})[0] == \
+        ["one.tosf", "two.tosf", "three.tosf"]
+
+
+def test_devanagari_joiner_semantics(devanagari):
+    """ZWJ after halant requests the HALF form; ZWNJ blocks both conjunct
+    and half form (explicit visible halant) — HarfBuzz joiner semantics.
+    The joiner glyphs are zero-advance in the font, so they ride invisibly."""
+    _tid, tf = devanagari
+    got, _ = _shape(tf, "क्ष")          # plain: akhn conjunct
+    assert got == ["uni0915094D0937"], got
+    got, _ = _shape(tf, "क्‍ष")     # ZWJ: half form of ka
+    assert got == ["uni0915094D", "uni200D", "uni0937"], got
+    got, _ = _shape(tf, "क्‌ष")     # ZWNJ: full ka + visible halant
+    assert got == ["uni0915", "uni094D", "uni200C", "uni0937"], got
+    assert tf.advance(tf._name_to_gid["uni200C"]) == 0

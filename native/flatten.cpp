@@ -21,7 +21,10 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <algorithm>
 #include <vector>
 
 namespace {
@@ -311,9 +314,13 @@ struct Ctx {
   std::vector<int32_t> modes;
   int count = 0;
   std::vector<Item> items;
+  // persistent worker contexts for the parallel layer walk (created lazily,
+  // freed with the owner; raw pointers keep Ctx self-referential)
+  std::vector<struct Ctx*> workers;
   int mask_write = 0;
   int mask_count = 0;
   bool mask_begun = false;
+  bool merged = false;  // items already run-merged (reset by any new walk)
   bool any_atlas = false, any_backdrop = false;
   std::vector<RectMask> rect_masks;
   // open run
@@ -1522,7 +1529,11 @@ Ctx* fd_create(float ui_scale, float pixel_scale, float aa_factor) {
   return ctx;
 }
 
-void fd_destroy(Ctx* ctx) { delete ctx; }
+void fd_destroy(Ctx* ctx) {
+  for (Ctx* w : ctx->workers) delete w;
+  ctx->workers.clear();
+  delete ctx;
+}
 
 // Reuse a context across frames: clears the logical tape/walk state but
 // keeps the fields/modes/items allocations, so steady-state frames do no
@@ -1552,6 +1563,7 @@ void fd_reset(Ctx* ctx, float ui_scale, float pixel_scale, float aa_factor) {
   ctx->mask_write = 0;
   ctx->mask_count = 0;
   ctx->mask_begun = false;
+  ctx->merged = false;
   ctx->any_atlas = false;
   ctx->any_backdrop = false;
   ctx->rect_masks.clear();
@@ -1574,11 +1586,127 @@ void fd_set_atlas(Ctx* ctx, const int64_t* ids, const int32_t* levels,
 }
 
 // Flatten one layer's roots in order. nodes: FIG_DTYPE rows; roots: indexes.
+//
+// Big flat layers walk in PARALLEL: roots are independent subtrees (their
+// transform/rect-mask state is subtree-local), so contiguous root ranges
+// walk into per-worker contexts on std::thread and stitch back in order —
+// the quad stream is byte-identical to the serial walk. Guards: clip masks
+// need global mask numbering (serial when any NF_CLIP is present), and the
+// split breaks run continuity at range boundaries, which merge_items()
+// restores at export (adjacent same-target draw items with end==start are
+// exactly the runs one serial walk would have kept open).
+static const int PAR_MIN_NODES = 4096;
+static const int PAR_MIN_ROOTS = 64;
+
+static void copy_walk_config(Ctx& dst, const Ctx& src) {
+  dst.ui_scale = src.ui_scale;
+  dst.aa = src.aa;
+  dst.white_u = src.white_u;
+  dst.white_v = src.white_v;
+  dst.ops = src.ops;
+  dst.points = src.points;
+  dst.glyphs = src.glyphs;
+  dst.trects = src.trects;
+  dst.text_lcd = src.text_lcd;
+  dst.text_subpixel = src.text_subpixel;
+  dst.text_variants = src.text_variants;
+  dst.subpixel_shift = 0.0;
+  dst.glyph_off_keys = src.glyph_off_keys;
+  dst.glyph_offs = src.glyph_offs;
+  dst.atlas_entries = src.atlas_entries;
+  dst.atlas_size = src.atlas_size;
+  dst.mat = src.mat;
+  dst.mats.clear();
+  dst.count = 0;
+  dst.items.clear();
+  dst.mask_write = 0;
+  dst.mask_count = 0;
+  dst.mask_begun = false;
+  dst.merged = false;
+  dst.any_atlas = false;
+  dst.any_backdrop = false;
+  dst.rect_masks.clear();
+  dst.run_open = false;
+  dst.run_start = 0;
+}
+
 void fd_flatten_layer(Ctx* ctx, const void* nodes, int n_nodes,
                       const int32_t* roots, int n_roots) {
   const Fig* figs = (const Fig*)nodes;
-  for (int i = 0; i < n_roots; i++)
-    render_node(*ctx, figs, n_nodes, roots[i]);
+  ctx->merged = false;
+  int hw = (int)std::thread::hardware_concurrency();
+  // FIGDRAW_FLATTEN_THREADS forces the worker count (0/1 = serial): lets
+  // tests exercise the threaded walk on single-core hosts and callers cap
+  // it on shared machines
+  if (const char* env = std::getenv("FIGDRAW_FLATTEN_THREADS")) {
+    int forced = std::atoi(env);
+    if (forced >= 0) hw = forced;
+  }
+  int k = std::min(hw > 0 ? hw : 1, 8);
+  bool parallel = n_nodes >= PAR_MIN_NODES && n_roots >= PAR_MIN_ROOTS &&
+                  k >= 2 && !ctx->mask_begun;
+  if (parallel) {
+    for (int i = 0; i < n_nodes; i++) {
+      if (figs[i].flags & NF_CLIP) { parallel = false; break; }
+    }
+  }
+  if (!parallel) {
+    for (int i = 0; i < n_roots; i++)
+      render_node(*ctx, figs, n_nodes, roots[i]);
+    return;
+  }
+  // partition roots into k contiguous ranges balanced by node count
+  // (children are stored after their parent, so root i's subtree spans
+  // [roots[i], next root) — range sizes follow from the root indices)
+  ctx->close_run();
+  while ((int)ctx->workers.size() < k) ctx->workers.push_back(new Ctx());
+  std::vector<int> range_start(k + 1, n_roots);
+  range_start[0] = 0;
+  for (int w = 1; w < k; w++) {
+    int target = (int)((int64_t)n_nodes * w / k);
+    int lo = range_start[w - 1], hi = n_roots;
+    while (lo < hi) {
+      int mid = (lo + hi) / 2;
+      if (roots[mid] < target) lo = mid + 1;
+      else hi = mid;
+    }
+    range_start[w] = lo;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(k);
+  for (int w = 0; w < k; w++) {
+    Ctx* wc = ctx->workers[w];
+    copy_walk_config(*wc, *ctx);
+    int lo = range_start[w], hi = range_start[w + 1];
+    threads.emplace_back([wc, figs, n_nodes, roots, lo, hi]() {
+      for (int i = lo; i < hi; i++)
+        render_node(*wc, figs, n_nodes, roots[i]);
+      wc->close_run();
+    });
+  }
+  for (auto& t : threads) t.join();
+  // stitch in range order: quads append with an index offset, items shift
+  for (int w = 0; w < k; w++) {
+    Ctx* wc = ctx->workers[w];
+    if (wc->count == 0 && wc->items.empty()) continue;
+    int off = ctx->count;
+    size_t need_f = (size_t)(ctx->count + wc->count) * QF_WIDTH;
+    if (ctx->fields.size() < need_f) ctx->fields.resize(need_f * 2, 0.0f);
+    size_t need_m = (size_t)(ctx->count + wc->count) * QI_WIDTH;
+    if (ctx->modes.size() < need_m) ctx->modes.resize(need_m * 2, 0);
+    std::memcpy(&ctx->fields[(size_t)ctx->count * QF_WIDTH], wc->fields.data(),
+                (size_t)wc->count * QF_WIDTH * sizeof(float));
+    std::memcpy(&ctx->modes[(size_t)ctx->count * QI_WIDTH], wc->modes.data(),
+                (size_t)wc->count * QI_WIDTH * sizeof(int32_t));
+    ctx->count += wc->count;
+    for (const Item& it : wc->items) {
+      Item shifted = it;
+      if (it.kind == 0) { shifted.start += off; shifted.end += off; }
+      ctx->items.push_back(shifted);
+    }
+    ctx->any_atlas = ctx->any_atlas || wc->any_atlas;
+    ctx->any_backdrop = ctx->any_backdrop || wc->any_backdrop;
+  }
 }
 
 // Drawable geometry for subsequent fd_flatten_layer calls: ops are OP_DTYPE
@@ -1622,19 +1750,55 @@ void fd_set_white_uv(Ctx* ctx, double u, double v) {
   ctx->white_v = v;
 }
 
-int fd_quad_count(Ctx* ctx) {
+// Merge adjacent draw items with the same target whose quad ranges abut —
+// the runs one serial walk would have kept open across the parallel walk's
+// range boundaries (and across layers, which close_run() split). A no-op
+// on serial output: its runs are already maximal (every boundary has a
+// blur/clear item between). Keeps fd_export_* bit-identical to the Python
+// walk's item list.
+static void merge_items(Ctx* ctx) {
   ctx->close_run();
+  if (ctx->merged) return;
+  ctx->merged = true;
+  std::vector<Item>& items = ctx->items;
+  // a run's quads all share one mask_read (ensure_run semantics), so the
+  // first quad's mask lane identifies it — runs split by a mask-read
+  // change must stay split, exactly like the Python walk's items
+  auto run_mask = [ctx](const Item& it) {
+    return ctx->modes[(size_t)it.start * QI_WIDTH + 1];
+  };
+  size_t w = 0;
+  for (size_t r = 0; r < items.size(); r++) {
+    if (w > 0 && items[r].kind == 0 && items[w - 1].kind == 0 &&
+        items[r].target == items[w - 1].target &&
+        items[r].start == items[w - 1].end &&
+        items[r].start < items[r].end &&
+        items[w - 1].start < items[w - 1].end &&
+        run_mask(items[r]) == run_mask(items[w - 1])) {
+      items[w - 1].end = items[r].end;
+    } else {
+      items[w++] = items[r];
+    }
+  }
+  items.resize(w);
+}
+
+int fd_quad_count(Ctx* ctx) {
+  merge_items(ctx);
   return ctx->count;
 }
 
-int fd_item_count(Ctx* ctx) { return (int)ctx->items.size(); }
+int fd_item_count(Ctx* ctx) {
+  merge_items(ctx);
+  return (int)ctx->items.size();
+}
 int fd_mask_count(Ctx* ctx) { return ctx->mask_count; }
 
 // Tape summary for host-side path selection: out = [n_quads, n_items,
 // mask_count, flags] with flags bit0 = has blur items, bit1 = any atlas-
 // sampling quad, bit2 = any backdrop quad.
 void fd_tape_info(Ctx* ctx, int32_t out[4]) {
-  ctx->close_run();
+  merge_items(ctx);
   out[0] = ctx->count;
   out[1] = (int32_t)ctx->items.size();
   out[2] = ctx->mask_count;
@@ -1654,7 +1818,7 @@ void fd_tape_info(Ctx* ctx, int32_t out[4]) {
 // bit-cast into float slots. Returns rows written, or -1 if rows_cap is too
 // small (upper bound: n_quads + n_items).
 int fd_export_mega(Ctx* ctx, float* combo, int rows_cap, int row_width) {
-  ctx->close_run();
+  merge_items(ctx);
   const int n = ctx->count;
   if (row_width < QF_WIDTH + 2) return -1;
 
@@ -1752,7 +1916,7 @@ int fd_export_mega(Ctx* ctx, float* combo, int rows_cap, int row_width) {
 // Items only (kind, target, start, end, radius-bits) — lets the host build
 // the pass structure and meta layout BEFORE sizing the upload buffer.
 int fd_export_items(Ctx* ctx, int32_t* items, int item_cap) {
-  ctx->close_run();
+  merge_items(ctx);
   if ((int)ctx->items.size() > item_cap) return -1;
   for (size_t i = 0; i < ctx->items.size(); i++) {
     const Item& it = ctx->items[i];
@@ -1770,7 +1934,7 @@ int fd_export_items(Ctx* ctx, int32_t* items, int item_cap) {
 // allocates (n_pad + meta_rows) zeroed rows and fills the meta tail itself.
 // Returns the quad count, or -1 if rows_cap < count.
 int fd_export_combo(Ctx* ctx, float* combo, int rows_cap, int row_width) {
-  ctx->close_run();
+  merge_items(ctx);
   if (row_width < QF_WIDTH + QI_WIDTH || ctx->count > rows_cap) return -1;
   for (int q = 0; q < ctx->count; q++) {
     float* row = combo + (size_t)q * row_width;
@@ -1789,7 +1953,7 @@ int fd_op_struct_size() { return (int)sizeof(DrawOp); }
 // items (n, 5) i32 with radius bit-cast in slot 4.
 int fd_export(Ctx* ctx, float* fields, int32_t* modes, int quad_cap,
               int32_t* items, int item_cap) {
-  ctx->close_run();
+  merge_items(ctx);
   if (ctx->count > quad_cap || (int)ctx->items.size() > item_cap) return -1;
   std::memcpy(fields, ctx->fields.data(),
               (size_t)ctx->count * QF_WIDTH * sizeof(float));

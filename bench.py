@@ -59,7 +59,9 @@ def main():
         total_ms.append((t2 - t0) * 1000.0)
     latency_med = float(np.median(total_ms))
 
-    # --- pipelined frame loop: async dispatch, block once at the end ----------
+    # --- pipelined frame loop: render_frame_async overlaps the next frame's
+    # host flatten with this frame's upload+kernel (the upload is a BLOCKING
+    # tunnel RPC, so a worker thread carries it); block once at the end.
     # (how a real render loop runs — the reference's 120 FPS demo loop also
     # overlaps CPU scene prep with in-flight GPU work / swapchain pacing)
     best_pipe = None
@@ -67,9 +69,9 @@ def main():
         t0 = time.perf_counter()
         out = None
         for f in range(WARMUP, WARMUP + FRAMES):
-            tape = renderer.flatten(make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache), size)
-            out = renderer.execute(tape)
-        out.block_until_ready()
+            out = renderer.render_frame_async(
+                make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache), size)
+        out.result().block_until_ready()
         pipe = (time.perf_counter() - t0) * 1000.0 / FRAMES
         best_pipe = pipe if best_pipe is None else min(best_pipe, pipe)
 

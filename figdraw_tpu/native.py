@@ -32,7 +32,8 @@ _load_failed = False
 
 def _build() -> None:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
+           "-std=c++17", "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -118,6 +119,10 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.fd_export_combo.restype = ctypes.c_int
         lib.fd_tape_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.fd_cull_saturated.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.fd_cull_saturated.restype = ctypes.c_int
         lib.fd_export_mega.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ]
@@ -282,6 +287,22 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
         )
 
 
+_HOST_CULL = os.environ.get("FIGDRAW_HOST_CULL", "1") != "0"
+
+
+def _host_cull(lib, ctx, frame_w, frame_h, pixel_scale) -> int:
+    """Translucent-saturation compaction of dense tapes before export
+    (fd_cull_saturated; binning.py's SAT tier run host-side so the per-frame
+    upload shrinks too). No-op under 4096 quads or FIGDRAW_HOST_CULL=0."""
+    if not _HOST_CULL:
+        return 0
+    return lib.fd_cull_saturated(
+        ctx,
+        ctypes.c_float(frame_w * pixel_scale),
+        ctypes.c_float(frame_h * pixel_scale),
+    )
+
+
 def _export_tape(lib, ctx, frame_w, frame_h, clear_color) -> Tape:
     n_quads = lib.fd_quad_count(ctx)
     n_items = lib.fd_item_count(ctx)
@@ -349,8 +370,12 @@ def _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor):
 _combo_pool: dict = {}
 
 
-def _pooled_combo(ctx, shape) -> np.ndarray:
-    key = (ctx.value if hasattr(ctx, "value") else int(ctx), shape)
+def _pooled_combo(ctx, shape, owner=None) -> np.ndarray:
+    # owner (the renderer's id) keys the ping-pong per renderer: two
+    # renderers on one thread share the walk ctx but must not share upload
+    # buffers — with the async frame pipeline a peer's in-flight frame may
+    # still be reading its buffer when this renderer flattens twice
+    key = (owner, ctx.value if hasattr(ctx, "value") else int(ctx), shape)
     entry = _combo_pool.get(key)
     if entry is None:
         entry = [np.zeros(shape, np.float32), np.zeros(shape, np.float32), 0]
@@ -359,7 +384,8 @@ def _pooled_combo(ctx, shape) -> np.ndarray:
     return entry[entry[2]]
 
 
-def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket) -> Tape:
+def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket,
+                       pool_owner=None) -> Tape:
     """Export straight into the executor's upload layout: ONE zeroed
     (bucket(count) + meta_rows, 70) buffer, quad rows written by C++
     (fd_export_combo), meta tail (draw bounds / blur radii / clear color —
@@ -405,7 +431,7 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket) -> Tape:
     nd = 0 if rolled else len(draws)
     nb = 0 if rolled else len(radii)
     rows = _meta_rows(nd, nb, row_width)
-    combo = _pooled_combo(ctx, (n_pad + rows, row_width))
+    combo = _pooled_combo(ctx, (n_pad + rows, row_width), owner=pool_owner)
     rc = lib.fd_export_combo(
         ctx, combo.ctypes.data_as(ctypes.c_void_p), n_pad, row_width
     )
@@ -440,6 +466,7 @@ def flatten_fast(
     bucket=None,
     text_config=(False, False, False),
     glyph_offsets=None,
+    pool_owner=None,
 ):
     """One C++ walk, best export for the scene:
 
@@ -455,6 +482,7 @@ def flatten_fast(
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config, glyph_offsets)
+    _host_cull(lib, ctx, frame_w, frame_h, pixel_scale)
     info = np.zeros(4, np.int32)
     lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
     n_quads, n_items, mask_count, flags = (int(v) for v in info)
@@ -472,7 +500,8 @@ def flatten_fast(
             return "mega", combo, mask_count
     if bucket is not None:
         return "tape", _export_tape_combo(lib, ctx, frame_w, frame_h,
-                                          clear_color, bucket)
+                                          clear_color, bucket,
+                                          pool_owner=pool_owner)
     return "tape", _export_tape(lib, ctx, frame_w, frame_h, clear_color)
 
 
@@ -490,6 +519,7 @@ def flatten_renders_array(
     text_config=(False, False, False),
     glyph_offsets=None,
     bucket=None,
+    pool_owner=None,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported. With `bucket` (the
@@ -504,7 +534,8 @@ def flatten_renders_array(
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config, glyph_offsets)
+    _host_cull(lib, ctx, frame_w, frame_h, pixel_scale)
     if bucket is not None:
         return _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color,
-                                  bucket)
+                                  bucket, pool_owner=pool_owner)
     return _export_tape(lib, ctx, frame_w, frame_h, clear_color)

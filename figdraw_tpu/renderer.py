@@ -157,6 +157,10 @@ class FigRenderer:
         # see _ensure_packed_glyphs
         self._ensured_glyph_blocks: Dict[int, Tuple] = {}
         self._render_thread_id: Optional[int] = None
+        # async frame pipeline (render_frame_async): one worker thread doing
+        # upload+dispatch, deque of buffer-release futures (max 2 in flight)
+        self._pipe = None
+        self._async_released = __import__("collections").deque()
 
     def _assert_render_thread(self) -> None:
         """Runtime analog of the reference's compile-time thread-effect tags
@@ -558,6 +562,7 @@ class FigRenderer:
                 text_config=self._text_config(),
                 glyph_offsets=self._glyph_offsets_pack(),
                 bucket=_bucket,
+                pool_owner=id(self),
             )
             if tape is not None:
                 return tape
@@ -833,6 +838,7 @@ class FigRenderer:
         if fs.x <= 0 or fs.y <= 0:
             return self.last_frame
         self._assert_render_thread()
+        self.drain_async()  # sync frames never overlap in-flight async ones
         with perf("frame"):
             with perf("messages"):
                 self.process_image_messages()
@@ -854,6 +860,79 @@ class FigRenderer:
             self.publish_atlas_usage()
         self._maybe_write_one_frame()
         return frame
+
+    def render_frame_async(
+        self,
+        renders: Renders,
+        frame_size: Vec2,
+        clear_main: bool = True,
+        clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
+    ):
+        """Pipelined frame: flatten NOW on the calling thread, then upload +
+        dispatch on the renderer's single pipeline thread so the NEXT frame's
+        host flatten overlaps this frame's device work. Returns a
+        `concurrent.futures.Future` resolving to the frame array (call
+        `.result().block_until_ready()` to synchronize).
+
+        Rationale: every host->device transfer is a blocking tunnel RPC
+        (~3.5 ms for a 28k-quad tape), so a sequential loop serializes
+        [flatten | upload | kernel] even though the kernel dispatch itself is
+        async. The reference's GL loop gets the same overlap for free from
+        the driver's command queue (figrender.nim:1960-1995 swap pacing).
+
+        At most TWO frames are in flight — the native combo pool ping-pongs
+        two upload buffers (native.py), so frame N+2's flatten must wait for
+        frame N's buffer to be consumed (execute() returning — the dispatch
+        has copied the tape into the tunnel by then)."""
+        import concurrent.futures
+
+        from .basics import scaled
+        from .colors import as_color
+
+        if self._pipe is None:
+            self._pipe = concurrent.futures.ThreadPoolExecutor(
+                1, thread_name_prefix="figdraw-pipe"
+            )
+        self._assert_render_thread()
+        clear_color = as_color(clear_color)
+        fs = scaled(frame_size)
+        done = concurrent.futures.Future()
+        if fs.x <= 0 or fs.y <= 0:
+            done.set_result(self.last_frame)
+            return done
+        # cap in-flight frames at 2: wait until the N-2 frame's buffer is free
+        while len(self._async_released) >= 2:
+            self._async_released.popleft().result()
+        self.process_image_messages()
+        tape = self.flatten(renders, fs, clear_main, clear_color)
+        released = concurrent.futures.Future()
+
+        def job():
+            try:
+                frame = self.execute(tape)
+                # the CPU backend's jnp.asarray may ALIAS the numpy combo
+                # buffer (zero-copy) and read it lazily, so the buffer is
+                # only provably consumed once the frame is computed; on the
+                # device tunnel the upload copy is synchronous and this wait
+                # just orders frames (they serialize on one chip anyway)
+                frame.block_until_ready()
+                released.set_result(None)
+                self.publish_atlas_usage()
+                return frame
+            except BaseException as exc:
+                if not released.done():
+                    released.set_result(None)
+                raise exc
+
+        fut = self._pipe.submit(job)
+        self._async_released.append(released)
+        return fut
+
+    def drain_async(self) -> None:
+        """Block until every in-flight async frame's tape buffer is free —
+        called before any synchronous render/flatten follows async ones."""
+        while self._async_released:
+            self._async_released.popleft().result()
 
     def _maybe_write_one_frame(self) -> None:
         """FIGDRAW_TEST_ONE_FRAME: write the first frame as a PNG (the
@@ -901,6 +980,7 @@ class FigRenderer:
             bucket=_bucket,
             text_config=self._text_config(),
             glyph_offsets=self._glyph_offsets_pack(),
+            pool_owner=id(self),
         )
         if result is None:
             return None, None

@@ -1783,6 +1783,162 @@ static void merge_items(Ctx* ctx) {
   items.resize(w);
 }
 
+// Host-side translucent-stack SATURATION cull (the C++ twin of the device
+// tier in figdraw_tpu/ops/binning.py — same conservative cover test, same
+// 1/2048 transmittance bound): walk each FRAME-target draw run in reverse
+// draw order over a 32x128 pixel cell grid, accumulate the log2
+// transmittance of constant-alpha full-cell covers, and DROP a quad when
+// every cell its bbox touches is already saturated. The point is the tape
+// itself shrinks BEFORE export — on dense scenes (12k boxes = ~28k quads)
+// the per-frame host->device upload is the bottleneck (~9 MB through the
+// axon tunnel at ~2 GB/s), which no device-side culling can touch. Gated
+// to dense tapes so small scenes (every golden) stay byte-exact; runs are
+// scoped like the device tier (a later run's covers never erase quads a
+// mid-frame backdrop blur still reads).
+static const int CULL_MIN_QUADS = 4096;
+static const float CULL_LOG2_EPS = -11.0f;  // above-stack transmit < 1/2048
+static const int CULL_CELL_H = 32, CULL_CELL_W = 128;
+
+int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
+  merge_items(ctx);
+  if (ctx->count < CULL_MIN_QUADS || px_w <= 0.0f || px_h <= 0.0f) return 0;
+  const int cw = (int)((px_w + CULL_CELL_W - 1) / CULL_CELL_W);
+  const int ch = (int)((px_h + CULL_CELL_H - 1) / CULL_CELL_H);
+  std::vector<float> trans((size_t)cw * ch);
+  std::vector<uint8_t> drop(ctx->count, 0);
+  int dropped = 0;
+  for (const Item& it : ctx->items) {
+    if (it.kind != 0 || it.target != FRAME_TARGET || it.end <= it.start)
+      continue;
+    std::fill(trans.begin(), trans.end(), 0.0f);
+    int n_sat = 0;  // cells past the threshold (screens saturate fast on
+                    // dense scenes: the whole tail then drops in O(1))
+    for (int q = it.end - 1; q >= it.start; q--) {
+      const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
+      const int32_t* mo = &ctx->modes[(size_t)q * QI_WIDTH];
+      const float bx0 = f[QF_BBOX + 0], by0 = f[QF_BBOX + 1];
+      const float bx1 = f[QF_BBOX + 2], by1 = f[QF_BBOX + 3];
+      // cell c spans [c*W, (c+1)*W): touched iff bx0 < (c+1)*W && bx1 > c*W
+      int cx0 = std::max(0, (int)std::floor(bx0 / CULL_CELL_W));
+      int cx1 = std::min(cw - 1, (int)std::ceil(bx1 / CULL_CELL_W) - 1);
+      int cy0 = std::max(0, (int)std::floor(by0 / CULL_CELL_H));
+      int cy1 = std::min(ch - 1, (int)std::ceil(by1 / CULL_CELL_H) - 1);
+      if (cx0 <= cx1 && cy0 <= cy1) {
+        bool all_sat = n_sat == cw * ch;
+        if (!all_sat) {
+          all_sat = true;
+          for (int cy = cy0; cy <= cy1 && all_sat; cy++)
+            for (int cx = cx0; cx <= cx1; cx++)
+              if (trans[(size_t)cy * cw + cx] >= CULL_LOG2_EPS) {
+                all_sat = false;
+                break;
+              }
+        }
+        if (all_sat) {
+          drop[q] = 1;
+          dropped++;
+          continue;
+        }
+      }
+      // contribute this quad's own coverage (it is above all not-yet-visited
+      // quads of the run) — conservative cover test mirroring bin_quads
+      const int rest = mo[0] % 256;
+      const int fill_mode = mo[0] / 256;
+      if (rest % 128 != 3 || mo[1] != 0) continue;           // ClipAA, no mask
+      if (f[QF_INV_A + 1] != 0.0f || f[QF_INV_A + 2] != 0.0f) continue;
+      if (f[QF_RECT + 2] >= 0.0f) continue;                  // rect mask on
+      const bool ell = rest >= 128;
+      const float hx = f[QF_PARAMS + 2], hy = f[QF_PARAMS + 3];
+      float inset_x = 0.0f, inset_y = 0.0f;
+      bool radii_ok = true;
+      for (int k = 0; k < 4; k++) {
+        const float v = f[QF_RADII + k];
+        float rx, ry;
+        if (ell) {
+          if (v < 0.0f) {
+            rx = ry = -v - 1.0f;
+          } else {
+            const float pk = v >= 8388608.0f ? v : std::floor(v + 0.5f);
+            rx = std::fmod(pk, 4096.0f) * hx / 4095.0f;
+            ry = std::floor(pk / 4096.0f) * hy / 4095.0f;
+          }
+          if (rx < 0.0f || ry < 0.0f) {
+            radii_ok = false;
+            break;
+          }
+        } else {
+          if (v < 0.0f) {
+            radii_ok = false;
+            break;
+          }
+          rx = ry = v;
+        }
+        inset_x = std::max(inset_x, rx);
+        inset_y = std::max(inset_y, ry);
+      }
+      if (!radii_ok) continue;
+      const float margin = 0.5f / std::max(f[QF_AA], 1e-3f) + 0.01f;
+      const float ihx = hx - inset_x - margin;
+      const float ihy = hy - inset_y - margin;
+      if (ihx <= 0.0f || ihy <= 0.0f) continue;
+      float amin = std::min(std::min(f[QF_COLOR0 + 3], f[QF_COLOR0 + 7]),
+                            std::min(f[QF_COLOR0 + 11], f[QF_COLOR0 + 15]));
+      if (fill_mode != 0)
+        amin = std::min(amin, std::min(f[QF_MID + 3], f[QF_STOP + 3]));
+      const float lt =
+          std::log2(std::max(1.0f - amin, 5.9604644775390625e-8f));  // 2^-24
+      const float ccx = (bx0 + bx1) * 0.5f, ccy = (by0 + by1) * 0.5f;
+      for (int cy = cy0; cy <= cy1; cy++) {
+        const float t0y = (float)cy * CULL_CELL_H;
+        if (!(ccy - ihy <= t0y + 0.5f && ccy + ihy >= t0y + CULL_CELL_H - 0.5f))
+          continue;
+        for (int cx = cx0; cx <= cx1; cx++) {
+          const float t0x = (float)cx * CULL_CELL_W;
+          if (ccx - ihx <= t0x + 0.5f &&
+              ccx + ihx >= t0x + CULL_CELL_W - 0.5f) {
+            float& cell = trans[(size_t)cy * cw + cx];
+            const bool was_sat = cell < CULL_LOG2_EPS;
+            cell += lt;
+            if (!was_sat && cell < CULL_LOG2_EPS) n_sat++;
+          }
+        }
+      }
+    }
+  }
+  if (!dropped) return 0;
+  // compact: prefix drop counts remap every item's [start, end)
+  std::vector<int32_t> pre((size_t)ctx->count + 1, 0);
+  for (int q = 0; q < ctx->count; q++) pre[q + 1] = pre[q] + drop[q];
+  for (int q = 0; q < ctx->count; q++) {
+    if (drop[q]) continue;
+    const int dst = q - pre[q];
+    if (dst != q) {
+      std::memcpy(&ctx->fields[(size_t)dst * QF_WIDTH],
+                  &ctx->fields[(size_t)q * QF_WIDTH],
+                  QF_WIDTH * sizeof(float));
+      std::memcpy(&ctx->modes[(size_t)dst * QI_WIDTH],
+                  &ctx->modes[(size_t)q * QI_WIDTH],
+                  QI_WIDTH * sizeof(int32_t));
+    }
+  }
+  for (Item& it : ctx->items) {
+    if (it.kind != 0) continue;
+    it.start -= pre[it.start];
+    it.end -= pre[it.end];
+  }
+  ctx->count -= dropped;
+  // drop now-empty draw runs so the pass structure matches a walk that
+  // never emitted them
+  size_t w = 0;
+  for (size_t r = 0; r < ctx->items.size(); r++) {
+    if (ctx->items[r].kind == 0 && ctx->items[r].end <= ctx->items[r].start)
+      continue;
+    ctx->items[w++] = ctx->items[r];
+  }
+  ctx->items.resize(w);
+  return dropped;
+}
+
 int fd_quad_count(Ctx* ctx) {
   merge_items(ctx);
   return ctx->count;

@@ -333,6 +333,139 @@ def test_opaque_occlusion_culls_and_stays_correct():
     assert int(culled[0]) <= 3
 
 
+def test_opaque_gradient_cover_culls():
+    """A full-tile cover with an all-opaque GRADIENT fill culls exactly like
+    a solid opaque cover — the cover test bounds fill alpha by the min over
+    vertex + mid/stop alphas, so fill_mode need not be solid."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.fill import FillGradientAxis, linear
+    from figdraw_tpu.ops.binning import bin_quads
+    from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
+    from figdraw_tpu.renderer import _bucket
+
+    lst = RenderList()
+    for i in range(40):
+        lst.add_root(Fig(kind=FigKind.nkRectangle,
+                         screen_box=rect(4 + (i % 8) * 14, 6 + (i // 8) * 20,
+                                         36, 28),
+                         fill=fill(rgba(60 + i * 4, 120, 180, 155))))
+    lst.add_root(Fig(kind=FigKind.nkRectangle,
+                     screen_box=rect(-16, -16, 160, 160), corners=(6,) * 4,
+                     fill=linear(rgba(30, 120, 70, 255), rgba(80, 200, 120, 255),
+                                 rgba(140, 240, 190, 255),
+                                 axis=FillGradientAxis.fgaX)))
+    r = new_renders()
+    r.set_layer(0, lst)
+
+    ref = render_scene(lst, w=128, h=128, use_pallas=False)
+    pal = render_scene(lst, w=128, h=128, use_pallas=True)
+    assert np.abs(ref.astype(int) - pal.astype(int)).max() <= 1
+
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    tape = ren.flatten(r, vec2(128, 128))
+    n = _bucket(tape.count)
+    fields = np.zeros((n, QF_WIDTH), np.float32)
+    modes = np.zeros((n, QI_WIDTH), np.int32)
+    fields[: tape.count] = tape.fields[: tape.count]
+    modes[: tape.count] = tape.modes[: tape.count]
+    f = jnp.asarray(fields)
+    m = jnp.asarray(modes)
+    _, plain = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1, 128, 128)
+    _, culled = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1, 128, 128,
+                          modes=m)
+    assert int(culled[0]) < int(plain[0])
+    assert int(culled[0]) <= 2  # the gradient cover (+ anything above it)
+
+
+def _saturation_tape(n_stack, w=128, h=128, top_alpha=155):
+    """A tape of n_stack full-tile alpha-155 covers (plus the clear), padded
+    to its bucket — dense enough to cross SAT_MIN_QUADS when n_stack is."""
+    lst = RenderList()
+    for i in range(n_stack):
+        lst.add_root(Fig(kind=FigKind.nkRectangle,
+                         screen_box=rect(-16.0 - (i % 3), -16.0 - (i % 5),
+                                         float(w) + 32 + (i % 3) * 2,
+                                         float(h) + 32 + (i % 5) * 2),
+                         corners=(4,) * 4,
+                         fill=fill(rgba(40 + (i * 7) % 180, (i * 13) % 255,
+                                        200 - (i * 3) % 160, top_alpha))))
+    r = new_renders()
+    r.set_layer(0, lst)
+    return lst, r
+
+
+def test_translucent_saturation_culls_dense_tapes():
+    """Dense tapes (>= SAT_MIN_QUADS padded rows): a deep stack of constant-
+    alpha full-tile covers saturates — only the top few quads survive the
+    binning, and the rendered frame is unchanged to within a display quantum
+    (the cull bound is 1/2048/channel)."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.ops.binning import SAT_MIN_QUADS, bin_quads
+    from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
+    from figdraw_tpu.renderer import _bucket
+
+    n_stack = 2100  # pads to 4096 = SAT_MIN_QUADS
+    lst, r = _saturation_tape(n_stack)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    tape = ren.flatten(r, vec2(128, 128))
+    n = _bucket(tape.count)
+    assert n >= SAT_MIN_QUADS
+    fields = np.zeros((n, QF_WIDTH), np.float32)
+    modes = np.zeros((n, QI_WIDTH), np.int32)
+    fields[: tape.count] = tape.fields[: tape.count]
+    modes[: tape.count] = tape.modes[: tape.count]
+    f = jnp.asarray(fields)
+    m = jnp.asarray(modes)
+    _, plain = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1, 128, 128)
+    _, culled = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1, 128, 128,
+                          modes=m)
+    assert int(plain[0]) >= n_stack
+    # alpha 155 => transmittance 0.392/layer; 2^-11 saturates within 8 layers
+    assert int(culled[0]) <= 10
+
+    # pixels: culled pallas vs the unbinned XLA reference stays within 1/255
+    ref = render_scene(lst, w=128, h=128, use_pallas=False)
+    pal = render_scene(lst, w=128, h=128, use_pallas=True)
+    assert np.abs(ref.astype(int) - pal.astype(int)).max() <= 1
+
+
+def test_translucent_saturation_is_run_scoped():
+    """Saturation in a later run must not starve an earlier run whose pixels
+    a mid-frame backdrop blur still reads: with run_bounds, each run's
+    above-stack restarts at its own end."""
+    import jax.numpy as jnp
+
+    from figdraw_tpu.ops.binning import SAT_MIN_QUADS, bin_quads
+    from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
+    from figdraw_tpu.renderer import _bucket
+
+    n_stack = 2100
+    lst, r = _saturation_tape(n_stack)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    tape = ren.flatten(r, vec2(128, 128))
+    n = _bucket(tape.count)
+    assert n >= SAT_MIN_QUADS
+    fields = np.zeros((n, QF_WIDTH), np.float32)
+    modes = np.zeros((n, QI_WIDTH), np.int32)
+    fields[: tape.count] = tape.fields[: tape.count]
+    modes[: tape.count] = tape.modes[: tape.count]
+    f = jnp.asarray(fields)
+    m = jnp.asarray(modes)
+    # first 8 quads form their own run (e.g. before a backdrop blur): the
+    # deep saturating stack lives entirely in run 2
+    runs = jnp.asarray([[0, 8], [8, tape.count]], jnp.int32)
+    _, counts = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1,
+                          128, 128, modes=m, run_bounds=runs, n_runs=2)
+    # run 1 survives whole (8 quads) + top of run 2 (<= 10)
+    assert 8 <= int(counts[0]) <= 18
+    # sanity: global culling without run bounds keeps fewer
+    _, global_counts = bin_quads(f, jnp.int32(0), jnp.int32(tape.count), 1, 1,
+                                 128, 128, modes=m)
+    assert int(global_counts[0]) < int(counts[0])
+
+
 def test_run_scoped_occlusion_keeps_earlier_runs():
     """bin_quads run_bounds: when ONE binning serves a multi-run frame, a
     cover in a later run must truncate only its OWN run — quads of an

@@ -1804,15 +1804,16 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
   if (ctx->count < CULL_MIN_QUADS || px_w <= 0.0f || px_h <= 0.0f) return 0;
   const int cw = (int)((px_w + CULL_CELL_W - 1) / CULL_CELL_W);
   const int ch = (int)((px_h + CULL_CELL_H - 1) / CULL_CELL_H);
+  if (cw > 64) return 0;  // sat_rows packs a row per u64 (8192 px wide max)
   std::vector<float> trans((size_t)cw * ch);
+  std::vector<uint64_t> sat_rows(ch);  // bit cx set = cell (cy, cx) saturated
   std::vector<uint8_t> drop(ctx->count, 0);
   int dropped = 0;
   for (const Item& it : ctx->items) {
     if (it.kind != 0 || it.target != FRAME_TARGET || it.end <= it.start)
       continue;
     std::fill(trans.begin(), trans.end(), 0.0f);
-    int n_sat = 0;  // cells past the threshold (screens saturate fast on
-                    // dense scenes: the whole tail then drops in O(1))
+    std::fill(sat_rows.begin(), sat_rows.end(), 0);
     for (int q = it.end - 1; q >= it.start; q--) {
       const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
       const int32_t* mo = &ctx->modes[(size_t)q * QI_WIDTH];
@@ -1824,16 +1825,16 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
       int cy0 = std::max(0, (int)std::floor(by0 / CULL_CELL_H));
       int cy1 = std::min(ch - 1, (int)std::ceil(by1 / CULL_CELL_H) - 1);
       if (cx0 <= cx1 && cy0 <= cy1) {
-        bool all_sat = n_sat == cw * ch;
-        if (!all_sat) {
-          all_sat = true;
-          for (int cy = cy0; cy <= cy1 && all_sat; cy++)
-            for (int cx = cx0; cx <= cx1; cx++)
-              if (trans[(size_t)cy * cw + cx] >= CULL_LOG2_EPS) {
-                all_sat = false;
-                break;
-              }
-        }
+        // drop test: one AND+CMP per touched row instead of a float scan
+        const uint64_t span =
+            ((cx1 - cx0 + 1 == 64) ? ~0ull : ((1ull << (cx1 - cx0 + 1)) - 1))
+            << cx0;
+        bool all_sat = true;
+        for (int cy = cy0; cy <= cy1; cy++)
+          if ((sat_rows[cy] & span) != span) {
+            all_sat = false;
+            break;
+          }
         if (all_sat) {
           drop[q] = 1;
           dropped++;
@@ -1897,9 +1898,8 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
           if (ccx - ihx <= t0x + 0.5f &&
               ccx + ihx >= t0x + CULL_CELL_W - 0.5f) {
             float& cell = trans[(size_t)cy * cw + cx];
-            const bool was_sat = cell < CULL_LOG2_EPS;
             cell += lt;
-            if (!was_sat && cell < CULL_LOG2_EPS) n_sat++;
+            if (cell < CULL_LOG2_EPS) sat_rows[cy] |= 1ull << cx;
           }
         }
       }

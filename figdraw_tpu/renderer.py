@@ -29,7 +29,13 @@ from .render import render_root
 from .tape import FRAME_TARGET, Tape, TapeBackend
 from .ops.layout import QF_WIDTH, QI_WIDTH
 
-QUAD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+# pow2 plus 1.5x-pow2 steps above 2048: the upload buffer is padded to the
+# bucket and the tunnel transfer is the bottleneck at scale, so the coarse
+# pow2 ladder wasted up to ~2x wire time (10439 culled quads rode a 16384
+# buffer). More buckets = more jit signatures, but each compiles once and
+# the persistent cache keeps them.
+QUAD_BUCKETS = (64, 128, 256, 512, 1024, 2048, 3072, 4096, 6144, 8192,
+                12288, 16384, 24576, 32768, 49152, 65536)
 
 WHITE_IMAGE_KEY = "__figdraw_white__"
 from .executor import ROLLED_THRESHOLD  # noqa: E402

@@ -406,7 +406,7 @@ def test_translucent_saturation_culls_dense_tapes():
     from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
     from figdraw_tpu.renderer import _bucket
 
-    n_stack = 2100  # pads to 4096 = SAT_MIN_QUADS
+    n_stack = 4200  # pads past SAT_MIN_QUADS (4096)
     lst, r = _saturation_tape(n_stack)
     ren = FigRenderer(atlas_size=64, use_pallas=False)
     tape = ren.flatten(r, vec2(128, 128))
@@ -441,7 +441,7 @@ def test_translucent_saturation_is_run_scoped():
     from figdraw_tpu.ops.layout import QF_WIDTH, QI_WIDTH
     from figdraw_tpu.renderer import _bucket
 
-    n_stack = 2100
+    n_stack = 4200
     lst, r = _saturation_tape(n_stack)
     ren = FigRenderer(atlas_size=64, use_pallas=False)
     tape = ren.flatten(r, vec2(128, 128))

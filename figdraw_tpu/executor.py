@@ -149,6 +149,17 @@ def pack_tape_combo(tape, n_pad: int, bounds, radii, clear_color):
     return combo
 
 
+@lru_cache(maxsize=1)
+def _atlas_mode_lut():
+    import numpy as np
+
+    from .ops.raster_pallas import ATLAS_BASE_MODES
+
+    lut = np.zeros(128, bool)
+    lut[list(ATLAS_BASE_MODES)] = True
+    return lut
+
+
 def tape_structure(tape, modes):
     """Static pass structure from a tape: (structure, bounds, radii,
     is_atlas_mode, is_backdrop_mode). `modes` is the (padded) i32 lane array;
@@ -156,12 +167,11 @@ def tape_structure(tape, modes):
     import numpy as np
 
     from .ops.layout import QI_MODE
-    from .ops.raster_pallas import ATLAS_BASE_MODES
     from .tape import BlurItem, ClearMaskItem, DrawItem
 
-    base_modes = modes[:, QI_MODE] % 256
-    base_modes = np.where(base_modes >= 128, base_modes - 128, base_modes)
-    is_atlas_mode = np.isin(base_modes, ATLAS_BASE_MODES)
+    base_modes = (modes[:, QI_MODE] % 256) % 128  # strip fill + elliptical
+    # LUT gather instead of np.isin (sort-based) — this runs per frame
+    is_atlas_mode = _atlas_mode_lut()[base_modes]
     is_backdrop_mode = base_modes == 17
 
     structure = []

@@ -150,6 +150,10 @@ NATIVE_KINDS = frozenset(
     }
 )
 
+# uint8-indexed membership LUT for the per-frame all_native_kinds check
+_NATIVE_KIND_LUT = np.zeros(256, bool)
+_NATIVE_KIND_LUT[list(NATIVE_KINDS)] = True
+
 
 def pack_fill(out, f: Fill) -> None:
     if f.kind == FillKind.flColor:
@@ -488,7 +492,9 @@ class RenderListArray:
 
     def all_native_kinds(self) -> bool:
         kinds = self.view()["kind"]
-        return bool(np.isin(kinds, list(NATIVE_KINDS)).all())
+        # LUT gather instead of np.isin (sort-based): this runs per frame on
+        # the native fast path and was ~0.2 ms of a 1.4 ms headline frame
+        return bool(_NATIVE_KIND_LUT[kinds].all())
 
 
 def from_render_list(lst: RenderList) -> RenderListArray:

@@ -129,24 +129,52 @@ def pack_tape_upload(fields, modes, bounds, radii, clear_color):
 
 
 def pack_tape_combo(tape, n_pad: int, bounds, radii, clear_color):
-    """pack_tape_upload, but copying straight from the tape: one buffer, one
-    copy. The caller slices `combo[:n_pad, :QF_WIDTH]` /
-    `combo[:n_pad, QF_WIDTH:QF_WIDTH+2].view(int32)` as its padded
-    fields/modes views — no intermediate padded arrays."""
+    """Pack a logical tape into the PACKED upload layout (ops/layout.py):
+    one (n_pad + meta, PACKED_WIDTH) wire buffer the executors unpack on
+    device. The python-walk twin of native fd_export_combo_packed."""
     import numpy as np
 
-    from .ops.layout import QF_WIDTH as _QFW
+    from .ops.layout import PACKED_WIDTH, pack_fields_np
 
-    row_width = _QFW + COMBO_EXTRA
     nd = bounds.shape[0]
     nb = radii.shape[0]
-    rows = _meta_rows(nd, nb, row_width)
+    rows = _meta_rows(nd, nb, PACKED_WIDTH)
     c = tape.count
-    combo = np.zeros((n_pad + rows, row_width), dtype=np.float32)
-    combo[:c, :_QFW] = tape.fields[:c]
-    combo[:c, _QFW : _QFW + COMBO_EXTRA] = tape.modes[:c].view(np.float32)
+    combo = np.zeros((n_pad + rows, PACKED_WIDTH), dtype=np.float32)
+    pack_fields_np(tape.fields[:c], tape.modes[:c], out=combo[:c])
     fill_meta(combo[n_pad:].reshape(-1), bounds, radii, clear_color)
     return combo
+
+
+@lru_cache(maxsize=1)
+def _u8_color_lut():
+    # host-computed k/255.0f table embedded as a trace constant (numpy, NOT
+    # a device array — caching a jnp value made inside a jit trace leaks
+    # the tracer): an on-device division would let XLA rewrite /255 into
+    # *(1/255), which is 1 ULP off the walk's own quantization and would
+    # break bit-exact golden parity
+    import numpy as np
+
+    return np.arange(256, dtype=np.float32) / np.float32(255.0)
+
+
+def unpack_combo_device(rows):
+    """Inverse of the packed wire layout, inside jit: (N, PACKED_WIDTH)
+    f32 rows -> ((N, 68) fields, (N, 2) i32 modes), bit-identical to the
+    pre-pack tape (colors decode through the exact k/255 constant table)."""
+    from .ops.layout import PACKED_MODES
+
+    base = rows[:, :16]
+    words = jax.lax.bitcast_convert_type(rows[:, 16:22], jnp.uint32)
+    bytes_ = jnp.stack(
+        [(words >> (8 * k)) & 0xFF for k in range(4)], axis=2
+    )  # (N, 6, 4): word w byte k = logical color col 16 + 4w + k
+    colors = jnp.asarray(_u8_color_lut())[bytes_.reshape(rows.shape[0], 24)]
+    fields = jnp.concatenate([base, colors, rows[:, 22:50]], axis=1)
+    modes = jax.lax.bitcast_convert_type(
+        rows[:, PACKED_MODES : PACKED_MODES + 2], jnp.int32
+    )
+    return fields, modes
 
 
 @lru_cache(maxsize=1)
@@ -232,13 +260,10 @@ def get_frame_executor(
     n_blurs = sum(1 for item in structure if item[0] == "blur")
 
     def run(combo, init_frame, atlas):
-        from .ops.layout import QF_WIDTH
+        from .ops.layout import PACKED_WIDTH
 
-        rows = _meta_rows(n_draws, n_blurs, QF_WIDTH + COMBO_EXTRA)
-        fields = combo[:-rows, :QF_WIDTH]
-        modes = jax.lax.bitcast_convert_type(
-            combo[:-rows, QF_WIDTH : QF_WIDTH + COMBO_EXTRA], jnp.int32
-        )
+        rows = _meta_rows(n_draws, n_blurs, PACKED_WIDTH)
+        fields, modes = unpack_combo_device(combo[:-rows])
         meta = combo[-rows:].reshape(-1)
         nd2 = max(2 * n_draws, 2)
         bounds = jax.lax.bitcast_convert_type(meta[:nd2], jnp.int32).reshape(-1, 2)
@@ -577,12 +602,7 @@ def get_rolled_executor(
         return jnp.transpose(hwc, (2, 0, 1))
 
     def run(combo, items, radii, init_frame, atlas):
-        from .ops.layout import QF_WIDTH
-
-        fields = combo[:-1, :QF_WIDTH]
-        modes = jax.lax.bitcast_convert_type(
-            combo[:-1, QF_WIDTH : QF_WIDTH + COMBO_EXTRA], jnp.int32
-        )
+        fields, modes = unpack_combo_device(combo[:-1])
         meta = combo[-1]
         clear_color = meta[0:4]  # rolled pack uses no bounds/radii slots
 

@@ -118,6 +118,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ]
         lib.fd_export_combo.restype = ctypes.c_int
+        lib.fd_export_combo_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_export_combo_packed.restype = ctypes.c_int
         lib.fd_tape_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.fd_cull_saturated.argtypes = [
             ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
@@ -386,12 +390,14 @@ def _pooled_combo(ctx, shape, owner=None) -> np.ndarray:
 
 def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket,
                        pool_owner=None) -> Tape:
-    """Export straight into the executor's upload layout: ONE zeroed
-    (bucket(count) + meta_rows, 70) buffer, quad rows written by C++
-    (fd_export_combo), meta tail (draw bounds / blur radii / clear color —
-    executor._meta_rows layout) filled here. The Tape's fields/modes are
-    VIEWS into it, so renderer.execute uploads without re-packing."""
-    from .executor import COMBO_EXTRA, ROLLED_THRESHOLD, _meta_rows
+    """Export straight into the executor's PACKED upload layout: ONE
+    zeroed (bucket(count) + meta_rows, 52) wire buffer, quad rows written
+    by C++ (fd_export_combo_packed — colors ride as u8x4 words), meta tail
+    (draw bounds / blur radii / clear color — executor._meta_rows layout)
+    filled here. renderer.execute uploads the buffer as-is and unpacks on
+    device; the Tape's logical fields/modes materialize lazily."""
+    from .executor import ROLLED_THRESHOLD, _meta_rows
+    from .ops.layout import PACKED_WIDTH
 
     n_quads = lib.fd_quad_count(ctx)
     n_items = lib.fd_item_count(ctx)
@@ -426,13 +432,13 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket,
             structure_len += 1
 
     rolled = structure_len > ROLLED_THRESHOLD
-    row_width = QF_WIDTH + COMBO_EXTRA
+    row_width = PACKED_WIDTH
     n_pad = bucket(max(n_quads, 1))
     nd = 0 if rolled else len(draws)
     nb = 0 if rolled else len(radii)
     rows = _meta_rows(nd, nb, row_width)
     combo = _pooled_combo(ctx, (n_pad + rows, row_width), owner=pool_owner)
-    rc = lib.fd_export_combo(
+    rc = lib.fd_export_combo_packed(
         ctx, combo.ctypes.data_as(ctypes.c_void_p), n_pad, row_width
     )
     assert rc == n_quads
@@ -446,8 +452,10 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket,
     )
     tape.combo = combo
     tape.combo_rolled = rolled
-    tape.fields = combo[:n_pad, :QF_WIDTH]
-    tape.modes = combo[:n_pad, QF_WIDTH : QF_WIDTH + COMBO_EXTRA].view(np.int32)
+    tape.combo_quads = n_pad
+    # logical fields/modes materialize lazily from the packed buffer
+    tape.fields = None
+    tape.modes = None
     return tape
 
 

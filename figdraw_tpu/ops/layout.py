@@ -71,3 +71,51 @@ QF_WIDTH = 68  # pad target; keep a multiple of 4
 QI_MODE = 0  # packed: sdf_mode + 128*elliptical + 256*fill_mode
 QI_MASK = 1  # mask texture read index (0 = no mask / all-white)
 QI_WIDTH = 2
+
+# --- packed upload (wire) layout ----------------------------------------------
+# Every tape color is u8-quantized (the walks write c/255.0f), so the 24
+# color columns [16, 40) ride the wire as 6 little-endian u8x4 words and
+# re-expand bit-identically (k/255.0f is the same IEEE op). 70 -> 52
+# columns = 26% less tunnel time, the bottleneck at dense-scene scale.
+#   [0:16)  logical cols 0..15    [16:22) 6 color words
+#   [22:50) logical cols 40..67   [50:52) mode lanes (bitcast)
+PACKED_WIDTH = 52  # incl. the 2 mode lanes
+PACKED_MODES = 50  # column of the first mode lane
+
+
+def pack_fields_np(fields, modes, out=None):
+    """numpy packer (the C++ twin is fd_export_combo_packed): (n, 68) f32 +
+    (n, 2) i32 -> (n, 52) f32 packed rows."""
+    import numpy as np
+
+    n = fields.shape[0]
+    if out is None:
+        out = np.empty((n, PACKED_WIDTH), np.float32)
+    out[:, :16] = fields[:, :16]
+    k = np.rint(fields[:, 16:40] * 255.0).astype(np.uint32)
+    np.clip(k, 0, 255, out=k)
+    words = (
+        k[:, 0::4] | (k[:, 1::4] << 8) | (k[:, 2::4] << 16) | (k[:, 3::4] << 24)
+    )
+    out[:, 16:22] = words.view(np.float32)
+    out[:, 22:50] = fields[:, 40:68]
+    out[:, 50:52] = modes.view(np.float32)
+    return out
+
+
+def unpack_fields_np(packed):
+    """Inverse of pack_fields_np: (n, >=52) packed rows -> ((n, 68) f32
+    fields, (n, 2) i32 modes), bit-identical to the pre-pack tape."""
+    import numpy as np
+
+    n = packed.shape[0]
+    fields = np.empty((n, QF_WIDTH), np.float32)
+    fields[:, :16] = packed[:, :16]
+    words = packed[:, 16:22].view(np.uint32)
+    for b in range(4):
+        fields[:, 16 + b : 40 + b : 4] = (
+            ((words >> (8 * b)) & 0xFF).astype(np.float32) / 255.0
+        )
+    fields[:, 40:68] = packed[:, 22:50]
+    modes = packed[:, 50:52].view(np.int32).copy()
+    return fields, modes

@@ -606,7 +606,7 @@ class FigRenderer:
         n_masks = tape.mask_count + 1
 
         structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
-            tape_structure(tape, tape.modes)
+            tape_structure(tape, tape.modes_lanes())
         )
         seen_blur = any(item[0] == "blur" for item in structure)
         rolled_pre = len(structure) > ROLLED_THRESHOLD
@@ -623,11 +623,13 @@ class FigRenderer:
         # clear color. Native-walk tapes arrive ALREADY in this layout
         # (native._export_tape_combo): the C++ export wrote the quad rows
         # into the buffer and the meta tail is filled, so nothing is copied.
+        from .ops.layout import PACKED_MODES
+
         n = _bucket(max(tape.count, 1))
         if (
             tape.combo is not None
             and tape.combo_rolled == rolled_pre
-            and tape.fields.shape[0] == n
+            and tape.combo_quads == n
         ):
             combo = tape.combo
         elif rolled_pre:
@@ -638,8 +640,11 @@ class FigRenderer:
                 np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
                 np.asarray(radii, dtype=np.float32), clear,
             )
-        fields = combo[:n, :QF_WIDTH]
-        modes = combo[:n, QF_WIDTH : QF_WIDTH + QI_WIDTH].view(np.int32)
+        # host-side probes index PACKED rows: cols 0..15 coincide with the
+        # logical layout (mark_atlas11 and pick_tile_h read nothing past
+        # them) and the mode lanes sit at PACKED_MODES
+        fields = combo[:n]
+        modes = combo[:n, PACKED_MODES : PACKED_MODES + QI_WIDTH].view(np.int32)
 
         # 1:1 atlas quads (glyphs, unscaled images) CAN sample a VMEM-resident
         # atlas inside the Pallas kernels (mark_atlas11 + MODE_ATLAS11_BIT),
@@ -708,9 +713,11 @@ class FigRenderer:
             for item in structure
         ]
         if mega:
-            # fields/modes carry the atlas11 marks (mark_atlas11 ran on them)
+            # the mega combo is packed from LOGICAL fields (pack_tape_upload
+            # is 70-wide); modes is the packed-combo view so the atlas11
+            # marks mark_atlas11 just wrote are carried through
             mf, mm = ex.pack_mega_modes(
-                tape, fields[: tape.count], modes[: tape.count]
+                tape, tape.fields[: tape.count], modes[: tape.count]
             )
             nm = _bucket(max(mf.shape[0], 1))
             mega_fields = np.zeros((nm, QF_WIDTH), dtype=np.float32)

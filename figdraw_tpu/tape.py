@@ -110,8 +110,8 @@ class Tape:
     """The flattened frame: quad records + ordered pass items."""
 
     __slots__ = (
-        "fields",
-        "modes",
+        "_fields",
+        "_modes",
         "count",
         "items",
         "mask_count",
@@ -119,22 +119,69 @@ class Tape:
         "clear_color",
         "combo",
         "combo_rolled",
+        "combo_quads",
     )
 
     def __init__(self, capacity: int = 1024):
-        self.fields = np.zeros((capacity, QF_WIDTH), dtype=np.float32)
-        self.modes = np.zeros((capacity, QI_WIDTH), dtype=np.int32)
+        self._fields = np.zeros((capacity, QF_WIDTH), dtype=np.float32)
+        self._modes = np.zeros((capacity, QI_WIDTH), dtype=np.int32)
         self.count = 0
         self.items: List[TapeItem] = []
         self.mask_count = 0
         self.frame_size: Tuple[float, float] = (0.0, 0.0)
         self.clear_color: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
-        # native fast path: the upload buffer itself, with fields/modes as
-        # views into it (native._export_tape_combo) — the executor uploads
-        # it without re-packing. combo_rolled records which meta layout the
-        # tail rows carry (rolled = clear color only).
+        # native fast path: the PACKED upload buffer itself (wire layout,
+        # ops/layout.py PACKED_WIDTH) — the executor uploads it without
+        # re-packing and unpacks on device. combo_rolled records which meta
+        # layout the tail rows carry (rolled = clear color only);
+        # combo_quads the padded quad-row count the buffer was sized for.
         self.combo = None
         self.combo_rolled = False
+        self.combo_quads = 0
+
+    @property
+    def fields(self):
+        """Logical (capacity, 68) f32 quad records. For packed-combo tapes
+        this materializes lazily (bit-identical unpack) — the render hot
+        path never touches it; tools and tests do."""
+        if self._fields is None:
+            self._materialize()
+        return self._fields
+
+    @fields.setter
+    def fields(self, value):
+        self._fields = value
+
+    @property
+    def modes(self):
+        if self._modes is None:
+            self._materialize()
+        return self._modes
+
+    @modes.setter
+    def modes(self, value):
+        self._modes = value
+
+    def _materialize(self):
+        from .ops.layout import unpack_fields_np
+
+        f, m = unpack_fields_np(self.combo[: self.combo_quads])
+        if self._fields is None:
+            self._fields = f
+        if self._modes is None:
+            self._modes = m
+
+    def modes_lanes(self):
+        """The i32 mode lanes without materializing the logical arrays —
+        for packed-combo tapes this is a view into the wire buffer (so
+        in-place mark writes ride the upload), and it is the per-frame
+        accessor the executor uses."""
+        if self._modes is not None:
+            return self._modes
+        from .ops.layout import PACKED_MODES
+
+        return self.combo[: self.combo_quads,
+                          PACKED_MODES : PACKED_MODES + 2].view(np.int32)
 
     def _grow(self) -> None:
         cap = self.fields.shape[0] * 2

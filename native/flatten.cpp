@@ -2102,6 +2102,43 @@ int fd_export_combo(Ctx* ctx, float* combo, int rows_cap, int row_width) {
   return ctx->count;
 }
 
+// PACKED combo export — the upload wire format. Every tape color is
+// u8-quantized (emit_quad writes c/255.0f), so the 24 color floats
+// (4 vertices + mid + stop, RGBA) round-trip EXACTLY through one byte
+// each: 6 u32 words bitcast into float lanes. Row layout (52 wide):
+//   [0:16)  fields cols 0..15 (inv, org, bbox, uv3, uvdu, uvdv)
+//   [16:22) 6 color words, little-endian bytes in field-column order
+//   [22:50) fields cols 40..67 (params, radii, factors, aa, subpix, rect)
+//   [50:52) mode lanes (i32 bitcast)
+// The executor unpacks on device (k/255.0f is the same IEEE op the walk
+// performed, so the logical tape is bit-identical); the wire shrinks 26%.
+int fd_export_combo_packed(Ctx* ctx, float* combo, int rows_cap,
+                           int row_width) {
+  merge_items(ctx);
+  if (row_width < 52 || ctx->count > rows_cap) return -1;
+  for (int q = 0; q < ctx->count; q++) {
+    float* row = combo + (size_t)q * row_width;
+    const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
+    std::memcpy(row, f, 16 * sizeof(float));
+    uint32_t words[6];
+    for (int w = 0; w < 6; w++) {
+      uint32_t word = 0;
+      for (int b = 0; b < 4; b++) {
+        const float v = f[QF_COLOR0 + w * 4 + b];
+        int k = (int)(v * 255.0f + 0.5f);
+        k = k < 0 ? 0 : (k > 255 ? 255 : k);
+        word |= (uint32_t)k << (8 * b);
+      }
+      words[w] = word;
+    }
+    std::memcpy(&row[16], words, 6 * sizeof(uint32_t));
+    std::memcpy(&row[22], &f[QF_PARAMS], 28 * sizeof(float));
+    std::memcpy(&row[50], &ctx->modes[(size_t)q * QI_WIDTH],
+                QI_WIDTH * sizeof(int32_t));
+  }
+  return ctx->count;
+}
+
 int fd_fig_struct_size() { return (int)sizeof(Fig); }
 int fd_op_struct_size() { return (int)sizeof(DrawOp); }
 

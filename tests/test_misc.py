@@ -428,7 +428,13 @@ def test_native_tape_uploads_without_repacking(monkeypatch):
     tape = ren.flatten(make_render_tree_array(640, 360, 2, copies=20),
                        vec2(640, 360))
     assert tape.combo is not None
-    assert tape.fields.base is not None  # a view, not its own buffer
+    from figdraw_tpu.ops.layout import PACKED_WIDTH
+
+    assert tape.combo.shape[1] == PACKED_WIDTH  # packed wire layout
+    assert tape.combo_quads >= tape.count
+    # the mode lanes are a VIEW into the wire buffer (mark writes ride the
+    # upload); the logical fields materialize lazily off the hot path
+    assert tape.modes_lanes().base is not None
 
     def boom(*a, **k):
         raise AssertionError("execute re-packed a combo-backed tape")
@@ -473,3 +479,34 @@ def test_pick_tile_h_density_classes():
     # padding must not change the class
     padded = fields_for(20, 200, 200, pad=4000)
     assert pick_tile_h(padded, padded.shape[0], 256, 256) == TILE_H
+
+
+def test_packed_wire_roundtrip_bit_exact():
+    """The packed upload layout (ops/layout.py): pack -> unpack reproduces
+    the tape bit-for-bit on host AND through the device unpack, because
+    every tape color is u8/255 and k/255.0f is one IEEE op."""
+    import numpy as np
+
+    from figdraw_tpu.executor import unpack_combo_device
+    from figdraw_tpu.ops.layout import (
+        PACKED_WIDTH, QF_WIDTH, pack_fields_np, unpack_fields_np,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 257
+    fields = rng.uniform(-500, 500, (n, QF_WIDTH)).astype(np.float32)
+    # color columns must be u8-quantized like the walks write them
+    fields[:, 16:40] = rng.randint(0, 256, (n, 24)).astype(np.float32) / 255.0
+    modes = rng.randint(0, 2 ** 20, (n, 2)).astype(np.int32)
+
+    packed = pack_fields_np(fields, modes)
+    assert packed.shape == (n, PACKED_WIDTH)
+    f2, m2 = unpack_fields_np(packed)
+    np.testing.assert_array_equal(f2, fields)
+    np.testing.assert_array_equal(m2, modes)
+
+    import jax
+
+    f3, m3 = jax.jit(unpack_combo_device)(packed)
+    np.testing.assert_array_equal(np.asarray(f3), fields)
+    np.testing.assert_array_equal(np.asarray(m3), modes)

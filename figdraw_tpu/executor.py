@@ -515,12 +515,7 @@ def get_mega_executor(height: int, width: int, n_masks: int, has_init_frame: boo
     ph, pw = tiles_y * th, tiles_x * tw
 
     def run(combo, init_frame, atlas=None):
-        from .ops.layout import QF_WIDTH
-
-        fields = combo[:-1, :QF_WIDTH]
-        modes = jax.lax.bitcast_convert_type(
-            combo[:-1, QF_WIDTH : QF_WIDTH + COMBO_EXTRA], jnp.int32
-        )
+        fields, modes = unpack_combo_device(combo[:-1])
         clear_color = combo[-1][0:4]
 
         if has_init_frame:

@@ -131,6 +131,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ]
         lib.fd_export_mega.restype = ctypes.c_int
+        lib.fd_export_mega_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_export_mega_packed.restype = ctypes.c_int
         # scene-building API (native_bindings.nim analog)
         lib.fd_renders_new.restype = ctypes.c_void_p
         lib.fd_renders_free.argtypes = [ctypes.c_void_p]
@@ -486,7 +490,9 @@ def flatten_fast(
     lib = _load()
     if lib is None or not renders.all_native_kinds():
         return None
-    row_width = QF_WIDTH + 2
+    from .ops.layout import PACKED_WIDTH
+
+    row_width = PACKED_WIDTH
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config, glyph_offsets)
@@ -501,7 +507,7 @@ def flatten_fast(
     # past the scoped-VMEM budget take the tape export (rolled executor)
     if n_items > min_items and flags == 0 and cap <= VMEM_MEGA_ROWS:
         combo = np.zeros((cap + 1, row_width), np.float32)  # +1 meta row
-        rows = lib.fd_export_mega(
+        rows = lib.fd_export_mega_packed(
             ctx, combo.ctypes.data_as(ctypes.c_void_p), cap, row_width
         )
         if rows >= 0:

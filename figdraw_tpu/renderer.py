@@ -719,15 +719,13 @@ class FigRenderer:
             mf, mm = ex.pack_mega_modes(
                 tape, tape.fields[: tape.count], modes[: tape.count]
             )
+            from .ops.layout import PACKED_WIDTH, pack_fields_np
+
             nm = _bucket(max(mf.shape[0], 1))
-            mega_fields = np.zeros((nm, QF_WIDTH), dtype=np.float32)
-            mega_modes = np.zeros((nm, QI_WIDTH), dtype=np.int32)
-            mega_fields[: mf.shape[0]] = mf
-            mega_modes[: mm.shape[0]] = mm
-            mega_combo = ex.pack_tape_upload(
-                mega_fields, mega_modes, np.zeros((0, 2), np.int32),
-                np.zeros((0,), np.float32), clear,
-            )
+            # packed wire rows + one meta row carrying the clear color
+            mega_combo = np.zeros((nm + 1, PACKED_WIDTH), dtype=np.float32)
+            pack_fields_np(mf, mm, out=mega_combo[: mf.shape[0]])
+            mega_combo[-1, :4] = clear
             try:
                 run = ex.get_mega_executor(
                     height, width, n_masks, has_init_frame,
@@ -1017,7 +1015,7 @@ class FigRenderer:
             init_frame = self._dummy_init_frame()
         try:
             # adaptive tile height from the combo's own bbox columns (the
-            # C++ export carries the same field layout)
+            # packed wire layout keeps cols 0..15, bboxes included, in place)
             tile_h = ex.pick_tile_h(combo, combo.shape[0] - 1, height, width)
             frame = ex.get_mega_executor(
                 height, width, mask_count + 1, has_init_frame, tile_h=tile_h

@@ -2069,6 +2069,115 @@ int fd_export_mega(Ctx* ctx, float* combo, int rows_cap, int row_width) {
   return rows;
 }
 
+// fd_export_mega in the PACKED wire layout (see fd_export_combo_packed):
+// quad colors are u8-quantized and clear rows carry zero colors, so mega
+// rows pack losslessly too. Mode word (with the baked target bits) and the
+// mask lane land in packed cols 50/51.
+static void write_packed_quad_row(float* row, const float* f, int32_t m0,
+                                  int32_t m1) {
+  std::memcpy(row, f, 16 * sizeof(float));
+  uint32_t words[6];
+  for (int w = 0; w < 6; w++) {
+    uint32_t word = 0;
+    for (int b = 0; b < 4; b++) {
+      const float v = f[QF_COLOR0 + w * 4 + b];
+      int k = (int)(v * 255.0f + 0.5f);
+      k = k < 0 ? 0 : (k > 255 ? 255 : k);
+      word |= (uint32_t)k << (8 * b);
+    }
+    words[w] = word;
+  }
+  std::memcpy(&row[16], words, 6 * sizeof(uint32_t));
+  std::memcpy(&row[22], &f[QF_PARAMS], 28 * sizeof(float));
+  std::memcpy(&row[50], &m0, 4);
+  std::memcpy(&row[51], &m1, 4);
+}
+
+int fd_export_mega_packed(Ctx* ctx, float* combo, int rows_cap,
+                          int row_width) {
+  merge_items(ctx);
+  const int n = ctx->count;
+  if (row_width < 52) return -1;
+
+  std::vector<int32_t> tgt(n, 0);
+  struct ClearRec { int pos; int plane; float bb[4]; bool live; };
+  std::vector<ClearRec> clears;
+  {
+    int cursor = 0;
+    for (const Item& it : ctx->items) {
+      if (it.kind == 0) {
+        if (it.target >= 0)
+          for (int q = it.start; q < it.end; q++) tgt[q] = it.target + 1;
+        if (it.end > cursor) cursor = it.end;
+      } else if (it.kind == 2) {
+        clears.push_back({cursor, it.target, {0, 0, 0, 0}, false});
+      }
+    }
+  }
+  for (int k = 1; k <= ctx->mask_count; k++) {
+    std::vector<int> idxs;
+    for (size_t c = 0; c < clears.size(); c++)
+      if (clears[c].plane == k) idxs.push_back((int)c);
+    for (size_t i = 0; i < idxs.size(); i++) {
+      ClearRec& cr = clears[idxs[i]];
+      int seg_end = (i + 1 < idxs.size()) ? clears[idxs[i + 1]].pos : n;
+      double mnx = 1e30, mny = 1e30, mxx = -1e30, mxy = -1e30;
+      for (int q = cr.pos; q < seg_end; q++) {
+        if (tgt[q] != k + 1 && ctx->modes[(size_t)q * QI_WIDTH + 1] != k)
+          continue;
+        const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
+        mnx = std::fmin(mnx, (double)f[QF_BBOX + 0]);
+        mny = std::fmin(mny, (double)f[QF_BBOX + 1]);
+        mxx = std::fmax(mxx, (double)f[QF_BBOX + 2]);
+        mxy = std::fmax(mxy, (double)f[QF_BBOX + 3]);
+      }
+      if (mxx > mnx && mxy > mny) {
+        cr.live = true;
+        cr.bb[0] = (float)mnx; cr.bb[1] = (float)mny;
+        cr.bb[2] = (float)mxx; cr.bb[3] = (float)mxy;
+      }
+    }
+  }
+  int rows = 0;
+  size_t ci = 0;
+  auto emit_clear_at = [&](int pos) -> bool {
+    while (ci < clears.size() && clears[ci].pos <= pos) {
+      const ClearRec& cr = clears[ci];
+      if (cr.live) {
+        if (rows >= rows_cap) return false;
+        float* row = combo + (size_t)rows * row_width;
+        std::memset(row, 0, (size_t)row_width * sizeof(float));
+        row[QF_BBOX + 0] = cr.bb[0];
+        row[QF_BBOX + 1] = cr.bb[1];
+        row[QF_BBOX + 2] = cr.bb[2];
+        row[QF_BBOX + 3] = cr.bb[3];
+        int32_t m = 4096 + ((cr.plane + 1) << 16);  // MEGA_CLEAR_BIT | target
+        std::memcpy(&row[50], &m, 4);
+        rows++;
+      }
+      ci++;
+    }
+    return true;
+  };
+  for (const Item& it : ctx->items) {
+    if (it.kind != 0) continue;
+    if (!emit_clear_at(it.start)) return -1;
+    for (int q = it.start; q < it.end; q++) {
+      if (rows >= rows_cap) return -1;
+      float* row = combo + (size_t)rows * row_width;
+      if (row_width > 52)
+        std::memset(&row[52], 0, (size_t)(row_width - 52) * sizeof(float));
+      write_packed_quad_row(
+          row, &ctx->fields[(size_t)q * QF_WIDTH],
+          ctx->modes[(size_t)q * QI_WIDTH + 0] + (tgt[q] << 16),
+          ctx->modes[(size_t)q * QI_WIDTH + 1]);
+      rows++;
+    }
+  }
+  if (!emit_clear_at(n)) return -1;  // trailing clears
+  return rows;
+}
+
 // Items only (kind, target, start, end, radius-bits) — lets the host build
 // the pass structure and meta layout BEFORE sizing the upload buffer.
 int fd_export_items(Ctx* ctx, int32_t* items, int item_cap) {
@@ -2117,24 +2226,10 @@ int fd_export_combo_packed(Ctx* ctx, float* combo, int rows_cap,
   merge_items(ctx);
   if (row_width < 52 || ctx->count > rows_cap) return -1;
   for (int q = 0; q < ctx->count; q++) {
-    float* row = combo + (size_t)q * row_width;
-    const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
-    std::memcpy(row, f, 16 * sizeof(float));
-    uint32_t words[6];
-    for (int w = 0; w < 6; w++) {
-      uint32_t word = 0;
-      for (int b = 0; b < 4; b++) {
-        const float v = f[QF_COLOR0 + w * 4 + b];
-        int k = (int)(v * 255.0f + 0.5f);
-        k = k < 0 ? 0 : (k > 255 ? 255 : k);
-        word |= (uint32_t)k << (8 * b);
-      }
-      words[w] = word;
-    }
-    std::memcpy(&row[16], words, 6 * sizeof(uint32_t));
-    std::memcpy(&row[22], &f[QF_PARAMS], 28 * sizeof(float));
-    std::memcpy(&row[50], &ctx->modes[(size_t)q * QI_WIDTH],
-                QI_WIDTH * sizeof(int32_t));
+    write_packed_quad_row(combo + (size_t)q * row_width,
+                          &ctx->fields[(size_t)q * QF_WIDTH],
+                          ctx->modes[(size_t)q * QI_WIDTH + 0],
+                          ctx->modes[(size_t)q * QI_WIDTH + 1]);
   }
   return ctx->count;
 }

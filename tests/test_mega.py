@@ -53,8 +53,14 @@ def test_cxx_mega_export_matches_python_packer():
     combo, mask_count = res[1], res[2]
     assert mask_count == tape.mask_count
     rows = mf.shape[0]
-    assert np.array_equal(combo[:rows, :68], mf)
-    assert np.array_equal(combo[:rows, 68:70].view(np.int32), mm)
+    # the C++ export writes the PACKED wire layout; unpacking it must give
+    # exactly the python packer's logical rows (colors are u8/255 exact)
+    from figdraw_tpu.ops.layout import PACKED_WIDTH, unpack_fields_np
+
+    assert combo.shape[1] == PACKED_WIDTH
+    uf, um = unpack_fields_np(combo[:rows])
+    assert np.array_equal(uf, mf)
+    assert np.array_equal(um, mm)
     assert not combo[rows:-1].any()  # padding stays zero (never binned)
 
 

@@ -71,6 +71,26 @@ SHORT_QUAD_H = 64.0  # short quads waste most of a 128-row tile
 # to 32 rows with the chunked fori kernel: 7.0 vs 6.6 ms device)
 
 
+def tile_h_from_density(pairs_sum: float, median_h: float, height: int,
+                        width: int) -> int:
+    """pick_tile_h's decision from a precomputed density summary (the native
+    walk's fd_density): pairs_sum = quad-tile pair count over live quads,
+    median_h = median live bbox height (-1 = no live quads)."""
+    from .ops.raster_pallas import TILE_H, TILE_W
+
+    if TILE_H <= DENSE_TILE_H or median_h < 0.0:
+        return TILE_H
+    tiles = max((-(-height // TILE_H)) * (-(-width // TILE_W)), 1)
+    quads_per_tile = pairs_sum / tiles
+    if quads_per_tile > VERY_DENSE_QUADS_PER_TILE:
+        return VERY_DENSE_TILE_H
+    if quads_per_tile > DENSE_QUADS_PER_TILE:
+        return DENSE_TILE_H
+    if median_h <= SHORT_QUAD_H:
+        return DENSE_TILE_H
+    return TILE_H
+
+
 def pick_tile_h(fields_np, count: int, height: int, width: int) -> int:
     """Adaptive Pallas tile height (measured on the real chip): 64-row tiles
     win when per-tile quad lists run long (3000-box: 200 quads/tile, 2.3x)

@@ -123,6 +123,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.fd_export_combo_packed.restype = ctypes.c_int
         lib.fd_tape_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.fd_density.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
         lib.fd_cull_saturated.argtypes = [
             ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
         ]
@@ -204,6 +207,53 @@ def available() -> bool:
     return _load() is not None
 
 
+# Cached ctypes pointers. numpy's arr.ctypes.data_as() rebuilds the ctypes
+# interface object on every call (~5 us on the bench host; the hot flatten
+# path makes ~11 such calls per frame). Every array on that path is stable
+# across frames (pooled combo buffers, the renderer's atlas/glyph packs, the
+# per-list walk cache below), so the pointer is computed once per array
+# object. The cache retains the array (so its id can't be recycled while the
+# entry lives) and is dropped wholesale past a bound.
+_ptr_cache: dict = {}
+
+
+def _ptr(arr: np.ndarray) -> ctypes.c_void_p:
+    key = id(arr)
+    ent = _ptr_cache.get(key)
+    if ent is None or ent[0] is not arr:
+        if len(_ptr_cache) > 2048:
+            _ptr_cache.clear()
+        _ptr_cache[key] = ent = (arr, ctypes.c_void_p(arr.ctypes.data))
+    return ent[1]
+
+
+def _layer_arrays(lst):
+    """Contiguous walk arrays for one render list, cached on the list object
+    so retained scenes (in-place column animation) skip the per-frame
+    list→array conversions and contiguity checks. Invalidated by any count
+    change or a nodes-buffer regrow; in-place field writes keep the same
+    buffers and need no invalidation."""
+    ver = (lst.count, len(lst.root_ids), len(lst.ops_rows),
+           len(lst.glyph_rows))
+    cached = getattr(lst, "_walk_cache", None)
+    if cached is not None and cached[0] == ver and cached[1] is lst.nodes:
+        return cached[2]
+    nodes = np.ascontiguousarray(lst.nodes[: lst.count])
+    roots = np.asarray(lst.root_ids, dtype=np.int32)
+    ops, points = lst.ops_view()
+    ops = np.ascontiguousarray(ops)
+    points = np.ascontiguousarray(points)
+    glyphs, trects = lst.text_view()
+    glyphs = np.ascontiguousarray(glyphs)
+    trects = np.ascontiguousarray(trects)
+    arrays = (nodes, roots, ops, points, glyphs, trects)
+    try:
+        lst._walk_cache = (ver, lst.nodes, arrays)
+    except AttributeError:  # slotted/foreign list types: just don't cache
+        pass
+    return arrays
+
+
 def pack_atlas_entries(entries: dict, atlas_size: int):
     """Sorted (id, level) parallel arrays for fd_set_atlas. Integer keys are
     level-0 entries; (id, level) tuple keys are mips; other keys (glyph
@@ -241,57 +291,29 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
             keys = np.ascontiguousarray(keys[order])
             offs = np.asarray(list(glyph_offsets.values()), dtype=np.float32)
             offs = np.ascontiguousarray(offs[order])
-        lib.fd_set_glyph_offsets(
-            ctx,
-            keys.ctypes.data_as(ctypes.c_void_p),
-            offs.ctypes.data_as(ctypes.c_void_p),
-            keys.shape[0],
-        )
+        lib.fd_set_glyph_offsets(ctx, _ptr(keys), _ptr(offs), keys.shape[0])
     if atlas_entries:
         if isinstance(atlas_entries, tuple):
             ids, levels, rects = atlas_entries
         else:
             ids, levels, rects = pack_atlas_entries(atlas_entries, atlas_size)
         lib.fd_set_atlas(
-            ctx,
-            ids.ctypes.data_as(ctypes.c_void_p),
-            levels.ctypes.data_as(ctypes.c_void_p),
-            rects.ctypes.data_as(ctypes.c_void_p),
-            ids.shape[0],
+            ctx, _ptr(ids), _ptr(levels), _ptr(rects), ids.shape[0],
             ctypes.c_float(float(atlas_size)),
         )
     lib.fd_set_white_uv(
         ctx, ctypes.c_double(white_uv[0]), ctypes.c_double(white_uv[1])
     )
     for _lvl, lst in renders.sorted_pairs():
-        nodes = np.ascontiguousarray(lst.view())
-        roots = np.asarray(lst.root_ids, dtype=np.int32)
-        ops, points = lst.ops_view()
-        ops = np.ascontiguousarray(ops)
-        points = np.ascontiguousarray(points)
+        nodes, roots, ops, points, glyphs, trects = _layer_arrays(lst)
         lib.fd_set_geometry(
-            ctx,
-            ops.ctypes.data_as(ctypes.c_void_p),
-            ops.shape[0],
-            points.ctypes.data_as(ctypes.c_void_p),
-            points.shape[0],
+            ctx, _ptr(ops), ops.shape[0], _ptr(points), points.shape[0]
         )
-        glyphs, trects = lst.text_view()
-        glyphs = np.ascontiguousarray(glyphs)
-        trects = np.ascontiguousarray(trects)
         lib.fd_set_text_geometry(
-            ctx,
-            glyphs.ctypes.data_as(ctypes.c_void_p),
-            glyphs.shape[0],
-            trects.ctypes.data_as(ctypes.c_void_p),
-            trects.shape[0],
+            ctx, _ptr(glyphs), glyphs.shape[0], _ptr(trects), trects.shape[0]
         )
         lib.fd_flatten_layer(
-            ctx,
-            nodes.ctypes.data_as(ctypes.c_void_p),
-            nodes.shape[0],
-            roots.ctypes.data_as(ctypes.c_void_p),
-            roots.shape[0],
+            ctx, _ptr(nodes), nodes.shape[0], _ptr(roots), roots.shape[0]
         )
 
 
@@ -331,6 +353,7 @@ def _export_tape(lib, ctx, frame_w, frame_h, clear_color) -> Tape:
     tape.clear_color = clear_color
     for i in range(n_items):
         kind, target, start, end, rbits = items[i]
+        kind &= 0xFF  # draw items carry atlas/backdrop flag bits 8/9
         if kind == 0:
             tape.items.append(DrawItem(target=int(target), start=int(start), end=int(end)))
         elif kind == 1:
@@ -417,23 +440,40 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket,
     tape.clear_color = clear_color
     draws = []
     radii = []
-    structure_len = 0
+    structure = []  # executor.tape_structure built from the C++ flag bits
+    seen_blur = False
+    any_atlas = False
+    any_backdrop = False
     for i in range(n_items):
-        kind, target, start, end, rbits = items[i]
+        word, target, start, end, rbits = items[i]
+        kind = word & 0xFF
         if kind == 0:
             tape.items.append(DrawItem(target=int(target), start=int(start),
                                        end=int(end)))
             if end > start:
-                structure_len += 1
+                uses_atlas = bool(word & 0x100)
+                has_backdrop = bool(word & 0x200)
+                any_atlas |= uses_atlas
+                any_backdrop |= has_backdrop
+                structure.append(("draw", int(target), uses_atlas,
+                                  seen_blur and has_backdrop))
                 draws.append((int(start), int(end)))
         elif kind == 1:
             r = float(np.int32(rbits).view(np.float32))
             tape.items.append(BlurItem(radius=r))
             radii.append(r)
-            structure_len += 1
+            seen_blur = True
+            structure.append(("blur",))
         else:
             tape.items.append(ClearMaskItem(index=int(target)))
-            structure_len += 1
+            structure.append(("clear_mask", int(target)))
+    structure_len = len(structure)
+    tape.structure_cache = (structure, draws, radii, any_atlas, any_backdrop)
+    from .ops.raster_pallas import TILE_H, TILE_W
+
+    dens = np.zeros(2, np.float32)
+    lib.fd_density(ctx, TILE_W, TILE_H, dens.ctypes.data_as(ctypes.c_void_p))
+    tape.tile_density = (float(dens[0]), float(dens[1]))
 
     rolled = structure_len > ROLLED_THRESHOLD
     row_width = PACKED_WIDTH
@@ -442,9 +482,7 @@ def _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color, bucket,
     nb = 0 if rolled else len(radii)
     rows = _meta_rows(nd, nb, row_width)
     combo = _pooled_combo(ctx, (n_pad + rows, row_width), owner=pool_owner)
-    rc = lib.fd_export_combo_packed(
-        ctx, combo.ctypes.data_as(ctypes.c_void_p), n_pad, row_width
-    )
+    rc = lib.fd_export_combo_packed(ctx, _ptr(combo), n_pad, row_width)
     assert rc == n_quads
     from .executor import fill_meta
 
@@ -506,12 +544,17 @@ def flatten_fast(
     # the mega kernel holds the whole tape in VMEM and cannot chunk — tapes
     # past the scoped-VMEM budget take the tape export (rolled executor)
     if n_items > min_items and flags == 0 and cap <= VMEM_MEGA_ROWS:
-        combo = np.zeros((cap + 1, row_width), np.float32)  # +1 meta row
-        rows = lib.fd_export_mega_packed(
-            ctx, combo.ctypes.data_as(ctypes.c_void_p), cap, row_width
-        )
+        # pooled upload buffer (+1 meta row the caller fills): C++ zeroes
+        # the padding rows, so ping-pong reuse never leaks a prior frame
+        combo = _pooled_combo(ctx, (cap + 1, row_width), owner=pool_owner)
+        rows = lib.fd_export_mega_packed(ctx, _ptr(combo), cap, row_width)
         if rows >= 0:
-            return "mega", combo, mask_count
+            from .ops.raster_pallas import TILE_H, TILE_W
+
+            dens = np.zeros(2, np.float32)
+            lib.fd_density(ctx, TILE_W, TILE_H,
+                           dens.ctypes.data_as(ctypes.c_void_p))
+            return "mega", combo, mask_count, (float(dens[0]), float(dens[1]))
     if bucket is not None:
         return "tape", _export_tape_combo(lib, ctx, frame_w, frame_h,
                                           clear_color, bucket,

@@ -605,9 +605,17 @@ class FigRenderer:
         height = int(round(tape.frame_size[1]))
         n_masks = tape.mask_count + 1
 
-        structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
-            tape_structure(tape, tape.modes_lanes())
-        )
+        cache = tape.structure_cache
+        if cache is not None:
+            # native export already derived the pass structure from the C++
+            # item flag bits — skip the per-frame mode-lane scan
+            structure, bounds, radii, any_atlas, any_backdrop = cache
+        else:
+            structure, bounds, radii, is_atlas_mode, is_backdrop_mode = (
+                tape_structure(tape, tape.modes_lanes())
+            )
+            any_atlas = bool(is_atlas_mode[: tape.count].any())
+            any_backdrop = bool(is_backdrop_mode[: tape.count].any())
         seen_blur = any(item[0] == "blur" for item in structure)
         rolled_pre = len(structure) > ROLLED_THRESHOLD
 
@@ -666,9 +674,12 @@ class FigRenderer:
                              self.pixelate)
         )
 
-        from .executor import pick_tile_h
+        from .executor import pick_tile_h, tile_h_from_density
 
-        tile_h = pick_tile_h(fields, tape.count, height, width)
+        if tape.tile_density is not None:
+            tile_h = tile_h_from_density(*tape.tile_density, height, width)
+        else:
+            tile_h = pick_tile_h(fields, tape.count, height, width)
 
         has_init_frame = tape.clear_color is None
         if has_init_frame:
@@ -691,7 +702,7 @@ class FigRenderer:
         # runs via XLA gathers) — measured 15x faster than mega with the
         # in-kernel sampler on a text-in-clip scene; FIGDRAW_ATLAS11=always
         # restores mega+atlas for experiments.
-        mega_atlas = bool(is_atlas_mode[: tape.count].any())
+        mega_atlas = any_atlas
         from .ops.raster_pallas import VMEM_MEGA_ROWS
 
         mega = (
@@ -699,7 +710,7 @@ class FigRenderer:
             and self.use_pallas
             and not seen_blur
             and (not mega_atlas or (policy == "always" and pallas_atlas_ok))
-            and not bool(is_backdrop_mode[: tape.count].any())
+            and not any_backdrop
             # the mega kernel holds the WHOLE tape + mask planes in VMEM and
             # cannot chunk (mask registers would round-trip HBM); tapes past
             # the scoped-VMEM budget stay on the rolled executor, whose
@@ -997,7 +1008,7 @@ class FigRenderer:
             return None, None
         if result[0] == "tape":
             return None, result[1]
-        _, combo, mask_count = result
+        _, combo, mask_count, density = result
         width = int(round(fs.x))
         height = int(round(fs.y))
         has_init_frame = not clear_main
@@ -1008,15 +1019,19 @@ class FigRenderer:
                 init_frame = self.last_frame
             else:
                 init_frame = jnp.zeros((height, width, 4), jnp.float32)
+            # pooled buffer: a previous clearing frame may have left its
+            # clear color in the meta row — this frame starts from init_frame
+            combo[-1, 0:4] = 0.0
         else:
             combo[-1, 0:4] = (
                 clear_color.r, clear_color.g, clear_color.b, clear_color.a,
             )
             init_frame = self._dummy_init_frame()
         try:
-            # adaptive tile height from the combo's own bbox columns (the
-            # packed wire layout keeps cols 0..15, bboxes included, in place)
-            tile_h = ex.pick_tile_h(combo, combo.shape[0] - 1, height, width)
+            # adaptive tile height from the walked tape's density summary
+            # (fd_density; clear-sentinel rows don't count — they are rare
+            # and the class thresholds are coarse)
+            tile_h = ex.tile_h_from_density(*density, height, width)
             frame = ex.get_mega_executor(
                 height, width, mask_count + 1, has_init_frame, tile_h=tile_h
             )(jnp.asarray(combo), init_frame)

@@ -46,6 +46,40 @@ def _scene_randoms(copies: int, max_x: float, max_y: float):
     return cached
 
 
+# The animator's sixteen phase functions t*a + i*b, batched into ONE sin and
+# ONE cos call per frame (element-wise identical to sixteen separate calls;
+# separate numpy calls on 100-element arrays cost ~2-5 us each in dispatch
+# alone). Row order is load-bearing — _scene_animate indexes these.
+_SIN_COEF = np.array(
+    [[1.0, 0.15], [0.8, 0.07], [1.25, 0.11], [0.7, 0.05], [0.85, 0.05],
+     [1.1, 0.05], [0.9, 0.03], [1.05, 0.06], [0.85, 0.04]]
+)
+_COS_COEF = np.array(
+    [[0.9, 0.2], [0.65, 0.09], [0.8, 0.06], [0.95, 0.08], [0.75, 0.04],
+     [0.9, 0.03], [0.8, 0.04]]
+)
+
+_scene_anim_cache = {}
+
+
+def _scene_anim_state(copies: int):
+    """Per-copies cached phase matrices and scratch buffers (one allocation,
+    reused every frame)."""
+    state = _scene_anim_cache.get(copies)
+    if state is None:
+        i = np.arange(copies, dtype=np.float64)
+        state = {
+            "sin_phase": i[None, :] * _SIN_COEF[:, 1:2],
+            "cos_phase": i[None, :] * _COS_COEF[:, 1:2],
+            "sin_t": _SIN_COEF[:, 0:1],
+            "cos_t": _COS_COEF[:, 0:1],
+            "box": np.empty((3, copies, 4), np.float64),
+            "corners": np.empty((3, copies, 4), np.float64),
+        }
+        _scene_anim_cache[copies] = state
+    return state
+
+
 def _scene_static(w: float, h: float, copies: int):
     """Everything in the 300-box scene that does NOT depend on the frame:
     node kinds/flags, fill kinds and colors, strokes, shadow styles and
@@ -145,74 +179,84 @@ def _scene_static(w: float, h: float, copies: int):
 
 def _scene_animate(nodes, w: float, h: float, frame: int, copies: int) -> None:
     """The frame-dependent columns: box positions/sizes, corner radii,
-    shadow blur/spread/offsets, and the moving blur panel + overlay."""
+    shadow blur/spread/offsets, and the moving blur panel + overlay.
+
+    All sixteen phase functions ride ONE batched sin and ONE batched cos
+    (bit-identical to the per-row calls — same arguments, same ufunc), and
+    box/corner rows build in cached scratch buffers instead of np.stack;
+    together that is ~2x on the per-frame host cost of the animation."""
     t = frame * 0.02
-    i = np.arange(copies, dtype=np.float64)
+    st = _scene_anim_state(copies)
+    s = np.sin(t * st["sin_t"] + st["sin_phase"])
+    c = np.cos(t * st["cos_t"] + st["cos_phase"])
 
     max_w, max_h = 260.0, 180.0
     max_x = max(0.0, w - (320.0 + max_w))
     max_y = max(0.0, h - (300.0 + max_h))
     base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
-    off_x = np.clip(base_xs + np.sin(t + i * 0.15) * 20, 0.0, max_x)
-    off_y = np.clip(base_ys + np.cos(t * 0.9 + i * 0.2) * 20, 0.0, max_y)
+    off_x = np.clip(base_xs + s[0] * 20, 0.0, max_x)
+    off_y = np.clip(base_ys + c[0] * 20, 0.0, max_y)
 
-    pulse_w = 0.5 + 0.5 * np.sin(t * 0.8 + i * 0.07)
-    pulse_h = 0.5 + 0.5 * np.cos(t * 0.65 + i * 0.09)
+    pulse_w = 0.5 + 0.5 * s[1]
+    pulse_h = 0.5 + 0.5 * c[1]
 
     red = slice(1, 1 + 3 * copies, 3)
     green = slice(2, 2 + 3 * copies, 3)
     blue = slice(3, 3 + 3 * copies, 3)
+    box, corners = st["box"], st["corners"]
 
     # red: elliptical corner animation
-    cp = 0.5 + 0.5 * np.sin(t * 1.25 + i * 0.11)
+    cp = 0.5 + 0.5 * s[2]
     c0f = 4.0 + 26.0 * cp
     c1f = 6.0 + 22.0 * (1.0 - cp)
-    c2f = 8.0 + 18.0 * (0.5 + 0.5 * np.sin(t * 0.7 + i * 0.05))
-    c3f = 10.0 + 16.0 * (0.5 + 0.5 * np.cos(t * 0.8 + i * 0.06))
-    c0, c1, c2, c3 = (v.astype(np.uint16) for v in (c0f, c1f, c2f, c3f))
-    nodes["box"][red] = np.stack(
-        [60.0 + off_x, 60.0 + off_y, 160.0 + 100.0 * pulse_w, 110.0 + 70.0 * pulse_h],
-        axis=1,
-    )
-    nodes["corners"][red] = np.stack([c0, c1, c2, c3], axis=1)
-    # matches int(c1 * 2) in the object form: truncate AFTER doubling
-    nodes["corners_y"][red] = np.stack(
-        [c0, (c1f * 2).astype(np.uint16), c2, (c3f * 2).astype(np.uint16)], axis=1
-    )
+    c2f = 8.0 + 18.0 * (0.5 + 0.5 * s[3])
+    c3f = 10.0 + 16.0 * (0.5 + 0.5 * c[2])
+    box[0, :, 0] = 60.0 + off_x
+    box[0, :, 1] = 60.0 + off_y
+    box[0, :, 2] = 160.0 + 100.0 * pulse_w
+    box[0, :, 3] = 110.0 + 70.0 * pulse_h
+    nodes["box"][red] = box[0]
+    # float -> u16 field assignment truncates toward zero, same as the
+    # object form's int(); corners_y col 1/3 truncate AFTER doubling
+    corners[0, :, 0] = c0f
+    corners[0, :, 1] = c1f
+    corners[0, :, 2] = c2f
+    corners[0, :, 3] = c3f
+    nodes["corners"][red] = corners[0]
+    corners[0, :, 1] = c1f * 2
+    corners[0, :, 3] = c3f * 2
+    nodes["corners_y"][red] = corners[0]
 
     # green: box, corners, drop shadow animation
-    gp = 0.5 + 0.5 * np.cos(t * 0.95 + i * 0.08)
-    g0 = (6.0 + 22.0 * gp).astype(np.uint16)
-    g1 = (8.0 + 18.0 * (1.0 - gp)).astype(np.uint16)
-    g2 = (10.0 + 16.0 * (0.5 + 0.5 * np.cos(t * 0.75 + i * 0.04))).astype(np.uint16)
-    g3 = (12.0 + 14.0 * (0.5 + 0.5 * np.sin(t * 0.85 + i * 0.05))).astype(np.uint16)
-    nodes["box"][green] = np.stack(
-        [320.0 + off_x, 120.0 + off_y, 160.0 + 100.0 * pulse_h, 110.0 + 70.0 * pulse_w],
-        axis=1,
-    )
-    nodes["corners"][green] = np.stack([g0, g1, g2, g3], axis=1)
-    sp = 0.5 + 0.5 * np.sin(t * 1.1 + i * 0.05)
+    gp = 0.5 + 0.5 * c[3]
+    box[1, :, 0] = 320.0 + off_x
+    box[1, :, 1] = 120.0 + off_y
+    box[1, :, 2] = 160.0 + 100.0 * pulse_h
+    box[1, :, 3] = 110.0 + 70.0 * pulse_w
+    nodes["box"][green] = box[1]
+    corners[1, :, 0] = 6.0 + 22.0 * gp
+    corners[1, :, 1] = 8.0 + 18.0 * (1.0 - gp)
+    corners[1, :, 2] = 10.0 + 16.0 * (0.5 + 0.5 * c[4])
+    corners[1, :, 3] = 12.0 + 14.0 * (0.5 + 0.5 * s[4])
+    nodes["corners"][green] = corners[1]
+    sp = 0.5 + 0.5 * s[5]
     sh = nodes["shadows"]
     sh["blur"][green, 0] = np.maximum(0.0, 6.0 + 18.0 * sp)
     sh["spread"][green, 0] = np.maximum(0.0, 4.0 + 20.0 * (1.0 - sp))
-    sh["x"][green, 0] = 6.0 + 10.0 * np.sin(t * 0.9 + i * 0.03)
-    sh["y"][green, 0] = 6.0 + 10.0 * np.cos(t * 0.9 + i * 0.03)
+    sh["x"][green, 0] = 6.0 + 10.0 * s[6]
+    sh["y"][green, 0] = 6.0 + 10.0 * c[5]
 
     # blue: box + inner shadow animation
-    nodes["box"][blue] = np.stack(
-        [
-            180.0 + off_x,
-            300.0 + off_y,
-            160.0 + 100.0 * (1.0 - pulse_w),
-            110.0 + 70.0 * (1.0 - pulse_h),
-        ],
-        axis=1,
-    )
-    ip = 0.5 + 0.5 * np.sin(t * 1.05 + i * 0.06)
+    box[2, :, 0] = 180.0 + off_x
+    box[2, :, 1] = 300.0 + off_y
+    box[2, :, 2] = 160.0 + 100.0 * (1.0 - pulse_w)
+    box[2, :, 3] = 110.0 + 70.0 * (1.0 - pulse_h)
+    nodes["box"][blue] = box[2]
+    ip = 0.5 + 0.5 * s[7]
     sh["blur"][blue, 0] = np.maximum(0.0, 8.0 + 10.0 * ip)
     sh["spread"][blue, 0] = np.maximum(0.0, 2.0 + 10.0 * (1.0 - ip))
-    sh["x"][blue, 0] = 6.0 * np.sin(t * 0.85 + i * 0.04)
-    sh["y"][blue, 0] = 6.0 * np.cos(t * 0.8 + i * 0.04)
+    sh["x"][blue, 0] = 6.0 * s[8]
+    sh["y"][blue, 0] = 6.0 * c[6]
 
     # moving blur panel + overlay
     base = 1 + 3 * copies

@@ -120,6 +120,8 @@ class Tape:
         "combo",
         "combo_rolled",
         "combo_quads",
+        "structure_cache",
+        "tile_density",
     )
 
     def __init__(self, capacity: int = 1024):
@@ -138,6 +140,12 @@ class Tape:
         self.combo = None
         self.combo_rolled = False
         self.combo_quads = 0
+        # native exports precompute the pass structure (from the C++ item
+        # flag bits) and the tile-density summary (fd_density) so
+        # renderer.execute skips the per-frame numpy scans; None = derive
+        # from the mode lanes (executor.tape_structure / pick_tile_h)
+        self.structure_cache = None
+        self.tile_density = None
 
     @property
     def fields(self):

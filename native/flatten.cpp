@@ -1966,6 +1966,62 @@ void fd_tape_info(Ctx* ctx, int32_t out[4]) {
   out[3] = flags;
 }
 
+// Tile-density summary for the host's adaptive tile-class pick
+// (executor.pick_tile_h run in C++ off the walked tape, so the per-frame
+// host path skips ~0.2 ms of small-array numpy): out[0] = sum over live
+// quads of (floor(bw/tile_w)+1)*(floor(bh/tile_h)+1) — the quad-tile pair
+// count — and out[1] = median live quad bbox height (numpy median: mean of
+// the two middles for even counts), or -1 when no quad has a live bbox.
+void fd_density(Ctx* ctx, int tile_w, int tile_h, float out[2]) {
+  merge_items(ctx);
+  double pairs = 0.0;
+  std::vector<float> hs;
+  hs.reserve((size_t)ctx->count);
+  for (int q = 0; q < ctx->count; q++) {
+    const float* f = &ctx->fields[(size_t)q * QF_WIDTH];
+    const float bw = f[QF_BBOX + 2] - f[QF_BBOX + 0];
+    const float bh = f[QF_BBOX + 3] - f[QF_BBOX + 1];
+    if (!(bw > 0.0f && bh > 0.0f)) continue;
+    pairs += (std::floor(bw / (float)tile_w) + 1.0) *
+             (std::floor(bh / (float)tile_h) + 1.0);
+    hs.push_back(bh);
+  }
+  out[0] = (float)pairs;
+  if (hs.empty()) {
+    out[1] = -1.0f;
+    return;
+  }
+  const size_t m = hs.size() / 2;
+  std::nth_element(hs.begin(), hs.begin() + m, hs.end());
+  if (hs.size() % 2 == 0) {
+    const float lo = *std::max_element(hs.begin(), hs.begin() + m);
+    out[1] = 0.5f * (lo + hs[m]);
+  } else {
+    out[1] = hs[m];
+  }
+}
+
+// Exported item kind word: low byte = kind (0 draw, 1 blur, 2 clear-mask);
+// draw items carry bit 8 = range contains an atlas-sampling quad and bit 9 =
+// range contains a backdrop quad, so the host builds the pass structure
+// without rescanning the mode lanes (executor.tape_structure's per-frame
+// numpy work).
+static int32_t item_kind_word(const Ctx* ctx, const Item& it) {
+  int32_t word = it.kind;
+  if (it.kind == 0) {
+    bool atlas = false, backdrop = false;
+    for (int q = it.start; q < it.end && !(atlas && backdrop); q++) {
+      int base = ctx->modes[(size_t)q * QI_WIDTH + 0] % 256;
+      if (base >= 128) base -= 128;
+      if (base == 0 || (base >= 13 && base <= 16)) atlas = true;
+      if (base == 17) backdrop = true;
+    }
+    if (atlas) word |= 1 << 8;
+    if (backdrop) word |= 1 << 9;
+  }
+  return word;
+}
+
 // Megakernel combo export (executor.pack_mega_modes in C++): quads in tape
 // order with (target+1)<<16 baked into the mode lane, clear-mask sentinels
 // spliced in with TIGHT bboxes (union of the quads that read or write the
@@ -2175,6 +2231,11 @@ int fd_export_mega_packed(Ctx* ctx, float* combo, int rows_cap,
     }
   }
   if (!emit_clear_at(n)) return -1;  // trailing clears
+  // zero the padding rows so pooled (reused) upload buffers never carry a
+  // previous frame's quads — padding must stay inert (empty bboxes)
+  if (rows < rows_cap)
+    std::memset(combo + (size_t)rows * row_width, 0,
+                (size_t)(rows_cap - rows) * row_width * sizeof(float));
   return rows;
 }
 
@@ -2185,7 +2246,7 @@ int fd_export_items(Ctx* ctx, int32_t* items, int item_cap) {
   if ((int)ctx->items.size() > item_cap) return -1;
   for (size_t i = 0; i < ctx->items.size(); i++) {
     const Item& it = ctx->items[i];
-    items[i * 5 + 0] = it.kind;
+    items[i * 5 + 0] = item_kind_word(ctx, it);
     items[i * 5 + 1] = it.target;
     items[i * 5 + 2] = it.start;
     items[i * 5 + 3] = it.end;
@@ -2249,7 +2310,7 @@ int fd_export(Ctx* ctx, float* fields, int32_t* modes, int quad_cap,
               (size_t)ctx->count * QI_WIDTH * sizeof(int32_t));
   for (size_t i = 0; i < ctx->items.size(); i++) {
     const Item& it = ctx->items[i];
-    items[i * 5 + 0] = it.kind;
+    items[i * 5 + 0] = item_kind_word(ctx, it);
     items[i * 5 + 1] = it.target;
     items[i * 5 + 2] = it.start;
     items[i * 5 + 3] = it.end;

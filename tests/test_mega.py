@@ -308,3 +308,23 @@ def test_default_routes_atlas_clip_scene_to_rolled():
     assert r2.use_pallas, "rolled path fell back"
     got = r2.take_screenshot()
     assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+@pytest.mark.skipif(not native.available(), reason="native flattener not built")
+def test_mega_pooled_buffer_reuse_is_clean():
+    """The mega fast path exports into the pooled ping-pong upload buffer;
+    C++ zeroes the padding rows (fd_export_mega_packed), so rendering a
+    bigger scene, then a smaller one, then the bigger one again on the SAME
+    renderer must match a fresh renderer pixel-for-pixel — no stale rows or
+    stale meta (clear color) may leak between frames."""
+    big = from_renders(clip_table(rows=8))
+    small = from_renders(clip_table(rows=3))
+    ren = FigRenderer(atlas_size=128, use_pallas=True)
+    f_big1 = np.asarray(ren.render_frame(big, vec2(256, 200)))
+    np.asarray(ren.render_frame(small, vec2(256, 200)))
+    f_big2 = np.asarray(ren.render_frame(big, vec2(256, 200)))
+    assert ren.use_pallas, "mega path fell back"
+    assert np.array_equal(f_big1, f_big2)
+    fresh = FigRenderer(atlas_size=128, use_pallas=True)
+    f_ref = np.asarray(fresh.render_frame(big, vec2(256, 200)))
+    assert np.array_equal(f_big2, f_ref)

@@ -356,3 +356,78 @@ def test_native_text_cold_start():
     py_png = ren_py.take_screenshot()
     assert np.array_equal(native_png, py_png)
     assert (native_png[..., :3] < 100).any()  # glyphs actually drawn
+
+
+def test_native_structure_cache_matches_tape_structure():
+    """The pass structure the C++ export derives from its item flag bits
+    (tape.structure_cache) must equal what executor.tape_structure computes
+    from the mode lanes — renderer.execute trusts the cache without
+    rescanning (native.py item_kind_word bits 8/9)."""
+    from figdraw_tpu import executor as ex
+    from figdraw_tpu.scenes import make_render_tree
+
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    arr = from_renders(make_render_tree(640.0, 480.0, frame=3, copies=8))
+    tape = ren.flatten(arr, vec2(640, 480))
+    assert tape.structure_cache is not None
+    structure, bounds, radii, any_atlas, any_backdrop = tape.structure_cache
+    s2, b2, r2, is_atlas, is_bd = ex.tape_structure(tape, tape.modes_lanes())
+    assert structure == s2
+    assert [tuple(b) for b in bounds] == [tuple(b) for b in b2]
+    assert radii == r2
+    assert any_atlas == bool(is_atlas[: tape.count].any())
+    assert any_backdrop == bool(is_bd[: tape.count].any())
+
+
+def test_native_structure_cache_atlas_and_masks():
+    """Flag-bit coverage for the cases the 300-box scene misses: atlas
+    (text) draw items and clear-mask/blur ordering."""
+    from figdraw_tpu import (
+        Fig, FigFlags, FigKind, executor as ex, fill, new_renders, rect, rgba,
+    )
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    f = FigFont(typeface_id=tid, size=16.0)
+    renders = new_renders()
+    ci = renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                                 screen_box=rect(4, 4, 120, 60),
+                                 fill=fill(rgba(240, 240, 240, 255)),
+                                 corners=(6,) * 4,
+                                 flags=FigFlags.NfClipContent))
+    arr_l = typeset(vec2(110, 24), [(f, fill(rgba(0, 0, 0, 255)), "atlas")])
+    renders.add_child(0, ci, Fig(kind=FigKind.nkText,
+                                 screen_box=rect(8, 8, 110, 24),
+                                 text_layout=arr_l))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=512, use_pallas=False)
+    tape = ren.flatten(arr, vec2(140, 80))
+    assert tape.structure_cache is not None
+    structure, bounds, radii, any_atlas, any_backdrop = tape.structure_cache
+    s2, b2, r2, is_atlas, is_bd = ex.tape_structure(tape, tape.modes_lanes())
+    assert structure == s2
+    assert [tuple(b) for b in bounds] == [tuple(b) for b in b2]
+    assert any_atlas and any_atlas == bool(is_atlas[: tape.count].any())
+    assert any_backdrop == bool(is_bd[: tape.count].any())
+    # the clip produced mask items; at least one draw item samples the atlas
+    kinds = [s[0] for s in structure]
+    assert "clear_mask" in kinds
+    assert any(s[0] == "draw" and s[2] for s in structure)
+
+
+def test_native_density_matches_pick_tile_h():
+    """fd_density's (pairs, median-height) summary must pick the same tile
+    class pick_tile_h derives from the tape's bbox columns."""
+    from figdraw_tpu import executor as ex
+    from figdraw_tpu.scenes import make_render_tree
+
+    for copies, w, h in ((3, 320, 240), (20, 1280, 720)):
+        ren = FigRenderer(atlas_size=64, use_pallas=False)
+        arr = from_renders(make_render_tree(float(w), float(h), frame=2,
+                                            copies=copies))
+        tape = ren.flatten(arr, vec2(w, h))
+        assert tape.tile_density is not None
+        got = ex.tile_h_from_density(*tape.tile_density, h, w)
+        want = ex.pick_tile_h(tape.fields, tape.count, h, w)
+        assert got == want

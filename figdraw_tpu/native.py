@@ -100,6 +100,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fd_item_count.restype = ctypes.c_int
         lib.fd_mask_count.argtypes = [ctypes.c_void_p]
         lib.fd_mask_count.restype = ctypes.c_int
+        lib.fd_clear_count.argtypes = [ctypes.c_void_p]
+        lib.fd_clear_count.restype = ctypes.c_int
         lib.fd_fig_struct_size.restype = ctypes.c_int
         lib.fd_export.argtypes = [
             ctypes.c_void_p,
@@ -540,7 +542,9 @@ def flatten_fast(
     n_quads, n_items, mask_count, flags = (int(v) for v in info)
     from .ops.raster_pallas import VMEM_MEGA_ROWS
 
-    cap = (bucket or (lambda v: v))(n_quads + n_items)
+    # tight row bound: quads + clear sentinels (draw/blur items never add
+    # rows) — bucketing on n_items oversized mask-heavy uploads by ~1/3
+    cap = (bucket or (lambda v: v))(n_quads + lib.fd_clear_count(ctx))
     # the mega kernel holds the whole tape in VMEM and cannot chunk — tapes
     # past the scoped-VMEM budget take the tape export (rolled executor)
     if n_items > min_items and flags == 0 and cap <= VMEM_MEGA_ROWS:

@@ -715,7 +715,7 @@ class FigRenderer:
             # cannot chunk (mask registers would round-trip HBM); tapes past
             # the scoped-VMEM budget stay on the rolled executor, whose
             # per-run passes chunk fine (_raster_tiles)
-            and _bucket(max(tape.count + len(tape.items), 1)) <= VMEM_MEGA_ROWS
+            and self._mega_rows_bound(tape) <= VMEM_MEGA_ROWS
         )
         atlas11_runs = pallas_atlas_ok  # policy == "always" only
         structure = [
@@ -838,6 +838,21 @@ class FigRenderer:
             frame = make_run(False)(*args)
         self.last_frame = frame
         return frame
+
+    @staticmethod
+    def _mega_rows_bound(tape) -> int:
+        """Bucketed mega-export row bound: quads + clear sentinels. The
+        cheap quads+items bound is tried first; the per-item scan only runs
+        when that overshoots (draw/blur items never become rows)."""
+        loose = _bucket(max(tape.count + len(tape.items), 1))
+        from .ops.raster_pallas import VMEM_MEGA_ROWS
+
+        if loose <= VMEM_MEGA_ROWS:
+            return loose
+        from .tape import ClearMaskItem
+
+        n_clears = sum(isinstance(it, ClearMaskItem) for it in tape.items)
+        return _bucket(max(tape.count + n_clears, 1))
 
     # --- high level -----------------------------------------------------------
 

@@ -49,6 +49,7 @@ void fd_set_white_uv(FigdrawFlattenCtx *ctx, double u, double v);
 int fd_quad_count(FigdrawFlattenCtx *ctx);
 int fd_item_count(FigdrawFlattenCtx *ctx);
 int fd_mask_count(FigdrawFlattenCtx *ctx);
+int fd_clear_count(FigdrawFlattenCtx *ctx); /* clear-mask items only */
 
 /* Size of one packed Fig row; must equal FIG_DTYPE.itemsize (336). */
 int fd_fig_struct_size(void);

@@ -1948,6 +1948,18 @@ int fd_item_count(Ctx* ctx) {
   merge_items(ctx);
   return (int)ctx->items.size();
 }
+
+// Clear-mask item count: the tight mega-export row bound is
+// n_quads + n_clears (each LIVE clear becomes one sentinel row; draw/blur
+// items never add rows) — sizing the upload bucket with n_items instead
+// wastes up to ~1/3 of the wire on mask-heavy scenes.
+int fd_clear_count(Ctx* ctx) {
+  merge_items(ctx);
+  int n = 0;
+  for (const Item& it : ctx->items)
+    if (it.kind == 2) n++;
+  return n;
+}
 int fd_mask_count(Ctx* ctx) { return ctx->mask_count; }
 
 // Tape summary for host-side path selection: out = [n_quads, n_items,

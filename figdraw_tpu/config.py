@@ -73,6 +73,17 @@ def runtime_backend_override():
     return None
 
 
+def batch_chunk() -> int:
+    """Frames per batched dispatch in FigRenderer.render_batch (the offline
+    animation path). Default 8: big enough to amortize the per-frame tunnel
+    RPC + dispatch, small enough to keep the (chunk, H, W, 4) output and the
+    stacked upload modest."""
+    try:
+        return max(1, int(os.environ.get("FIGDRAW_BATCH_CHUNK", "8")))
+    except ValueError:
+        return 8
+
+
 def test_one_frame_path():
     """The -d:testOneFrame analog (figrender.nim:1997-2002): when set to a
     path, the renderer writes the first rendered frame there as a PNG (CI

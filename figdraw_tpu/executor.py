@@ -749,3 +749,25 @@ def get_rolled_executor(
         return to_hwc(planes)[:height, :width]
 
     return jax.jit(run)
+
+
+@lru_cache(maxsize=32)
+def get_batch_runner(run, n_vary: int):
+    """Batched frame dispatch: lax.map a single-frame executor over the
+    leading frame axis of its first `n_vary` arguments (the per-frame
+    upload buffers); the remaining arguments are frame-invariant.
+
+    One host->device transfer and ONE device program then cover a whole
+    chunk of frames — the offline/animation throughput path, where the
+    per-frame fixed costs (tunnel RPC ~0.5 ms, dispatch) otherwise dominate
+    (the reference has no analog: GL submits every frame individually).
+    `run` must come from one of the lru_cached executor factories so the
+    cache key is stable."""
+
+    @jax.jit
+    def batched(*args):
+        vary = args[:n_vary]
+        const = args[n_vary:]
+        return jax.lax.map(lambda v: run(*v, *const), vary)
+
+    return batched

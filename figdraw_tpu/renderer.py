@@ -44,6 +44,75 @@ EMPTY_BOUNDS = np.zeros((0, 2), np.int32)
 EMPTY_RADII = np.zeros((0,), np.float32)
 
 
+class _ExecPlan:
+    """Host-side half of a frame execution: the packed upload buffer(s),
+    derived pass structure and executor parameters — everything execute()
+    computes before the device dispatch. execute_batch() stacks the varying
+    arrays of many same-structure plans into one dispatch."""
+
+    __slots__ = (
+        "height", "width", "n_masks", "tile_h", "has_init_frame",
+        "structure", "bounds", "radii", "combo", "atlas11_runs",
+        "mega_combo", "mega_atlas", "rolled", "_rolled_args",
+    )
+
+    def __init__(self, **kw):
+        self._rolled_args = None
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def rolled_args(self):
+        """(items_arr, radii_arr, bucket) for the rolled executor — built
+        lazily (the mega path never needs them) and memoized."""
+        if self._rolled_args is None:
+            self._rolled_args = _build_rolled_items(
+                self.structure, self.bounds, self.radii
+            )
+        return self._rolled_args
+
+
+def _build_rolled_items(structure, bounds, radii):
+    """Flatten the pass structure into the rolled executor's item table:
+    (bucket, 4) i32 rows + (bucket,) f32 blur radii."""
+    from . import executor as ex
+
+    item_rows = []
+    item_radii = []
+    di = 0
+    bi = 0
+    for item in structure:
+        kind = item[0]
+        if kind == "clear_mask":
+            item_rows.append((ex.ITEM_CLEAR_MASK, item[1], 0, 0))
+            item_radii.append(0.0)
+        elif kind == "blur":
+            item_rows.append((ex.ITEM_BLUR, 0, 0, 0))
+            item_radii.append(radii[bi])
+            bi += 1
+        else:
+            target, uses_atlas, needs_backdrop, atlas11 = ex._draw_flags(item)
+            s, e = bounds[di]
+            di += 1
+            if target == FRAME_TARGET:
+                # atlas11 runs ride the Pallas prebinned path (the
+                # kernel samples the VMEM atlas for marked quads)
+                k = (
+                    ex.ITEM_DRAW_ATLAS
+                    if uses_atlas and not atlas11
+                    else (ex.ITEM_DRAW_SDF_BD if needs_backdrop else ex.ITEM_DRAW_SDF)
+                )
+                item_rows.append((k, 0, s, e))
+            else:
+                item_rows.append((ex.ITEM_DRAW_MASK, target, s, e))
+            item_radii.append(0.0)
+    bucket = ex._item_bucket(len(item_rows))
+    items_arr = np.zeros((bucket, 4), dtype=np.int32)
+    radii_arr = np.zeros((bucket,), dtype=np.float32)
+    items_arr[: len(item_rows)] = item_rows
+    radii_arr[: len(item_radii)] = item_radii
+    return items_arr, radii_arr, bucket
+
+
 @dataclass
 class AtlasUsage:
     """Atlas occupancy snapshot (figbackend.nim:72-89)."""
@@ -599,6 +668,11 @@ class FigRenderer:
 
     def execute(self, tape: Tape) -> jnp.ndarray:
         """Runs the whole tape as ONE jitted device call (executor.py)."""
+        return self._dispatch_execution(self._plan_execution(tape))
+
+    def _plan_execution(self, tape: Tape) -> _ExecPlan:
+        """Everything execute() does before touching the device: derive the
+        pass structure, pack the upload buffer(s), pick the executor."""
         from .executor import tape_structure
 
         width = int(round(tape.frame_size[0]))
@@ -682,17 +756,6 @@ class FigRenderer:
             tile_h = pick_tile_h(fields, tape.count, height, width)
 
         has_init_frame = tape.clear_color is None
-        if has_init_frame:
-            if self.last_frame is not None and self.last_frame.shape[:2] == (
-                height,
-                width,
-            ):
-                init_frame = self.last_frame
-            else:
-                init_frame = jnp.zeros((height, width, 4), jnp.float32)
-        else:
-            init_frame = self._dummy_init_frame()
-
         rolled = rolled_pre  # mask-heavy: constant compile cost
 
         # mask-heavy scenes: bake targets into the mode lane and run the whole
@@ -723,6 +786,7 @@ class FigRenderer:
             else item + (bool(item[2] and atlas11_runs),)
             for item in structure
         ]
+        mega_combo = None
         if mega:
             # the mega combo is packed from LOGICAL fields (pack_tape_upload
             # is 70-wide); modes is the packed-combo view so the atlas11
@@ -737,18 +801,48 @@ class FigRenderer:
             mega_combo = np.zeros((nm + 1, PACKED_WIDTH), dtype=np.float32)
             pack_fields_np(mf, mm, out=mega_combo[: mf.shape[0]])
             mega_combo[-1, :4] = clear
+
+        return _ExecPlan(
+            height=height, width=width, n_masks=n_masks, tile_h=tile_h,
+            has_init_frame=has_init_frame, structure=structure,
+            bounds=bounds, radii=radii, combo=combo,
+            atlas11_runs=atlas11_runs, mega_combo=mega_combo,
+            mega_atlas=mega_atlas, rolled=rolled,
+        )
+
+    def _resolve_init_frame(self, plan: _ExecPlan) -> jnp.ndarray:
+        if plan.has_init_frame:
+            if self.last_frame is not None and self.last_frame.shape[:2] == (
+                plan.height,
+                plan.width,
+            ):
+                return self.last_frame
+            return jnp.zeros((plan.height, plan.width, 4), jnp.float32)
+        return self._dummy_init_frame()
+
+    def _dispatch_execution(self, plan: _ExecPlan) -> jnp.ndarray:
+        """Device half of execute(): upload the plan's buffers and run the
+        chosen executor, with the mega → rolled → XLA fallback chain."""
+        from . import executor as ex
+
+        height, width = plan.height, plan.width
+        n_masks, tile_h = plan.n_masks, plan.tile_h
+        has_init_frame = plan.has_init_frame
+        init_frame = self._resolve_init_frame(plan)
+
+        if plan.mega_combo is not None and self.use_pallas:
             try:
                 run = ex.get_mega_executor(
                     height, width, n_masks, has_init_frame,
-                    has_atlas=mega_atlas,
+                    has_atlas=plan.mega_atlas,
                     subpixel_positioning=self.text_subpixel_positioning,
                     tile_h=tile_h,
                 )
-                if mega_atlas:
-                    frame = run(jnp.asarray(mega_combo), init_frame,
+                if plan.mega_atlas:
+                    frame = run(jnp.asarray(plan.mega_combo), init_frame,
                                 self._device_atlas())
                 else:
-                    frame = run(jnp.asarray(mega_combo), init_frame)
+                    frame = run(jnp.asarray(plan.mega_combo), init_frame)
                 self.last_frame = frame
                 return frame
             except Exception as exc:
@@ -762,61 +856,26 @@ class FigRenderer:
                 )
                 self.use_pallas = False  # fall through to the rolled XLA path
 
-        if rolled:
-            item_rows = []
-            item_radii = []
-            di = 0
-            bi = 0
-            for item in structure:
-                kind = item[0]
-                if kind == "clear_mask":
-                    item_rows.append((ex.ITEM_CLEAR_MASK, item[1], 0, 0))
-                    item_radii.append(0.0)
-                elif kind == "blur":
-                    item_rows.append((ex.ITEM_BLUR, 0, 0, 0))
-                    item_radii.append(radii[bi])
-                    bi += 1
-                else:
-                    target, uses_atlas, needs_backdrop, atlas11 = (
-                        ex._draw_flags(item)
-                    )
-                    s, e = bounds[di]
-                    di += 1
-                    if target == FRAME_TARGET:
-                        # atlas11 runs ride the Pallas prebinned path (the
-                        # kernel samples the VMEM atlas for marked quads)
-                        k = (
-                            ex.ITEM_DRAW_ATLAS
-                            if uses_atlas and not atlas11
-                            else (ex.ITEM_DRAW_SDF_BD if needs_backdrop else ex.ITEM_DRAW_SDF)
-                        )
-                        item_rows.append((k, 0, s, e))
-                    else:
-                        item_rows.append((ex.ITEM_DRAW_MASK, target, s, e))
-                    item_radii.append(0.0)
-            bucket = ex._item_bucket(len(item_rows))
-            items_arr = np.zeros((bucket, 4), dtype=np.int32)
-            radii_arr = np.zeros((bucket,), dtype=np.float32)
-            items_arr[: len(item_rows)] = item_rows
-            radii_arr[: len(item_radii)] = item_radii
+        if plan.rolled:
+            items_arr, radii_arr, bucket = plan.rolled_args()
             make_run = lambda use_pallas: ex.get_rolled_executor(
                 height, width, n_masks, bucket, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
                 self.pixelate,
-                pallas_atlas=bool(use_pallas and atlas11_runs),
+                pallas_atlas=bool(use_pallas and plan.atlas11_runs),
                 tile_h=tile_h,
             )
             args = (
-                jnp.asarray(combo), jnp.asarray(items_arr), jnp.asarray(radii_arr),
-                init_frame, self._device_atlas(),
+                jnp.asarray(plan.combo), jnp.asarray(items_arr),
+                jnp.asarray(radii_arr), init_frame, self._device_atlas(),
             )
         else:
             make_run = lambda use_pallas: ex.get_frame_executor(
-                tuple(structure), height, width, n_masks, use_pallas,
+                tuple(plan.structure), height, width, n_masks, use_pallas,
                 self.text_subpixel_positioning, has_init_frame,
                 self.pixelate, tile_h=tile_h,
             )
-            args = (jnp.asarray(combo), init_frame, self._device_atlas())
+            args = (jnp.asarray(plan.combo), init_frame, self._device_atlas())
 
         try:
             frame = make_run(self.use_pallas)(*args)
@@ -970,6 +1029,184 @@ class FigRenderer:
         called before any synchronous render/flatten follows async ones."""
         while self._async_released:
             self._async_released.popleft().result()
+
+    # --- batched offline rendering -----------------------------------------
+
+    def render_batch(
+        self,
+        scenes,
+        frame_size: Vec2,
+        clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
+        chunk: int = 0,
+    ) -> jnp.ndarray:
+        """Render a sequence of scenes as chunked single-dispatch batches —
+        the offline/animation throughput path (no reference analog: GL
+        submits every frame individually).
+
+        Consecutive frames whose pass structure matches are stacked so each
+        chunk travels to the device as ONE host→device transfer and runs as
+        ONE jitted lax.map program (executor.get_batch_runner), amortizing
+        the per-frame fixed costs (tunnel RPC ~0.5 ms + dispatch) that
+        dominate small/medium frames. Frames whose structure differs are
+        rendered through the normal single-frame dispatch in order, so the
+        result never depends on the scenes actually matching.
+
+        Every frame clears (no compositing onto the previous frame — that
+        would chain frames sequentially); the atlas is snapshotted once per
+        chunk flush, so image updates land at chunk granularity. Returns an
+        (F, H, W, 4) float32 device array in scene order.
+
+        `chunk` (default FIGDRAW_BATCH_CHUNK or 8) bounds frames per
+        dispatch; short groups pad the frame axis to the next power of two
+        (one jit signature per pow2 ≤ chunk) and slice the padding off.
+        """
+        from .basics import scaled
+        from .colors import as_color
+
+        if chunk <= 0:
+            from .config import batch_chunk
+
+            chunk = batch_chunk()
+        clear_color = as_color(clear_color)
+        fs = scaled(frame_size)
+        self._assert_render_thread()
+        self.drain_async()
+
+        parts = []  # (F_i, H, W, 4) device arrays, in scene order
+        group = None  # (key, [vary tuples], [plans])
+
+        def flush():
+            nonlocal group
+            if group is None:
+                return
+            key, varies, plans = group
+            group = None
+            if len(plans) == 1:
+                parts.append(self._dispatch_execution(plans[0])[None])
+                return
+            parts.append(self._dispatch_batch(key, varies, plans, chunk))
+
+        for renders in scenes:
+            self.process_image_messages()
+            tape = self.flatten(renders, fs, True, clear_color)
+            plan = self._plan_execution(tape)
+            key, vary = self._batch_signature(plan)
+            if key is None:
+                flush()
+                parts.append(self._dispatch_execution(plan)[None])
+                continue
+            if group is not None and (
+                group[0] != key or len(group[2]) >= chunk
+            ):
+                flush()
+            if group is None:
+                group = (key, [], [])
+            group[1].append(vary)
+            group[2].append(plan)
+        flush()
+        self.publish_atlas_usage()
+        if not parts:
+            return jnp.zeros(
+                (0, int(round(fs.y)), int(round(fs.x)), 4), jnp.float32
+            )
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        self.last_frame = out[-1]
+        self._maybe_write_one_frame()
+        return out
+
+    def _batch_signature(self, plan: _ExecPlan):
+        """(group key, per-frame varying buffers) for a plan, or (None, None)
+        when the frame cannot batch (composites onto the previous frame).
+        Copies pooled upload buffers: the native combo pool ping-pongs two
+        buffers per renderer, and a batch holds more frames in flight."""
+        if plan.has_init_frame:
+            return None, None
+        gen = self.atlas.generation  # rebuilds reposition entries: new group
+        if plan.mega_combo is not None and self.use_pallas:
+            key = (
+                "mega", plan.height, plan.width, plan.n_masks, plan.tile_h,
+                plan.mega_atlas, plan.mega_combo.shape, gen,
+            )
+            # mega_combo is freshly packed (owned); combo stays pooled but a
+            # batched-dispatch failure falls back through plan.combo, so own
+            # it too
+            plan.combo = plan.combo.copy()
+            return key, (plan.mega_combo,)
+        if plan.rolled:
+            items_arr, radii_arr, bucket = plan.rolled_args()
+            key = (
+                "rolled", plan.height, plan.width, plan.n_masks, plan.tile_h,
+                bucket, plan.atlas11_runs, plan.combo.shape, gen,
+            )
+            return key, (plan.combo.copy(), items_arr, radii_arr)
+        key = (
+            "unrolled", tuple(plan.structure), plan.height, plan.width,
+            plan.n_masks, plan.tile_h, plan.combo.shape, gen,
+        )
+        return key, (plan.combo.copy(),)
+
+    def _dispatch_batch(self, key, varies, plans, chunk: int) -> jnp.ndarray:
+        """Stack a group's varying buffers along a new frame axis, pad to
+        the next power of two ≤ chunk, and run the batched executor; a
+        failure falls back to per-frame dispatch (same fallback chain as
+        execute)."""
+        from . import executor as ex
+
+        plan = plans[0]
+        f = len(plans)
+        target = min(chunk, 1 << (f - 1).bit_length())
+        pad = target - f
+        stacks = []
+        for i in range(len(varies[0])):
+            arrs = [v[i] for v in varies]
+            if pad:
+                arrs = arrs + [arrs[-1]] * pad
+            stacks.append(jnp.asarray(np.stack(arrs)))
+        init_frame = self._dummy_init_frame()
+        try:
+            if key[0] == "mega":
+                run = ex.get_mega_executor(
+                    plan.height, plan.width, plan.n_masks, False,
+                    has_atlas=plan.mega_atlas,
+                    subpixel_positioning=self.text_subpixel_positioning,
+                    tile_h=plan.tile_h,
+                )
+                const = (
+                    (init_frame, self._device_atlas())
+                    if plan.mega_atlas
+                    else (init_frame,)
+                )
+            elif key[0] == "rolled":
+                bucket = plan.rolled_args()[2]
+                run = ex.get_rolled_executor(
+                    plan.height, plan.width, plan.n_masks, bucket,
+                    self.use_pallas, self.text_subpixel_positioning, False,
+                    self.pixelate,
+                    pallas_atlas=bool(self.use_pallas and plan.atlas11_runs),
+                    tile_h=plan.tile_h,
+                )
+                const = (init_frame, self._device_atlas())
+            else:
+                run = ex.get_frame_executor(
+                    tuple(plan.structure), plan.height, plan.width,
+                    plan.n_masks, self.use_pallas,
+                    self.text_subpixel_positioning, False, self.pixelate,
+                    tile_h=plan.tile_h,
+                )
+                const = (init_frame, self._device_atlas())
+            batched = ex.get_batch_runner(run, len(stacks))
+            out = batched(*stacks, *const)
+            return out[:f] if pad else out
+        except Exception as exc:
+            from .utils.perf import log_kv
+            import logging
+
+            log_kv(
+                logging.WARNING,
+                "batched executor failed; rendering the chunk per frame",
+                error=repr(exc),
+            )
+            return jnp.stack([self._dispatch_execution(p) for p in plans])
 
     def _maybe_write_one_frame(self) -> None:
         """FIGDRAW_TEST_ONE_FRAME: write the first frame as a PNG (the

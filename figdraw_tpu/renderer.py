@@ -47,7 +47,7 @@ EMPTY_RADII = np.zeros((0,), np.float32)
 class _ExecPlan:
     """Host-side half of a frame execution: the packed upload buffer(s),
     derived pass structure and executor parameters — everything execute()
-    computes before the device dispatch. execute_batch() stacks the varying
+    computes before the device dispatch. render_batch() stacks the varying
     arrays of many same-structure plans into one dispatch."""
 
     __slots__ = (
@@ -1038,6 +1038,7 @@ class FigRenderer:
         frame_size: Vec2,
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
         chunk: int = 0,
+        as_uint8: bool = False,
     ) -> jnp.ndarray:
         """Render a sequence of scenes as chunked single-dispatch batches —
         the offline/animation throughput path (no reference analog: GL
@@ -1059,6 +1060,11 @@ class FigRenderer:
         `chunk` (default FIGDRAW_BATCH_CHUNK or 8) bounds frames per
         dispatch; short groups pad the frame axis to the next power of two
         (one jit signature per pow2 ≤ chunk) and slice the padding off.
+
+        `as_uint8` quantizes frames to RGBA u8 ON DEVICE with exactly
+        take_screenshot's rounding — for export workflows the device→host
+        readback is the next bottleneck (a tunnel download is charged per
+        byte), and u8 frames are 4x smaller than f32.
         """
         from .basics import scaled
         from .colors import as_color
@@ -1112,6 +1118,8 @@ class FigRenderer:
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         self.last_frame = out[-1]
         self._maybe_write_one_frame()
+        if as_uint8:
+            return _frames_to_u8(out)
         return out
 
     def _batch_signature(self, plan: _ExecPlan):
@@ -1378,6 +1386,13 @@ class FigRenderer:
             y = max(0, min(y, arr.shape[0]))
             arr = arr[y : y + max(h, 0), x : x + max(w, 0)]
         return np.clip(np.round(arr * 255.0), 0, 255).astype(np.uint8)
+
+
+@jax.jit
+def _frames_to_u8(frames: jnp.ndarray) -> jnp.ndarray:
+    """Device-side RGBA u8 quantization, bit-identical to take_screenshot's
+    host readback (round-half-to-even, like np.round)."""
+    return jnp.clip(jnp.round(frames * 255.0), 0, 255).astype(jnp.uint8)
 
 
 def new_fig_renderer(atlas_size: int = 512, pixel_scale: float = 1.0) -> FigRenderer:

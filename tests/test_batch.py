@@ -139,3 +139,18 @@ def test_batch_empty():
     r = FigRenderer(atlas_size=64, use_pallas=False)
     out = r.render_batch([], vec2(64, 48))
     assert out.shape == (0, 48, 64, 4)
+
+
+def test_batch_as_uint8_matches_screenshot():
+    """Device-side u8 quantization == take_screenshot's host readback."""
+    size = vec2(160, 128)
+    batch_r = FigRenderer(atlas_size=64, use_pallas=False)
+    ref_r = FigRenderer(atlas_size=64, use_pallas=False)
+    out = batch_r.render_batch([simple_scene(f) for f in range(3)], size,
+                               as_uint8=True)
+    assert out.dtype == np.uint8
+    for f in range(3):
+        frame = ref_r.render_frame(simple_scene(f), size)
+        expect = ref_r.take_screenshot(frame)
+        np.testing.assert_array_equal(np.asarray(out[f]), expect,
+                                      err_msg=f"frame {f}")

@@ -10,8 +10,10 @@ fonts (typeface + raster-relevant settings + ui scale) hash to a FontId
 
 from __future__ import annotations
 
+import enum
 import hashlib
 import os
+import sys
 import threading
 from dataclasses import dataclass, replace
 from typing import Dict, List, Optional, Tuple
@@ -333,7 +335,7 @@ def get_fig_font(font_id: FontId) -> FigFont:
 
 
 def find_system_font_file(family: str) -> Optional[str]:
-    """extras/systemfonts.nim:55-137 equivalent."""
+    """extras/systemfonts.nim:55-137 equivalent (single-name form)."""
     return _resolve_path(family)
 
 
@@ -343,6 +345,135 @@ def default_font_paths() -> List[str]:
         if os.path.isdir(root):
             out.append(root)
     return out
+
+
+# --- system font discovery (extras/systemfonts.nim) --------------------------------
+
+
+class SystemFontRole(enum.IntEnum):
+    """systemfonts.nim:11-13 SystemFontRole (sfrSans/sfrMono)."""
+
+    Sans = 0
+    Mono = 1
+
+
+def detect_display_server() -> str:
+    """systemfonts.nim:25-32 detectDisplayServer — "wayland" | "x11" |
+    "unknown" (posix only; a TPU host is usually headless → unknown)."""
+    if sys.platform.startswith(("linux", "freebsd")):
+        if os.environ.get("WAYLAND_DISPLAY"):
+            return "wayland"
+        if os.environ.get("DISPLAY"):
+            return "x11"
+    return "unknown"
+
+
+def system_default_font_names(role: SystemFontRole = SystemFontRole.Sans) -> List[str]:
+    """Platform-default family candidates per role
+    (systemfonts.nim:55-76 systemDefaultFontNames)."""
+    if sys.platform == "win32":
+        return (["Cascadia Mono", "Consolas", "Courier New"]
+                if role == SystemFontRole.Mono
+                else ["Segoe UI", "Arial", "Tahoma", "Verdana"])
+    if sys.platform == "darwin":
+        return (["Menlo", "SF Mono", "Monaco"]
+                if role == SystemFontRole.Mono
+                else ["Helvetica", "Arial", "SFNS"])
+    if os.name == "posix":
+        return (["Noto Sans Mono", "DejaVu Sans Mono", "Liberation Mono",
+                 "Ubuntu Mono"]
+                if role == SystemFontRole.Mono
+                else ["Noto Sans", "DejaVu Sans", "Liberation Sans", "Ubuntu"])
+    return []
+
+
+def system_font_dirs(display_server: Optional[str] = None) -> List[str]:
+    """Existing platform font directories, XDG-aware on posix
+    (systemfonts.nim:78-110 systemFontDirs)."""
+    if display_server is None:
+        display_server = detect_display_server()
+    dirs: List[str] = []
+
+    def add(path: str) -> None:
+        if path:
+            p = os.path.expanduser(path)
+            if os.path.isdir(p) and _norm_path_key(p) not in {
+                _norm_path_key(d) for d in dirs
+            }:
+                dirs.append(p)
+
+    if sys.platform == "darwin":
+        add("/System/Library/Fonts")
+        add("/Library/Fonts")
+        add("~/Library/Fonts")
+    elif os.name == "posix":
+        home = os.path.expanduser("~")
+        xdg_data_home = os.environ.get(
+            "XDG_DATA_HOME", os.path.join(home, ".local", "share")
+        )
+        add(os.path.join(xdg_data_home, "fonts"))
+        for base in os.environ.get(
+            "XDG_DATA_DIRS", "/usr/local/share:/usr/share"
+        ).split(os.pathsep):
+            if base:
+                add(os.path.join(base, "fonts"))
+        add("/usr/share/fonts")
+        add("/usr/local/share/fonts")
+        # Wayland desktops use the XDG dirs; X11/headless also scan ~/.fonts
+        if display_server != "wayland":
+            add(os.path.join(home, ".fonts"))
+    return dirs
+
+
+def system_font_files(display_server: Optional[str] = None) -> List[str]:
+    """Font files under the platform font dirs, deduped case-insensitively
+    (systemfonts.nim:112-129 systemFontFiles)."""
+    exts = tuple(supported_font_file_extensions())
+    seen = set()
+    out: List[str] = []
+    for root in system_font_dirs(display_server):
+        for dirpath, _dirs, files in os.walk(root, onerror=lambda e: None):
+            for fn in files:
+                if fn.lower().endswith(exts):
+                    path = os.path.join(dirpath, fn)
+                    key = _norm_path_key(path)
+                    if key not in seen:
+                        seen.add(key)
+                        out.append(path)
+    return out
+
+
+def _norm_name(name: str) -> str:
+    """systemfonts.nim:15-20 normalizeName: lowercase [a-z0-9] only."""
+    return "".join(ch for ch in name.lower() if ch.isascii() and ch.isalnum())
+
+
+def _norm_path_key(path: str) -> str:
+    return path.lower().replace("\\", "/")
+
+
+def find_system_font_file_from(names, display_server: Optional[str] = None) -> str:
+    """Preferred system font path matching one of the candidate names; exact
+    normalized file/stem matches beat loose partial matches, so "Times New
+    Roman" is not captured by Times.ttc first
+    (systemfonts.nim:131-160 findSystemFontFile)."""
+    names = list(names)
+    if not names:
+        return ""
+    files = system_font_files(display_server)
+    stems = [(f, _norm_name(os.path.splitext(os.path.basename(f))[0]))
+             for f in files]
+    for name in names:
+        want = _norm_name(name)
+        if not want:
+            continue
+        for path, stem in stems:
+            if stem == want:
+                return path
+        for path, stem in stems:
+            if want in stem:
+                return path
+    return ""
 
 
 def apply_font_case(text: str, font_case: int) -> str:

@@ -331,6 +331,40 @@ def test_text_backend_info():
     assert supported_font_file_extensions() == [".ttf", ".otf", ".ttc", ".otc"]
 
 
+def test_system_fonts():
+    """tsystemfonts.nim analog: role defaults, discoverable dirs/files,
+    candidate-list lookup with exact-stem precedence."""
+    import os
+
+    from figdraw_tpu.text.typefaces import (
+        SystemFontRole, find_system_font_file_from, supported_font_file_extensions,
+        system_default_font_names, system_font_dirs, system_font_files,
+    )
+
+    sans = system_default_font_names()
+    mono = system_default_font_names(SystemFontRole.Mono)
+    # posix tables (tsystemfonts.nim:25-27)
+    assert sans == ["Noto Sans", "DejaVu Sans", "Liberation Sans", "Ubuntu"]
+    assert mono == ["Noto Sans Mono", "DejaVu Sans Mono", "Liberation Mono",
+                    "Ubuntu Mono"]
+
+    dirs = system_font_dirs()
+    assert dirs  # /usr/share/fonts exists in the test image
+    files = system_font_files()
+    assert files
+    exts = tuple(supported_font_file_extensions())
+    assert all(f.lower().endswith(exts) for f in files)
+
+    # DejaVu ships in the image; exact stem match must win over loose ones
+    path = find_system_font_file_from(["DejaVu Sans", "Noto Sans"])
+    assert path and os.path.isfile(path)
+    assert os.path.splitext(os.path.basename(path))[0] == "DejaVuSans"
+    # loose match: a candidate list that only matches partially still resolves
+    assert find_system_font_file_from(["DejaVu Sans Mo"]).endswith(".ttf")
+    assert find_system_font_file_from([]) == ""
+    assert find_system_font_file_from(["no-such-font-family-xyz"]) == ""
+
+
 def test_one_frame_screenshot_env(monkeypatch, tmp_path):
     """tfigrender_oneframe_screenshot analog: FIGDRAW_TEST_ONE_FRAME writes
     the first frame as a PNG."""

@@ -587,3 +587,67 @@ class ShardedFigRenderer:
         self._last_padded = frame
         self.last_frame = frame[:height, :width]
         return self.last_frame
+
+
+# --- frame-parallel offline rendering ---------------------------------------------
+#
+# The second parallel axis: where the row-sharded executor splits ONE frame
+# across chips, the frame-parallel runner gives each chip WHOLE frames of a
+# render_batch chunk — offline animation/thumbnail farms are embarrassingly
+# parallel, so throughput scales ~linearly with mesh size and no collective
+# ever runs (the reference's GL loop has neither axis).
+
+FRAMES_AXIS = "frames"
+
+
+def frames_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D mesh over the frame axis for FigRenderer.render_batch(mesh=...)."""
+    import numpy as np
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[: n_devices]
+    return Mesh(np.array(devices), (FRAMES_AXIS,))
+
+
+def get_frame_parallel_runner(run, n_vary: int, mesh: Mesh):
+    """shard_map analog of executor.get_batch_runner: the stacked per-frame
+    buffers (first `n_vary` args) shard along the frame axis, the remaining
+    args replicate, and each device lax.maps the single-frame executor over
+    its local frames. The frame axis must be a multiple of the mesh size
+    (render_batch pads per-device counts to a pow2)."""
+    n = mesh.devices.size
+
+    @jax.jit
+    def batched(*args):
+        vary = args[:n_vary]
+        const = args[n_vary:]
+
+        def local(*a):
+            lv = a[:n_vary]
+            lc = a[n_vary:]
+            return jax.lax.map(lambda v: run(*v, *lc), lv)
+
+        body = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=tuple(P(FRAMES_AXIS) for _ in vary)
+            + tuple(P() for _ in const),
+            out_specs=P(FRAMES_AXIS),
+            check_rep=False,
+        )
+        return body(*vary, *const)
+
+    return batched
+
+
+_FRAME_PARALLEL_CACHE = {}
+
+
+def cached_frame_parallel_runner(run, n_vary: int, mesh: Mesh):
+    key = (run, n_vary, tuple(map(id, mesh.devices.flat)), mesh.axis_names)
+    got = _FRAME_PARALLEL_CACHE.get(key)
+    if got is None:
+        got = get_frame_parallel_runner(run, n_vary, mesh)
+        _FRAME_PARALLEL_CACHE[key] = got
+    return got

@@ -1039,6 +1039,7 @@ class FigRenderer:
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
         chunk: int = 0,
         as_uint8: bool = False,
+        mesh=None,
     ) -> jnp.ndarray:
         """Render a sequence of scenes as chunked single-dispatch batches —
         the offline/animation throughput path (no reference analog: GL
@@ -1065,6 +1066,12 @@ class FigRenderer:
         take_screenshot's rounding — for export workflows the device→host
         readback is the next bottleneck (a tunnel download is charged per
         byte), and u8 frames are 4x smaller than f32.
+
+        `mesh` (a 1-D jax.sharding.Mesh, e.g. parallel.sharding.frames_mesh())
+        shards each chunk's frame axis across devices: every chip renders
+        whole frames, no collectives — offline rendering is embarrassingly
+        parallel, so throughput scales ~linearly with mesh size. The chunk
+        budget multiplies by the mesh size (chunk frames PER DEVICE).
         """
         from .basics import scaled
         from .colors import as_color
@@ -1078,6 +1085,7 @@ class FigRenderer:
         self._assert_render_thread()
         self.drain_async()
 
+        limit = chunk * (int(mesh.devices.size) if mesh is not None else 1)
         parts = []  # (F_i, H, W, 4) device arrays, in scene order
         group = None  # (key, [vary tuples], [plans])
 
@@ -1087,10 +1095,10 @@ class FigRenderer:
                 return
             key, varies, plans = group
             group = None
-            if len(plans) == 1:
+            if len(plans) == 1 and mesh is None:
                 parts.append(self._dispatch_execution(plans[0])[None])
                 return
-            parts.append(self._dispatch_batch(key, varies, plans, chunk))
+            parts.append(self._dispatch_batch(key, varies, plans, chunk, mesh))
 
         for renders in scenes:
             self.process_image_messages()
@@ -1102,7 +1110,7 @@ class FigRenderer:
                 parts.append(self._dispatch_execution(plan)[None])
                 continue
             if group is not None and (
-                group[0] != key or len(group[2]) >= chunk
+                group[0] != key or len(group[2]) >= limit
             ):
                 flush()
             if group is None:
@@ -1153,16 +1161,20 @@ class FigRenderer:
         )
         return key, (plan.combo.copy(),)
 
-    def _dispatch_batch(self, key, varies, plans, chunk: int) -> jnp.ndarray:
+    def _dispatch_batch(self, key, varies, plans, chunk: int,
+                        mesh=None) -> jnp.ndarray:
         """Stack a group's varying buffers along a new frame axis, pad to
-        the next power of two ≤ chunk, and run the batched executor; a
-        failure falls back to per-frame dispatch (same fallback chain as
-        execute)."""
+        the next power of two ≤ chunk (per device when a mesh shards the
+        frame axis), and run the batched executor; a failure falls back to
+        per-frame dispatch (same fallback chain as execute)."""
         from . import executor as ex
 
         plan = plans[0]
         f = len(plans)
-        target = min(chunk, 1 << (f - 1).bit_length())
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        per_dev = -(-f // n_dev)
+        per_dev = min(chunk, 1 << max(per_dev - 1, 0).bit_length())
+        target = max(per_dev * n_dev, f)  # f > chunk*n_dev never happens
         pad = target - f
         stacks = []
         for i in range(len(varies[0])):
@@ -1202,7 +1214,12 @@ class FigRenderer:
                     tile_h=plan.tile_h,
                 )
                 const = (init_frame, self._device_atlas())
-            batched = ex.get_batch_runner(run, len(stacks))
+            if mesh is not None:
+                from .parallel.sharding import cached_frame_parallel_runner
+
+                batched = cached_frame_parallel_runner(run, len(stacks), mesh)
+            else:
+                batched = ex.get_batch_runner(run, len(stacks))
             out = batched(*stacks, *const)
             return out[:f] if pad else out
         except Exception as exc:

@@ -23,6 +23,7 @@ from .typefaces import (
     FigFont,
     FontGlyphId,
     FontId,
+    TypefaceId,
     apply_font_case,
     get_typeface,
     register_font,
@@ -542,6 +543,8 @@ def typeset(
     any_rtl = any(l % 2 for l in levels)
 
     # --- shape all spans into a flat glyph run (logical order) -------------------
+    resolved_extra: List[TypefaceId] = []  # typefaces added by the dynamic
+    resolver_misses: set = set()           # resolver this typeset (memoized)
     for span_index, (font, color_fill, text) in enumerate(spans):
         gf = _glyph_font(font, ui_scale)
         arr.fonts.append(gf)
@@ -572,18 +575,47 @@ def typeset(
             glyph_font_id = gf.font_id
             rtf = tf
             adv_scale = s
-            if tf.glyph_id(cp) == 0 and font.fallback_typeface_ids:
-                for fb_id in font.fallback_typeface_ids:
-                    fb_tf = get_typeface(fb_id)
-                    if fb_tf.has_codepoint(cp):
-                        fb_font = FigFont(
-                            typeface_id=fb_id, size=font.size,
-                            line_height=font.line_height, font_case=font.font_case,
-                        )
-                        glyph_font_id = register_font(fb_font, ui_scale)
-                        adv_scale = fb_tf.scale_for(gf.size)
-                        rtf = fb_tf
+            if tf.glyph_id(cp) == 0:
+                fb_chain = list(font.fallback_typeface_ids) + resolved_extra
+                hit = None
+                for fb_id in fb_chain:
+                    if get_typeface(fb_id).has_codepoint(cp):
+                        hit = fb_id
                         break
+                if hit is None and cp not in resolver_misses:
+                    # dynamic resolver (fontfallbacks.nim:17-25): ask the
+                    # installed per-thread callback for more typefaces
+                    from .typefaces import (
+                        font_fallback_resolver, FontFallbackRequest,
+                        script_of_codepoint,
+                    )
+
+                    resolver = font_fallback_resolver()
+                    if resolver is not None:
+                        req = FontFallbackRequest(
+                            primary_typeface_id=font.typeface_id,
+                            existing_typeface_ids=tuple(fb_chain),
+                            language=font.language,
+                            script=script_of_codepoint(cp),
+                            codepoints=(cp,),
+                        )
+                        for fb_id in resolver(req) or ():
+                            if fb_id not in fb_chain:
+                                resolved_extra.append(fb_id)
+                                fb_chain.append(fb_id)
+                            if hit is None and get_typeface(fb_id).has_codepoint(cp):
+                                hit = fb_id
+                    if hit is None:
+                        resolver_misses.add(cp)
+                if hit is not None:
+                    fb_tf = get_typeface(hit)
+                    fb_font = FigFont(
+                        typeface_id=hit, size=font.size,
+                        line_height=font.line_height, font_case=font.font_case,
+                    )
+                    glyph_font_id = register_font(fb_font, ui_scale)
+                    adv_scale = fb_tf.scale_for(gf.size)
+                    rtf = fb_tf
             records.append((src, ch, cp, rtf, glyph_font_id, adv_scale))
 
         # segment by resolved font; shape each segment through the OpenType

@@ -347,6 +347,49 @@ def default_font_paths() -> List[str]:
     return out
 
 
+# --- dynamic font fallback (common/fontfallbacks.nim) ------------------------------
+
+
+@dataclass
+class FontFallbackRequest:
+    """Codepoints the current typefaces don't cover; a resolver may return
+    additional typeface ids to retry (fontfallbacks.nim:4-15)."""
+
+    primary_typeface_id: TypefaceId
+    existing_typeface_ids: Tuple[TypefaceId, ...]
+    language: str
+    script: str
+    codepoints: Tuple[int, ...]
+
+
+_fallback_local = threading.local()
+
+
+def set_font_fallback_resolver(resolver) -> None:
+    """Installs a per-thread resolver called by typeset() when neither the
+    font nor its static fallback_typeface_ids cover a codepoint
+    (fontfallbacks.nim:17-25 setFontFallbackResolver). `resolver` takes a
+    FontFallbackRequest and returns an iterable of TypefaceIds (typefaces
+    it loads itself via load_typeface); None uninstalls."""
+    _fallback_local.resolver = resolver
+
+
+def font_fallback_resolver():
+    """The resolver installed on the current thread, or None."""
+    return getattr(_fallback_local, "resolver", None)
+
+
+def script_of_codepoint(cp: int) -> str:
+    """Four-letter script tag for a codepoint (resolver requests carry it so
+    CJK/Indic resolvers can pick per-script faces)."""
+    try:
+        from fontTools import unicodedata as ftu
+
+        return ftu.script(chr(cp))
+    except Exception:
+        return ""
+
+
 # --- system font discovery (extras/systemfonts.nim) --------------------------------
 
 

@@ -76,11 +76,12 @@ def blur_scene(frame):
     return from_renders(renders)
 
 
-def _check_batch(scene_fn, size, frames, use_pallas, chunk=4, atlas_size=64):
+def _check_batch(scene_fn, size, frames, use_pallas, chunk=4, atlas_size=64,
+                 mesh=None):
     batch_r = FigRenderer(atlas_size=atlas_size, use_pallas=use_pallas)
     ref_r = FigRenderer(atlas_size=atlas_size, use_pallas=use_pallas)
     out = batch_r.render_batch([scene_fn(f) for f in range(frames)], size,
-                               chunk=chunk)
+                               chunk=chunk, mesh=mesh)
     h, w = int(size.y), int(size.x)
     assert out.shape == (frames, h, w, 4)
     for f in range(frames):
@@ -139,6 +140,26 @@ def test_batch_empty():
     r = FigRenderer(atlas_size=64, use_pallas=False)
     out = r.render_batch([], vec2(64, 48))
     assert out.shape == (0, 48, 64, 4)
+
+
+def test_batch_frame_parallel_mesh():
+    """Frame-parallel offline rendering: the chunk's frame axis shards over
+    an 8-device mesh (each device renders whole frames, no collectives) and
+    must stay bit-exact vs the per-frame path — including a frame count that
+    is neither a multiple of the mesh size nor a power of two."""
+    from figdraw_tpu.parallel.sharding import frames_mesh
+
+    mesh = frames_mesh()
+    assert mesh.devices.size == 8
+    _check_batch(simple_scene, vec2(160, 128), 11, use_pallas=False,
+                 chunk=2, mesh=mesh)
+
+
+def test_batch_frame_parallel_mesh_rolled():
+    from figdraw_tpu.parallel.sharding import frames_mesh
+
+    _check_batch(clip_scene, vec2(224, 160), 5, use_pallas=False,
+                 chunk=1, mesh=frames_mesh())
 
 
 def test_batch_as_uint8_matches_screenshot():

@@ -256,3 +256,53 @@ def test_typeface_caches_isolated_across_threads(tid):
     for t in threads:
         t.join()
     assert all(r == expected for r in results)
+
+
+# --- dynamic font fallback resolver (common/fontfallbacks.nim) ------------------
+
+
+def test_font_fallback_resolver(tid):
+    """fontfallbacks.nim:4-25: a per-thread resolver is consulted when the
+    font and its static fallbacks miss a codepoint; returned typefaces are
+    retried (and reused for later characters), misses are memoized."""
+    from figdraw_tpu.text.typefaces import (
+        FontFallbackRequest, font_fallback_resolver, get_typeface,
+        load_typeface, set_font_fallback_resolver,
+    )
+
+    deva_path = "/root/reference/examples/fonts/NotoSansDevanagari-wdth-wght.ttf"
+    deva_id = load_typeface(deva_path)
+    calls = []
+
+    def resolver(req: FontFallbackRequest):
+        calls.append(req)
+        if req.script == "Deva":
+            return [deva_id]
+        return []
+
+    assert font_fallback_resolver() is None
+    set_font_fallback_resolver(resolver)
+    try:
+        font = _font(tid)
+        # DejaVu has no Devanagari coverage; क and म must resolve via the
+        # resolver-provided Noto face, consulted ONCE for the first miss and
+        # reused for the second (resolved typefaces persist per typeset)
+        arr = typeset(vec2(400, 100), [(font, INK, "aकमb")])
+        by_rune = {g.rune: g for g in arr.arranged_glyphs}
+        deva_tf = get_typeface(deva_id)
+        for ch in "कम":
+            g = by_rune[ch]
+            assert g.glyph_id == deva_tf.glyph_id(ord(ch)) and g.glyph_id != 0
+        assert by_rune["a"].glyph_id != 0  # primary stays DejaVu
+        assert len(calls) == 1
+        assert calls[0].script == "Deva"
+        assert calls[0].codepoints == (ord("क"),)
+        assert calls[0].primary_typeface_id == tid
+
+        # unresolvable codepoints ask the resolver once, then memoize the miss
+        calls.clear()
+        typeset(vec2(400, 100), [(font, INK, "\U00013000\U00013000")])  # hieroglyph
+        assert len(calls) == 1
+    finally:
+        set_font_fallback_resolver(None)
+    assert font_fallback_resolver() is None

@@ -1,0 +1,47 @@
+"""Device-resident camera: scroll a scene without re-flattening.
+
+Snapshots the showcase scene once (snapshot_scene uploads the tape to the
+device) and renders a horizontal scroll sweep where each frame ships only a
+(2,) offset to the chip (render_view). Writes out/camera_strip.png.
+
+Run: python examples/camera_pan.py            (TPU via the axon tunnel)
+     PYTHONPATH= JAX_PLATFORMS=cpu python examples/camera_pan.py   (CPU)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from figdraw_tpu import vec2
+from figdraw_tpu.nodesarray import from_renders
+from figdraw_tpu.renderer import FigRenderer
+from demo_scene import showcase
+
+W, H = 480, 270
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
+
+
+def main():
+    os.makedirs(OUT_DIR, exist_ok=True)
+    renderer = FigRenderer(atlas_size=128, use_pallas=True)
+    snap = renderer.snapshot_scene(from_renders(showcase(640, 400)),
+                                   vec2(W, H))
+
+    frames = []
+    for i in range(6):
+        pan = (-i * 40.0, -i * 12.0)
+        frame = renderer.render_view(snap, pan)
+        frames.append(renderer.take_screenshot(frame))
+
+    from PIL import Image
+
+    strip = np.concatenate(frames, axis=1)
+    Image.fromarray(strip).save(os.path.join(OUT_DIR, "camera_strip.png"))
+    print(f"wrote camera_strip.png ({len(frames)} pans of {W}x{H})")
+
+
+if __name__ == "__main__":
+    main()

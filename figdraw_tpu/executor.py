@@ -751,6 +751,54 @@ def get_rolled_executor(
     return jax.jit(run)
 
 
+def pan_rows(combo, d, n_quads: int):
+    """Shift a PACKED upload buffer's quads by a screen-space offset inside
+    jit — the device-camera op (no reference analog: GL re-walks the scene
+    per scroll). Columns touched per live row (wire layout, ops/layout.py):
+    origin (4,5) and bbox (6..9) translate by d; the rect-mask fast path's
+    screen→local affine gets its translation re-derived (t' = t - M·d,
+    wire cols 44/48 from rows 42,43 / 46,47) because its params/center are
+    LOCAL-space. Inverse-affine linear parts, uv affines, colors, sdf
+    params and the mode lanes are all translation-invariant. Rows with an
+    empty bbox (padding, disabled) and the meta tail (rows ≥ n_quads —
+    bitcast draw bounds that could alias a plausible bbox) are untouched.
+
+    Bit-exactness: for integer d and integer scene coordinates the shift
+    reproduces the host walk exactly (ceil snapping commutes with integer
+    translation); rotated rect-masks and fractional pans are float-rounding
+    approximate (≤ 1 ULP in coordinates) and fractional pans keep the baked
+    vertex snapping, like GL translating a recorded stream."""
+    quads = combo[:n_quads]
+    live = (quads[:, 8] > quads[:, 6]) & (quads[:, 9] > quads[:, 7])
+    # touch ONLY the 8 geometry columns: the packed color words (16..21)
+    # and mode lanes (50,51) are bitcast integers — a whole-row `x + 0.0`
+    # would canonicalize their NaN bit patterns and corrupt them
+    ldx = jnp.where(live, d[0], 0.0)
+    ldy = jnp.where(live, d[1], 0.0)
+    out = quads
+    for col, comp in ((4, ldx), (6, ldx), (8, ldx), (5, ldy), (7, ldy),
+                      (9, ldy)):
+        out = out.at[:, col].add(comp)
+    out = out.at[:, 44].add(-(quads[:, 42] * ldx + quads[:, 43] * ldy))
+    out = out.at[:, 48].add(-(quads[:, 46] * ldx + quads[:, 47] * ldy))
+    return jnp.concatenate([out, combo[n_quads:]], axis=0)
+
+
+@lru_cache(maxsize=64)
+def get_panned_runner(run, n_quads: int):
+    """Compose pan_rows with a cached single-frame executor: ONE jitted
+    dispatch renders a device-resident tape at a screen offset. The tape
+    uploads once (renderer.snapshot_scene); per frame only the (2,) offset
+    travels, so scroll/pan costs pure kernel time — no host walk, no tape
+    upload."""
+
+    @jax.jit
+    def panned(combo, d, *rest):
+        return run(pan_rows(combo, d, n_quads), *rest)
+
+    return panned
+
+
 @lru_cache(maxsize=32)
 def get_batch_runner(run, n_vary: int):
     """Batched frame dispatch: lax.map a single-frame executor over the

@@ -581,11 +581,15 @@ def flatten_renders_array(
     glyph_offsets=None,
     bucket=None,
     pool_owner=None,
+    cull: bool = True,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported. With `bucket` (the
     renderer's quad-bucket function) the tape is exported straight into the
-    upload-combo layout (_export_tape_combo)."""
+    upload-combo layout (_export_tape_combo). cull=False skips the
+    saturation cull — it is clamped to the snapshot viewport, so tapes that
+    will be panned on device (renderer.snapshot_scene) must keep every
+    quad."""
     lib = _load()
     if lib is None:
         return None
@@ -595,7 +599,8 @@ def flatten_renders_array(
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config, glyph_offsets)
-    _host_cull(lib, ctx, frame_w, frame_h, pixel_scale)
+    if cull:
+        _host_cull(lib, ctx, frame_w, frame_h, pixel_scale)
     if bucket is not None:
         return _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color,
                                   bucket, pool_owner=pool_owner)

@@ -71,6 +71,24 @@ class _ExecPlan:
         return self._rolled_args
 
 
+class DeviceScene:
+    """A flattened scene resident in device memory (renderer.snapshot_scene):
+    render_view() draws it at any screen offset without re-walking the scene
+    — only a (2,) f32 pan crosses the host→device link per frame."""
+
+    __slots__ = ("kind", "plan", "combo_dev", "n_quads", "n_pad",
+                 "items_dev", "radii_dev")
+
+    def __init__(self, kind, plan, combo_dev, n_quads, n_pad):
+        self.kind = kind
+        self.plan = plan
+        self.combo_dev = combo_dev
+        self.n_quads = n_quads
+        self.n_pad = n_pad
+        self.items_dev = None
+        self.radii_dev = None
+
+
 def _build_rolled_items(structure, bounds, radii):
     """Flatten the pass structure into the rolled executor's item table:
     (bucket, 4) i32 rows + (bucket,) f32 blur radii."""
@@ -603,6 +621,7 @@ class FigRenderer:
         frame_size: Vec2,
         clear_main: bool = True,
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
+        cull: bool = True,
     ) -> Tape:
         """Walk the scene into a quad tape (host side, no device work).
 
@@ -638,6 +657,7 @@ class FigRenderer:
                 glyph_offsets=self._glyph_offsets_pack(),
                 bucket=_bucket,
                 pool_owner=id(self),
+                cull=cull,
             )
             if tape is not None:
                 return tape
@@ -1029,6 +1049,128 @@ class FigRenderer:
         called before any synchronous render/flatten follows async ones."""
         while self._async_released:
             self._async_released.popleft().result()
+
+    # --- device-resident scenes: pan without re-flattening -----------------
+
+    def snapshot_scene(
+        self,
+        renders,
+        frame_size: Vec2,
+        clear_main: bool = True,
+        clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
+    ) -> "DeviceScene":
+        """Flatten once and park the tape ON DEVICE; render_view() then
+        draws it at any screen offset for pure kernel cost — per frame only
+        a (2,) f32 offset crosses the host→device link. The TPU-native
+        scroll/zoom-pan path: where GL re-walks the scene every scroll tick
+        (figrender.nim:1960-1995), the tape is data and translation is a
+        40-column device op (executor.pan_rows).
+
+        The snapshot flattens with the saturation cull OFF — the cull is
+        clamped to the snapshot viewport and panning could reveal culled
+        quads (native.flatten_renders_array cull flag). Scene edits after
+        the snapshot are not seen; take a new snapshot (cheap: one flatten
+        + one upload)."""
+        from .basics import scaled
+        from .colors import as_color
+
+        clear_color = as_color(clear_color)
+        fs = scaled(frame_size)
+        self._assert_render_thread()
+        self.drain_async()
+        self.process_image_messages()
+        tape = self.flatten(renders, fs, clear_main, clear_color, cull=False)
+        plan = self._plan_execution(tape)
+        # own the upload buffer: plan.combo may be a pooled native view and
+        # a DeviceScene outlives the pool's two-flatten ping-pong (on the
+        # CPU backend jnp.asarray may even alias the numpy buffer)
+        plan.combo = plan.combo.copy()
+        n_pad = _bucket(max(tape.count, 1))
+        if plan.mega_combo is not None and self.use_pallas:
+            kind = "mega"
+            combo = plan.mega_combo
+            n_quads = combo.shape[0] - 1  # one meta row (clear color)
+        else:
+            kind = "rolled" if plan.rolled else "unrolled"
+            combo = plan.combo
+            n_quads = n_pad
+        return DeviceScene(
+            kind=kind,
+            plan=plan,
+            combo_dev=jnp.asarray(combo),
+            n_quads=n_quads,
+            n_pad=n_pad,
+        )
+
+    def render_view(self, scene: "DeviceScene", pan=(0.0, 0.0)) -> jnp.ndarray:
+        """One frame of a device-resident scene at a screen-space offset.
+
+        Bit-exact vs re-flattening the translated scene for integer pans of
+        integer-coordinate scenes (ceil snapping commutes with integer
+        translation); fractional pans shift the baked AA smoothly without
+        re-snapping — the same semantics as GL translating a recorded
+        vertex stream (tests/test_camera.py pins both)."""
+        from . import executor as ex
+
+        plan = scene.plan
+        d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
+        init_frame = self._resolve_init_frame(plan)
+        if scene.kind == "mega":
+            run = ex.get_mega_executor(
+                plan.height, plan.width, plan.n_masks, plan.has_init_frame,
+                has_atlas=plan.mega_atlas,
+                subpixel_positioning=self.text_subpixel_positioning,
+                tile_h=plan.tile_h,
+            )
+            rest = (
+                (init_frame, self._device_atlas())
+                if plan.mega_atlas
+                else (init_frame,)
+            )
+        elif scene.kind == "rolled":
+            items_arr, radii_arr, bucket = plan.rolled_args()
+            run = ex.get_rolled_executor(
+                plan.height, plan.width, plan.n_masks, bucket,
+                self.use_pallas, self.text_subpixel_positioning,
+                plan.has_init_frame, self.pixelate,
+                pallas_atlas=bool(self.use_pallas and plan.atlas11_runs),
+                tile_h=plan.tile_h,
+            )
+            if scene.items_dev is None:
+                scene.items_dev = jnp.asarray(items_arr)
+                scene.radii_dev = jnp.asarray(radii_arr)
+            rest = (scene.items_dev, scene.radii_dev, init_frame,
+                    self._device_atlas())
+        else:
+            run = ex.get_frame_executor(
+                tuple(plan.structure), plan.height, plan.width, plan.n_masks,
+                self.use_pallas, self.text_subpixel_positioning,
+                plan.has_init_frame, self.pixelate, tile_h=plan.tile_h,
+            )
+            rest = (init_frame, self._device_atlas())
+        panned = ex.get_panned_runner(run, scene.n_quads)
+        try:
+            frame = panned(scene.combo_dev, d, *rest)
+        except Exception as exc:
+            # same containment as execute(): a Pallas failure downgrades the
+            # scene to the rolled/unrolled XLA path (plan.combo is owned)
+            if not self.use_pallas:
+                raise
+            from .utils.perf import log_kv
+            import logging
+
+            log_kv(
+                logging.WARNING,
+                "panned executor failed; downgrading the scene to XLA",
+                error=repr(exc),
+            )
+            self.use_pallas = False
+            scene.kind = "rolled" if plan.rolled else "unrolled"
+            scene.combo_dev = jnp.asarray(plan.combo)
+            scene.n_quads = scene.n_pad
+            return self.render_view(scene, pan)
+        self.last_frame = frame
+        return frame
 
     # --- batched offline rendering -----------------------------------------
 

@@ -1,0 +1,135 @@
+"""Device-resident scenes + screen-space pan (snapshot_scene/render_view).
+
+The tape uploads once; per frame only a (2,) offset travels and
+executor.pan_rows shifts origins/bboxes/rect-mask translations inside the
+jitted executor. Contract: integer pans of integer-coordinate scenes equal
+a host re-flatten of the translated scene BIT-exactly (ceil snapping
+commutes with integer translation); pan(0) equals the normal render; the
+meta tail and padding rows are never disturbed (round-trip test).
+"""
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import (
+    Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
+)
+from figdraw_tpu.nodes import RenderList
+from figdraw_tpu.nodesarray import from_renders
+from figdraw_tpu.renderer import FigRenderer
+
+
+def boxes_scene(dx=0, dy=0, n=24):
+    lst = RenderList()
+    for i in range(n):
+        lst.add_root(Fig(kind=FigKind.nkRectangle,
+                         screen_box=rect(6 + (i % 6) * 22 + dx,
+                                         8 + (i // 6) * 26 + dy, 30, 22),
+                         corners=(5,) * 4,
+                         fill=fill(rgba(50 + i * 8, (i * 37) % 255, 190, 150))))
+    from figdraw_tpu import new_renders
+    r = new_renders()
+    r.set_layer(0, lst)
+    return from_renders(r)
+
+
+def clip_scene(dx=0, dy=0, rows=5, cols=4):
+    renders = new_renders()
+    for r in range(rows):
+        for c in range(cols):
+            cell = renders.add_root(0, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(6 + c * 44 + dx, 4 + r * 28 + dy, 36, 22),
+                corners=(6, 6, 6, 6), flags=FigFlags.NfClipContent,
+                fill=fill(rgba(210 - r * 12, 70 + c * 25, 130, 255)),
+            ))
+            # screen_box is ABSOLUTE (the reference's Fig is a render list,
+            # not a layout tree): a camera pan moves children too
+            renders.add_child(0, cell, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(-8 + dx, -8 + dy, 300, 300),
+                fill=fill(rgba(30, 40, 220, 110)), rotation=9.0,
+            ))
+    return from_renders(renders)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_integer_pan_bit_exact_simple(use_pallas):
+    size = vec2(176, 144)
+    cam = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    ref = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    scene = cam.snapshot_scene(boxes_scene(), size)
+    for dx, dy in ((0, 0), (9, 0), (0, -7), (-13, 11)):
+        view = np.asarray(cam.render_view(scene, (dx, dy)))
+        expect = np.asarray(ref.render_frame(boxes_scene(dx, dy), size))
+        np.testing.assert_array_equal(view, expect, err_msg=f"pan {dx},{dy}")
+
+
+def test_integer_pan_bit_exact_masks():
+    """Mask-heavy snapshot (rolled XLA path): clip cells and their contents
+    pan together, including the rect-mask fast path's screen→local
+    translation re-derivation (axis-aligned masks stay exact)."""
+    size = vec2(192, 152)
+    cam = FigRenderer(atlas_size=64, use_pallas=False)
+    ref = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = cam.snapshot_scene(clip_scene(), size)
+    for dx, dy in ((6, 0), (-10, 8)):
+        view = np.asarray(cam.render_view(scene, (dx, dy)))
+        expect = np.asarray(ref.render_frame(clip_scene(dx, dy), size))
+        np.testing.assert_array_equal(view, expect, err_msg=f"pan {dx},{dy}")
+
+
+def test_integer_pan_bit_exact_mega():
+    size = vec2(192, 152)
+    cam = FigRenderer(atlas_size=64, use_pallas=True)
+    ref = FigRenderer(atlas_size=64, use_pallas=True)
+    scene = cam.snapshot_scene(clip_scene(), size)
+    assert scene.kind == "mega"
+    view = np.asarray(cam.render_view(scene, (7, -5)))
+    expect = np.asarray(ref.render_frame(clip_scene(7, -5), size))
+    np.testing.assert_array_equal(view, expect)
+    assert cam.use_pallas  # no silent downgrade
+
+
+def test_pan_round_trip_and_outlives_pool():
+    """pan(d) then pan(0) returns the original frame exactly — padding and
+    the meta tail are untouched — and the snapshot stays valid after later
+    flattens recycle the native combo pool."""
+    size = vec2(176, 144)
+    cam = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = cam.snapshot_scene(boxes_scene(), size)
+    base = np.asarray(cam.render_view(scene, (0, 0)))
+    cam.render_view(scene, (31, -17))
+    # recycle the pool twice
+    cam.render_frame(boxes_scene(3, 1), size)
+    cam.render_frame(boxes_scene(5, 2), size)
+    again = np.asarray(cam.render_view(scene, (0.0, 0.0)))
+    np.testing.assert_array_equal(again, base)
+
+
+def test_fractional_pan_moves_smoothly():
+    """Fractional pans shift the baked AA without re-snapping: the frame
+    changes, stays finite, and a 1.0 total shift equals the 1-integer pan."""
+    size = vec2(176, 144)
+    cam = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = cam.snapshot_scene(boxes_scene(), size)
+    a = np.asarray(cam.render_view(scene, (0.5, 0.25)))
+    b = np.asarray(cam.render_view(scene, (0.0, 0.0)))
+    assert np.isfinite(a).all() and not np.array_equal(a, b)
+    one = np.asarray(cam.render_view(scene, (1.0, 0.0)))
+    ref = FigRenderer(atlas_size=64, use_pallas=False)
+    expect = np.asarray(ref.render_frame(boxes_scene(1, 0), size))
+    np.testing.assert_array_equal(one, expect)
+
+
+def test_snapshot_skips_viewport_cull():
+    """snapshot_scene flattens with cull=False: panning must reveal quads a
+    viewport-clamped saturation cull would have dropped. (The cull only
+    engages ≥4096 quads; this pins the flag plumbing via tape counts.)"""
+    from figdraw_tpu.basics import scaled
+
+    size = vec2(176, 144)
+    r = FigRenderer(atlas_size=64, use_pallas=False)
+    t_cull = r.flatten(boxes_scene(), scaled(size), cull=True)
+    t_nocull = r.flatten(boxes_scene(), scaled(size), cull=False)
+    assert t_nocull.count >= t_cull.count

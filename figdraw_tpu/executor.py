@@ -751,52 +751,61 @@ def get_rolled_executor(
     return jax.jit(run)
 
 
-def pan_rows(combo, d, n_quads: int):
-    """Shift a PACKED upload buffer's quads by a screen-space offset inside
-    jit — the device-camera op (no reference analog: GL re-walks the scene
-    per scroll). Columns touched per live row (wire layout, ops/layout.py):
-    origin (4,5) and bbox (6..9) translate by d; the rect-mask fast path's
-    screen→local affine gets its translation re-derived (t' = t - M·d,
-    wire cols 44/48 from rows 42,43 / 46,47) because its params/center are
-    LOCAL-space. Inverse-affine linear parts, uv affines, colors, sdf
-    params and the mode lanes are all translation-invariant. Rows with an
-    empty bbox (padding, disabled) and the meta tail (rows ≥ n_quads —
-    bitcast draw bounds that could alias a plausible bbox) are untouched.
+def view_rows(combo, d, z, n_quads: int):
+    """Apply a screen-space camera (p' = z·p + d) to a PACKED upload buffer's
+    quads inside jit — the device-camera op (no reference analog: GL re-walks
+    the scene per scroll/zoom tick). Columns touched per live row (wire
+    layout, ops/layout.py): origin (4,5) and bbox (6..9) map by z·x + d; the
+    screen→uv inverse affine (0..3) scales by 1/z; the rect-mask fast path's
+    screen→local rows (wire 42,43 / 46,47) scale by 1/z with translations
+    re-derived (t' = t − M·d/z, wire cols 44/48) because its params/center
+    are LOCAL-space. Uv affines, colors, sdf params/radii/factors and the
+    mode lanes are all local-space (view-invariant) — zooming widens AA and
+    shadow falloff on screen exactly like a GL scale transform does. Rows
+    with an empty bbox (padding, disabled) and the meta tail (rows ≥
+    n_quads — bitcast draw bounds that could alias a plausible bbox) are
+    untouched.
 
-    Bit-exactness: for integer d and integer scene coordinates the shift
-    reproduces the host walk exactly (ceil snapping commutes with integer
-    translation); rotated rect-masks and fractional pans are float-rounding
-    approximate (≤ 1 ULP in coordinates) and fractional pans keep the baked
-    vertex snapping, like GL translating a recorded stream."""
+    Bit-exactness: for integer d/z and integer scene coordinates the view
+    reproduces the host walk of the transformed scene exactly (ceil snapping
+    commutes with integer affine maps, and ×1.0 / ÷1.0 are IEEE-exact so
+    z=1 degenerates to the pure pan); rotated rect-masks and fractional
+    pans/zooms are float-rounding approximate (≤ 1 ULP in coordinates) and
+    keep the baked vertex snapping, like GL transforming a recorded
+    stream."""
     quads = combo[:n_quads]
     live = (quads[:, 8] > quads[:, 6]) & (quads[:, 9] > quads[:, 7])
-    # touch ONLY the 8 geometry columns: the packed color words (16..21)
+    # touch ONLY the geometry columns: the packed color words (16..21)
     # and mode lanes (50,51) are bitcast integers — a whole-row `x + 0.0`
     # would canonicalize their NaN bit patterns and corrupt them
     ldx = jnp.where(live, d[0], 0.0)
     ldy = jnp.where(live, d[1], 0.0)
+    lz = jnp.where(live, z, 1.0)
+    linv = jnp.where(live, 1.0 / z, 1.0)
     out = quads
+    for col in (0, 1, 2, 3, 42, 43, 46, 47):
+        out = out.at[:, col].multiply(linv)
     for col, comp in ((4, ldx), (6, ldx), (8, ldx), (5, ldy), (7, ldy),
                       (9, ldy)):
-        out = out.at[:, col].add(comp)
-    out = out.at[:, 44].add(-(quads[:, 42] * ldx + quads[:, 43] * ldy))
-    out = out.at[:, 48].add(-(quads[:, 46] * ldx + quads[:, 47] * ldy))
+        out = out.at[:, col].set(quads[:, col] * lz + comp)
+    out = out.at[:, 44].add(-(quads[:, 42] * ldx + quads[:, 43] * ldy) * linv)
+    out = out.at[:, 48].add(-(quads[:, 46] * ldx + quads[:, 47] * ldy) * linv)
     return jnp.concatenate([out, combo[n_quads:]], axis=0)
 
 
 @lru_cache(maxsize=64)
-def get_panned_runner(run, n_quads: int):
-    """Compose pan_rows with a cached single-frame executor: ONE jitted
-    dispatch renders a device-resident tape at a screen offset. The tape
-    uploads once (renderer.snapshot_scene); per frame only the (2,) offset
-    travels, so scroll/pan costs pure kernel time — no host walk, no tape
-    upload."""
+def get_view_runner(run, n_quads: int):
+    """Compose view_rows with a cached single-frame executor: ONE jitted
+    dispatch renders a device-resident tape at a screen offset + zoom. The
+    tape uploads once (renderer.snapshot_scene); per frame only the (2,)
+    offset and the zoom scalar travel, so scroll/pan/zoom costs pure kernel
+    time — no host walk, no tape upload."""
 
     @jax.jit
-    def panned(combo, d, *rest):
-        return run(pan_rows(combo, d, n_quads), *rest)
+    def viewed(combo, d, z, *rest):
+        return run(view_rows(combo, d, z, n_quads), *rest)
 
-    return panned
+    return viewed
 
 
 @lru_cache(maxsize=32)

@@ -1102,18 +1102,25 @@ class FigRenderer:
             n_pad=n_pad,
         )
 
-    def render_view(self, scene: "DeviceScene", pan=(0.0, 0.0)) -> jnp.ndarray:
-        """One frame of a device-resident scene at a screen-space offset.
+    def render_view(
+        self, scene: "DeviceScene", pan=(0.0, 0.0), zoom: float = 1.0
+    ) -> jnp.ndarray:
+        """One frame of a device-resident scene under a screen-space camera
+        p' = zoom·p + pan (zoom > 0).
 
-        Bit-exact vs re-flattening the translated scene for integer pans of
-        integer-coordinate scenes (ceil snapping commutes with integer
-        translation); fractional pans shift the baked AA smoothly without
-        re-snapping — the same semantics as GL translating a recorded
-        vertex stream (tests/test_camera.py pins both)."""
+        Bit-exact vs re-flattening the transformed scene (an nkTransform
+        wrapping the roots) for integer pans/zooms of integer-coordinate
+        scenes — ceil snapping commutes with integer affine maps; fractional
+        views shift the baked AA smoothly without re-snapping — the same
+        semantics as GL transforming a recorded vertex stream
+        (tests/test_camera.py pins both). Like a GL scale transform, zoom
+        widens AA/shadow falloff proportionally (SDF params are local-space)
+        and leaves backdrop-blur radii in screen pixels."""
         from . import executor as ex
 
         plan = scene.plan
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
+        z = jnp.float32(zoom)
         init_frame = self._resolve_init_frame(plan)
         if scene.kind == "mega":
             run = ex.get_mega_executor(
@@ -1148,9 +1155,9 @@ class FigRenderer:
                 plan.has_init_frame, self.pixelate, tile_h=plan.tile_h,
             )
             rest = (init_frame, self._device_atlas())
-        panned = ex.get_panned_runner(run, scene.n_quads)
+        viewed = ex.get_view_runner(run, scene.n_quads)
         try:
-            frame = panned(scene.combo_dev, d, *rest)
+            frame = viewed(scene.combo_dev, d, z, *rest)
         except Exception as exc:
             # same containment as execute(): a Pallas failure downgrades the
             # scene to the rolled/unrolled XLA path (plan.combo is owned)
@@ -1168,7 +1175,7 @@ class FigRenderer:
             scene.kind = "rolled" if plan.rolled else "unrolled"
             scene.combo_dev = jnp.asarray(plan.combo)
             scene.n_quads = scene.n_pad
-            return self.render_view(scene, pan)
+            return self.render_view(scene, pan, zoom)
         self.last_frame = frame
         return frame
 

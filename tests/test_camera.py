@@ -14,9 +14,59 @@ import pytest
 from figdraw_tpu import (
     Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
 )
+from figdraw_tpu.basics import TransformStyle
+from figdraw_tpu.geometry import Mat3
 from figdraw_tpu.nodes import RenderList
 from figdraw_tpu.nodesarray import from_renders
 from figdraw_tpu.renderer import FigRenderer
+
+
+def _view_root(renders, d, z):
+    """An nkTransform root applying the camera map p' = z·p + d — the
+    reference way to scroll/zoom (re-walk under a transform) that
+    render_view must reproduce."""
+    return renders.add_root(0, Fig(
+        kind=FigKind.nkTransform,
+        transform=TransformStyle(translation=vec2(float(d[0]), float(d[1])),
+                                 matrix=Mat3.scaling(float(z), float(z))),
+    ))
+
+
+def boxes_scene_view(d=(0, 0), z=1, n=24):
+    """boxes_scene geometry under an explicit camera transform root."""
+    renders = new_renders()
+    tr = _view_root(renders, d, z)
+    for i in range(n):
+        renders.add_child(0, tr, Fig(
+            kind=FigKind.nkRectangle,
+            screen_box=rect(6 + (i % 6) * 22, 8 + (i // 6) * 26, 30, 22),
+            corners=(5,) * 4,
+            fill=fill(rgba(50 + i * 8, (i * 37) % 255, 190, 150))))
+    return from_renders(renders)
+
+
+def rectmask_scene_view(d=(0, 0), z=1, rows=4, cols=3):
+    """Axis-aligned NfRectMaskContent cells (the rect-mask fast path, wire
+    cols 42-49) with overflowing axis-aligned children, under a camera
+    transform root. Everything integer + axis-aligned so integer camera
+    maps commute with ceil snapping."""
+    renders = new_renders()
+    tr = _view_root(renders, d, z)
+    for r in range(rows):
+        for c in range(cols):
+            cell = Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(8 + c * 52, 6 + r * 34, 42, 26),
+                corners=(7, 7, 7, 7), flags=FigFlags.NfRectMaskContent,
+                fill=fill(rgba(200 - r * 20, 80 + c * 30, 140, 255)),
+            )
+            ci = renders.add_child(0, tr, cell)
+            renders.add_child(0, ci, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(-20, -20, 400, 400),
+                fill=fill(rgba(30, 40, 220, 110)),
+            ))
+    return from_renders(renders)
 
 
 def boxes_scene(dx=0, dy=0, n=24):
@@ -120,6 +170,89 @@ def test_fractional_pan_moves_smoothly():
     ref = FigRenderer(atlas_size=64, use_pallas=False)
     expect = np.asarray(ref.render_frame(boxes_scene(1, 0), size))
     np.testing.assert_array_equal(one, expect)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_integer_zoom_bit_exact(use_pallas):
+    """Power-of-two integer zooms of integer axis-aligned scenes equal a
+    host re-walk under the same nkTransform camera BIT-exactly (vertex
+    deltas, determinants and inverse-affine entries all scale by exact
+    powers of two; ceil snapping commutes with integer maps)."""
+    size = vec2(352, 288)
+    cam = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    ref = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    scene = cam.snapshot_scene(boxes_scene_view(), size)
+    for (dx, dy), z in (((0, 0), 2), ((9, -7), 2), ((-13, 11), 4)):
+        view = np.asarray(cam.render_view(scene, (dx, dy), zoom=z))
+        expect = np.asarray(
+            ref.render_frame(boxes_scene_view((dx, dy), z), size))
+        np.testing.assert_array_equal(
+            view, expect, err_msg=f"zoom {z} pan {dx},{dy}")
+
+
+def test_integer_zoom_bit_exact_rect_masks():
+    """Zoom through the rect-mask fast path: the screen→local rows (wire
+    42,43/46,47) scale by 1/z and the translations re-derive, so
+    axis-aligned masked cells zoom bit-exactly vs the re-walk."""
+    size = vec2(352, 288)
+    cam = FigRenderer(atlas_size=64, use_pallas=False)
+    ref = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = cam.snapshot_scene(rectmask_scene_view(), size)
+    for (dx, dy), z in (((4, -6), 2), ((-11, 3), 2)):
+        view = np.asarray(cam.render_view(scene, (dx, dy), zoom=z))
+        expect = np.asarray(
+            ref.render_frame(rectmask_scene_view((dx, dy), z), size))
+        np.testing.assert_array_equal(
+            view, expect, err_msg=f"zoom {z} pan {dx},{dy}")
+
+
+def clip_scene_view(d=(0, 0), z=1, rows=3, cols=3):
+    """Axis-aligned NfClipContent cells (real mask planes — the megakernel
+    path) under a camera transform root; all-integer so integer camera maps
+    stay exact."""
+    renders = new_renders()
+    tr = _view_root(renders, d, z)
+    for r in range(rows):
+        for c in range(cols):
+            ci = renders.add_child(0, tr, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(10 + c * 56, 8 + r * 40, 44, 30),
+                corners=(6, 6, 6, 6), flags=FigFlags.NfClipContent,
+                fill=fill(rgba(210 - r * 12, 70 + c * 25, 130, 255)),
+            ))
+            renders.add_child(0, ci, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(-16, -16, 360, 360),
+                fill=fill(rgba(30, 40, 220, 110)),
+            ))
+    return from_renders(renders)
+
+
+def test_integer_zoom_bit_exact_mega():
+    size = vec2(352, 288)
+    cam = FigRenderer(atlas_size=64, use_pallas=True)
+    ref = FigRenderer(atlas_size=64, use_pallas=True)
+    scene = cam.snapshot_scene(clip_scene_view(), size)
+    assert scene.kind == "mega"
+    view = np.asarray(cam.render_view(scene, (5, -3), zoom=2))
+    expect = np.asarray(ref.render_frame(clip_scene_view((5, -3), 2),
+                                         size))
+    np.testing.assert_array_equal(view, expect)
+    assert cam.use_pallas  # no silent downgrade
+
+
+def test_fractional_zoom_smooth_and_unit_zoom_is_pan():
+    """zoom=1 degenerates bitwise to the pure pan (×1.0/÷1.0 are IEEE
+    exact); fractional zooms stay finite, differ, and scale the baked AA
+    without re-snapping."""
+    size = vec2(176, 144)
+    cam = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = cam.snapshot_scene(boxes_scene(), size)
+    pan_only = np.asarray(cam.render_view(scene, (5, -3)))
+    unit_zoom = np.asarray(cam.render_view(scene, (5, -3), zoom=1.0))
+    np.testing.assert_array_equal(unit_zoom, pan_only)
+    frac = np.asarray(cam.render_view(scene, (5, -3), zoom=1.5))
+    assert np.isfinite(frac).all() and not np.array_equal(frac, pan_only)
 
 
 def test_snapshot_skips_viewport_cull():

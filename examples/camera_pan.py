@@ -1,8 +1,9 @@
-"""Device-resident camera: scroll a scene without re-flattening.
+"""Device-resident camera: scroll and zoom a scene without re-flattening.
 
 Snapshots the showcase scene once (snapshot_scene uploads the tape to the
-device) and renders a horizontal scroll sweep where each frame ships only a
-(2,) offset to the chip (render_view). Writes out/camera_strip.png.
+device) and renders a scroll sweep plus two zoom views, where each frame
+ships only a (2,) offset and a zoom scalar to the chip (render_view).
+Writes out/camera_strip.png.
 
 Run: python examples/camera_pan.py            (TPU via the axon tunnel)
      PYTHONPATH= JAX_PLATFORMS=cpu python examples/camera_pan.py   (CPU)
@@ -35,12 +36,17 @@ def main():
         pan = (-i * 40.0, -i * 12.0)
         frame = renderer.render_view(snap, pan)
         frames.append(renderer.take_screenshot(frame))
+    # zoom leg: same device tape, camera p' = z*p + d
+    for pan, z in (((-80.0, -40.0), 1.6), ((40.0, 20.0), 0.55)):
+        frames.append(renderer.take_screenshot(
+            renderer.render_view(snap, pan, zoom=z)))
 
     from PIL import Image
 
     strip = np.concatenate(frames, axis=1)
     Image.fromarray(strip).save(os.path.join(OUT_DIR, "camera_strip.png"))
-    print(f"wrote camera_strip.png ({len(frames)} pans of {W}x{H})")
+    print(f"wrote camera_strip.png ({len(frames)} views of {W}x{H}, "
+          "6 pans + 2 zooms)")
 
 
 if __name__ == "__main__":

@@ -255,6 +255,54 @@ def test_fractional_zoom_smooth_and_unit_zoom_is_pan():
     assert np.isfinite(frac).all() and not np.array_equal(frac, pan_only)
 
 
+def _hud_nodes():
+    """A screen-fixed HUD: panel + meter bar, drawn above the scene."""
+    return [
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(8, 8, 120, 30),
+            corners=(8,) * 4, fill=fill(rgba(20, 20, 30, 200))),
+        Fig(kind=FigKind.nkRectangle, screen_box=rect(14, 16, 90, 14),
+            corners=(4,) * 4, fill=fill(rgba(80, 230, 120, 255))),
+    ]
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_camera_overlay_composite(use_pallas):
+    """Dynamic overlay on a device-resident scene: render_view then
+    render_frame(hud, clear_main=False) — the reference's clearMain=false
+    framebuffer-reuse semantics (figrender.nim:1960) — equals ONE re-walk
+    of the combined scene (camera-transformed base + screen-fixed HUD on a
+    higher layer) bit-exactly."""
+    size = vec2(352, 288)
+    d, z = (9, -7), 2
+
+    def hud_scene():
+        r = new_renders()
+        for n in _hud_nodes():
+            r.add_root(1, n)
+        return from_renders(r)
+
+    def combined():
+        r = new_renders()
+        tr = _view_root(r, d, z)
+        for i in range(24):
+            r.add_child(0, tr, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(6 + (i % 6) * 22, 8 + (i // 6) * 26, 30, 22),
+                corners=(5,) * 4,
+                fill=fill(rgba(50 + i * 8, (i * 37) % 255, 190, 150))))
+        for n in _hud_nodes():
+            r.add_root(1, n)
+        return from_renders(r)
+
+    cam = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    ref = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    scene = cam.snapshot_scene(boxes_scene_view(), size)
+    cam.render_view(scene, d, zoom=z)
+    view = np.asarray(cam.render_frame(hud_scene(), size, clear_main=False))
+    expect = np.asarray(ref.render_frame(combined(), size))
+    np.testing.assert_array_equal(view, expect)
+
+
 def test_snapshot_skips_viewport_cull():
     """snapshot_scene flattens with cull=False: panning must reveal quads a
     viewport-clamped saturation cull would have dropped. (The cull only

@@ -751,7 +751,15 @@ def get_rolled_executor(
     return jax.jit(run)
 
 
-def view_rows(combo, d, z, n_quads: int):
+# rect-mask screen→local row columns (ax, bx, tx, ay, by, ty) per combo
+# layout: the PACKED wire layout (single-chip upload buffers) and the
+# unpacked 70-wide layout (the sharded executors' replicated combos)
+VIEW_RECT_COLS_PACKED = (42, 43, 44, 46, 47, 48)
+VIEW_RECT_COLS_UNPACKED = (60, 61, 62, 64, 65, 66)
+
+
+def view_rows(combo, d, z, n_quads: int,
+              rect_cols=VIEW_RECT_COLS_PACKED):
     """Apply a screen-space camera (p' = z·p + d) to a PACKED upload buffer's
     quads inside jit — the device-camera op (no reference analog: GL re-walks
     the scene per scroll/zoom tick). Columns touched per live row (wire
@@ -782,28 +790,31 @@ def view_rows(combo, d, z, n_quads: int):
     ldy = jnp.where(live, d[1], 0.0)
     lz = jnp.where(live, z, 1.0)
     linv = jnp.where(live, 1.0 / z, 1.0)
+    ax, bx, tx, ay, by, ty = rect_cols
     out = quads
-    for col in (0, 1, 2, 3, 42, 43, 46, 47):
+    for col in (0, 1, 2, 3, ax, bx, ay, by):
         out = out.at[:, col].multiply(linv)
     for col, comp in ((4, ldx), (6, ldx), (8, ldx), (5, ldy), (7, ldy),
                       (9, ldy)):
         out = out.at[:, col].set(quads[:, col] * lz + comp)
-    out = out.at[:, 44].add(-(quads[:, 42] * ldx + quads[:, 43] * ldy) * linv)
-    out = out.at[:, 48].add(-(quads[:, 46] * ldx + quads[:, 47] * ldy) * linv)
+    out = out.at[:, tx].add(-(quads[:, ax] * ldx + quads[:, bx] * ldy) * linv)
+    out = out.at[:, ty].add(-(quads[:, ay] * ldx + quads[:, by] * ldy) * linv)
     return jnp.concatenate([out, combo[n_quads:]], axis=0)
 
 
 @lru_cache(maxsize=64)
-def get_view_runner(run, n_quads: int):
+def get_view_runner(run, n_quads: int, rect_cols=VIEW_RECT_COLS_PACKED):
     """Compose view_rows with a cached single-frame executor: ONE jitted
     dispatch renders a device-resident tape at a screen offset + zoom. The
     tape uploads once (renderer.snapshot_scene); per frame only the (2,)
     offset and the zoom scalar travel, so scroll/pan/zoom costs pure kernel
-    time — no host walk, no tape upload."""
+    time — no host walk, no tape upload. rect_cols selects the combo
+    layout (packed single-chip wire vs the sharded executors' unpacked
+    rows)."""
 
     @jax.jit
     def viewed(combo, d, z, *rest):
-        return run(view_rows(combo, d, z, n_quads), *rest)
+        return run(view_rows(combo, d, z, n_quads, rect_cols), *rest)
 
     return viewed
 

@@ -459,8 +459,15 @@ class ShardedFigRenderer:
 
     def execute(self, tape) -> jnp.ndarray:
         """Runs the whole tape as ONE sharded device call — the multi-chip
-        twin of FigRenderer.execute."""
+        twin of FigRenderer.execute. Split into _plan (host packing + path
+        choice) and _dispatch (device) like the single-chip execute."""
+        return self._dispatch(self._plan(tape))
+
+    def _plan(self, tape):
+        """Host half: pad the tape, decide mega vs pass-chain, and pack the
+        upload combos — the sharded twin of FigRenderer._plan_execution."""
         import numpy as np
+        from types import SimpleNamespace
 
         from .. import executor as ex
         from ..ops.layout import QF_WIDTH, QI_WIDTH
@@ -510,6 +517,7 @@ class ShardedFigRenderer:
             and (not mega_atlas or pallas_atlas_ok)
             and not bool(is_backdrop_mode[: tape.count].any())
         )
+        mega_combo = None
         if mega:
             mf, mm = ex.pack_mega_modes(
                 tape, fields[: tape.count], modes[: tape.count]
@@ -519,22 +527,52 @@ class ShardedFigRenderer:
             mega_modes = np.zeros((nm, QI_WIDTH), dtype=np.int32)
             mega_fields[: mf.shape[0]] = mf
             mega_modes[: mm.shape[0]] = mm
-            combo = ex.pack_tape_upload(
+            mega_combo = ex.pack_tape_upload(
                 mega_fields, mega_modes, np.zeros((0, 2), np.int32),
                 np.zeros((0,), np.float32), clear,
             )
+        return SimpleNamespace(
+            height=height, width=width, n_masks=n_masks,
+            structure=structure, has_init_frame=has_init_frame, clear=clear,
+            n_pad=n, fields=fields, modes=modes,
+            bounds=np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
+            radii=np.asarray(radii, dtype=np.float32),
+            mega=mega, mega_atlas=mega_atlas, mega_combo=mega_combo,
+            combo=None,
+        )
+
+    def _frame_combo(self, plan):
+        """Pass-chain upload combo, packed lazily (the mega path never needs
+        it unless it downgrades)."""
+        if plan.combo is None:
+            from .. import executor as ex
+
+            plan.combo = ex.pack_tape_upload(
+                plan.fields, plan.modes, plan.bounds, plan.radii, plan.clear
+            )
+        return plan.combo
+
+    def _dispatch(self, plan) -> jnp.ndarray:
+        """Device half: upload the plan's combo and run the sharded executor
+        with the mega → pass-chain fallback."""
+        if plan.mega and self.use_pallas:
             run, (gh, pw) = get_sharded_mega_executor(
-                self.mesh, height, width, n_masks, has_init_frame,
-                has_atlas=mega_atlas,
+                self.mesh, plan.height, plan.width, plan.n_masks,
+                plan.has_init_frame, has_atlas=plan.mega_atlas,
                 subpixel_positioning=self._flattener.text_subpixel_positioning,
             )
             try:
                 mega_args = (
-                    jnp.asarray(combo), self._init_frame(gh, pw, has_init_frame),
-                ) + ((self._flattener._device_atlas(),) if mega_atlas else ())
+                    jnp.asarray(plan.mega_combo),
+                    self._init_frame(gh, pw, plan.has_init_frame),
+                ) + (
+                    (self._flattener._device_atlas(),)
+                    if plan.mega_atlas
+                    else ()
+                )
                 frame = run(*mega_args)
                 self._last_padded = frame
-                self.last_frame = frame[:height, :width]
+                self.last_frame = frame[: plan.height, : plan.width]
                 return self.last_frame
             except Exception as exc:
                 from ..utils.perf import log_kv
@@ -547,25 +585,20 @@ class ShardedFigRenderer:
                 )
                 self.use_pallas = False
 
-        combo = ex.pack_tape_upload(
-            fields,
-            modes,
-            np.asarray(bounds, dtype=np.int32).reshape(-1, 2),
-            np.asarray(radii, dtype=np.float32),
-            clear,
-        )
+        combo = self._frame_combo(plan)
 
         def make_run(use_pallas):
             return get_sharded_frame_executor(
-                self.mesh, tuple(structure), height, width, n_masks,
-                use_pallas, self._flattener.text_subpixel_positioning,
-                has_init_frame, self._flattener.pixelate,
+                self.mesh, tuple(plan.structure), plan.height, plan.width,
+                plan.n_masks, use_pallas,
+                self._flattener.text_subpixel_positioning,
+                plan.has_init_frame, self._flattener.pixelate,
             )
 
         run, (gh, pw) = make_run(self.use_pallas)
         args = (
             jnp.asarray(combo),
-            self._init_frame(gh, pw, has_init_frame),
+            self._init_frame(gh, pw, plan.has_init_frame),
             self._flattener._device_atlas(),
         )
         try:
@@ -585,7 +618,97 @@ class ShardedFigRenderer:
             run, _ = make_run(False)
             frame = run(*args)
         self._last_padded = frame
-        self.last_frame = frame[:height, :width]
+        self.last_frame = frame[: plan.height, : plan.width]
+        return self.last_frame
+
+    # --- device-resident scenes on the mesh ---------------------------------
+
+    def snapshot_scene(self, renders, frame_size, clear_main=True,
+                       clear_color=(1.0, 1.0, 1.0, 1.0)):
+        """Flatten once (saturation cull OFF — panning can reveal culled
+        quads) and park the replicated combo on the mesh; render_view then
+        scrolls/zooms it row-sharded across chips for pure kernel + ICI
+        cost — the multi-chip twin of FigRenderer.snapshot_scene."""
+        from ..basics import scaled
+        from ..colors import as_color
+        from ..renderer import DeviceScene
+
+        fs = scaled(frame_size)
+        self._flattener.process_image_messages()
+        tape = self._flattener.flatten(
+            renders, fs, clear_main, as_color(clear_color), cull=False
+        )
+        plan = self._plan(tape)
+        if plan.mega and self.use_pallas:
+            kind = "mega"
+            combo = plan.mega_combo
+            n_quads = combo.shape[0] - 1  # one meta row (clear color)
+        else:
+            kind = "frame"
+            combo = self._frame_combo(plan)
+            n_quads = plan.n_pad
+        return DeviceScene(
+            kind=kind, plan=plan, combo_dev=jnp.asarray(combo),
+            n_quads=n_quads, n_pad=plan.n_pad,
+        )
+
+    def render_view(self, scene, pan=(0.0, 0.0), zoom: float = 1.0):
+        """One row-sharded frame of a device-resident scene under the camera
+        p' = zoom·p + pan. Same bit-exactness contract as the single-chip
+        render_view (view_rows runs on the replicated combo before the
+        shard_map splits row bands); the combo layout here is the unpacked
+        70-wide one, so the rect-mask columns differ
+        (executor.VIEW_RECT_COLS_UNPACKED)."""
+        import numpy as np
+
+        from .. import executor as ex
+
+        plan = scene.plan
+        d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
+        z = jnp.float32(zoom)
+        if scene.kind == "mega":
+            run, (gh, pw) = get_sharded_mega_executor(
+                self.mesh, plan.height, plan.width, plan.n_masks,
+                plan.has_init_frame, has_atlas=plan.mega_atlas,
+                subpixel_positioning=self._flattener.text_subpixel_positioning,
+            )
+            rest = (self._init_frame(gh, pw, plan.has_init_frame),) + (
+                (self._flattener._device_atlas(),) if plan.mega_atlas else ()
+            )
+        else:
+            run, (gh, pw) = get_sharded_frame_executor(
+                self.mesh, tuple(plan.structure), plan.height, plan.width,
+                plan.n_masks, self.use_pallas,
+                self._flattener.text_subpixel_positioning,
+                plan.has_init_frame, self._flattener.pixelate,
+            )
+            rest = (
+                self._init_frame(gh, pw, plan.has_init_frame),
+                self._flattener._device_atlas(),
+            )
+        viewed = ex.get_view_runner(
+            run, scene.n_quads, ex.VIEW_RECT_COLS_UNPACKED
+        )
+        try:
+            frame = viewed(scene.combo_dev, d, z, *rest)
+        except Exception as exc:
+            if not self.use_pallas:
+                raise
+            from ..utils.perf import log_kv
+            import logging
+
+            log_kv(
+                logging.WARNING,
+                "sharded view executor failed; downgrading the scene to XLA",
+                error=repr(exc),
+            )
+            self.use_pallas = False
+            scene.kind = "frame"
+            scene.combo_dev = jnp.asarray(self._frame_combo(plan))
+            scene.n_quads = plan.n_pad
+            return self.render_view(scene, pan, zoom)
+        self._last_padded = frame
+        self.last_frame = frame[: plan.height, : plan.width]
         return self.last_frame
 
 

@@ -159,3 +159,99 @@ def test_sharded_executor_one_upload():
     finally:
         ex.pack_tape_upload = orig
     assert len(calls) == 1
+
+
+# --- device-resident camera on the mesh --------------------------------------
+
+
+def _cam_scene(d=(0, 0), z=1, n=24):
+    """Integer axis-aligned boxes under an nkTransform camera root — the
+    sharded twin of tests/test_camera.py's boxes_scene_view."""
+    from figdraw_tpu.basics import TransformStyle
+    from figdraw_tpu.geometry import Mat3
+    from figdraw_tpu.nodesarray import from_renders
+
+    renders = new_renders()
+    tr = renders.add_root(0, Fig(
+        kind=FigKind.nkTransform,
+        transform=TransformStyle(translation=vec2(float(d[0]), float(d[1])),
+                                 matrix=Mat3.scaling(float(z), float(z))),
+    ))
+    for i in range(n):
+        renders.add_child(0, tr, Fig(
+            kind=FigKind.nkRectangle,
+            screen_box=rect(6 + (i % 6) * 22, 8 + (i // 6) * 26, 30, 22),
+            corners=(5,) * 4,
+            fill=fill(rgba(50 + i * 8, (i * 37) % 255, 190, 150))))
+    return from_renders(renders)
+
+
+def _clip_cam_scene(d=(0, 0), z=1, rows=3, cols=3):
+    """Axis-aligned clip cells (mask planes → the sharded megakernel) under
+    a camera root."""
+    from figdraw_tpu.basics import TransformStyle
+    from figdraw_tpu.geometry import Mat3
+    from figdraw_tpu.nodesarray import from_renders
+
+    renders = new_renders()
+    tr = renders.add_root(0, Fig(
+        kind=FigKind.nkTransform,
+        transform=TransformStyle(translation=vec2(float(d[0]), float(d[1])),
+                                 matrix=Mat3.scaling(float(z), float(z))),
+    ))
+    for r in range(rows):
+        for c in range(cols):
+            ci = renders.add_child(0, tr, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(10 + c * 56, 8 + r * 40, 44, 30),
+                corners=(6, 6, 6, 6), flags=FigFlags.NfClipContent,
+                fill=fill(rgba(210 - r * 12, 70 + c * 25, 130, 255)),
+            ))
+            renders.add_child(0, ci, Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(-16, -16, 360, 360),
+                fill=fill(rgba(30, 40, 220, 110)),
+            ))
+    return from_renders(renders)
+
+
+def test_sharded_camera_bit_exact():
+    """Row-sharded render_view == a sharded re-walk of the scene under the
+    same nkTransform camera, bit-exactly (view_rows runs on the replicated
+    unpacked combo before the shard_map splits bands); and it matches the
+    single-chip camera within 1/255."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    w, h = 256, 192
+    sharded = ShardedFigRenderer(atlas_size=64, use_pallas=False)
+    ref = ShardedFigRenderer(atlas_size=64, use_pallas=False)
+    snap = sharded.snapshot_scene(_cam_scene(), vec2(w, h))
+    for (dx, dy), z in (((9, -7), 1), ((-13, 11), 2)):
+        view = np.asarray(sharded.render_view(snap, (dx, dy), zoom=z))
+        expect = np.asarray(
+            ref.render_frame(_cam_scene((dx, dy), z), vec2(w, h)))
+        np.testing.assert_array_equal(view, expect,
+                                      err_msg=f"zoom {z} pan {dx},{dy}")
+
+    single = FigRenderer(atlas_size=64, use_pallas=False)
+    ssnap = single.snapshot_scene(_cam_scene(), vec2(w, h))
+    a = _screenshot(single.render_view(ssnap, (9, -7), zoom=2))
+    b = _screenshot(sharded.render_view(snap, (9, -7), zoom=2))
+    assert _max_diff(a, b) <= 1
+
+
+def test_sharded_camera_mega_bit_exact():
+    """The mask-heavy camera snapshot rides the sharded megakernel and its
+    views equal the sharded re-walk bit-exactly, with no silent downgrade."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    w, h = 256, 192
+    sharded = ShardedFigRenderer(atlas_size=64, use_pallas=True)
+    ref = ShardedFigRenderer(atlas_size=64, use_pallas=True)
+    snap = sharded.snapshot_scene(_clip_cam_scene(), vec2(w, h))
+    assert snap.kind == "mega"
+    view = np.asarray(sharded.render_view(snap, (5, -3), zoom=2))
+    expect = np.asarray(
+        ref.render_frame(_clip_cam_scene((5, -3), 2), vec2(w, h)))
+    np.testing.assert_array_equal(view, expect)
+    assert sharded.use_pallas, "sharded camera megakernel fell back"

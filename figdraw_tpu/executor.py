@@ -819,6 +819,20 @@ def get_view_runner(run, n_quads: int, rect_cols=VIEW_RECT_COLS_PACKED):
     return viewed
 
 
+@lru_cache(maxsize=64)
+def get_view_frame_fn(run, n_quads: int, rect_cols=VIEW_RECT_COLS_PACKED):
+    """Per-view frame function with the camera params LEADING — the shape
+    get_batch_runner / cached_frame_parallel_runner expect (first n_vary
+    args vary per frame, the rest are constants): a whole flythrough of a
+    device-resident scene becomes ONE upload of (N, 2) pans + (N,) zooms
+    and one lax.map dispatch per chunk (renderer.render_views)."""
+
+    def view_fn(d, z, combo, *rest):
+        return run(view_rows(combo, d, z, n_quads, rect_cols), *rest)
+
+    return view_fn
+
+
 @lru_cache(maxsize=32)
 def get_batch_runner(run, n_vary: int):
     """Batched frame dispatch: lax.map a single-frame executor over the

@@ -1118,9 +1118,25 @@ class FigRenderer:
         and leaves backdrop-blur radii in screen pixels."""
         from . import executor as ex
 
-        plan = scene.plan
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
+        run, rest = self._view_executor(scene)
+        viewed = ex.get_view_runner(run, scene.n_quads)
+        try:
+            frame = viewed(scene.combo_dev, d, z, *rest)
+        except Exception as exc:
+            self._downgrade_scene(scene, exc)
+            return self.render_view(scene, pan, zoom)
+        self.last_frame = frame
+        return frame
+
+    def _view_executor(self, scene: "DeviceScene"):
+        """(run, rest) for a device-resident scene: the cached single-frame
+        executor matching the snapshot's path and its frame-invariant
+        arguments."""
+        from . import executor as ex
+
+        plan = scene.plan
         init_frame = self._resolve_init_frame(plan)
         if scene.kind == "mega":
             run = ex.get_mega_executor(
@@ -1155,29 +1171,98 @@ class FigRenderer:
                 plan.has_init_frame, self.pixelate, tile_h=plan.tile_h,
             )
             rest = (init_frame, self._device_atlas())
-        viewed = ex.get_view_runner(run, scene.n_quads)
-        try:
-            frame = viewed(scene.combo_dev, d, z, *rest)
-        except Exception as exc:
-            # same containment as execute(): a Pallas failure downgrades the
-            # scene to the rolled/unrolled XLA path (plan.combo is owned)
-            if not self.use_pallas:
-                raise
-            from .utils.perf import log_kv
-            import logging
+        return run, rest
 
-            log_kv(
-                logging.WARNING,
-                "panned executor failed; downgrading the scene to XLA",
-                error=repr(exc),
-            )
-            self.use_pallas = False
-            scene.kind = "rolled" if plan.rolled else "unrolled"
-            scene.combo_dev = jnp.asarray(plan.combo)
-            scene.n_quads = scene.n_pad
-            return self.render_view(scene, pan, zoom)
-        self.last_frame = frame
-        return frame
+    def _downgrade_scene(self, scene: "DeviceScene", exc: Exception) -> None:
+        """Same containment as execute(): a Pallas failure downgrades the
+        scene to the rolled/unrolled XLA path (plan.combo is owned)."""
+        if not self.use_pallas:
+            raise exc
+        from .utils.perf import log_kv
+        import logging
+
+        log_kv(
+            logging.WARNING,
+            "view executor failed; downgrading the scene to XLA",
+            error=repr(exc),
+        )
+        self.use_pallas = False
+        plan = scene.plan
+        scene.kind = "rolled" if plan.rolled else "unrolled"
+        scene.combo_dev = jnp.asarray(plan.combo)
+        scene.n_quads = scene.n_pad
+
+    def render_views(
+        self,
+        scene: "DeviceScene",
+        pans,
+        zooms=1.0,
+        chunk: int = 0,
+        as_uint8: bool = False,
+        mesh=None,
+    ) -> jnp.ndarray:
+        """A flythrough of a device-resident scene: render a sequence of
+        camera views as chunked single-dispatch batches. The tape is already
+        on device, so a whole animation's host→device traffic is ONE (N, 2)
+        pan array + (N,) zooms — the throughput version of render_view,
+        composing the camera op with render_batch's chunked lax.map dispatch
+        (no reference analog: GL re-walks the scene per tick and submits
+        every frame individually).
+
+        `zooms` may be a scalar or a per-view sequence. `chunk`/`as_uint8`/
+        `mesh` behave exactly like render_batch's (pow-2 padded chunks, ONE
+        dispatch each; device-side u8 quantization; frame-parallel mesh
+        sharding of each chunk). Returns (N, H, W, 4) f32 (or u8) in view
+        order; bit-exact vs the render_view loop (tests/test_camera.py)."""
+        from . import executor as ex
+
+        ds = np.ascontiguousarray(
+            np.asarray(pans, dtype=np.float32).reshape(-1, 2))
+        n = ds.shape[0]
+        zarr = np.asarray(zooms, dtype=np.float32)
+        zs = (np.full((n,), float(zarr), np.float32) if zarr.ndim == 0
+              else zarr.reshape(n).copy())
+        if chunk <= 0:
+            from .config import batch_chunk
+
+            chunk = batch_chunk()
+        self._assert_render_thread()
+        self.drain_async()
+        run, rest = self._view_executor(scene)
+        rect_cols = ex.VIEW_RECT_COLS_PACKED
+        view_fn = ex.get_view_frame_fn(run, scene.n_quads, rect_cols)
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        limit = chunk * n_dev
+        parts = []
+        try:
+            for s in range(0, n, limit):
+                k = min(limit, n - s)
+                per_dev = -(-k // n_dev)
+                per_dev = min(chunk, 1 << max(per_dev - 1, 0).bit_length())
+                target = max(per_dev * n_dev, k)
+                idx = np.minimum(np.arange(target), k - 1)  # repeat last view
+                dsc = jnp.asarray(ds[s : s + k][idx])
+                zsc = jnp.asarray(zs[s : s + k][idx])
+                if mesh is not None:
+                    from .parallel.sharding import (
+                        cached_frame_parallel_runner,
+                    )
+
+                    batched = cached_frame_parallel_runner(view_fn, 2, mesh)
+                else:
+                    batched = ex.get_batch_runner(view_fn, 2)
+                out = batched(dsc, zsc, scene.combo_dev, *rest)
+                parts.append(out[:k])
+        except Exception as exc:
+            self._downgrade_scene(scene, exc)
+            return self.render_views(scene, pans, zooms, chunk, as_uint8,
+                                     mesh)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if n:
+            self.last_frame = out[-1]
+        if as_uint8:
+            return _frames_to_u8(out)
+        return out
 
     # --- batched offline rendering -----------------------------------------
 

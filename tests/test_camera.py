@@ -1,11 +1,14 @@
-"""Device-resident scenes + screen-space pan (snapshot_scene/render_view).
+"""Device-resident scenes + screen-space camera (snapshot_scene/render_view
+/render_views).
 
-The tape uploads once; per frame only a (2,) offset travels and
-executor.pan_rows shifts origins/bboxes/rect-mask translations inside the
-jitted executor. Contract: integer pans of integer-coordinate scenes equal
-a host re-flatten of the translated scene BIT-exactly (ceil snapping
-commutes with integer translation); pan(0) equals the normal render; the
-meta tail and padding rows are never disturbed (round-trip test).
+The tape uploads once; per frame only a (2,) offset + zoom scalar travel
+and executor.view_rows maps origins/bboxes/inverse affines/rect-mask rows
+inside the jitted executor. Contract: integer pans and power-of-two zooms
+of integer axis-aligned scenes equal a host re-flatten of the scene under
+the same nkTransform camera BIT-exactly (ceil snapping commutes with
+integer affine maps); pan(0)/zoom(1) equals the normal render; the meta
+tail and padding rows are never disturbed (round-trip test); the batched
+flythrough equals the per-view loop.
 """
 
 import numpy as np
@@ -314,3 +317,58 @@ def test_snapshot_skips_viewport_cull():
     t_cull = r.flatten(boxes_scene(), scaled(size), cull=True)
     t_nocull = r.flatten(boxes_scene(), scaled(size), cull=False)
     assert t_nocull.count >= t_cull.count
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_render_views_matches_loop(use_pallas):
+    """The flythrough batch (ONE (N,2) pans + (N,) zooms upload, chunked
+    lax.map dispatch) equals the render_view loop bit-exactly, including
+    fractional views and odd chunk tails."""
+    size = vec2(176, 144)
+    ren = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    scene = ren.snapshot_scene(boxes_scene(), size)
+    pans = [(0, 0), (9, -7), (0.5, 0.25), (-13, 11), (3, 4)]
+    zooms = [1.0, 2.0, 1.5, 1.0, 0.75]
+    stack = np.asarray(ren.render_views(scene, pans, zooms, chunk=2))
+    assert stack.shape[0] == len(pans)
+    for i, (p, z) in enumerate(zip(pans, zooms)):
+        exp = np.asarray(ren.render_view(scene, p, zoom=z))
+        np.testing.assert_array_equal(stack[i], exp, err_msg=f"view {i}")
+
+
+def test_render_views_mega_scalar_zoom_u8():
+    """Mega-path flythrough with a scalar zoom; as_uint8 matches
+    take_screenshot's rounding per view."""
+    size = vec2(192, 152)
+    ren = FigRenderer(atlas_size=64, use_pallas=True)
+    scene = ren.snapshot_scene(clip_scene_view(), size)
+    assert scene.kind == "mega"
+    pans = [(0, 0), (7, -5), (-3, 2)]
+    stack = ren.render_views(scene, pans, zooms=2.0, as_uint8=True)
+    assert stack.dtype == np.uint8 and stack.shape[0] == 3
+    for i, p in enumerate(pans):
+        exp = ren.take_screenshot(ren.render_view(scene, p, zoom=2.0))
+        np.testing.assert_array_equal(np.asarray(stack[i]), exp)
+    assert ren.use_pallas
+
+
+def test_render_views_frames_mesh():
+    """Frame-parallel flythrough: each device renders whole views of the
+    chunk; bit-exact vs the loop."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    from figdraw_tpu.parallel.sharding import frames_mesh
+
+    size = vec2(176, 144)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(boxes_scene(), size)
+    mesh = frames_mesh()
+    pans = [(float(3 * i), float(-2 * i)) for i in range(11)]
+    stack = np.asarray(ren.render_views(scene, pans, zooms=1.0, chunk=2,
+                                        mesh=mesh))
+    assert stack.shape[0] == 11
+    for i, p in enumerate(pans):
+        exp = np.asarray(ren.render_view(scene, p))
+        np.testing.assert_array_equal(stack[i], exp, err_msg=f"view {i}")

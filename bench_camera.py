@@ -65,16 +65,31 @@ def run_one(copies):
         ms = (time.perf_counter() - t0) * 1000.0 / FRAMES
         best = ms if best is None else min(best, ms)
 
+    # flythrough: the whole sweep as chunked single-dispatch batches — the
+    # per-frame host->device traffic drops to one (N,2)+(N,) upload per chunk
+    pans = [(f * 3.0, f * 1.0) for f in range(FRAMES)]
+    zooms = [1.0 + 0.4 * (f / FRAMES) for f in range(FRAMES)]
+    renderer.render_views(snap, pans, zooms, chunk=8).block_until_ready()
+    fly = None
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        stack = renderer.render_views(snap, pans, zooms, chunk=8)
+        stack.block_until_ready()
+        ms = (time.perf_counter() - t0) * 1000.0 / FRAMES
+        fly = ms if fly is None else min(fly, ms)
+
     print(json.dumps({
         "metric": f"camera_pan_{copies * 3}box",
         "value": round(best, 3),
         "unit": "ms",
         "per_frame": round(per_frame_ms, 3),
         "speedup": round(per_frame_ms / best, 2),
+        "flythrough": round(fly, 3),
     }))
     print(f"  {copies * 3} boxes: pan {best:.3f} ms/frame "
           f"({1000.0 / best:.0f} fps) vs re-flatten {per_frame_ms:.3f} ms "
-          f"({1000.0 / per_frame_ms:.0f} fps)", file=sys.stderr)
+          f"({1000.0 / per_frame_ms:.0f} fps); flythrough {fly:.3f} ms/view",
+          file=sys.stderr)
 
 
 def main():

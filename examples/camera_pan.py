@@ -31,15 +31,14 @@ def main():
     snap = renderer.snapshot_scene(from_renders(showcase(640, 400)),
                                    vec2(W, H))
 
-    frames = []
-    for i in range(6):
-        pan = (-i * 40.0, -i * 12.0)
-        frame = renderer.render_view(snap, pan)
-        frames.append(renderer.take_screenshot(frame))
-    # zoom leg: same device tape, camera p' = z*p + d
-    for pan, z in (((-80.0, -40.0), 1.6), ((40.0, 20.0), 0.55)):
-        frames.append(renderer.take_screenshot(
-            renderer.render_view(snap, pan, zoom=z)))
+    # the whole sweep as ONE batched flythrough (render_views): 6 scroll
+    # views then two zoom views, chunked single-dispatch lax.maps
+    pans = [(-i * 40.0, -i * 12.0) for i in range(6)]
+    zooms = [1.0] * 6
+    pans += [(-80.0, -40.0), (40.0, 20.0)]
+    zooms += [1.6, 0.55]
+    frames = list(np.asarray(
+        renderer.render_views(snap, pans, zooms, as_uint8=True)))
 
     from PIL import Image
 

@@ -103,6 +103,7 @@ from .fragments import (  # noqa: F401
 )
 from .renderer import (  # noqa: F401
     AtlasUsage,
+    DeviceScene,
     FigRenderer,
     atlas_usage_snapshot,
     new_fig_renderer,

@@ -666,6 +666,23 @@ class ShardedFigRenderer:
         plan = scene.plan
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
+        run, rest = self._view_executor(scene)
+        viewed = ex.get_view_runner(
+            run, scene.n_quads, ex.VIEW_RECT_COLS_UNPACKED
+        )
+        try:
+            frame = viewed(scene.combo_dev, d, z, *rest)
+        except Exception as exc:
+            self._downgrade_scene(scene, exc)
+            return self.render_view(scene, pan, zoom)
+        self._last_padded = frame
+        self.last_frame = frame[: plan.height, : plan.width]
+        return self.last_frame
+
+    def _view_executor(self, scene):
+        """(run, rest) for a mesh-resident scene — the sharded executor
+        matching the snapshot's path and its view-invariant arguments."""
+        plan = scene.plan
         if scene.kind == "mega":
             run, (gh, pw) = get_sharded_mega_executor(
                 self.mesh, plan.height, plan.width, plan.n_masks,
@@ -686,30 +703,76 @@ class ShardedFigRenderer:
                 self._init_frame(gh, pw, plan.has_init_frame),
                 self._flattener._device_atlas(),
             )
-        viewed = ex.get_view_runner(
+        return run, rest
+
+    def _downgrade_scene(self, scene, exc: Exception) -> None:
+        if not self.use_pallas:
+            raise exc
+        from ..utils.perf import log_kv
+        import logging
+
+        log_kv(
+            logging.WARNING,
+            "sharded view executor failed; downgrading the scene to XLA",
+            error=repr(exc),
+        )
+        self.use_pallas = False
+        scene.kind = "frame"
+        scene.combo_dev = jnp.asarray(self._frame_combo(scene.plan))
+        scene.n_quads = scene.plan.n_pad
+
+    def render_views(self, scene, pans, zooms=1.0, chunk: int = 0,
+                     as_uint8: bool = False):
+        """Row-sharded flythrough: the camera path renders as chunked
+        lax.map dispatches over the sharded executor — every view still
+        spans all chips' row bands, and the whole path's host→device
+        traffic is the (N, 2) pans + (N,) zooms arrays. Bit-exact vs the
+        render_view loop (clear snapshots; clear_main=False snapshots fall
+        back to the sequential loop to keep chained-composite semantics)."""
+        import numpy as np
+
+        from .. import executor as ex
+        from ..renderer import _frames_to_u8
+
+        plan = scene.plan
+        ds = np.ascontiguousarray(
+            np.asarray(pans, dtype=np.float32).reshape(-1, 2))
+        n = ds.shape[0]
+        zarr = np.asarray(zooms, dtype=np.float32)
+        zs = (np.full((n,), float(zarr), np.float32) if zarr.ndim == 0
+              else zarr.reshape(n).copy())
+        if chunk <= 0:
+            from ..config import batch_chunk
+
+            chunk = batch_chunk()
+        if plan.has_init_frame:
+            frames = [self.render_view(scene, d, zoom=float(z))
+                      for d, z in zip(ds, zs)]
+            out = (jnp.stack(frames) if frames else jnp.zeros(
+                (0, plan.height, plan.width, 4), jnp.float32))
+            return _frames_to_u8(out) if as_uint8 else out
+        run, rest = self._view_executor(scene)
+        view_fn = ex.get_view_frame_fn(
             run, scene.n_quads, ex.VIEW_RECT_COLS_UNPACKED
         )
+        batched = ex.get_batch_runner(view_fn, 2)
+        parts = []
         try:
-            frame = viewed(scene.combo_dev, d, z, *rest)
+            for s in range(0, n, chunk):
+                k = min(chunk, n - s)
+                target = 1 << max(k - 1, 0).bit_length()
+                idx = np.minimum(np.arange(target), k - 1)
+                out = batched(jnp.asarray(ds[s : s + k][idx]),
+                              jnp.asarray(zs[s : s + k][idx]),
+                              scene.combo_dev, *rest)
+                parts.append(out[:k, : plan.height, : plan.width])
         except Exception as exc:
-            if not self.use_pallas:
-                raise
-            from ..utils.perf import log_kv
-            import logging
-
-            log_kv(
-                logging.WARNING,
-                "sharded view executor failed; downgrading the scene to XLA",
-                error=repr(exc),
-            )
-            self.use_pallas = False
-            scene.kind = "frame"
-            scene.combo_dev = jnp.asarray(self._frame_combo(plan))
-            scene.n_quads = plan.n_pad
-            return self.render_view(scene, pan, zoom)
-        self._last_padded = frame
-        self.last_frame = frame[: plan.height, : plan.width]
-        return self.last_frame
+            self._downgrade_scene(scene, exc)
+            return self.render_views(scene, pans, zooms, chunk, as_uint8)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        if n:
+            self.last_frame = out[-1]
+        return _frames_to_u8(out) if as_uint8 else out
 
 
 # --- frame-parallel offline rendering ---------------------------------------------

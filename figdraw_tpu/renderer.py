@@ -1228,6 +1228,15 @@ class FigRenderer:
             chunk = batch_chunk()
         self._assert_render_thread()
         self.drain_async()
+        if scene.plan.has_init_frame:
+            # clear_main=False snapshots chain views onto last_frame — keep
+            # the loop's sequential-composite semantics (same rule as
+            # render_batch's has_init_frame exclusion)
+            frames = [self.render_view(scene, d, zoom=float(z))
+                      for d, z in zip(ds, zs)]
+            out = (jnp.stack(frames) if frames else jnp.zeros(
+                (0, scene.plan.height, scene.plan.width, 4), jnp.float32))
+            return _frames_to_u8(out) if as_uint8 else out
         run, rest = self._view_executor(scene)
         rect_cols = ex.VIEW_RECT_COLS_PACKED
         view_fn = ex.get_view_frame_fn(run, scene.n_quads, rect_cols)

@@ -255,3 +255,20 @@ def test_sharded_camera_mega_bit_exact():
         ref.render_frame(_clip_cam_scene((5, -3), 2), vec2(w, h)))
     np.testing.assert_array_equal(view, expect)
     assert sharded.use_pallas, "sharded camera megakernel fell back"
+
+
+def test_sharded_camera_views_match_loop():
+    """Row-sharded flythrough (chunked lax.map over the sharded executor)
+    equals the render_view loop bit-exactly."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    w, h = 256, 192
+    sharded = ShardedFigRenderer(atlas_size=64, use_pallas=False)
+    snap = sharded.snapshot_scene(_cam_scene(), vec2(w, h))
+    pans = [(3.0 * i, -2.0 * i) for i in range(5)]
+    zooms = [1.0, 2.0, 1.5, 1.0, 0.75]
+    stack = np.asarray(sharded.render_views(snap, pans, zooms, chunk=2))
+    assert stack.shape == (5, h, w, 4)
+    for i, (p, z) in enumerate(zip(pans, zooms)):
+        exp = np.asarray(sharded.render_view(snap, p, zoom=z))
+        np.testing.assert_array_equal(stack[i], exp, err_msg=f"view {i}")

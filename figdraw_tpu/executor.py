@@ -802,6 +802,24 @@ def view_rows(combo, d, z, n_quads: int,
     return jnp.concatenate([out, combo[n_quads:]], axis=0)
 
 
+@lru_cache(maxsize=32)
+def get_patch_runner(n_rows: int):
+    """Scatter n_rows packed wire rows into a device-resident combo — the
+    retained-scene patch (renderer.update_scene). The upload is ONE array:
+    (n_rows, W+1) f32 with the target row index riding in the extra trailing
+    column (exact as f32 — combos are far below 2^24 rows), so a patch costs
+    a single host→device RPC. The combo is donated so the update happens in
+    place in HBM. Padding duplicates the last (row, index) pair, an
+    idempotent scatter."""
+
+    def patch(combo, packed):
+        w = combo.shape[1]
+        idx = packed[:, w].astype(jnp.int32)
+        return combo.at[idx].set(packed[:, :w])
+
+    return jax.jit(patch, donate_argnums=(0,))
+
+
 @lru_cache(maxsize=64)
 def get_view_runner(run, n_quads: int, rect_cols=VIEW_RECT_COLS_PACKED):
     """Compose view_rows with a cached single-frame executor: ONE jitted

@@ -64,6 +64,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        lib.fd_flatten_layer_spans.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         lib.fd_set_geometry.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -275,11 +283,10 @@ def pack_atlas_entries(entries: dict, atlas_size: int):
     return ids, levels, rects
 
 
-def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
-              text_config=(False, False, False), glyph_offsets=None) -> None:
-    """Shared context setup + layer walk for the export variants.
-    atlas_entries: the entries dict, or a prepacked (ids, levels, rects)
-    tuple from pack_atlas_entries (renderer caches it by atlas version)."""
+def _set_walk_config(lib, ctx, atlas_entries, atlas_size, white_uv,
+                     text_config, glyph_offsets) -> None:
+    """Frame-invariant walk-context setup shared by _run_walk and the
+    retained-scene scratch walk (walk_roots_packed)."""
     lib.fd_set_text_config(
         ctx, int(text_config[0]), int(text_config[1]), int(text_config[2])
     )
@@ -306,6 +313,19 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
     lib.fd_set_white_uv(
         ctx, ctypes.c_double(white_uv[0]), ctypes.c_double(white_uv[1])
     )
+
+
+def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
+              text_config=(False, False, False), glyph_offsets=None,
+              spans_out=None) -> None:
+    """Shared context setup + layer walk for the export variants.
+    atlas_entries: the entries dict, or a prepacked (ids, levels, rects)
+    tuple from pack_atlas_entries (renderer caches it by atlas version).
+    spans_out: optional dict filled with (lvl, root_node_idx) → (qs, qe)
+    per-root tape row spans (forces the serial walk — the retained-scene
+    snapshot contract, renderer.update_scene)."""
+    _set_walk_config(lib, ctx, atlas_entries, atlas_size, white_uv,
+                     text_config, glyph_offsets)
     for _lvl, lst in renders.sorted_pairs():
         nodes, roots, ops, points, glyphs, trects = _layer_arrays(lst)
         lib.fd_set_geometry(
@@ -314,9 +334,20 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
         lib.fd_set_text_geometry(
             ctx, _ptr(glyphs), glyphs.shape[0], _ptr(trects), trects.shape[0]
         )
-        lib.fd_flatten_layer(
-            ctx, _ptr(nodes), nodes.shape[0], _ptr(roots), roots.shape[0]
-        )
+        if spans_out is None:
+            lib.fd_flatten_layer(
+                ctx, _ptr(nodes), nodes.shape[0], _ptr(roots), roots.shape[0]
+            )
+        else:
+            spans = np.empty((roots.shape[0], 2), np.int32)
+            lib.fd_flatten_layer_spans(
+                ctx, _ptr(nodes), nodes.shape[0], _ptr(roots),
+                roots.shape[0], spans.ctypes.data_as(ctypes.c_void_p),
+            )
+            for pos in range(roots.shape[0]):
+                spans_out[(_lvl, int(roots[pos]))] = (
+                    int(spans[pos, 0]), int(spans[pos, 1])
+                )
 
 
 _HOST_CULL = os.environ.get("FIGDRAW_HOST_CULL", "1") != "0"
@@ -582,6 +613,7 @@ def flatten_renders_array(
     bucket=None,
     pool_owner=None,
     cull: bool = True,
+    record_spans: bool = False,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported. With `bucket` (the
@@ -589,7 +621,10 @@ def flatten_renders_array(
     upload-combo layout (_export_tape_combo). cull=False skips the
     saturation cull — it is clamped to the snapshot viewport, so tapes that
     will be panned on device (renderer.snapshot_scene) must keep every
-    quad."""
+    quad. record_spans=True additionally fills tape.root_spans with
+    (lvl, root_node_idx) → (qs, qe) per-root tape row ranges (serial walk;
+    the retained-scene update contract) — spans index PRE-cull rows, so it
+    requires cull=False."""
     lib = _load()
     if lib is None:
         return None
@@ -597,11 +632,109 @@ def flatten_renders_array(
         return None
 
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
+    spans_out = {} if record_spans else None
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
-              text_config, glyph_offsets)
+              text_config, glyph_offsets, spans_out=spans_out)
     if cull:
+        assert spans_out is None, "root spans index pre-cull rows"
         _host_cull(lib, ctx, frame_w, frame_h, pixel_scale)
     if bucket is not None:
-        return _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color,
+        tape = _export_tape_combo(lib, ctx, frame_w, frame_h, clear_color,
                                   bucket, pool_owner=pool_owner)
-    return _export_tape(lib, ctx, frame_w, frame_h, clear_color)
+    else:
+        tape = _export_tape(lib, ctx, frame_w, frame_h, clear_color)
+    tape.root_spans = spans_out
+    return tape
+
+
+def _acquire_scratch_ctx(lib, ui_scale, pixel_scale, aa_factor):
+    """Dedicated retained-scene patch context: never shares tape state or
+    the combo-buffer ping-pong pool with the frame walker's _tls.ctx, so a
+    patch between frames cannot invalidate in-flight tape views."""
+    ctx = getattr(_tls, "patch_ctx", None)
+    if ctx is None:
+        ctx = lib.fd_create(
+            ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale),
+            ctypes.c_float(aa_factor),
+        )
+        _tls.patch_ctx = ctx
+    else:
+        lib.fd_reset(
+            ctx, ctypes.c_float(ui_scale), ctypes.c_float(pixel_scale),
+            ctypes.c_float(aa_factor),
+        )
+    return ctx
+
+
+def walk_roots_packed(
+    renders,
+    dirty,
+    ui_scale,
+    pixel_scale,
+    aa_factor,
+    atlas_entries=None,
+    atlas_size=1,
+    white_uv=(0.0, 0.0),
+    text_config=(False, False, False),
+    glyph_offsets=None,
+    allow_atlas=False,
+):
+    """Re-walk SELECTED roots serially in a scratch context and export their
+    quads as PACKED wire rows (the retained-scene patch path;
+    renderer.update_scene).
+
+    dirty: sequence of (lvl, root_node_idx). Returns (rows, spans) — rows a
+    (n, PACKED_WIDTH) f32 array of the dirty roots' quads in walk order and
+    spans a list of (qs, qe) into rows aligned with `dirty` — or None when
+    patching is unsupported: native lib missing, non-native node kinds, a
+    missing layer, plane masks allocated (global numbering), blur/backdrop
+    pass splits, or atlas sampling without allow_atlas."""
+    lib = _load()
+    if lib is None or not renders.all_native_kinds():
+        return None
+    from .ops.layout import PACKED_WIDTH
+
+    ctx = _acquire_scratch_ctx(lib, ui_scale, pixel_scale, aa_factor)
+    _set_walk_config(lib, ctx, atlas_entries, atlas_size, white_uv,
+                     text_config, glyph_offsets)
+    dirty = list(dirty)
+    spans: list = []
+    i = 0
+    while i < len(dirty):
+        lvl = dirty[i][0]
+        j = i
+        while j < len(dirty) and dirty[j][0] == lvl:
+            j += 1
+        lst = renders.layers.get(lvl)
+        if lst is None:
+            return None
+        nodes, _roots, ops, points, glyphs, trects = _layer_arrays(lst)
+        lib.fd_set_geometry(
+            ctx, _ptr(ops), ops.shape[0], _ptr(points), points.shape[0]
+        )
+        lib.fd_set_text_geometry(
+            ctx, _ptr(glyphs), glyphs.shape[0], _ptr(trects), trects.shape[0]
+        )
+        roots = np.asarray([d[1] for d in dirty[i:j]], dtype=np.int32)
+        out = np.empty((roots.shape[0], 2), np.int32)
+        lib.fd_flatten_layer_spans(
+            ctx, _ptr(nodes), nodes.shape[0], _ptr(roots), roots.shape[0],
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        spans.extend((int(s), int(e)) for s, e in out)
+        i = j
+    info = np.zeros(4, np.int32)
+    lib.fd_tape_info(ctx, info.ctypes.data_as(ctypes.c_void_p))
+    n_quads, _n_items, mask_count, flags = (int(v) for v in info)
+    # per-row content only: plane masks renumber globally, blur/backdrop
+    # items split the pass structure — the caller re-snapshots instead
+    if mask_count or (flags & 1) or (flags & 4):
+        return None
+    if (flags & 2) and not allow_atlas:
+        return None
+    rows = np.empty((max(n_quads, 1), PACKED_WIDTH), dtype=np.float32)
+    rc = lib.fd_export_combo_packed(ctx, _ptr(rows), rows.shape[0],
+                                    PACKED_WIDTH)
+    if rc != n_quads:
+        return None
+    return rows[:n_quads], spans

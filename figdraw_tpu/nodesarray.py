@@ -487,6 +487,37 @@ class RenderListArray:
         self.root_ids.append(i)
         return i
 
+    # --- retained-scene in-place edits --------------------------------------
+    # These write FIG columns directly (no repack, no buffer churn) so the
+    # native walk's cached arrays stay valid; pair with
+    # renderer.update_scene(scene, renders, dirty=[(lvl, root_idx), ...]) to
+    # patch only the edited roots' quad rows on device.
+
+    def set_box(self, i: int, x: float, y: float, w: float, h: float) -> None:
+        self.nodes[i]["box"] = (x, y, w, h)
+
+    def set_rotation(self, i: int, degrees: float) -> None:
+        self.nodes[i]["rotation"] = degrees
+
+    def set_fill(self, i: int, f) -> None:
+        pack_fill(self.nodes[i]["fill"], f)
+
+    def set_stroke_fill(self, i: int, f) -> None:
+        pack_fill(self.nodes[i]["stroke_fill"], f)
+
+    def set_solid_color(self, i: int, color) -> None:
+        """Recolor a solid fill without rebuilding the Fill object."""
+        self.nodes[i]["fill"]["kind"] = 0
+        self.nodes[i]["fill"]["c0"] = color.as_tuple()
+
+    def set_corners(self, i: int, radii) -> None:
+        self.nodes[i]["corners"] = radii
+
+    def set_transform_offset(self, i: int, tx: float, ty: float) -> None:
+        """Move an nkTransform node (offset mode)."""
+        self.nodes[i]["tx"] = tx
+        self.nodes[i]["ty"] = ty
+
     def view(self) -> np.ndarray:
         return self.nodes[: self.count]
 

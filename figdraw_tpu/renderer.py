@@ -74,10 +74,17 @@ class _ExecPlan:
 class DeviceScene:
     """A flattened scene resident in device memory (renderer.snapshot_scene):
     render_view() draws it at any screen offset without re-walking the scene
-    — only a (2,) f32 pan crosses the host→device link per frame."""
+    — only a (2,) f32 pan crosses the host→device link per frame.
+    renderer.update_scene() patches edited roots' quad rows in place
+    (retained scenes)."""
 
     __slots__ = ("kind", "plan", "combo_dev", "n_quads", "n_pad",
-                 "items_dev", "radii_dev")
+                 "items_dev", "radii_dev",
+                 # retained-scene update state (renderer.update_scene):
+                 # per-root tape row spans, the atlas generation the rows
+                 # were packed against, and the snapshot call's arguments
+                 # for the re-snapshot fallback
+                 "spans", "atlas_generation", "snap_args")
 
     def __init__(self, kind, plan, combo_dev, n_quads, n_pad):
         self.kind = kind
@@ -87,6 +94,9 @@ class DeviceScene:
         self.n_pad = n_pad
         self.items_dev = None
         self.radii_dev = None
+        self.spans = None
+        self.atlas_generation = 0
+        self.snap_args = None
 
 
 def _build_rolled_items(structure, bounds, radii):
@@ -622,11 +632,14 @@ class FigRenderer:
         clear_main: bool = True,
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
         cull: bool = True,
+        record_spans: bool = False,
     ) -> Tape:
         """Walk the scene into a quad tape (host side, no device work).
 
         Accepts `Renders` (Python walk) or `RendersArray` (native C++ walk —
-        ~50x faster; see native/flatten.cpp)."""
+        ~50x faster; see native/flatten.cpp). record_spans=True (native walk
+        only, requires cull=False) fills tape.root_spans for retained-scene
+        patching (update_scene)."""
         from .colors import as_color
         from .nodesarray import RendersArray
 
@@ -658,6 +671,7 @@ class FigRenderer:
                 bucket=_bucket,
                 pool_owner=id(self),
                 cull=cull,
+                record_spans=record_spans,
             )
             if tape is not None:
                 return tape
@@ -1079,7 +1093,8 @@ class FigRenderer:
         self._assert_render_thread()
         self.drain_async()
         self.process_image_messages()
-        tape = self.flatten(renders, fs, clear_main, clear_color, cull=False)
+        tape = self.flatten(renders, fs, clear_main, clear_color, cull=False,
+                            record_spans=True)
         plan = self._plan_execution(tape)
         # own the upload buffer: plan.combo may be a pooled native view and
         # a DeviceScene outlives the pool's two-flatten ping-pong (on the
@@ -1094,13 +1109,132 @@ class FigRenderer:
             kind = "rolled" if plan.rolled else "unrolled"
             combo = plan.combo
             n_quads = n_pad
-        return DeviceScene(
+        scene = DeviceScene(
             kind=kind,
             plan=plan,
             combo_dev=jnp.asarray(combo),
             n_quads=n_quads,
             n_pad=n_pad,
         )
+        # retained-scene patch state: spans map tape rows 1:1 onto combo
+        # quad rows only when the mega export interleaves no clear
+        # sentinels (tape.mask_count > 0; plan.n_masks is clamped to ≥1 for
+        # the executor's plane allocation) — other scenes keep spans for
+        # the non-mega layouts, where quad rows always sit at [0, count)
+        if getattr(tape, "root_spans", None) and not (
+            kind == "mega" and tape.mask_count
+        ):
+            scene.spans = tape.root_spans
+        scene.atlas_generation = self.atlas.generation
+        scene.snap_args = (frame_size, clear_main, clear_color)
+        return scene
+
+    def update_scene(
+        self, scene: "DeviceScene", renders, dirty=None
+    ) -> "DeviceScene":
+        """Patch a DeviceScene in place after in-place edits to `renders`
+        (the same RendersArray the snapshot flattened) — the retained-scene
+        path: where render_frame re-walks and re-uploads everything, this
+        re-walks ONLY the dirty roots' subtrees (native
+        fd_flatten_layer_spans spans) and scatters their packed rows into
+        the device-resident combo, so per-frame host + wire cost is
+        O(edited quads), not O(scene).
+
+        dirty: iterable of (lvl, root_node_idx) — the layer key and the
+        add_root node index of each root whose subtree changed — or bare
+        ints meaning layer 0. Supported edits keep the subtree's quad count
+        and pass structure: geometry, rotation, fills, corners, shadow
+        parameters, stroke values. Anything else — structural edits, new
+        mask planes, blur/backdrop in a dirty root, an atlas rebuild,
+        dirty=None — falls back to a full re-snapshot (same result, full
+        cost). Always returns `scene` (patched or re-snapshotted in place).
+        """
+        self._assert_render_thread()
+        patched = self._try_patch_scene(scene, renders, dirty)
+        if patched:
+            return scene
+        frame_size, clear_main, clear_color = scene.snap_args
+        fresh = self.snapshot_scene(renders, frame_size, clear_main,
+                                    clear_color)
+        for slot in DeviceScene.__slots__:
+            setattr(scene, slot, getattr(fresh, slot))
+        return scene
+
+    def _try_patch_scene(self, scene, renders, dirty) -> bool:
+        """The fast path of update_scene: False = caller must re-snapshot."""
+        from . import executor as ex
+        from . import native
+        from .basics import fig_ui_scale
+        from .nodesarray import RendersArray
+
+        if (
+            dirty is None
+            or scene.spans is None
+            or scene.snap_args is None
+            or not isinstance(renders, RendersArray)
+        ):
+            return False
+        dirty = [(0, d) if isinstance(d, int) else (int(d[0]), int(d[1]))
+                 for d in dirty]
+        if not dirty:
+            return True  # nothing changed
+        old_spans = []
+        for key in dirty:
+            span = scene.spans.get(key)
+            if span is None:
+                return False
+            old_spans.append(span)
+        # ensure first: new glyphs can grow the atlas, and rows packed
+        # against a stale generation must re-snapshot
+        self._ensure_packed_glyphs(renders)
+        if scene.atlas_generation != self.atlas.generation:
+            return False
+        out = native.walk_roots_packed(
+            renders,
+            dirty,
+            fig_ui_scale(),
+            self._pixel_scale,
+            self.aa_factor,
+            atlas_entries=self._atlas_pack(),
+            atlas_size=self.atlas.size,
+            white_uv=self._white_uv(),
+            text_config=self._text_config(),
+            glyph_offsets=self._glyph_offsets_pack(),
+            # mega rows carry no atlas runs by construction; the other
+            # layouts read the atlas through items, so patched rows may
+            # sample it as long as the generation still matches (checked)
+            allow_atlas=scene.kind != "mega",
+        )
+        if out is None:
+            return False
+        rows, new_spans = out
+        for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
+            if oe - os_ != ne - ns:
+                return False  # structural edit: quad count changed
+        idx = np.concatenate(
+            [np.arange(s, e, dtype=np.int32) for s, e in old_spans]
+        ) if old_spans else np.empty(0, np.int32)
+        if idx.size == 0:
+            return True  # dirty roots emit no quads (e.g. all invisible)
+        assert rows.shape[0] == idx.size
+        # host mirrors stay exact so the Pallas→XLA downgrade path and any
+        # re-plan see the patched scene
+        plan = scene.plan
+        plan.combo[idx] = rows
+        if plan.mega_combo is not None:
+            plan.mega_combo[idx] = rows
+        # one packed upload (rows + target indices in a trailing column):
+        # a single host→device RPC per patch
+        cap = _bucket(int(idx.size))
+        w = rows.shape[1]
+        packed = np.empty((cap, w + 1), np.float32)
+        packed[: idx.size, :w] = rows
+        packed[: idx.size, w] = idx
+        if cap > idx.size:
+            packed[idx.size:] = packed[idx.size - 1]
+        runner = ex.get_patch_runner(cap)
+        scene.combo_dev = runner(scene.combo_dev, jnp.asarray(packed))
+        return True
 
     def render_view(
         self, scene: "DeviceScene", pan=(0.0, 0.0), zoom: float = 1.0

@@ -122,6 +122,9 @@ class Tape:
         "combo_quads",
         "structure_cache",
         "tile_density",
+        # (lvl, root_node_idx) → (qs, qe) per-root row spans from a
+        # record_spans native walk (retained scenes); None otherwise
+        "root_spans",
     )
 
     def __init__(self, capacity: int = 1024):
@@ -146,6 +149,7 @@ class Tape:
         # from the mode lanes (executor.tape_structure / pick_tile_h)
         self.structure_cache = None
         self.tile_density = None
+        self.root_spans = None
 
     @property
     def fields(self):

@@ -35,6 +35,13 @@ void fd_destroy(FigdrawFlattenCtx *ctx);
 void fd_flatten_layer(FigdrawFlattenCtx *ctx, const void *nodes, int n_nodes,
                       const int32_t *roots, int n_roots);
 
+/* fd_flatten_layer recording per-root quad spans: spans[i*2]/spans[i*2+1]
+ * hold the tape row range root i's subtree emitted (the retained-scene
+ * update contract; always a serial walk, byte-identical output). */
+void fd_flatten_layer_spans(FigdrawFlattenCtx *ctx, const void *nodes,
+                            int n_nodes, const int32_t *roots, int n_roots,
+                            int32_t *spans);
+
 /* Drawable geometry for subsequent fd_flatten_layer calls: ops are n_ops
  * packed DrawOp rows (OP_DTYPE), points a flat n_points x 2 float control
  * pool referenced by bezier ops. Set per layer; pointers must stay valid

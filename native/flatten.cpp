@@ -1709,6 +1709,24 @@ void fd_flatten_layer(Ctx* ctx, const void* nodes, int n_nodes,
   }
 }
 
+// fd_flatten_layer with a per-root quad-span table: spans[i*2] / spans[i*2+1]
+// record ctx->count before/after root i's subtree walk. Always serial (the
+// span table is the retained-scene update contract — renderer.update_scene
+// re-walks only dirty roots and patches their rows in place), byte-identical
+// to the serial fd_flatten_layer: recording does not close runs or touch
+// walk state.
+void fd_flatten_layer_spans(Ctx* ctx, const void* nodes, int n_nodes,
+                            const int32_t* roots, int n_roots,
+                            int32_t* spans) {
+  const Fig* figs = (const Fig*)nodes;
+  ctx->merged = false;
+  for (int i = 0; i < n_roots; i++) {
+    spans[i * 2] = ctx->count;
+    render_node(*ctx, figs, n_nodes, roots[i]);
+    spans[i * 2 + 1] = ctx->count;
+  }
+}
+
 // Drawable geometry for subsequent fd_flatten_layer calls: ops are OP_DTYPE
 // rows, points a flat (n, 2) f32 control-point pool (nodesarray.py pack_ops).
 void fd_set_geometry(Ctx* ctx, const void* ops, int n_ops, const float* points,

@@ -1,0 +1,297 @@
+"""Retained scenes: renderer.update_scene patches a DeviceScene in place.
+
+Contract: after in-place RendersArray edits, update_scene(scene, arr, dirty)
+produces BIT-exactly the frame a fresh snapshot_scene of the edited scene
+renders — whether the patch path ran (per-row edits: geometry, rotation,
+fills, corners, rect-mask clips) or the fallback re-snapshot did (structural
+edits, plane masks in a dirty root, atlas generation changes, dirty=None).
+The fast path re-walks ONLY the dirty roots (native fd_flatten_layer_spans)
+and ships only their packed rows (executor.get_patch_runner scatter), so the
+host + wire cost is O(edited quads), not O(scene).
+"""
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import (
+    Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
+)
+from figdraw_tpu.basics import ShadowStyle
+from figdraw_tpu.nodes import RenderShadow
+from figdraw_tpu.nodesarray import from_renders, pack_fig
+from figdraw_tpu.renderer import FigRenderer
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+W, H = 320, 200
+
+
+def _native_available():
+    from figdraw_tpu import native
+
+    return native._load() is not None
+
+
+pytestmark = pytest.mark.skipif(
+    not _native_available(), reason="retained patching needs the C++ walk"
+)
+
+
+def boxes_scene(n=40):
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(20, 20, 30, 255))))
+    boxes = []
+    for i in range(n):
+        boxes.append(renders.add_root(0, Fig(
+            kind=FigKind.nkRectangle,
+            screen_box=rect(5 + (i % 10) * 31, 8 + (i // 10) * 46, 26, 38),
+            corners=(5,) * 4, rotation=3.0 * i,
+            fill=fill(rgba((i * 37) % 255, 90, 200, 155)))))
+    return from_renders(renders), boxes
+
+
+def _fresh_frame(ren, arr, pan=(0.0, 0.0), zoom=1.0):
+    return np.asarray(ren.render_view(
+        ren.snapshot_scene(arr, vec2(W, H)), pan, zoom))
+
+
+def _patch_hits(monkeypatch):
+    """Count walk_roots_packed fast-path attempts and successes."""
+    from figdraw_tpu import native
+
+    stats = {"calls": 0, "ok": 0}
+    orig = native.walk_roots_packed
+
+    def counting(*a, **k):
+        stats["calls"] += 1
+        out = orig(*a, **k)
+        if out is not None:
+            stats["ok"] += 1
+        return out
+
+    monkeypatch.setattr(native, "walk_roots_packed", counting)
+    return stats
+
+
+@pytest.mark.parametrize("use_pallas", [False, True],
+                         ids=["xla", "pallas"])
+def test_patch_geometry_and_fill_exact(use_pallas, monkeypatch):
+    """Moving/recoloring/rotating roots patches in place and matches a
+    fresh snapshot bit-exactly, including under a camera view."""
+    arr, boxes = boxes_scene()
+    ren = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    assert scene.spans is not None
+    stats = _patch_hits(monkeypatch)
+
+    lst = arr[0]
+    for k, b in enumerate(boxes[5:15]):
+        lst.set_box(b, 5 + (b % 10) * 31, 20 + (b // 10) * 40, 26, 38)
+        lst.set_rotation(b, -10.0 - k)
+        lst.set_solid_color(b, rgba(250, 80 + 10 * k, 60, 200))
+    ren.update_scene(scene, arr, dirty=[(0, b) for b in boxes[5:15]])
+    assert stats["ok"] == 1, "expected the fast patch path"
+
+    got = np.asarray(ren.render_view(scene, pan=(3.0, -2.0)))
+    want = _fresh_frame(ren, arr, pan=(3.0, -2.0))
+    assert np.array_equal(got, want)
+
+
+def test_patch_bare_int_dirty_means_layer_zero(monkeypatch):
+    arr, boxes = boxes_scene(12)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    stats = _patch_hits(monkeypatch)
+    arr[0].set_box(boxes[3], 100, 100, 26, 38)
+    ren.update_scene(scene, arr, dirty=[boxes[3]])
+    assert stats["ok"] == 1
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_patch_rect_mask_clip_root(monkeypatch):
+    """Editing an NfRectMaskContent clip root (the rect-mask wire columns)
+    stays on the fast path — rect-mask state is subtree-local."""
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(20, 20, 30, 255))))
+    c = renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(40, 40, 120, 80),
+        flags=FigFlags.NfRectMaskContent,
+        fill=fill(rgba(200, 200, 210, 255))))
+    renders.add_child(0, c, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(-30, 20, 240, 30),
+        fill=fill(rgba(255, 60, 60, 200))))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=64, use_pallas=True)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    stats = _patch_hits(monkeypatch)
+    arr[0].set_box(c, 60, 55, 100, 70)
+    ren.update_scene(scene, arr, dirty=[(0, c)])
+    assert stats["ok"] == 1
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_structural_edit_falls_back_exact(monkeypatch):
+    """A quad-count-changing edit (shadow added) re-snapshots: still exact,
+    fast path attempted once and rejected."""
+    arr, boxes = boxes_scene(12)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    stats = _patch_hits(monkeypatch)
+    lst = arr[0]
+    shadowed = Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(5, 8, 26, 38),
+        corners=(5,) * 4, fill=fill(rgba(10, 200, 10, 255)),
+        shadows=(RenderShadow(style=ShadowStyle.DropShadow, blur=6.0,
+                              x=2, y=3, fill=fill(rgba(0, 0, 0, 120))),))
+    pack_fig(lst.nodes[boxes[0]], shadowed, lst.ops_rows, lst.points_rows)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[0])])
+    assert stats["calls"] == 1 and stats["ok"] == 1  # walk ok, spans differ
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+    # the re-snapshot refreshed the span table: a follow-up value edit
+    # (same quad count) patches again
+    stats["calls"] = stats["ok"] = 0
+    lst.set_rotation(boxes[0], 33.0)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[0])])
+    assert stats["ok"] == 1
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_plane_mask_dirty_root_falls_back_exact():
+    """A dirty root that allocates a plane mask (NfClipContent) rejects the
+    patch (global mask numbering) and re-snapshots exactly."""
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(20, 20, 30, 255))))
+    c = renders.add_root(0, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(60, 60, 120, 80),
+        rotation=17.0, flags=FigFlags.NfClipContent,
+        fill=fill(rgba(255, 255, 255, 30))))
+    renders.add_child(0, c, Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(-20, 10, 200, 30),
+        fill=fill(rgba(255, 0, 0, 200))))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    arr[0].set_rotation(c, 40.0)
+    ren.update_scene(scene, arr, dirty=[(0, c)])
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_dirty_none_resnapshots():
+    arr, boxes = boxes_scene(8)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    arr[0].set_box(boxes[2], 150, 120, 26, 38)
+    ren.update_scene(scene, arr)  # no dirty info: full refresh
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_patch_preserves_unrelated_rows_and_meta():
+    """Only the dirty roots' rows change in the device combo; padding and
+    the meta tail stay byte-identical."""
+    arr, boxes = boxes_scene(16)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    before = np.asarray(scene.combo_dev).copy()
+    (s, e) = scene.spans[(0, boxes[4])]
+    arr[0].set_box(boxes[4], 111, 77, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[4])])
+    after = np.asarray(scene.combo_dev)
+    changed = np.where(
+        (before != after).any(axis=1) & ~(np.isnan(before).any(axis=1)
+                                          & np.isnan(after).any(axis=1))
+    )[0]
+    assert changed.size > 0
+    assert changed.min() >= s and changed.max() < e
+    assert np.array_equal(before[e:], after[e:], equal_nan=True)
+
+
+def test_patch_then_downgrade_uses_patched_host_mirror():
+    """The Pallas→XLA downgrade path renders from plan.combo: patches must
+    land in the host mirror too."""
+    arr, boxes = boxes_scene(12)
+    ren = FigRenderer(atlas_size=64, use_pallas=True)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    arr[0].set_solid_color(boxes[1], rgba(255, 255, 0, 255))
+    arr[0].set_box(boxes[1], 140, 90, 40, 40)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[1])])
+    ren._downgrade_scene(scene, RuntimeError("forced test downgrade"))
+    got = np.asarray(ren.render_view(scene))
+    ref = FigRenderer(atlas_size=64, use_pallas=False)
+    want = np.asarray(ref.render_view(ref.snapshot_scene(arr, vec2(W, H))))
+    assert np.array_equal(got, want)
+
+
+def test_patch_multi_layer(monkeypatch):
+    """Dirty roots across ZLevels (separate fd layer walks) patch exactly."""
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(10, 12, 16, 255))))
+    a = renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                                screen_box=rect(30, 30, 60, 60),
+                                fill=fill(rgba(200, 60, 60, 200))))
+    b = renders.add_root(1, Fig(kind=FigKind.nkRectangle,
+                                screen_box=rect(60, 50, 80, 40),
+                                corners=(8,) * 4,
+                                fill=fill(rgba(60, 200, 120, 180))))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    stats = _patch_hits(monkeypatch)
+    arr[0].set_box(a, 45, 40, 60, 60)
+    arr[1].set_box(b, 80, 70, 80, 40)
+    ren.update_scene(scene, arr, dirty=[(0, a), (1, b)])
+    assert stats["ok"] == 1
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_patch_text_scene_move_text_root(monkeypatch):
+    """Moving a text root (atlas-sampling glyph quads) patches on the
+    non-mega layouts when the atlas generation is unchanged."""
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface(DEJAVU)
+    f = FigFont(typeface_id=tid, size=16.0)
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    t = renders.add_root(0, Fig(
+        kind=FigKind.nkText, screen_box=rect(20, 20, 200, 60),
+        text_layout=typeset(vec2(200, 60),
+                            [(f, fill(rgba(0, 0, 0, 255)), "retained")])))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    stats = _patch_hits(monkeypatch)
+    arr[0].set_box(t, 40, 90, 200, 60)
+    ren.update_scene(scene, arr, dirty=[(0, t)])
+    assert stats["ok"] == 1, "text move should take the fast path"
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))
+
+
+def test_atlas_generation_change_falls_back():
+    arr, boxes = boxes_scene(8)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    arr[0].set_rotation(boxes[0], 80.0)
+    ren.atlas.generation += 1  # simulate a rebuild between frames
+    ren.update_scene(scene, arr, dirty=[(0, boxes[0])])
+    assert scene.atlas_generation == ren.atlas.generation
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))

@@ -678,17 +678,20 @@ def walk_roots_packed(
     text_config=(False, False, False),
     glyph_offsets=None,
     allow_atlas=False,
+    layout="packed",
 ):
     """Re-walk SELECTED roots serially in a scratch context and export their
-    quads as PACKED wire rows (the retained-scene patch path;
-    renderer.update_scene).
+    quads as wire rows (the retained-scene patch path;
+    renderer.update_scene / ShardedFigRenderer.update_scene).
 
     dirty: sequence of (lvl, root_node_idx). Returns (rows, spans) — rows a
-    (n, PACKED_WIDTH) f32 array of the dirty roots' quads in walk order and
-    spans a list of (qs, qe) into rows aligned with `dirty` — or None when
-    patching is unsupported: native lib missing, non-native node kinds, a
-    missing layer, plane masks allocated (global numbering), blur/backdrop
-    pass splits, or atlas sampling without allow_atlas."""
+    (n, PACKED_WIDTH) f32 array ("packed" layout) or (n, QF_WIDTH + 2)
+    fields+bitcast-mode-lanes array ("unpacked", the sharded combo layout)
+    of the dirty roots' quads in walk order, and spans a list of (qs, qe)
+    into rows aligned with `dirty` — or None when patching is unsupported:
+    native lib missing, non-native node kinds, a missing layer, plane masks
+    allocated (global numbering), blur/backdrop pass splits, or atlas
+    sampling without allow_atlas."""
     lib = _load()
     if lib is None or not renders.all_native_kinds():
         return None
@@ -732,6 +735,20 @@ def walk_roots_packed(
         return None
     if (flags & 2) and not allow_atlas:
         return None
+    if layout == "unpacked":
+        from .ops.layout import QF_WIDTH, QI_WIDTH
+
+        fields = np.empty((max(n_quads, 1), QF_WIDTH), dtype=np.float32)
+        modes = np.empty((max(n_quads, 1), QI_WIDTH), dtype=np.int32)
+        items = np.empty((max(_n_items, 1), 5), dtype=np.int32)
+        rc = lib.fd_export(ctx, _ptr(fields), _ptr(modes), fields.shape[0],
+                           _ptr(items), items.shape[0])
+        if rc != n_quads:
+            return None
+        rows = np.concatenate(
+            [fields[:n_quads], modes[:n_quads].view(np.float32)], axis=1
+        )
+        return rows, spans
     rows = np.empty((max(n_quads, 1), PACKED_WIDTH), dtype=np.float32)
     rc = lib.fd_export_combo_packed(ctx, _ptr(rows), rows.shape[0],
                                     PACKED_WIDTH)

@@ -144,7 +144,14 @@ def eval_quad(
     ry = py - oy
     u = f[QF_INV_A] * rx + f[QF_INV_B] * ry
     v = f[QF_INV_C] * rx + f[QF_INV_D] * ry
-    inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+    # epsilon guard: snapped integer geometry routinely puts rotated quad
+    # edges EXACTLY through pixel centers (u or v == 0.0 to the last bit),
+    # and XLA vs Mosaic order/fuse the inverse-affine multiply-add
+    # differently — a ±1ulp tie would flip a whole AA edge pixel between
+    # the paths (found by test_retained's cross-renderer pin). 1e-6 in uv
+    # is ≤ ~4e-3 px for any plausible quad; ties at -1e-6 exactly cannot
+    # arise from snapped geometry. Keep in lockstep with quad_eval_planar.
+    inside = (u >= -1e-6) & (u <= 1.0 + 1e-6) & (v >= -1e-6) & (v <= 1.0 + 1e-6)
 
     quad_hx = f[QF_PARAMS + 0]
     quad_hy = f[QF_PARAMS + 1]

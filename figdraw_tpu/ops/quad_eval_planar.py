@@ -83,7 +83,9 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
     ry_ = py - oy
     u = fget(QF_INV_A) * rx_ + fget(QF_INV_B) * ry_
     v = fget(QF_INV_C) * rx_ + fget(QF_INV_D) * ry_
-    inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+    # epsilon guard against exact-boundary FP ties — see quad_eval.py's
+    # `inside` note; the two evaluators must agree on edge pixels
+    inside = (u >= -1e-6) & (u <= 1.0 + 1e-6) & (v >= -1e-6) & (v <= 1.0 + 1e-6)
 
     quad_hx = fget(QF_PARAMS + 0)
     quad_hy = fget(QF_PARAMS + 1)

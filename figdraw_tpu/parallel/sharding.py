@@ -636,7 +636,8 @@ class ShardedFigRenderer:
         fs = scaled(frame_size)
         self._flattener.process_image_messages()
         tape = self._flattener.flatten(
-            renders, fs, clear_main, as_color(clear_color), cull=False
+            renders, fs, clear_main, as_color(clear_color), cull=False,
+            record_spans=True,
         )
         plan = self._plan(tape)
         if plan.mega and self.use_pallas:
@@ -647,10 +648,116 @@ class ShardedFigRenderer:
             kind = "frame"
             combo = self._frame_combo(plan)
             n_quads = plan.n_pad
-        return DeviceScene(
+        scene = DeviceScene(
             kind=kind, plan=plan, combo_dev=jnp.asarray(combo),
             n_quads=n_quads, n_pad=plan.n_pad,
         )
+        # retained-scene patch state (update_scene) — same mapping guard as
+        # the single-chip snapshot: mega interleaves clear sentinel rows
+        # when plane masks exist
+        if getattr(tape, "root_spans", None) and not (
+            kind == "mega" and tape.mask_count
+        ):
+            scene.spans = tape.root_spans
+        scene.atlas_generation = self._flattener.atlas.generation
+        scene.snap_args = (frame_size, clear_main, clear_color)
+        return scene
+
+    def update_scene(self, scene, renders, dirty=None):
+        """Patch a mesh-resident DeviceScene in place after in-place edits
+        to `renders` — the sharded twin of FigRenderer.update_scene: dirty
+        roots' subtrees re-walk in the scratch context and their UNPACKED
+        combo rows (fields + bitcast mode lanes, the sharded wire layout)
+        scatter into the replicated device combo as one upload. Unsupported
+        edits re-snapshot (same semantics as single-chip)."""
+        patched = self._try_patch_scene(scene, renders, dirty)
+        if patched:
+            return scene
+        frame_size, clear_main, clear_color = scene.snap_args
+        fresh = self.snapshot_scene(renders, frame_size, clear_main,
+                                    clear_color)
+        from ..renderer import DeviceScene
+
+        for slot in DeviceScene.__slots__:
+            setattr(scene, slot, getattr(fresh, slot))
+        return scene
+
+    def _try_patch_scene(self, scene, renders, dirty) -> bool:
+        import numpy as np
+
+        from .. import executor as ex
+        from .. import native
+        from ..basics import fig_ui_scale
+        from ..nodesarray import RendersArray
+        from ..ops.layout import QF_WIDTH
+        from ..renderer import _bucket
+
+        flat = self._flattener
+        if (
+            dirty is None
+            or scene.spans is None
+            or scene.snap_args is None
+            or not isinstance(renders, RendersArray)
+        ):
+            return False
+        dirty = [(0, d) if isinstance(d, int) else (int(d[0]), int(d[1]))
+                 for d in dirty]
+        if not dirty:
+            return True
+        old_spans = []
+        for key in dirty:
+            span = scene.spans.get(key)
+            if span is None:
+                return False
+            old_spans.append(span)
+        flat._ensure_packed_glyphs(renders)
+        if scene.atlas_generation != flat.atlas.generation:
+            return False
+        out = native.walk_roots_packed(
+            renders,
+            dirty,
+            fig_ui_scale(),
+            flat._pixel_scale,
+            flat.aa_factor,
+            atlas_entries=flat._atlas_pack(),
+            atlas_size=flat.atlas.size,
+            white_uv=flat._white_uv(),
+            text_config=flat._text_config(),
+            glyph_offsets=flat._glyph_offsets_pack(),
+            allow_atlas=scene.kind != "mega",
+            layout="unpacked",
+        )
+        if out is None:
+            return False
+        rows, new_spans = out
+        for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
+            if oe - os_ != ne - ns:
+                return False
+        idx = np.concatenate(
+            [np.arange(s, e, dtype=np.int32) for s, e in old_spans]
+        ) if old_spans else np.empty(0, np.int32)
+        if idx.size == 0:
+            return True
+        assert rows.shape[0] == idx.size
+        # host mirrors: the plan keeps logical fields/modes (the lazy
+        # pass-chain combo packs from them) plus any packed combos
+        plan = scene.plan
+        plan.fields[idx] = rows[:, :QF_WIDTH]
+        plan.modes[idx] = rows[:, QF_WIDTH:].view(np.int32)
+        if plan.combo is not None:
+            plan.combo[idx] = rows
+        if plan.mega_combo is not None:
+            plan.mega_combo[idx] = rows
+        cap = _bucket(int(idx.size))
+        w = rows.shape[1]
+        packed = np.empty((cap, w + 1), np.float32)
+        packed[: idx.size, :w] = rows
+        packed[: idx.size, w] = idx
+        if cap > idx.size:
+            packed[idx.size:] = packed[idx.size - 1]
+        runner = ex.get_patch_runner(cap)
+        scene.combo_dev = runner(scene.combo_dev, jnp.asarray(packed))
+        return True
 
     def render_view(self, scene, pan=(0.0, 0.0), zoom: float = 1.0):
         """One row-sharded frame of a device-resident scene under the camera

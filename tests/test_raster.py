@@ -26,6 +26,7 @@ from figdraw_tpu import (
     vec2,
 )
 from figdraw_tpu.nodes import RenderList, drawable_bezier, drawable_circle, drawable_line
+from figdraw_tpu.nodesarray import from_renders
 
 
 def render_scene(lst, w=96, h=64, use_pallas=False):
@@ -533,3 +534,30 @@ def test_chunked_carry_matches_unchunked(monkeypatch):
     assert np.abs(chunked - whole).max() <= 1.0 / 512.0, (
         np.abs(chunked - whole).max()
     )
+
+
+def test_rotated_edge_tie_pixels_match_xla():
+    """Snapped integer geometry puts rotated quad edges EXACTLY through
+    pixel centers (the inverse-affine u/v lands on 0.0 to the last bit);
+    XLA and Mosaic order the multiply-add differently, so without the
+    epsilon guard in quad_eval(.planar)'s `inside` test a ±1ulp tie flips
+    whole AA edge pixels between the paths (observed: 52/255 on a 3°
+    box). Pins pallas == XLA exactly on the tie-heavy angles."""
+    for rot in (3.0, 45.0):
+        renders = new_renders()
+        renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                                screen_box=rect(0, 0, 320, 200),
+                                fill=fill(rgba(20, 20, 30, 255))))
+        renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                                screen_box=rect(36, 8, 26, 38),
+                                corners=(5,) * 4, rotation=rot,
+                                fill=fill(rgba(37, 90, 200, 155))))
+        arr = from_renders(renders)
+        a = FigRenderer(atlas_size=64, use_pallas=False)
+        b = FigRenderer(atlas_size=64, use_pallas=True)
+        fa = np.asarray(a.render_frame(arr, vec2(320, 200)))
+        fb = np.asarray(b.render_frame(arr, vec2(320, 200)))
+        assert b.use_pallas, "pallas fell back"
+        qa = np.round(np.clip(fa, 0, 1) * 255)
+        qb = np.round(np.clip(fb, 0, 1) * 255)
+        assert np.abs(qa - qb).max() <= 1, (rot, np.abs(qa - qb).max())

@@ -285,6 +285,64 @@ def test_patch_text_scene_move_text_root(monkeypatch):
                           _fresh_frame(ren, arr))
 
 
+def test_sharded_update_scene_patch_and_fallback(monkeypatch):
+    """ShardedFigRenderer.update_scene: the mesh-resident combo (unpacked
+    layout) patches in place and matches a fresh sharded snapshot; a
+    structural edit falls back exactly."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    arr, boxes = boxes_scene(24)
+    ren = ShardedFigRenderer(atlas_size=64, use_pallas=True)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    assert scene.spans is not None
+    stats = _patch_hits(monkeypatch)
+
+    lst = arr[0]
+    for b in boxes[3:9]:
+        lst.set_box(b, 5 + (b % 10) * 31, 25 + (b // 10) * 40, 26, 38)
+        lst.set_solid_color(b, rgba(245, 190, 40, 210))
+    ren.update_scene(scene, arr, dirty=[(0, b) for b in boxes[3:9]])
+    assert stats["ok"] == 1
+    got = np.asarray(ren.render_view(scene, pan=(2.0, 1.0)))
+    want = np.asarray(ren.render_view(
+        ren.snapshot_scene(arr, vec2(W, H)), pan=(2.0, 1.0)))
+    assert np.array_equal(got, want)
+
+    # structural edit: re-snapshot fallback, still exact
+    shadowed = Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(5, 8, 26, 38),
+        corners=(5,) * 4, fill=fill(rgba(10, 200, 10, 255)),
+        shadows=(RenderShadow(style=ShadowStyle.DropShadow, blur=6.0,
+                              x=2, y=3, fill=fill(rgba(0, 0, 0, 120))),))
+    pack_fig(lst.nodes[boxes[0]], shadowed, lst.ops_rows, lst.points_rows)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[0])])
+    got = np.asarray(ren.render_view(scene))
+    want = np.asarray(ren.render_view(ren.snapshot_scene(arr, vec2(W, H))))
+    assert np.array_equal(got, want)
+
+
+def test_sharded_patch_matches_single_chip():
+    """A patched sharded scene equals the single-chip patched scene within
+    the kernel tolerance contract (here: identical CPU math, exact)."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    arr, boxes = boxes_scene(24)
+    single = FigRenderer(atlas_size=64, use_pallas=False)
+    sharded = ShardedFigRenderer(atlas_size=64, use_pallas=True)
+    s1 = single.snapshot_scene(arr, vec2(W, H))
+    s2 = sharded.snapshot_scene(arr, vec2(W, H))
+    arr[0].set_rotation(boxes[7], 45.0)
+    arr[0].set_box(boxes[7], 120, 60, 40, 50)
+    single.update_scene(s1, arr, dirty=[(0, boxes[7])])
+    sharded.update_scene(s2, arr, dirty=[(0, boxes[7])])
+    a = np.asarray(single.render_view(s1))
+    b = np.asarray(sharded.render_view(s2))
+    diff = np.abs(
+        np.round(np.clip(a, 0, 1) * 255) - np.round(np.clip(b, 0, 1) * 255)
+    )
+    assert diff.max() <= 1
+
+
 def test_atlas_generation_change_falls_back():
     arr, boxes = boxes_scene(8)
     ren = FigRenderer(atlas_size=64, use_pallas=False)

@@ -353,3 +353,39 @@ def test_atlas_generation_change_falls_back():
     assert scene.atlas_generation == ren.atlas.generation
     assert np.array_equal(np.asarray(ren.render_view(scene)),
                           _fresh_frame(ren, arr))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_retained_patch_matches_fresh_snapshot(seed):
+    """Random scenes (clips, rect masks, shadows, gradients, drawables,
+    rotations) + random value edits on random roots: update_scene must
+    equal a fresh snapshot of the edited scene bit-exactly whether each
+    edit patched or fell back."""
+    from tests.test_fuzz import random_scene
+
+    rng = np.random.default_rng(4200 + seed)
+    arr = from_renders(random_scene(int(rng.integers(0, 10_000))))
+    ren = FigRenderer(atlas_size=64, use_pallas=seed % 2 == 0)
+    size = vec2(200, 140)
+    scene = ren.snapshot_scene(arr, size)
+    lst = arr[0]
+    roots = list(lst.root_ids)
+    for _round in range(3):
+        dirty = []
+        for r in rng.choice(roots, size=min(3, len(roots)), replace=False):
+            r = int(r)
+            kind = int(rng.integers(0, 3))
+            if kind == 0:
+                lst.set_box(r, float(rng.uniform(-10, 180)),
+                            float(rng.uniform(-10, 120)),
+                            float(rng.uniform(4, 80)),
+                            float(rng.uniform(4, 60)))
+            elif kind == 1:
+                lst.set_rotation(r, float(rng.uniform(-50, 50)))
+            else:
+                lst.set_solid_color(r, rgba(*rng.integers(0, 256, 4).tolist()))
+            dirty.append((0, r))
+        ren.update_scene(scene, arr, dirty)
+        got = np.asarray(ren.render_view(scene))
+        want = np.asarray(ren.render_view(ren.snapshot_scene(arr, size)))
+        assert np.array_equal(got, want), (seed, _round)

@@ -821,6 +821,23 @@ def get_patch_runner(n_rows: int):
 
 
 @lru_cache(maxsize=64)
+def get_patch_view_runner(run, n_quads: int, cap: int,
+                          rect_cols=VIEW_RECT_COLS_PACKED):
+    """Fused retained patch + camera view: scatter the deferred patch rows
+    into the resident combo AND render it under the camera in ONE jitted
+    dispatch (one RPC per retained frame). Returns (frame, patched combo);
+    the combo is donated so the patch lands in place in HBM."""
+
+    def pv(combo, packed, d, z, *rest):
+        w = combo.shape[1]
+        idx = packed[:, w].astype(jnp.int32)
+        combo = combo.at[idx].set(packed[:, :w])
+        return run(view_rows(combo, d, z, n_quads, rect_cols), *rest), combo
+
+    return jax.jit(pv, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=64)
 def get_view_runner(run, n_quads: int, rect_cols=VIEW_RECT_COLS_PACKED):
     """Compose view_rows with a cached single-frame executor: ONE jitted
     dispatch renders a device-resident tape at a screen offset + zoom. The

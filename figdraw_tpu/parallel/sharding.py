@@ -755,8 +755,12 @@ class ShardedFigRenderer:
         packed[: idx.size, w] = idx
         if cap > idx.size:
             packed[idx.size:] = packed[idx.size - 1]
-        runner = ex.get_patch_runner(cap)
-        scene.combo_dev = runner(scene.combo_dev, jnp.asarray(packed))
+        # deferred like single-chip: the scatter fuses into the next
+        # render_view dispatch (one device call per retained frame)
+        from ..renderer import FigRenderer
+
+        FigRenderer._flush_scene_patch(scene)
+        scene.pending_patch = packed
         return True
 
     def render_view(self, scene, pan=(0.0, 0.0), zoom: float = 1.0):
@@ -774,11 +778,22 @@ class ShardedFigRenderer:
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
         run, rest = self._view_executor(scene)
-        viewed = ex.get_view_runner(
-            run, scene.n_quads, ex.VIEW_RECT_COLS_UNPACKED
-        )
         try:
-            frame = viewed(scene.combo_dev, d, z, *rest)
+            if scene.pending_patch is not None:
+                pv = ex.get_patch_view_runner(
+                    run, scene.n_quads, scene.pending_patch.shape[0],
+                    ex.VIEW_RECT_COLS_UNPACKED,
+                )
+                frame, scene.combo_dev = pv(
+                    scene.combo_dev, jnp.asarray(scene.pending_patch), d, z,
+                    *rest,
+                )
+                scene.pending_patch = None
+            else:
+                viewed = ex.get_view_runner(
+                    run, scene.n_quads, ex.VIEW_RECT_COLS_UNPACKED
+                )
+                frame = viewed(scene.combo_dev, d, z, *rest)
         except Exception as exc:
             self._downgrade_scene(scene, exc)
             return self.render_view(scene, pan, zoom)
@@ -825,6 +840,9 @@ class ShardedFigRenderer:
         )
         self.use_pallas = False
         scene.kind = "frame"
+        # the plan's host mirrors already carry any retained patches, so a
+        # deferred device patch is superseded by the repack
+        scene.pending_patch = None
         scene.combo_dev = jnp.asarray(self._frame_combo(scene.plan))
         scene.n_quads = scene.plan.n_pad
 
@@ -839,8 +857,9 @@ class ShardedFigRenderer:
         import numpy as np
 
         from .. import executor as ex
-        from ..renderer import _frames_to_u8
+        from ..renderer import FigRenderer, _frames_to_u8
 
+        FigRenderer._flush_scene_patch(scene)
         plan = scene.plan
         ds = np.ascontiguousarray(
             np.asarray(pans, dtype=np.float32).reshape(-1, 2))

@@ -82,9 +82,10 @@ class DeviceScene:
                  "items_dev", "radii_dev",
                  # retained-scene update state (renderer.update_scene):
                  # per-root tape row spans, the atlas generation the rows
-                 # were packed against, and the snapshot call's arguments
-                 # for the re-snapshot fallback
-                 "spans", "atlas_generation", "snap_args")
+                 # were packed against, the snapshot call's arguments for
+                 # the re-snapshot fallback, and a deferred patch upload
+                 # (fused into the next render_view dispatch)
+                 "spans", "atlas_generation", "snap_args", "pending_patch")
 
     def __init__(self, kind, plan, combo_dev, n_quads, n_pad):
         self.kind = kind
@@ -97,6 +98,7 @@ class DeviceScene:
         self.spans = None
         self.atlas_generation = 0
         self.snap_args = None
+        self.pending_patch = None
 
 
 def _build_rolled_items(structure, bounds, radii):
@@ -1223,8 +1225,10 @@ class FigRenderer:
         plan.combo[idx] = rows
         if plan.mega_combo is not None:
             plan.mega_combo[idx] = rows
-        # one packed upload (rows + target indices in a trailing column):
-        # a single host→device RPC per patch
+        # one packed upload (rows + target indices in a trailing column);
+        # DEFERRED: the scatter fuses into the next render_view dispatch
+        # (executor.get_patch_view_runner) so a retained frame costs ONE
+        # device call, not two. Back-to-back updates flush the older patch.
         cap = _bucket(int(idx.size))
         w = rows.shape[1]
         packed = np.empty((cap, w + 1), np.float32)
@@ -1232,9 +1236,22 @@ class FigRenderer:
         packed[: idx.size, w] = idx
         if cap > idx.size:
             packed[idx.size:] = packed[idx.size - 1]
-        runner = ex.get_patch_runner(cap)
-        scene.combo_dev = runner(scene.combo_dev, jnp.asarray(packed))
+        self._flush_scene_patch(scene)
+        scene.pending_patch = packed
         return True
+
+    @staticmethod
+    def _flush_scene_patch(scene) -> None:
+        """Apply a deferred retained patch standalone (render paths that
+        don't go through the fused patch+view runner)."""
+        from . import executor as ex
+
+        if scene.pending_patch is None:
+            return
+        runner = ex.get_patch_runner(scene.pending_patch.shape[0])
+        scene.combo_dev = runner(scene.combo_dev,
+                                 jnp.asarray(scene.pending_patch))
+        scene.pending_patch = None
 
     def render_view(
         self, scene: "DeviceScene", pan=(0.0, 0.0), zoom: float = 1.0
@@ -1255,9 +1272,21 @@ class FigRenderer:
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
         run, rest = self._view_executor(scene)
-        viewed = ex.get_view_runner(run, scene.n_quads)
         try:
-            frame = viewed(scene.combo_dev, d, z, *rest)
+            if scene.pending_patch is not None:
+                # fused patch+view: the deferred retained update and the
+                # frame render share one dispatch
+                pv = ex.get_patch_view_runner(
+                    run, scene.n_quads, scene.pending_patch.shape[0]
+                )
+                frame, scene.combo_dev = pv(
+                    scene.combo_dev, jnp.asarray(scene.pending_patch), d, z,
+                    *rest,
+                )
+                scene.pending_patch = None
+            else:
+                viewed = ex.get_view_runner(run, scene.n_quads)
+                frame = viewed(scene.combo_dev, d, z, *rest)
         except Exception as exc:
             self._downgrade_scene(scene, exc)
             return self.render_view(scene, pan, zoom)
@@ -1323,6 +1352,9 @@ class FigRenderer:
         self.use_pallas = False
         plan = scene.plan
         scene.kind = "rolled" if plan.rolled else "unrolled"
+        # plan.combo already carries any retained patches (host mirror), so
+        # a deferred device patch is superseded here
+        scene.pending_patch = None
         scene.combo_dev = jnp.asarray(plan.combo)
         scene.n_quads = scene.n_pad
 
@@ -1362,6 +1394,7 @@ class FigRenderer:
             chunk = batch_chunk()
         self._assert_render_thread()
         self.drain_async()
+        self._flush_scene_patch(scene)
         if scene.plan.has_init_frame:
             # clear_main=False snapshots chain views onto last_frame — keep
             # the loop's sequential-composite semantics (same rule as

@@ -206,6 +206,9 @@ def test_patch_preserves_unrelated_rows_and_meta():
     (s, e) = scene.spans[(0, boxes[4])]
     arr[0].set_box(boxes[4], 111, 77, 26, 38)
     ren.update_scene(scene, arr, dirty=[(0, boxes[4])])
+    # the patch is deferred into the next render dispatch; flush to read
+    # the resident combo directly
+    ren._flush_scene_patch(scene)
     after = np.asarray(scene.combo_dev)
     changed = np.where(
         (before != after).any(axis=1) & ~(np.isnan(before).any(axis=1)
@@ -389,3 +392,21 @@ def test_fuzz_retained_patch_matches_fresh_snapshot(seed):
         got = np.asarray(ren.render_view(scene))
         want = np.asarray(ren.render_view(ren.snapshot_scene(arr, size)))
         assert np.array_equal(got, want), (seed, _round)
+
+
+def test_back_to_back_updates_and_flythrough_flush():
+    """Two update_scene calls without a render in between (the older
+    deferred patch flushes standalone), then a render_views flythrough
+    (flushes the newer one): both bit-exact vs fresh snapshots."""
+    arr, boxes = boxes_scene(10)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    arr[0].set_box(boxes[1], 100, 30, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[1])])
+    arr[0].set_solid_color(boxes[2], rgba(255, 0, 255, 255))
+    ren.update_scene(scene, arr, dirty=[(0, boxes[2])])
+    pans = [(0.0, 0.0), (4.0, 2.0), (-3.0, 7.0)]
+    got = np.asarray(ren.render_views(scene, pans, chunk=2))
+    fresh = ren.snapshot_scene(arr, vec2(W, H))
+    want = np.stack([np.asarray(ren.render_view(fresh, p)) for p in pans])
+    assert np.array_equal(got, want)

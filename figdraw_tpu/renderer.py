@@ -83,9 +83,12 @@ class DeviceScene:
                  # retained-scene update state (renderer.update_scene):
                  # per-root tape row spans, the atlas generation the rows
                  # were packed against, the snapshot call's arguments for
-                 # the re-snapshot fallback, and a deferred patch upload
-                 # (fused into the next render_view dispatch)
-                 "spans", "atlas_generation", "snap_args", "pending_patch")
+                 # the re-snapshot fallback, a deferred patch upload (fused
+                 # into the next render_view dispatch), the scene-space
+                 # damage rect accumulated since the last rendered frame,
+                 # and that frame + its camera (the partial-render sources)
+                 "spans", "atlas_generation", "snap_args", "pending_patch",
+                 "pending_damage", "last_cam", "last_view_frame")
 
     def __init__(self, kind, plan, combo_dev, n_quads, n_pad):
         self.kind = kind
@@ -99,6 +102,9 @@ class DeviceScene:
         self.atlas_generation = 0
         self.snap_args = None
         self.pending_patch = None
+        self.pending_damage = None
+        self.last_cam = None
+        self.last_view_frame = None
 
 
 def _build_rolled_items(structure, bounds, radii):
@@ -1219,9 +1225,21 @@ class FigRenderer:
         if idx.size == 0:
             return True  # dirty roots emit no quads (e.g. all invisible)
         assert rows.shape[0] == idx.size
+        plan = scene.plan
+        # scene-space damage rect: union of the changed rows' OLD and NEW
+        # bboxes (every pixel a changed quad could touch) — accumulated
+        # until a rendered frame covers it (the partial-render source)
+        old_bb = plan.combo[idx][:, 6:10]
+        bbs = np.concatenate([old_bb, rows[:, 6:10]], axis=0)
+        dmg = (float(bbs[:, 0].min()), float(bbs[:, 1].min()),
+               float(bbs[:, 2].max()), float(bbs[:, 3].max()))
+        if scene.pending_damage is not None:
+            p = scene.pending_damage
+            dmg = (min(p[0], dmg[0]), min(p[1], dmg[1]),
+                   max(p[2], dmg[2]), max(p[3], dmg[3]))
+        scene.pending_damage = dmg
         # host mirrors stay exact so the Pallas→XLA downgrade path and any
         # re-plan see the patched scene
-        plan = scene.plan
         plan.combo[idx] = rows
         if plan.mega_combo is not None:
             plan.mega_combo[idx] = rows
@@ -1269,11 +1287,26 @@ class FigRenderer:
         and leaves backdrop-blur radii in screen pixels."""
         from . import executor as ex
 
+        cam = (float(pan[0]), float(pan[1]), float(zoom))
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
         run, rest = self._view_executor(scene)
         try:
-            if scene.pending_patch is not None:
+            if scene.pending_patch is not None and self._partial_ok(scene, cam):
+                # damage-clipped fused render: quads outside the edits'
+                # old+new bboxes drop out of binning and the previous
+                # frame's pixels pass through outside the rect — bit-equal
+                # to the full render (executor.get_partial_patch_view_runner)
+                ppv = ex.get_partial_patch_view_runner(
+                    run, scene.n_quads, scene.pending_patch.shape[0]
+                )
+                frame, scene.combo_dev = ppv(
+                    scene.combo_dev, jnp.asarray(scene.pending_patch),
+                    jnp.asarray(np.asarray(scene.pending_damage, np.float32)),
+                    d, z, scene.last_view_frame, *rest,
+                )
+                scene.pending_patch = None
+            elif scene.pending_patch is not None:
                 # fused patch+view: the deferred retained update and the
                 # frame render share one dispatch
                 pv = ex.get_patch_view_runner(
@@ -1290,8 +1323,30 @@ class FigRenderer:
         except Exception as exc:
             self._downgrade_scene(scene, exc)
             return self.render_view(scene, pan, zoom)
+        scene.pending_damage = None
+        scene.last_cam = cam
+        scene.last_view_frame = frame
         self.last_frame = frame
         return frame
+
+    @staticmethod
+    def _partial_ok(scene, cam) -> bool:
+        """Damage-clipped rendering is sound when the previous frame exists
+        under the SAME camera, the pass structure has no blur/backdrop
+        (their halos read pixels outside the damage rect), and the scene
+        composites from the clear color (no init frame)."""
+        if (scene.pending_damage is None or scene.last_view_frame is None
+                or scene.last_cam != cam or scene.plan.has_init_frame):
+            return False
+        for item in scene.plan.structure:
+            # blur/backdrop halos read outside the rect; atlas draws run
+            # through the XLA windowed-gather evaluator, which sizes
+            # windows from bboxes and must not see dropped (empty) ones
+            if item[0] == "blur" or (
+                item[0] == "draw" and (item[2] or item[3])
+            ):
+                return False
+        return True
 
     def _view_executor(self, scene: "DeviceScene"):
         """(run, rest) for a device-resident scene: the cached single-frame
@@ -1353,8 +1408,11 @@ class FigRenderer:
         plan = scene.plan
         scene.kind = "rolled" if plan.rolled else "unrolled"
         # plan.combo already carries any retained patches (host mirror), so
-        # a deferred device patch is superseded here
+        # a deferred device patch is superseded here; the previous frame
+        # came from the failed executor — don't mix paths in a partial
         scene.pending_patch = None
+        scene.last_view_frame = None
+        scene.last_cam = None
         scene.combo_dev = jnp.asarray(plan.combo)
         scene.n_quads = scene.n_pad
 

@@ -410,3 +410,91 @@ def test_back_to_back_updates_and_flythrough_flush():
     fresh = ren.snapshot_scene(arr, vec2(W, H))
     want = np.stack([np.asarray(ren.render_view(fresh, p)) for p in pans])
     assert np.array_equal(got, want)
+
+
+def _partial_hits(monkeypatch):
+    from figdraw_tpu import executor as ex
+
+    stats = {"n": 0}
+    orig = ex.get_partial_patch_view_runner
+
+    def counting(*a, **k):
+        stats["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ex, "get_partial_patch_view_runner", counting)
+    return stats
+
+
+@pytest.mark.parametrize("use_pallas", [False, True],
+                         ids=["xla", "pallas"])
+def test_partial_render_bit_equals_full(use_pallas, monkeypatch):
+    """With a stable camera, the damage-clipped render (quads outside the
+    edits' old+new bboxes dropped, previous frame outside the rect) is
+    BIT-identical to a full render of the edited scene."""
+    arr, boxes = boxes_scene(30)
+    ren = FigRenderer(atlas_size=64, use_pallas=use_pallas)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    cam = ((2.0, 1.0), 1.0)
+    ren.render_view(scene, *cam)  # establishes last_cam + prev frame
+    stats = _partial_hits(monkeypatch)
+    lst = arr[0]
+    for step in range(3):
+        b = boxes[4 + step]
+        lst.set_box(b, 30 + 17 * step, 40 + 9 * step, 26, 38)
+        lst.set_rotation(b, 20.0 * step - 15)
+        lst.set_solid_color(b, rgba(255, 80 * step, 120, 220))
+        ren.update_scene(scene, arr, dirty=[(0, b)])
+        got = np.asarray(ren.render_view(scene, *cam))
+        want = _fresh_frame(ren, arr, *cam)
+        assert stats["n"] == step + 1, "partial path not taken"
+        assert np.array_equal(got, want), step
+
+
+def test_partial_skipped_on_camera_change(monkeypatch):
+    arr, boxes = boxes_scene(12)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    ren.render_view(scene, (0.0, 0.0))
+    stats = _partial_hits(monkeypatch)
+    arr[0].set_box(boxes[2], 90, 90, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[2])])
+    got = np.asarray(ren.render_view(scene, (5.0, 0.0)))  # camera moved
+    assert stats["n"] == 0
+    assert np.array_equal(got, _fresh_frame(ren, arr, (5.0, 0.0)))
+    # next edit at the new camera: partial resumes
+    arr[0].set_rotation(boxes[3], 66.0)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[3])])
+    got = np.asarray(ren.render_view(scene, (5.0, 0.0)))
+    assert stats["n"] == 1
+    assert np.array_equal(got, _fresh_frame(ren, arr, (5.0, 0.0)))
+
+
+def test_partial_render_under_zoomed_camera():
+    """The damage rect transforms by the same p' = z·p + d map as the
+    quads; a zoomed camera partial equals the full render bit-exactly."""
+    arr, boxes = boxes_scene(16)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    cam = ((10.0, -6.0), 2.0)
+    ren.render_view(scene, *cam)
+    arr[0].set_box(boxes[5], 60, 20, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[5])])
+    got = np.asarray(ren.render_view(scene, *cam))
+    assert np.array_equal(got, _fresh_frame(ren, arr, *cam))
+
+
+def test_partial_accumulates_damage_across_updates():
+    """Two update_scene calls before one render: the damage union covers
+    both edits (the first patch flushes standalone, its damage stays
+    pending until a frame covers it)."""
+    arr, boxes = boxes_scene(16)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    ren.render_view(scene)
+    arr[0].set_box(boxes[1], 200, 30, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[1])])
+    arr[0].set_box(boxes[9], 20, 150, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[9])])
+    got = np.asarray(ren.render_view(scene))
+    assert np.array_equal(got, _fresh_frame(ren, arr))

@@ -1339,12 +1339,14 @@ class FigRenderer:
                 or scene.last_cam != cam or scene.plan.has_init_frame):
             return False
         for item in scene.plan.structure:
-            # blur/backdrop halos read outside the rect; atlas draws run
-            # through the XLA windowed-gather evaluator, which sizes
-            # windows from bboxes and must not see dropped (empty) ones
-            if item[0] == "blur" or (
-                item[0] == "draw" and (item[2] or item[3])
-            ):
+            # blur/backdrop halos read pixels outside the rect. Atlas draws
+            # (the XLA windowed-gather evaluator) are SAFE with dropped
+            # quads: an empty bbox clamps the window to the frame corner,
+            # where the quad's true coverage is either zero (its real bbox
+            # is disjoint from the rect, so rect pixels get the fa=0
+            # blending identity) or lands outside the rect (discarded by
+            # the final select).
+            if item[0] == "blur" or (item[0] == "draw" and item[3]):
                 return False
         return True
 

@@ -498,3 +498,39 @@ def test_partial_accumulates_damage_across_updates():
     ren.update_scene(scene, arr, dirty=[(0, boxes[9])])
     got = np.asarray(ren.render_view(scene))
     assert np.array_equal(got, _fresh_frame(ren, arr))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True],
+                         ids=["xla", "pallas"])
+def test_partial_render_text_scene(use_pallas, monkeypatch):
+    """Atlas (glyph) scenes take the partial path too: dropped quads'
+    clamped gather windows are either fa=0 inside the rect or discarded
+    outside it. Moving a box in a text scene is bit-equal to full."""
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface(DEJAVU)
+    f = FigFont(typeface_id=tid, size=16.0)
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    renders.add_root(0, Fig(
+        kind=FigKind.nkText, screen_box=rect(16, 16, 280, 60),
+        text_layout=typeset(vec2(280, 60),
+                            [(f, fill(rgba(0, 0, 0, 255)),
+                              "retained text panel")])))
+    b = renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                                screen_box=rect(30, 110, 60, 50),
+                                corners=(8,) * 4,
+                                fill=fill(rgba(220, 90, 40, 220))))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=256, use_pallas=use_pallas)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    ren.render_view(scene)
+    stats = _partial_hits(monkeypatch)
+    arr[0].set_box(b, 160, 120, 60, 50)
+    ren.update_scene(scene, arr, dirty=[(0, b)])
+    got = np.asarray(ren.render_view(scene))
+    assert stats["n"] == 1, "text scene should take the partial path"
+    assert np.array_equal(got, _fresh_frame(ren, arr))

@@ -685,83 +685,33 @@ class ShardedFigRenderer:
     def _try_patch_scene(self, scene, renders, dirty) -> bool:
         import numpy as np
 
-        from .. import executor as ex
-        from .. import native
-        from ..basics import fig_ui_scale
-        from ..nodesarray import RendersArray
         from ..ops.layout import QF_WIDTH
-        from ..renderer import _bucket
+        from ..renderer import _patch_device_scene
 
-        flat = self._flattener
-        if (
-            dirty is None
-            or scene.spans is None
-            or scene.snap_args is None
-            or not isinstance(renders, RendersArray)
-        ):
-            return False
-        dirty = [(0, d) if isinstance(d, int) else (int(d[0]), int(d[1]))
-                 for d in dirty]
-        if not dirty:
-            return True
-        old_spans = []
-        for key in dirty:
-            span = scene.spans.get(key)
-            if span is None:
-                return False
-            old_spans.append(span)
-        flat._ensure_packed_glyphs(renders)
-        if scene.atlas_generation != flat.atlas.generation:
-            return False
-        out = native.walk_roots_packed(
-            renders,
-            dirty,
-            fig_ui_scale(),
-            flat._pixel_scale,
-            flat.aa_factor,
-            atlas_entries=flat._atlas_pack(),
-            atlas_size=flat.atlas.size,
-            white_uv=flat._white_uv(),
-            text_config=flat._text_config(),
-            glyph_offsets=flat._glyph_offsets_pack(),
-            allow_atlas=scene.kind != "mega",
-            layout="unpacked",
-        )
-        if out is None:
-            return False
-        rows, new_spans = out
-        for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
-            if oe - os_ != ne - ns:
-                return False
-        idx = np.concatenate(
-            [np.arange(s, e, dtype=np.int32) for s, e in old_spans]
-        ) if old_spans else np.empty(0, np.int32)
-        if idx.size == 0:
-            return True
-        assert rows.shape[0] == idx.size
-        # host mirrors: the plan keeps logical fields/modes (the lazy
-        # pass-chain combo packs from them) plus any packed combos
         plan = scene.plan
-        plan.fields[idx] = rows[:, :QF_WIDTH]
-        plan.modes[idx] = rows[:, QF_WIDTH:].view(np.int32)
-        if plan.combo is not None:
-            plan.combo[idx] = rows
-        if plan.mega_combo is not None:
-            plan.mega_combo[idx] = rows
-        cap = _bucket(int(idx.size))
-        w = rows.shape[1]
-        packed = np.empty((cap, w + 1), np.float32)
-        packed[: idx.size, :w] = rows
-        packed[: idx.size, w] = idx
-        if cap > idx.size:
-            packed[idx.size:] = packed[idx.size - 1]
-        # deferred like single-chip: the scatter fuses into the next
-        # render_view dispatch (one device call per retained frame)
-        from ..renderer import FigRenderer
 
-        FigRenderer._flush_scene_patch(scene)
-        scene.pending_patch = packed
-        return True
+        def old_bboxes(idx):
+            return plan.fields[idx][:, 6:10].copy()
+
+        def apply_mirrors(idx, rows):
+            # the plan keeps logical fields/modes (the lazy pass-chain
+            # combo packs from them) plus any packed combos
+            plan.fields[idx] = rows[:, :QF_WIDTH]
+            plan.modes[idx] = rows[:, QF_WIDTH:].view(np.int32)
+            if plan.combo is not None:
+                plan.combo[idx] = rows
+            if plan.mega_combo is not None:
+                plan.mega_combo[idx] = rows
+
+        atlas11 = any(
+            item[0] == "draw" and len(item) > 4 and item[4]
+            for item in plan.structure
+        )
+        return _patch_device_scene(
+            self._flattener, scene, renders, dirty,
+            layout="unpacked", atlas11=atlas11,
+            old_bboxes=old_bboxes, apply_mirrors=apply_mirrors,
+        )
 
     def render_view(self, scene, pan=(0.0, 0.0), zoom: float = 1.0):
         """One row-sharded frame of a device-resident scene under the camera
@@ -780,13 +730,15 @@ class ShardedFigRenderer:
         run, rest = self._view_executor(scene)
         try:
             if scene.pending_patch is not None:
+                from ..renderer import _patch_staging
+
+                packed = _patch_staging(*scene.pending_patch)
                 pv = ex.get_patch_view_runner(
-                    run, scene.n_quads, scene.pending_patch.shape[0],
+                    run, scene.n_quads, packed.shape[0],
                     ex.VIEW_RECT_COLS_UNPACKED,
                 )
                 frame, scene.combo_dev = pv(
-                    scene.combo_dev, jnp.asarray(scene.pending_patch), d, z,
-                    *rest,
+                    scene.combo_dev, jnp.asarray(packed), d, z, *rest,
                 )
                 scene.pending_patch = None
             else:

@@ -191,6 +191,118 @@ def _atlas_patch(atlas, patch, y, x):
     return jax.lax.dynamic_update_slice(atlas, patch, (y, x, 0))
 
 
+def _patch_staging(rows, idx):
+    """Bucket-padded (cap, W+1) staging array for a retained patch: the
+    target row index rides a trailing f32 column (exact — combos are far
+    below 2^24 rows) so the upload is ONE host→device RPC; padding
+    duplicates the last (row, index) pair, an idempotent scatter."""
+    cap = _bucket(int(idx.size))
+    w = rows.shape[1]
+    packed = np.empty((cap, w + 1), np.float32)
+    packed[: idx.size, :w] = rows
+    packed[: idx.size, w] = idx
+    if cap > idx.size:
+        packed[idx.size:] = packed[idx.size - 1]
+    return packed
+
+
+def _patch_device_scene(flat, scene, renders, dirty, layout, atlas11,
+                        old_bboxes, apply_mirrors) -> bool:
+    """Shared fast path of update_scene for the single-chip and sharded
+    renderers: validate, re-walk the dirty roots in the scratch context,
+    accumulate the damage rect, patch the host mirrors, and stage the rows
+    as a DEFERRED device patch (fused into the next render_view dispatch;
+    back-to-back updates merge on host, newest row per index winning).
+    False = the caller must re-snapshot.
+
+    flat: the flattening FigRenderer (atlas/text/glyph state). layout: the
+    scene's wire layout for native.walk_roots_packed. atlas11: the plan
+    marked in-kernel 1:1 atlas quads, which raw scratch rows would lose —
+    atlas-bearing patches must re-snapshot. old_bboxes(idx)/
+    apply_mirrors(idx, rows): read pre-patch bboxes / write the host
+    mirrors (called in that order)."""
+    from . import native
+    from .basics import fig_ui_scale
+    from .nodesarray import RendersArray
+
+    if (
+        dirty is None
+        or scene.spans is None
+        or scene.snap_args is None
+        or not isinstance(renders, RendersArray)
+    ):
+        return False
+    dirty = [(0, d) if isinstance(d, int) else (int(d[0]), int(d[1]))
+             for d in dirty]
+    if not dirty:
+        return True  # nothing changed
+    old_spans = []
+    for key in dirty:
+        span = scene.spans.get(key)
+        if span is None:
+            return False
+        old_spans.append(span)
+    # ensure first: new glyphs can grow the atlas, and rows packed against
+    # a stale generation must re-snapshot
+    flat._ensure_packed_glyphs(renders)
+    if scene.atlas_generation != flat.atlas.generation:
+        return False
+    out = native.walk_roots_packed(
+        renders,
+        dirty,
+        fig_ui_scale(),
+        flat._pixel_scale,
+        flat.aa_factor,
+        atlas_entries=flat._atlas_pack(),
+        atlas_size=flat.atlas.size,
+        white_uv=flat._white_uv(),
+        text_config=flat._text_config(),
+        glyph_offsets=flat._glyph_offsets_pack(),
+        # mega rows carry no atlas runs by construction; the other layouts
+        # read the atlas through items, so patched rows may sample it as
+        # long as the generation matches (checked) and the plan didn't
+        # bake ATLAS11 marks the scratch export would lose
+        allow_atlas=scene.kind != "mega" and not atlas11,
+        layout=layout,
+    )
+    if out is None:
+        return False
+    rows, new_spans = out
+    for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
+        if oe - os_ != ne - ns:
+            return False  # structural edit: quad count changed
+    idx = np.concatenate(
+        [np.arange(s, e, dtype=np.int32) for s, e in old_spans]
+    ) if old_spans else np.empty(0, np.int32)
+    if idx.size == 0:
+        return True  # dirty roots emit no quads (e.g. all invisible)
+    assert rows.shape[0] == idx.size
+    # scene-space damage rect: union of the changed rows' OLD and NEW
+    # bboxes (every pixel a changed quad could touch) — accumulated until
+    # a rendered frame covers it (the partial-render source). Bbox columns
+    # sit at 6..9 in BOTH wire layouts (packed copies fields[0:16];
+    # unpacked rows lead with the fields).
+    bbs = np.concatenate([old_bboxes(idx), rows[:, 6:10]], axis=0)
+    dmg = (float(bbs[:, 0].min()), float(bbs[:, 1].min()),
+           float(bbs[:, 2].max()), float(bbs[:, 3].max()))
+    if scene.pending_damage is not None:
+        p = scene.pending_damage
+        dmg = (min(p[0], dmg[0]), min(p[1], dmg[1]),
+               max(p[2], dmg[2]), max(p[3], dmg[3]))
+    scene.pending_damage = dmg
+    apply_mirrors(idx, rows)
+    if scene.pending_patch is not None:
+        # merge on host instead of flushing a standalone RPC: the newest
+        # row wins per index (plain concat is unsafe — XLA scatter order
+        # for duplicate indices is unspecified)
+        old_rows, old_idx = scene.pending_patch
+        keep = ~np.isin(old_idx, idx)
+        rows = np.concatenate([old_rows[keep], rows])
+        idx = np.concatenate([old_idx[keep], idx])
+    scene.pending_patch = (rows, idx)
+    return True
+
+
 @jax.jit
 def _blend_overlay(frame, overlay):
     """Source-over an external straight-alpha layer (GL blend convention,
@@ -1170,93 +1282,28 @@ class FigRenderer:
 
     def _try_patch_scene(self, scene, renders, dirty) -> bool:
         """The fast path of update_scene: False = caller must re-snapshot."""
-        from . import executor as ex
-        from . import native
-        from .basics import fig_ui_scale
-        from .nodesarray import RendersArray
-
-        if (
-            dirty is None
-            or scene.spans is None
-            or scene.snap_args is None
-            or not isinstance(renders, RendersArray)
-        ):
-            return False
-        dirty = [(0, d) if isinstance(d, int) else (int(d[0]), int(d[1]))
-                 for d in dirty]
-        if not dirty:
-            return True  # nothing changed
-        old_spans = []
-        for key in dirty:
-            span = scene.spans.get(key)
-            if span is None:
-                return False
-            old_spans.append(span)
-        # ensure first: new glyphs can grow the atlas, and rows packed
-        # against a stale generation must re-snapshot
-        self._ensure_packed_glyphs(renders)
-        if scene.atlas_generation != self.atlas.generation:
-            return False
-        out = native.walk_roots_packed(
-            renders,
-            dirty,
-            fig_ui_scale(),
-            self._pixel_scale,
-            self.aa_factor,
-            atlas_entries=self._atlas_pack(),
-            atlas_size=self.atlas.size,
-            white_uv=self._white_uv(),
-            text_config=self._text_config(),
-            glyph_offsets=self._glyph_offsets_pack(),
-            # mega rows carry no atlas runs by construction; the other
-            # layouts read the atlas through items, so patched rows may
-            # sample it as long as the generation still matches (checked)
-            allow_atlas=scene.kind != "mega",
-        )
-        if out is None:
-            return False
-        rows, new_spans = out
-        for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
-            if oe - os_ != ne - ns:
-                return False  # structural edit: quad count changed
-        idx = np.concatenate(
-            [np.arange(s, e, dtype=np.int32) for s, e in old_spans]
-        ) if old_spans else np.empty(0, np.int32)
-        if idx.size == 0:
-            return True  # dirty roots emit no quads (e.g. all invisible)
-        assert rows.shape[0] == idx.size
         plan = scene.plan
-        # scene-space damage rect: union of the changed rows' OLD and NEW
-        # bboxes (every pixel a changed quad could touch) — accumulated
-        # until a rendered frame covers it (the partial-render source)
-        old_bb = plan.combo[idx][:, 6:10]
-        bbs = np.concatenate([old_bb, rows[:, 6:10]], axis=0)
-        dmg = (float(bbs[:, 0].min()), float(bbs[:, 1].min()),
-               float(bbs[:, 2].max()), float(bbs[:, 3].max()))
-        if scene.pending_damage is not None:
-            p = scene.pending_damage
-            dmg = (min(p[0], dmg[0]), min(p[1], dmg[1]),
-                   max(p[2], dmg[2]), max(p[3], dmg[3]))
-        scene.pending_damage = dmg
-        # host mirrors stay exact so the Pallas→XLA downgrade path and any
-        # re-plan see the patched scene
-        plan.combo[idx] = rows
-        if plan.mega_combo is not None:
-            plan.mega_combo[idx] = rows
-        # one packed upload (rows + target indices in a trailing column);
-        # DEFERRED: the scatter fuses into the next render_view dispatch
-        # (executor.get_patch_view_runner) so a retained frame costs ONE
-        # device call, not two. Back-to-back updates flush the older patch.
-        cap = _bucket(int(idx.size))
-        w = rows.shape[1]
-        packed = np.empty((cap, w + 1), np.float32)
-        packed[: idx.size, :w] = rows
-        packed[: idx.size, w] = idx
-        if cap > idx.size:
-            packed[idx.size:] = packed[idx.size - 1]
-        self._flush_scene_patch(scene)
-        scene.pending_patch = packed
-        return True
+
+        def old_bboxes(idx):
+            return plan.combo[idx][:, 6:10].copy()
+
+        def apply_mirrors(idx, rows):
+            # host mirrors stay exact so the Pallas→XLA downgrade path and
+            # any re-plan see the patched scene
+            plan.combo[idx] = rows
+            if plan.mega_combo is not None:
+                plan.mega_combo[idx] = rows
+
+        return _patch_device_scene(
+            self, scene, renders, dirty,
+            layout="packed",
+            # under FIGDRAW_ATLAS11=always the plan marked 1:1 atlas quads
+            # (MODE_ATLAS11_BIT) — raw scratch rows would lose the mark, so
+            # atlas-bearing patches must re-snapshot
+            atlas11=bool(getattr(plan, "atlas11_runs", False)),
+            old_bboxes=old_bboxes,
+            apply_mirrors=apply_mirrors,
+        )
 
     @staticmethod
     def _flush_scene_patch(scene) -> None:
@@ -1266,9 +1313,10 @@ class FigRenderer:
 
         if scene.pending_patch is None:
             return
-        runner = ex.get_patch_runner(scene.pending_patch.shape[0])
-        scene.combo_dev = runner(scene.combo_dev,
-                                 jnp.asarray(scene.pending_patch))
+        rows, idx = scene.pending_patch
+        packed = _patch_staging(rows, idx)
+        runner = ex.get_patch_runner(packed.shape[0])
+        scene.combo_dev = runner(scene.combo_dev, jnp.asarray(packed))
         scene.pending_patch = None
 
     def render_view(
@@ -1287,7 +1335,11 @@ class FigRenderer:
         and leaves backdrop-blur radii in screen pixels."""
         from . import executor as ex
 
-        cam = (float(pan[0]), float(pan[1]), float(zoom))
+        # the camera key carries the executor identity too: a renderer-level
+        # use_pallas flip between frames (execute()'s failure fallback) must
+        # not mix a stale Pallas frame with XLA in-rect pixels
+        cam = (float(pan[0]), float(pan[1]), float(zoom), self.use_pallas,
+               scene.kind)
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
         run, rest = self._view_executor(scene)
@@ -1297,11 +1349,12 @@ class FigRenderer:
                 # old+new bboxes drop out of binning and the previous
                 # frame's pixels pass through outside the rect — bit-equal
                 # to the full render (executor.get_partial_patch_view_runner)
+                packed = _patch_staging(*scene.pending_patch)
                 ppv = ex.get_partial_patch_view_runner(
-                    run, scene.n_quads, scene.pending_patch.shape[0]
+                    run, scene.n_quads, packed.shape[0]
                 )
                 frame, scene.combo_dev = ppv(
-                    scene.combo_dev, jnp.asarray(scene.pending_patch),
+                    scene.combo_dev, jnp.asarray(packed),
                     jnp.asarray(np.asarray(scene.pending_damage, np.float32)),
                     d, z, scene.last_view_frame, *rest,
                 )
@@ -1309,12 +1362,12 @@ class FigRenderer:
             elif scene.pending_patch is not None:
                 # fused patch+view: the deferred retained update and the
                 # frame render share one dispatch
+                packed = _patch_staging(*scene.pending_patch)
                 pv = ex.get_patch_view_runner(
-                    run, scene.n_quads, scene.pending_patch.shape[0]
+                    run, scene.n_quads, packed.shape[0]
                 )
                 frame, scene.combo_dev = pv(
-                    scene.combo_dev, jnp.asarray(scene.pending_patch), d, z,
-                    *rest,
+                    scene.combo_dev, jnp.asarray(packed), d, z, *rest,
                 )
                 scene.pending_patch = None
             else:

@@ -34,7 +34,15 @@ def level_color(t):
     return rgba(int(60 + 180 * t), int(200 - 120 * t), 90, 235)
 
 
-def build():
+def counter_fig(font, value):
+    from figdraw_tpu.text.layout import typeset
+
+    return Fig(kind=FigKind.nkText, screen_box=rect(8, 4, 200, 24),
+               text_layout=typeset(vec2(200, 24), [(
+                   font, fill(rgba(235, 240, 250, 255)), f"tick {value}")]))
+
+
+def build(font):
     renders = new_renders()
     renders.add_root(0, Fig(kind=FigKind.nkRectangle,
                             screen_box=rect(0, 0, W, H),
@@ -55,15 +63,27 @@ def build():
             kind=FigKind.nkRectangle,
             screen_box=rect(x + 3, base - hgt, cw - 16, hgt),
             corners=(3,) * 4, fill=fill(level_color(t)))))
-    return from_renders(renders), bars
+    # drawn last so it overlays the grid
+    label = renders.add_root(0, counter_fig(font, 0))
+    return from_renders(renders), bars, label
 
 
 def main():
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
     os.makedirs(OUT, exist_ok=True)
-    arr, bars = build()
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    font = FigFont(typeface_id=tid, size=14.0)
+    arr, bars, label = build(font)
     lst = arr[0]
-    ren = FigRenderer(atlas_size=64, use_pallas=True)
-    scene = ren.snapshot_scene(arr, vec2(W, H))
+    ren = FigRenderer(atlas_size=256, use_pallas=True)
+    # pre-ensure every digit so label updates never rebuild the atlas
+    probe = new_renders()
+    probe.add_root(0, counter_fig(font, 1234567890))
+    ren._ensure_packed_glyphs(from_renders(probe))
+    # reserve rows so the growing "tick N" label patches in place
+    scene = ren.snapshot_scene(arr, vec2(W, H),
+                               reserve={(0, label): 16})
     assert scene.spans is not None, "retained spans unavailable (no C++ walk?)"
 
     ch = H / ROWS
@@ -81,6 +101,9 @@ def main():
             lst.set_box(b, x, base - hgt, w, hgt)
             lst.set_solid_color(b, level_color(t))
             dirty.append((0, b))
+        # count-changing label update: rides the same patch (row reserve)
+        lst.set_node(label, counter_fig(font, f + 1))
+        dirty.append((0, label))
         ren.update_scene(scene, arr, dirty)
         frames.append(np.asarray(
             (np.clip(ren.render_view(scene), 0, 1) * 255).round()

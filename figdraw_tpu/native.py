@@ -72,6 +72,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.fd_pad_rows.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.fd_set_geometry.argtypes = [
             ctypes.c_void_p,
             ctypes.c_void_p,
@@ -317,13 +318,15 @@ def _set_walk_config(lib, ctx, atlas_entries, atlas_size, white_uv,
 
 def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
               text_config=(False, False, False), glyph_offsets=None,
-              spans_out=None) -> None:
+              spans_out=None, reserves=None) -> None:
     """Shared context setup + layer walk for the export variants.
     atlas_entries: the entries dict, or a prepacked (ids, levels, rects)
     tuple from pack_atlas_entries (renderer caches it by atlas version).
     spans_out: optional dict filled with (lvl, root_node_idx) → (qs, qe)
     per-root tape row spans (forces the serial walk — the retained-scene
-    snapshot contract, renderer.update_scene)."""
+    snapshot contract, renderer.update_scene). reserves: optional
+    (lvl, root_node_idx) → n dict; each such root's span is padded with n
+    INERT rows (fd_pad_rows) so count-changing edits can patch in place."""
     _set_walk_config(lib, ctx, atlas_entries, atlas_size, white_uv,
                      text_config, glyph_offsets)
     for _lvl, lst in renders.sorted_pairs():
@@ -338,6 +341,25 @@ def _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
             lib.fd_flatten_layer(
                 ctx, _ptr(nodes), nodes.shape[0], _ptr(roots), roots.shape[0]
             )
+        elif reserves and any(
+            (_lvl, int(r)) in reserves for r in roots
+        ):
+            # per-root calls so reserved roots can pad in place (serial on
+            # the same ctx: runs stay open, mask numbering stays global —
+            # byte-identical to the one-call walk apart from the pads)
+            one = np.empty((1, 2), np.int32)
+            for pos in range(roots.shape[0]):
+                rid = int(roots[pos])
+                lib.fd_flatten_layer_spans(
+                    ctx, _ptr(nodes), nodes.shape[0],
+                    roots[pos : pos + 1].ctypes.data_as(ctypes.c_void_p), 1,
+                    one.ctypes.data_as(ctypes.c_void_p),
+                )
+                pad = int(reserves.get((_lvl, rid), 0))
+                if pad > 0:
+                    lib.fd_pad_rows(ctx, pad)
+                spans_out[(_lvl, rid)] = (int(one[0, 0]),
+                                          int(one[0, 1]) + pad)
         else:
             spans = np.empty((roots.shape[0], 2), np.int32)
             lib.fd_flatten_layer_spans(
@@ -614,6 +636,7 @@ def flatten_renders_array(
     pool_owner=None,
     cull: bool = True,
     record_spans: bool = False,
+    reserve=None,
 ) -> Optional[Tape]:
     """Runs the native walk over all layers in ZLevel order; returns a Tape or
     None when the native path is unavailable/unsupported. With `bucket` (the
@@ -634,7 +657,8 @@ def flatten_renders_array(
     ctx = _acquire_ctx(lib, ui_scale, pixel_scale, aa_factor)
     spans_out = {} if record_spans else None
     _run_walk(lib, ctx, renders, atlas_entries, atlas_size, white_uv,
-              text_config, glyph_offsets, spans_out=spans_out)
+              text_config, glyph_offsets, spans_out=spans_out,
+              reserves=reserve)
     if cull:
         assert spans_out is None, "root spans index pre-cull rows"
         _host_cull(lib, ctx, frame_w, frame_h, pixel_scale)
@@ -645,6 +669,37 @@ def flatten_renders_array(
         tape = _export_tape(lib, ctx, frame_w, frame_h, clear_color)
     tape.root_spans = spans_out
     return tape
+
+
+def inert_quad_rows(n: int, layout: str = "packed") -> np.ndarray:
+    """n inert wire rows — the Python twin of fd_pad_rows (bit-identical;
+    tests/test_retained.py pins the parity): empty bbox (never binned), an
+    inverse affine putting every pixel far outside the uv unit square
+    (coverage exactly 0 — the blending identity). The retained patch path
+    fills shrunken reserved spans with these."""
+    from .ops.layout import (
+        PACKED_WIDTH, QF_BBOX_X0, QF_BBOX_X1, QF_BBOX_Y0, QF_BBOX_Y1,
+        QF_INV_A, QF_ORG_X, QF_ORG_Y, QF_WIDTH,
+    )
+
+    fields = np.zeros((max(n, 1), QF_WIDTH), np.float32)
+    fields[:, QF_INV_A] = 1.0
+    fields[:, QF_ORG_X] = 2e9
+    fields[:, QF_ORG_Y] = 2e9
+    fields[:, QF_BBOX_X0] = 2e9
+    fields[:, QF_BBOX_Y0] = 2e9
+    fields[:, QF_BBOX_X1] = -2e9
+    fields[:, QF_BBOX_Y1] = -2e9
+    modes = np.zeros((max(n, 1), 2), np.int32)
+    modes[:, 0] = 3  # fd_pad_rows' packed_mode
+    if layout == "unpacked":
+        rows = np.concatenate([fields, modes.view(np.float32)], axis=1)
+        return rows[:n]
+    from .ops.layout import pack_fields_np
+
+    out = np.zeros((max(n, 1), PACKED_WIDTH), np.float32)
+    pack_fields_np(fields, modes, out=out)
+    return out[:n]
 
 
 def _acquire_scratch_ctx(lib, ui_scale, pixel_scale, aa_factor):

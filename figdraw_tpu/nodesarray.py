@@ -518,6 +518,19 @@ class RenderListArray:
         self.nodes[i]["tx"] = tx
         self.nodes[i]["ty"] = ty
 
+    def set_node(self, i: int, node) -> None:
+        """Repack a node wholesale (text content changes, fill-kind swaps —
+        anything the column setters can't express), preserving its tree
+        links. A text repack appends a fresh glyph block (the old one stays
+        orphaned — bounded by how often labels change between snapshots);
+        pair with renderer.snapshot_scene(reserve=...) so count-changing
+        text still patches in place."""
+        parent = int(self.nodes[i]["parent"])
+        child_count = int(self.nodes[i]["child_count"])
+        self._pack(i, node)
+        self.nodes[i]["parent"] = parent
+        self.nodes[i]["child_count"] = child_count
+
     def view(self) -> np.ndarray:
         return self.nodes[: self.count]
 

@@ -624,11 +624,12 @@ class ShardedFigRenderer:
     # --- device-resident scenes on the mesh ---------------------------------
 
     def snapshot_scene(self, renders, frame_size, clear_main=True,
-                       clear_color=(1.0, 1.0, 1.0, 1.0)):
+                       clear_color=(1.0, 1.0, 1.0, 1.0), reserve=None):
         """Flatten once (saturation cull OFF — panning can reveal culled
         quads) and park the replicated combo on the mesh; render_view then
         scrolls/zooms it row-sharded across chips for pure kernel + ICI
-        cost — the multi-chip twin of FigRenderer.snapshot_scene."""
+        cost — the multi-chip twin of FigRenderer.snapshot_scene (incl. the
+        retained-scene spans and per-root row reserves)."""
         from ..basics import scaled
         from ..colors import as_color
         from ..renderer import DeviceScene
@@ -637,7 +638,7 @@ class ShardedFigRenderer:
         self._flattener.process_image_messages()
         tape = self._flattener.flatten(
             renders, fs, clear_main, as_color(clear_color), cull=False,
-            record_spans=True,
+            record_spans=True, reserve=reserve,
         )
         plan = self._plan(tape)
         if plan.mega and self.use_pallas:
@@ -660,7 +661,7 @@ class ShardedFigRenderer:
         ):
             scene.spans = tape.root_spans
         scene.atlas_generation = self._flattener.atlas.generation
-        scene.snap_args = (frame_size, clear_main, clear_color)
+        scene.snap_args = (frame_size, clear_main, clear_color, reserve)
         return scene
 
     def update_scene(self, scene, renders, dirty=None):
@@ -673,9 +674,9 @@ class ShardedFigRenderer:
         patched = self._try_patch_scene(scene, renders, dirty)
         if patched:
             return scene
-        frame_size, clear_main, clear_color = scene.snap_args
+        frame_size, clear_main, clear_color, reserve = scene.snap_args
         fresh = self.snapshot_scene(renders, frame_size, clear_main,
-                                    clear_color)
+                                    clear_color, reserve=reserve)
         from ..renderer import DeviceScene
 
         for slot in DeviceScene.__slots__:

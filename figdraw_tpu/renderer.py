@@ -268,14 +268,31 @@ def _patch_device_scene(flat, scene, renders, dirty, layout, atlas11,
     if out is None:
         return False
     rows, new_spans = out
+    total = 0
     for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
-        if oe - os_ != ne - ns:
-            return False  # structural edit: quad count changed
+        if ne - ns > oe - os_:
+            return False  # grew beyond the span (+ any reserve)
+        total += oe - os_
     idx = np.concatenate(
         [np.arange(s, e, dtype=np.int32) for s, e in old_spans]
     ) if old_spans else np.empty(0, np.int32)
     if idx.size == 0:
         return True  # dirty roots emit no quads (e.g. all invisible)
+    if total != rows.shape[0]:
+        # shrunken subtrees (fewer quads than the reserved span): fill the
+        # tail with inert rows — exact blending identities, never binned —
+        # so count-CHANGING edits stay on the patch path
+        filled = np.empty((total, rows.shape[1]), np.float32)
+        off = 0
+        for (os_, oe), (ns, ne) in zip(old_spans, new_spans):
+            m = ne - ns
+            filled[off : off + m] = rows[ns:ne]
+            pad = (oe - os_) - m
+            if pad:
+                filled[off + m : off + m + pad] = native.inert_quad_rows(
+                    pad, layout)
+            off += oe - os_
+        rows = filled
     assert rows.shape[0] == idx.size
     # scene-space damage rect: union of the changed rows' OLD and NEW
     # bboxes (every pixel a changed quad could touch) — accumulated until
@@ -753,13 +770,16 @@ class FigRenderer:
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
         cull: bool = True,
         record_spans: bool = False,
+        reserve=None,
     ) -> Tape:
         """Walk the scene into a quad tape (host side, no device work).
 
         Accepts `Renders` (Python walk) or `RendersArray` (native C++ walk —
         ~50x faster; see native/flatten.cpp). record_spans=True (native walk
         only, requires cull=False) fills tape.root_spans for retained-scene
-        patching (update_scene)."""
+        patching (update_scene); reserve (a (lvl, root_idx) → n dict) pads
+        those roots' spans with n inert rows so count-changing edits patch
+        in place."""
         from .colors import as_color
         from .nodesarray import RendersArray
 
@@ -792,6 +812,7 @@ class FigRenderer:
                 pool_owner=id(self),
                 cull=cull,
                 record_spans=record_spans,
+                reserve=reserve,
             )
             if tape is not None:
                 return tape
@@ -1192,6 +1213,7 @@ class FigRenderer:
         frame_size: Vec2,
         clear_main: bool = True,
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
+        reserve=None,
     ) -> "DeviceScene":
         """Flatten once and park the tape ON DEVICE; render_view() then
         draws it at any screen offset for pure kernel cost — per frame only
@@ -1203,8 +1225,10 @@ class FigRenderer:
         The snapshot flattens with the saturation cull OFF — the cull is
         clamped to the snapshot viewport and panning could reveal culled
         quads (native.flatten_renders_array cull flag). Scene edits after
-        the snapshot are not seen; take a new snapshot (cheap: one flatten
-        + one upload)."""
+        the snapshot are not seen; use update_scene (in-place patch) or take
+        a new snapshot. reserve ((lvl, root_idx) → n): pad those roots'
+        spans with n inert rows so count-CHANGING edits (growing text
+        labels) can still patch in place up to the reserve."""
         from .basics import scaled
         from .colors import as_color
 
@@ -1214,7 +1238,7 @@ class FigRenderer:
         self.drain_async()
         self.process_image_messages()
         tape = self.flatten(renders, fs, clear_main, clear_color, cull=False,
-                            record_spans=True)
+                            record_spans=True, reserve=reserve)
         plan = self._plan_execution(tape)
         # own the upload buffer: plan.combo may be a pooled native view and
         # a DeviceScene outlives the pool's two-flatten ping-pong (on the
@@ -1246,7 +1270,7 @@ class FigRenderer:
         ):
             scene.spans = tape.root_spans
         scene.atlas_generation = self.atlas.generation
-        scene.snap_args = (frame_size, clear_main, clear_color)
+        scene.snap_args = (frame_size, clear_main, clear_color, reserve)
         return scene
 
     def update_scene(
@@ -1273,9 +1297,9 @@ class FigRenderer:
         patched = self._try_patch_scene(scene, renders, dirty)
         if patched:
             return scene
-        frame_size, clear_main, clear_color = scene.snap_args
+        frame_size, clear_main, clear_color, reserve = scene.snap_args
         fresh = self.snapshot_scene(renders, frame_size, clear_main,
-                                    clear_color)
+                                    clear_color, reserve=reserve)
         for slot in DeviceScene.__slots__:
             setattr(scene, slot, getattr(fresh, slot))
         return scene

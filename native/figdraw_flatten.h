@@ -42,6 +42,10 @@ void fd_flatten_layer_spans(FigdrawFlattenCtx *ctx, const void *nodes,
                             int n_nodes, const int32_t *roots, int n_roots,
                             int32_t *spans);
 
+/* Append n inert quad rows (coverage exactly 0 everywhere, never binned):
+ * retained-scene row reserves for count-changing in-place edits. */
+void fd_pad_rows(FigdrawFlattenCtx *ctx, int n);
+
 /* Drawable geometry for subsequent fd_flatten_layer calls: ops are n_ops
  * packed DrawOp rows (OP_DTYPE), points a flat n_points x 2 float control
  * pool referenced by bezier ops. Set per layer; pointers must stay valid

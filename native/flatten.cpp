@@ -1709,6 +1709,27 @@ void fd_flatten_layer(Ctx* ctx, const void* nodes, int n_nodes,
   }
 }
 
+// Append n INERT quad rows: empty bbox (never binned), an inverse affine
+// that lands every pixel far outside the uv unit square (u = px - 2e9, so
+// `inside` is false and coverage is exactly 0 on both rasterizers — the
+// blending identity). Retained scenes reserve per-root rows with these so
+// count-changing edits (text labels) can patch in place
+// (renderer.snapshot_scene(reserve=...)). Keep bit-identical to
+// native.inert_quad_rows (tests/test_retained.py pins the parity).
+void fd_pad_rows(Ctx* ctx, int n) {
+  for (int i = 0; i < n; i++) {
+    int mrd = ctx->ensure_run();
+    float* f = ctx->alloc_quad(mrd, /*packed_mode=*/3);
+    f[QF_INV_A] = 1.0f;
+    f[QF_ORG_X + 0] = 2e9f;
+    f[QF_ORG_X + 1] = 2e9f;
+    f[QF_BBOX + 0] = 2e9f;
+    f[QF_BBOX + 1] = 2e9f;
+    f[QF_BBOX + 2] = -2e9f;
+    f[QF_BBOX + 3] = -2e9f;
+  }
+}
+
 // fd_flatten_layer with a per-root quad-span table: spans[i*2] / spans[i*2+1]
 // record ctx->count before/after root i's subtree walk. Always serial (the
 // span table is the retained-scene update contract — renderer.update_scene

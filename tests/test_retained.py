@@ -616,3 +616,90 @@ def test_atlas11_plan_rejects_atlas_rows(monkeypatch):
     assert stats["ok"] == 1, "text root must not patch under atlas11"
     assert np.array_equal(np.asarray(ren.render_view(scene)),
                           _fresh_frame(ren, arr))
+
+
+def test_reserved_text_label_updates_patch_in_place(monkeypatch):
+    """snapshot_scene(reserve=...) pads a text root's span with inert rows
+    (bit-identical C++/Python encodings, exact blending identities) so
+    COUNT-CHANGING label edits stay on the patch path: shrink and grow
+    within the reserve both equal fresh snapshots bit-exactly; growth
+    beyond the reserve falls back."""
+    from figdraw_tpu import native
+    from figdraw_tpu.text.layout import typeset
+    from figdraw_tpu.text.typefaces import FigFont, load_typeface
+
+    tid = load_typeface(DEJAVU)
+    fnt = FigFont(typeface_id=tid, size=16.0)
+
+    def text_fig(label):
+        return Fig(kind=FigKind.nkText, screen_box=rect(16, 16, 280, 60),
+                   text_layout=typeset(vec2(280, 60),
+                                       [(fnt, fill(rgba(0, 0, 0, 255)),
+                                         label)]))
+
+    renders = new_renders()
+    renders.add_root(0, Fig(kind=FigKind.nkRectangle,
+                            screen_box=rect(0, 0, W, H),
+                            fill=fill(rgba(250, 250, 250, 255))))
+    t = renders.add_root(0, text_fig("42"))
+    arr = from_renders(renders)
+    ren = FigRenderer(atlas_size=256, use_pallas=False)
+    # ensure every label's glyphs up front so the generation stays stable
+    for s in ("42", "7", "1337", "123456789012"):
+        probe = new_renders()
+        probe.add_root(0, text_fig(s))
+        ren._ensure_packed_glyphs(from_renders(probe))
+
+    scene = ren.snapshot_scene(arr, vec2(W, H), reserve={(0, t): 10})
+    # reserved snapshot == plain snapshot, and the pad rows match the
+    # Python inert encoding bit-for-bit
+    plain = ren.snapshot_scene(arr, vec2(W, H))
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          np.asarray(ren.render_view(plain)))
+    s_, e_ = scene.spans[(0, t)]
+    pad = (e_ - s_) - (plain.spans[(0, t)][1] - plain.spans[(0, t)][0])
+    assert pad == 10
+    tail = scene.plan.combo[e_ - pad : e_]
+    assert np.array_equal(tail.view(np.int32),
+                          native.inert_quad_rows(pad, "packed").view(np.int32))
+
+    stats = _patch_hits(monkeypatch)
+    lst = arr[0]
+    for label in ("7", "1337", "42"):  # shrink, grow, back
+        lst.set_node(t, text_fig(label))
+        ren.update_scene(scene, arr, dirty=[(0, t)])
+        got = np.asarray(ren.render_view(scene))
+        fresh = ren.snapshot_scene(arr, vec2(W, H))
+        assert np.array_equal(got, np.asarray(ren.render_view(fresh))), label
+    assert stats["ok"] == 3, "label edits should stay on the patch path"
+
+    # beyond the reserve: falls back (re-snapshot keeps the reserve)
+    lst.set_node(t, text_fig("123456789012"))
+    ren.update_scene(scene, arr, dirty=[(0, t)])
+    assert scene.spans is not None and scene.snap_args[3] == {(0, t): 10}
+    got = np.asarray(ren.render_view(scene))
+    fresh = ren.snapshot_scene(arr, vec2(W, H))
+    assert np.array_equal(got, np.asarray(ren.render_view(fresh)))
+
+
+def test_shrinking_root_patches_without_reserve(monkeypatch):
+    """A subtree that emits FEWER quads than at snapshot (shadow removed)
+    patches in place — the freed tail becomes inert rows."""
+    arr, boxes = boxes_scene(10)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    lst = arr[0]
+    shadowed = Fig(
+        kind=FigKind.nkRectangle, screen_box=rect(5, 8, 26, 38),
+        corners=(5,) * 4, fill=fill(rgba(10, 200, 10, 255)),
+        shadows=(RenderShadow(style=ShadowStyle.DropShadow, blur=6.0,
+                              x=2, y=3, fill=fill(rgba(0, 0, 0, 120))),))
+    lst.set_node(boxes[0], shadowed)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    stats = _patch_hits(monkeypatch)
+    plain = Fig(kind=FigKind.nkRectangle, screen_box=rect(5, 8, 26, 38),
+                corners=(5,) * 4, fill=fill(rgba(10, 200, 10, 255)))
+    lst.set_node(boxes[0], plain)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[0])])
+    assert stats["ok"] == 1
+    assert np.array_equal(np.asarray(ren.render_view(scene)),
+                          _fresh_frame(ren, arr))

@@ -659,7 +659,9 @@ class ShardedFigRenderer:
         if getattr(tape, "root_spans", None) and not (
             kind == "mega" and tape.mask_count
         ):
-            scene.spans = tape.root_spans
+            from ..renderer import _patchable_spans
+
+            scene.spans = _patchable_spans(tape)
         scene.atlas_generation = self._flattener.atlas.generation
         scene.snap_args = (frame_size, clear_main, clear_color, reserve)
         return scene

@@ -206,6 +206,32 @@ def _patch_staging(rows, idx):
     return packed
 
 
+def _patchable_spans(tape):
+    """tape.root_spans filtered to roots whose rows have NO plane-mask
+    involvement (no mask-targeted draw rows, no mask-reading rows): the
+    patch path replaces rows but keeps the snapshot's items/structure, so a
+    clip-structure change inside a span (e.g. set_node removing
+    NfClipContent) with a coincidentally equal quad count would silently
+    mis-target — such roots always re-snapshot instead."""
+    spans = tape.root_spans
+    if not spans:
+        return spans
+    if not tape.mask_count:
+        return spans
+    from .tape import DrawItem
+
+    bad = np.zeros(tape.count, bool)
+    for item in tape.items:
+        if isinstance(item, DrawItem) and item.target >= 0:
+            bad[item.start : item.end] = True
+    bad |= tape.modes[: tape.count, 1] != 0
+    return {
+        key: (qs, qe)
+        for key, (qs, qe) in spans.items()
+        if not bad[qs:qe].any()
+    }
+
+
 def _patch_device_scene(flat, scene, renders, dirty, layout, atlas11,
                         old_bboxes, apply_mirrors) -> bool:
     """Shared fast path of update_scene for the single-chip and sharded
@@ -1268,7 +1294,7 @@ class FigRenderer:
         if getattr(tape, "root_spans", None) and not (
             kind == "mega" and tape.mask_count
         ):
-            scene.spans = tape.root_spans
+            scene.spans = _patchable_spans(tape)
         scene.atlas_generation = self.atlas.generation
         scene.snap_args = (frame_size, clear_main, clear_color, reserve)
         return scene

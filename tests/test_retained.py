@@ -373,11 +373,13 @@ def test_fuzz_retained_patch_matches_fresh_snapshot(seed):
     scene = ren.snapshot_scene(arr, size)
     lst = arr[0]
     roots = list(lst.root_ids)
+    from tests.test_fuzz import _rand_rect_fig
+
     for _round in range(3):
         dirty = []
         for r in rng.choice(roots, size=min(3, len(roots)), replace=False):
             r = int(r)
-            kind = int(rng.integers(0, 3))
+            kind = int(rng.integers(0, 4))
             if kind == 0:
                 lst.set_box(r, float(rng.uniform(-10, 180)),
                             float(rng.uniform(-10, 120)),
@@ -385,8 +387,12 @@ def test_fuzz_retained_patch_matches_fresh_snapshot(seed):
                             float(rng.uniform(4, 60)))
             elif kind == 1:
                 lst.set_rotation(r, float(rng.uniform(-50, 50)))
-            else:
+            elif kind == 2:
                 lst.set_solid_color(r, rgba(*rng.integers(0, 256, 4).tolist()))
+            else:
+                # wholesale repack: quad count may shrink (tail fills with
+                # inert rows) or grow (fallback) — both must stay exact
+                lst.set_node(r, _rand_rect_fig(rng, depth=2))
             dirty.append((0, r))
         ren.update_scene(scene, arr, dirty)
         got = np.asarray(ren.render_view(scene))

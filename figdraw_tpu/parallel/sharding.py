@@ -726,15 +726,32 @@ class ShardedFigRenderer:
         import numpy as np
 
         from .. import executor as ex
+        from ..renderer import FigRenderer, _patch_staging
 
         plan = scene.plan
+        cam = (float(pan[0]), float(pan[1]), float(zoom), self.use_pallas,
+               scene.kind)
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
         run, rest = self._view_executor(scene)
         try:
-            if scene.pending_patch is not None:
-                from ..renderer import _patch_staging
-
+            if scene.pending_patch is not None and FigRenderer._partial_ok(
+                scene, cam
+            ):
+                # damage-clipped, same contract as single-chip: the select
+                # runs on the PADDED sharded frame (prev is padded too)
+                packed = _patch_staging(*scene.pending_patch)
+                ppv = ex.get_partial_patch_view_runner(
+                    run, scene.n_quads, packed.shape[0],
+                    ex.VIEW_RECT_COLS_UNPACKED,
+                )
+                frame, scene.combo_dev = ppv(
+                    scene.combo_dev, jnp.asarray(packed),
+                    jnp.asarray(np.asarray(scene.pending_damage, np.float32)),
+                    d, z, scene.last_view_frame, *rest,
+                )
+                scene.pending_patch = None
+            elif scene.pending_patch is not None:
                 packed = _patch_staging(*scene.pending_patch)
                 pv = ex.get_patch_view_runner(
                     run, scene.n_quads, packed.shape[0],
@@ -752,6 +769,9 @@ class ShardedFigRenderer:
         except Exception as exc:
             self._downgrade_scene(scene, exc)
             return self.render_view(scene, pan, zoom)
+        scene.pending_damage = None
+        scene.last_cam = cam
+        scene.last_view_frame = frame  # padded: the partial-render source
         self._last_padded = frame
         self.last_frame = frame[: plan.height, : plan.width]
         return self.last_frame
@@ -796,8 +816,11 @@ class ShardedFigRenderer:
         self.use_pallas = False
         scene.kind = "frame"
         # the plan's host mirrors already carry any retained patches, so a
-        # deferred device patch is superseded by the repack
+        # deferred device patch is superseded by the repack; the previous
+        # frame came from the failed executor — don't mix paths in a partial
         scene.pending_patch = None
+        scene.last_view_frame = None
+        scene.last_cam = None
         scene.combo_dev = jnp.asarray(self._frame_combo(scene.plan))
         scene.n_quads = scene.plan.n_pad
 

@@ -709,3 +709,27 @@ def test_shrinking_root_patches_without_reserve(monkeypatch):
     assert stats["ok"] == 1
     assert np.array_equal(np.asarray(ren.render_view(scene)),
                           _fresh_frame(ren, arr))
+
+
+def test_sharded_partial_render_bit_equals_full(monkeypatch):
+    """The damage-clipped render also rides the mesh: same-camera sharded
+    updates select prev-frame pixels outside the rect on the PADDED frame
+    and equal a fresh sharded snapshot bit-exactly."""
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    arr, boxes = boxes_scene(20)
+    ren = ShardedFigRenderer(atlas_size=64, use_pallas=True)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    ren.render_view(scene, (1.0, 2.0))
+    stats = _partial_hits(monkeypatch)
+    lst = arr[0]
+    for step in range(2):
+        b = boxes[6 + step]
+        lst.set_box(b, 40 + 30 * step, 60, 26, 38)
+        lst.set_solid_color(b, rgba(20, 220, 180, 230))
+        ren.update_scene(scene, arr, dirty=[(0, b)])
+        got = np.asarray(ren.render_view(scene, (1.0, 2.0)))
+        want = np.asarray(ren.render_view(
+            ren.snapshot_scene(arr, vec2(W, H)), (1.0, 2.0)))
+        assert stats["n"] == step + 1, "sharded partial path not taken"
+        assert np.array_equal(got, want), step

@@ -841,6 +841,10 @@ def get_patch_view_runner(run, n_quads: int, cap: int,
 # sampling; bboxes already bound every quad's full footprint (shadow spread
 # included), so 2 px is generous
 DAMAGE_PAD = 2.0
+# distinct damage rects tracked per retained scene: scattered widget edits
+# keep per-widget rects instead of inflating one union to near-full-frame
+# (renderer._merge_damage greedily merges past this)
+DAMAGE_RECTS = 4
 # packed wire columns of the quad bbox (write_packed_quad_row copies
 # fields[0:16] verbatim; ops/layout.py QF_BBOX_*)
 _PACKED_BBOX_COLS = (6, 7, 8, 9)
@@ -850,29 +854,35 @@ _PACKED_BBOX_COLS = (6, 7, 8, 9)
 def get_partial_patch_view_runner(run, n_quads: int, cap: int,
                                   rect_cols=VIEW_RECT_COLS_PACKED):
     """Fused retained patch + camera view + DAMAGE-CLIPPED raster: scatter
-    the deferred patch, drop every quad whose screen bbox misses the damage
-    rect (empty-bbox rows bin into no tiles, so untouched tiles run an
-    empty composite loop), render, and take the previous frame's pixels
-    everywhere outside the rect. One dispatch; output is bit-identical to
+    the deferred patch, drop every quad whose screen bbox misses every
+    damage rect (empty-bbox rows bin into no tiles, so untouched tiles run
+    an empty composite loop), render, and take the previous frame's pixels
+    everywhere outside the rects. One dispatch; output is bit-identical to
     the full render because every pixel a changed quad can touch lies
-    inside the rect (old + new bboxes generated it, padded by DAMAGE_PAD)
-    and inside it the full ordered quad sublist recomposites from the
-    clear color. Caller guards: no blur/backdrop in the pass structure, no
-    init frame, camera unchanged since the previous frame."""
+    inside its root's rect (old + new bboxes generated it, padded by
+    DAMAGE_PAD) and inside the rects the full ordered quad sublist
+    recomposites from the clear color. rects: (DAMAGE_RECTS, 4) scene-space
+    f32, unused slots inverted (x1 < x0 — no pixels, no quads). Caller
+    guards: no blur/backdrop in the pass structure, no init frame, camera
+    unchanged since the previous frame."""
     bb = jnp.asarray(_PACKED_BBOX_COLS)
 
-    def ppv(combo, packed, rect, d, z, prev, *rest):
+    def ppv(combo, packed, rects, d, z, prev, *rest):
         w = combo.shape[1]
         idx = packed[:, w].astype(jnp.int32)
         combo = combo.at[idx].set(packed[:, :w])
         viewed = view_rows(combo, d, z, n_quads, rect_cols)
-        rx0 = rect[0] * z + d[0] - DAMAGE_PAD
-        ry0 = rect[1] * z + d[1] - DAMAGE_PAD
-        rx1 = rect[2] * z + d[0] + DAMAGE_PAD
-        ry1 = rect[3] * z + d[1] + DAMAGE_PAD
+        rx0 = rects[:, 0] * z + d[0] - DAMAGE_PAD  # (R,)
+        ry0 = rects[:, 1] * z + d[1] - DAMAGE_PAD
+        rx1 = rects[:, 2] * z + d[0] + DAMAGE_PAD
+        ry1 = rects[:, 3] * z + d[1] + DAMAGE_PAD
         q = viewed[:n_quads]
-        keep = ((q[:, bb[0]] <= rx1) & (q[:, bb[2]] >= rx0)
-                & (q[:, bb[1]] <= ry1) & (q[:, bb[3]] >= ry0))
+        keep = (
+            (q[:, bb[0], None] <= rx1[None, :])
+            & (q[:, bb[2], None] >= rx0[None, :])
+            & (q[:, bb[1], None] <= ry1[None, :])
+            & (q[:, bb[3], None] >= ry0[None, :])
+        ).any(axis=1)
         empty = jnp.asarray([2e9, 2e9, -2e9, -2e9], jnp.float32)
         viewed = viewed.at[:n_quads, bb].set(
             jnp.where(keep[:, None], q[:, bb], empty))
@@ -880,7 +890,10 @@ def get_partial_patch_view_runner(run, n_quads: int, cap: int,
         h, wpx = frame.shape[0], frame.shape[1]
         cy = jax.lax.broadcasted_iota(jnp.float32, (h, wpx), 0) + 0.5
         cx = jax.lax.broadcasted_iota(jnp.float32, (h, wpx), 1) + 0.5
-        inr = (cx >= rx0) & (cx <= rx1) & (cy >= ry0) & (cy <= ry1)
+        inr = jnp.zeros((h, wpx), bool)
+        for r in range(rects.shape[0]):
+            inr |= ((cx >= rx0[r]) & (cx <= rx1[r])
+                    & (cy >= ry0[r]) & (cy <= ry1[r]))
         return jnp.where(inr[..., None], frame, prev), combo
 
     return jax.jit(ppv, donate_argnums=(0,))

@@ -745,9 +745,11 @@ class ShardedFigRenderer:
                     run, scene.n_quads, packed.shape[0],
                     ex.VIEW_RECT_COLS_UNPACKED,
                 )
+                from ..renderer import _damage_rects
+
                 frame, scene.combo_dev = ppv(
                     scene.combo_dev, jnp.asarray(packed),
-                    jnp.asarray(np.asarray(scene.pending_damage, np.float32)),
+                    jnp.asarray(_damage_rects(scene.pending_damage)),
                     d, z, scene.last_view_frame, *rest,
                 )
                 scene.pending_patch = None

@@ -206,6 +206,43 @@ def _patch_staging(rows, idx):
     return packed
 
 
+def _damage_rects(rects):
+    """The partial runner's static (DAMAGE_RECTS, 4) f32 rect array; unused
+    slots inverted (no pixels, no quads)."""
+    from . import executor as ex
+
+    out = np.full((ex.DAMAGE_RECTS, 4), [2e9, 2e9, -2e9, -2e9], np.float32)
+    for i, r in enumerate(rects):
+        out[i] = r
+    return out
+
+
+def _merge_damage(rects, rect):
+    """Append a damage rect, greedily merging the min-area-growth pair once
+    past executor.DAMAGE_RECTS slots (the partial runner's static rect
+    count)."""
+    from . import executor as ex
+
+    rects = [] if rects is None else list(rects)
+    rects.append(rect)
+    while len(rects) > ex.DAMAGE_RECTS:
+        best = None
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                a, b = rects[i], rects[j]
+                u = (min(a[0], b[0]), min(a[1], b[1]),
+                     max(a[2], b[2]), max(a[3], b[3]))
+                grow = ((u[2] - u[0]) * (u[3] - u[1])
+                        - (a[2] - a[0]) * (a[3] - a[1])
+                        - (b[2] - b[0]) * (b[3] - b[1]))
+                if best is None or grow < best[0]:
+                    best = (grow, i, j, u)
+        _, i, j, u = best
+        rects[i] = u
+        del rects[j]
+    return rects
+
+
 def _patchable_spans(tape):
     """tape.root_spans filtered to roots whose rows have NO plane-mask
     involvement (no mask-targeted draw rows, no mask-reading rows): the
@@ -320,19 +357,26 @@ def _patch_device_scene(flat, scene, renders, dirty, layout, atlas11,
             off += oe - os_
         rows = filled
     assert rows.shape[0] == idx.size
-    # scene-space damage rect: union of the changed rows' OLD and NEW
-    # bboxes (every pixel a changed quad could touch) — accumulated until
-    # a rendered frame covers it (the partial-render source). Bbox columns
-    # sit at 6..9 in BOTH wire layouts (packed copies fields[0:16];
-    # unpacked rows lead with the fields).
-    bbs = np.concatenate([old_bboxes(idx), rows[:, 6:10]], axis=0)
-    dmg = (float(bbs[:, 0].min()), float(bbs[:, 1].min()),
-           float(bbs[:, 2].max()), float(bbs[:, 3].max()))
-    if scene.pending_damage is not None:
-        p = scene.pending_damage
-        dmg = (min(p[0], dmg[0]), min(p[1], dmg[1]),
-               max(p[2], dmg[2]), max(p[3], dmg[3]))
-    scene.pending_damage = dmg
+    # scene-space damage rects, ONE PER DIRTY ROOT: the union of that
+    # root's OLD and NEW row bboxes (every pixel its changed quads could
+    # touch), accumulated until a rendered frame covers them (the
+    # partial-render sources; scattered edits keep per-widget rects
+    # instead of one near-full-frame union). Bbox columns sit at 6..9 in
+    # BOTH wire layouts; inert rows carry inverted bboxes and are skipped.
+    obb = old_bboxes(idx)
+    off = 0
+    for os_, oe in old_spans:
+        m = oe - os_
+        bbs = np.concatenate([obb[off : off + m], rows[off : off + m, 6:10]])
+        valid = bbs[:, 2] >= bbs[:, 0]
+        if valid.any():
+            v = bbs[valid]
+            scene.pending_damage = _merge_damage(
+                scene.pending_damage,
+                (float(v[:, 0].min()), float(v[:, 1].min()),
+                 float(v[:, 2].max()), float(v[:, 3].max())),
+            )
+        off += m
     apply_mirrors(idx, rows)
     if scene.pending_patch is not None:
         # merge on host instead of flushing a standalone RPC: the newest
@@ -1405,7 +1449,7 @@ class FigRenderer:
                 )
                 frame, scene.combo_dev = ppv(
                     scene.combo_dev, jnp.asarray(packed),
-                    jnp.asarray(np.asarray(scene.pending_damage, np.float32)),
+                    jnp.asarray(_damage_rects(scene.pending_damage)),
                     d, z, scene.last_view_frame, *rest,
                 )
                 scene.pending_patch = None
@@ -1438,7 +1482,7 @@ class FigRenderer:
         under the SAME camera, the pass structure has no blur/backdrop
         (their halos read pixels outside the damage rect), and the scene
         composites from the clear color (no init frame)."""
-        if (scene.pending_damage is None or scene.last_view_frame is None
+        if (not scene.pending_damage or scene.last_view_frame is None
                 or scene.last_cam != cam or scene.plan.has_init_frame):
             return False
         for item in scene.plan.structure:

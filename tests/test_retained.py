@@ -733,3 +733,48 @@ def test_sharded_partial_render_bit_equals_full(monkeypatch):
             ren.snapshot_scene(arr, vec2(W, H)), (1.0, 2.0)))
         assert stats["n"] == step + 1, "sharded partial path not taken"
         assert np.array_equal(got, want), step
+
+
+def test_partial_multi_rect_scattered_edits(monkeypatch):
+    """Edits in opposite corners keep SEPARATE damage rects (up to
+    executor.DAMAGE_RECTS) instead of one near-full-frame union; more
+    dirty roots than slots greedily merge — all bit-exact."""
+    from figdraw_tpu import executor as ex
+
+    arr, boxes = boxes_scene(40)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    scene = ren.snapshot_scene(arr, vec2(W, H))
+    ren.render_view(scene)
+    stats = _partial_hits(monkeypatch)
+    lst = arr[0]
+    # opposite corners
+    lst.set_box(boxes[0], 2, 2, 26, 38)
+    lst.set_box(boxes[39], 290, 158, 26, 38)
+    ren.update_scene(scene, arr, dirty=[(0, boxes[0]), (0, boxes[39])])
+    assert len(scene.pending_damage) == 2
+    got = np.asarray(ren.render_view(scene))
+    assert stats["n"] == 1
+    assert np.array_equal(got, _fresh_frame(ren, arr))
+    # more dirty roots than rect slots: greedy merge keeps <= DAMAGE_RECTS
+    dirty = [(0, b) for b in boxes[::5]]
+    for b, _ in zip(boxes[::5], range(99)):
+        lst.set_rotation(b, 25.0)
+    ren.update_scene(scene, arr, dirty=dirty)
+    assert len(scene.pending_damage) <= ex.DAMAGE_RECTS
+    got = np.asarray(ren.render_view(scene))
+    assert np.array_equal(got, _fresh_frame(ren, arr))
+
+
+def test_merge_damage_prefers_min_growth():
+    from figdraw_tpu import executor as ex
+    from figdraw_tpu.renderer import _merge_damage
+
+    rects = None
+    # DAMAGE_RECTS far-apart rects fill the slots
+    for i in range(ex.DAMAGE_RECTS):
+        rects = _merge_damage(rects, (i * 100.0, 0.0, i * 100.0 + 10, 10.0))
+    assert len(rects) == ex.DAMAGE_RECTS
+    # one more adjacent to the first: merges with it, not a far one
+    rects = _merge_damage(rects, (12.0, 0.0, 20.0, 10.0))
+    assert len(rects) == ex.DAMAGE_RECTS
+    assert (0.0, 0.0, 20.0, 10.0) in rects

@@ -134,6 +134,58 @@ class TimeSeries:
         return len(live) / self.window
 
 
+def rss_bytes() -> int:
+    """Current resident set size of this process, in bytes (0 if unknown)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    try:
+        import resource
+
+        # ru_maxrss is KiB on Linux — a high-water mark, not current, but a
+        # usable fallback off-Linux
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    except Exception:
+        return 0
+
+
+def heap_snapshot() -> Dict[str, float]:
+    """Host memory snapshot: the dumpHeapDiff analog
+    (/root/reference/src/figdraw/opengl/perf.nim:200-216, which diffs Nim GC
+    occupied/free/total). Python has no moving GC, so we track RSS plus the
+    object count as the 'occupied' proxy."""
+    import gc
+
+    return {
+        "t": time.perf_counter(),
+        "rss": float(rss_bytes()),
+        "objects": float(len(gc.get_objects())),
+    }
+
+
+def dump_heap_diff(prev: Dict[str, float], label: str = "", frames: int = 0) -> str:
+    """Format the growth since `prev` (a heap_snapshot()). If `frames` is
+    given, also normalizes to MB per 1k frames — the number that separates a
+    framework leak from the axon tunnel's per-upload retention (CLAUDE.md)."""
+    cur = heap_snapshot()
+    drss = cur["rss"] - prev["rss"]
+    dobj = cur["objects"] - prev["objects"]
+    dt = cur["t"] - prev["t"]
+    parts = [
+        f"heapDiff {label}".strip(),
+        f"rss={cur['rss'] / 1e6:.1f}MB ({drss / 1e6:+.1f}MB)",
+        f"objects={int(cur['objects'])} ({int(dobj):+d})",
+        f"dt={dt:.1f}s",
+    ]
+    if frames > 0:
+        parts.append(f"drift={drss / 1e6 / frames * 1000.0:+.2f}MB/1kframes")
+    return " ".join(parts)
+
+
 @dataclass
 class FrameStats:
     """avg/p50/p95/min/max/fps summary like windy_clip_mask_benchmark.nim:207-275."""

@@ -544,3 +544,24 @@ def test_packed_wire_roundtrip_bit_exact():
     f3, m3 = jax.jit(unpack_combo_device)(packed)
     np.testing.assert_array_equal(np.asarray(f3), fields)
     np.testing.assert_array_equal(np.asarray(m3), modes)
+
+
+def test_heap_diff_reporter():
+    """dumpHeapDiff analog (/root/reference/src/figdraw/opengl/perf.nim:200-216):
+    snapshot -> allocate -> diff reports positive RSS/object growth and a
+    per-1k-frame drift figure."""
+    from figdraw_tpu.utils.perf import dump_heap_diff, heap_snapshot, rss_bytes
+
+    assert rss_bytes() > 10 * 1024 * 1024  # a live CPython process is >10MB
+    snap = heap_snapshot()
+    assert snap["rss"] > 0 and snap["objects"] > 0
+    # lists are GC-tracked (bytearrays are not), so the object counter sees them
+    ballast = [[i] for i in range(50_000)]
+    msg = dump_heap_diff(snap, label="unit", frames=1000)
+    assert "heapDiff unit" in msg
+    assert "rss=" in msg and "objects=" in msg and "drift=" in msg
+    # object growth must register (RSS growth is allocator-dependent; the
+    # object counter is the deterministic part)
+    cur = heap_snapshot()
+    assert cur["objects"] - snap["objects"] > 40_000
+    del ballast

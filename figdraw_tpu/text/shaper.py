@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from . import indic
+from . import indic, use
 
 DEFAULT_GSUB_FEATURES = ("ccmp", "liga", "clig", "rlig", "calt", "rclt", "locl")
 
@@ -58,7 +58,8 @@ def ot_language_tag(bcp47: str):
 
 
 def _select_lookups(table, wanted_tags,
-                    scripts=("DFLT", "latn", "arab", "hebr", "dev2", "deva"),
+                    scripts=("DFLT", "latn", "arab", "hebr", "dev2", "deva",
+                             "khmr", "mym2", "mymr"),
                     lang=None) -> List[int]:
     """Lookup indices for the wanted feature tags, unioned over the given
     script tags (features live per script; lookups are glyph-driven, so a
@@ -121,6 +122,9 @@ class OpenTypeShaper:
         # MarkAttachClassDef (MarkAttachmentType classes)
         self._mark_glyph_sets: Optional[List[frozenset]] = None
         self._mark_attach_class: Dict[str, int] = {}
+        # GPOS 3 cursive chains — _build_gpos fills this; a GSUB-only font
+        # (no GPOS table) must still answer cursive_chain()
+        self._cursive: List[Dict[str, tuple]] = []
         gdef = tt.get("GDEF")
         if gdef is not None and gdef.table.GlyphClassDef is not None:
             self._gdef_class = dict(gdef.table.GlyphClassDef.classDefs)
@@ -621,6 +625,10 @@ class OpenTypeShaper:
             self._substitute_arabic(out_n, out_c, out_l, cps, feats, lang)
         elif cps is not None and any(indic.is_devanagari(cp) for cp in cps):
             self._substitute_indic(out_n, out_c, out_l, cps, feats, lang)
+        elif cps is not None and any(
+            use.is_khmer(cp) or use.is_myanmar(cp) for cp in cps
+        ):
+            self._substitute_use(out_n, out_c, out_l, cps, feats, lang)
         else:
             self._apply_plan(self._plan(feats, lang), out_n, out_c, out_l)
         return out_n, out_c, out_l
@@ -799,6 +807,179 @@ class OpenTypeShaper:
             hi = max(c[1] for c in clusters)
             clusters[:] = [(lo, hi)] * len(clusters)
         pres = self.INDIC_PRES_FEATURES | (
+            feats & frozenset({"calt", "clig", "liga", "dlig", "ccmp"})
+        )
+        self._apply_plan(self._plan(pres, lang), names, clusters, comps,
+                         masks=masks)
+
+    # Khmer basic stages (HarfBuzz khmer shaper feature list): positional
+    # features fire only at the coeng-pair / robat positions use.khmer_masks
+    # tagged. Reference path: textbackends/harfbuzzy.nim:395-684 (HarfBuzz
+    # supplies these shapers to the reference for free).
+    KHMER_BASIC_STAGES = (
+        (frozenset({"locl", "ccmp"}), None),
+        (frozenset({"pref"}), "pref"),
+        (frozenset({"blwf"}), "blwf"),
+        (frozenset({"abvf"}), "abvf"),
+        (frozenset({"pstf"}), "pstf"),
+        (frozenset({"cfar"}), "cfar"),
+    )
+    # Myanmar basic stages (OpenType Myanmar spec order)
+    MYANMAR_BASIC_STAGES = (
+        (frozenset({"locl", "ccmp"}), None),
+        (frozenset({"rphf"}), "rphf"),
+        (frozenset({"pref"}), "pref"),
+        (frozenset({"blwf"}), "blwf"),
+        (frozenset({"pstf"}), "pstf"),
+    )
+    USE_PRES_FEATURES = frozenset({"pres", "abvs", "blws", "psts"})
+
+    def _substitute_use(self, out_n, out_c, out_l, cps, feats, lang) -> None:
+        """Khmer/Myanmar (USE-class) shaping: split the run into syllables
+        (text/use.py), apply the script's basic features per syllable with
+        positional masks, reorder (pre-base vowels and coeng-Ro / medial-Ra
+        to the front, Myanmar kinzi to after the base cluster), then run the
+        presentation features over the reordered glyphs. Non-USE stretches
+        go through the generic plan."""
+        res_n: List[str] = []
+        res_c: List[Tuple[int, int]] = []
+        res_l: List[Tuple[int, int]] = []
+        n = len(cps)
+        i = 0
+        while i < n:
+            if use.is_khmer(cps[i]):
+                j = use.khmer_next_syllable(cps, i)
+                s_n, s_c, s_m = out_n[i:j], out_c[i:j], out_l[i:j]
+                self._shape_khmer_syllable(s_n, s_c, s_m, cps[i:j], feats, lang)
+            elif use.is_myanmar(cps[i]):
+                j = use.myanmar_next_syllable(cps, i)
+                s_n, s_c, s_m = out_n[i:j], out_c[i:j], out_l[i:j]
+                self._shape_myanmar_syllable(s_n, s_c, s_m, cps[i:j], feats,
+                                             lang)
+            else:
+                j = i
+                while j < n and not (use.is_khmer(cps[j])
+                                     or use.is_myanmar(cps[j])):
+                    j += 1
+                s_n, s_c, s_m = out_n[i:j], out_c[i:j], out_l[i:j]
+                self._apply_plan(self._plan(feats, lang), s_n, s_c, s_m)
+            res_n.extend(s_n)
+            res_c.extend(s_c)
+            res_l.extend(s_m)
+            i = j
+        out_n[:] = res_n
+        out_c[:] = res_c
+        out_l[:] = res_l
+
+    @staticmethod
+    def _move_to_front(names, clusters, comps, masks, ranges) -> bool:
+        """Move every glyph whose source cluster lies inside one of `ranges`
+        to the front of the syllable, preserving their relative order.
+        Identity survives GSUB because ligated pairs merge to a cluster still
+        contained in the recorded pair range. Returns True if anything
+        actually moved."""
+        if not ranges:
+            return False
+        idxs = [
+            k for k, c in enumerate(clusters)
+            if any(c[0] >= r0 and c[1] <= r1 for (r0, r1) in ranges)
+        ]
+        if not idxs or idxs == list(range(len(idxs))):
+            return False
+        items = [(names[k], clusters[k], comps[k], masks[k]) for k in idxs]
+        for k in reversed(idxs):
+            for lst in (names, clusters, comps, masks):
+                del lst[k]
+        for nm, cl, cm, mk in reversed(items):
+            names.insert(0, nm)
+            clusters.insert(0, cl)
+            comps.insert(0, cm)
+            masks.insert(0, mk)
+        return True
+
+    @staticmethod
+    def _merge_syllable_clusters(clusters) -> None:
+        """HarfBuzz merges clusters across a reordered syllable."""
+        if clusters:
+            lo = min(c[0] for c in clusters)
+            hi = max(c[1] for c in clusters)
+            clusters[:] = [(lo, hi)] * len(clusters)
+
+    def _shape_khmer_syllable(self, names, clusters, comps, cps_syl, feats,
+                              lang) -> None:
+        """Shape ONE Khmer syllable in place: masked basic features →
+        reorder (coeng+Ro then pre-base vowel to the front, vowel leftmost)
+        → presentation features."""
+        mask_tags = use.khmer_masks(cps_syl)
+        masks: List[Optional[frozenset]] = [m if m else None for m in mask_tags]
+        vpre_ranges, pref_ranges = use.khmer_reorder_ranges(clusters, cps_syl)
+        for tags, req in self.KHMER_BASIC_STAGES:
+            plan = self._plan(tags, lang)
+            if plan:
+                self._apply_plan(plan, names, clusters, comps,
+                                 masks=masks, req=req)
+        moved = self._move_to_front(names, clusters, comps, masks, pref_ranges)
+        moved |= self._move_to_front(names, clusters, comps, masks, vpre_ranges)
+        if moved:
+            self._merge_syllable_clusters(clusters)
+        pres = self.USE_PRES_FEATURES | (
+            feats & frozenset({"calt", "clig", "liga", "dlig", "ccmp"})
+        )
+        self._apply_plan(self._plan(pres, lang), names, clusters, comps,
+                         masks=masks)
+
+    def _shape_myanmar_syllable(self, names, clusters, comps, cps_syl, feats,
+                                lang) -> None:
+        """Shape ONE Myanmar syllable in place: masked basic features
+        (rphf forms the kinzi) → reorder (kinzi to after the base cluster,
+        medial Ra then vowel E to the front) → presentation features."""
+        has_kinzi = use.myanmar_has_kinzi(cps_syl, 0)
+        mask_tags = use.myanmar_masks(cps_syl, has_kinzi)
+        masks: List[Optional[frozenset]] = [m if m else None for m in mask_tags]
+        vpre_ranges, medra_ranges, kinzi_range = use.myanmar_reorder_ranges(
+            clusters, cps_syl, has_kinzi
+        )
+        base_end_idx = use.myanmar_base_cluster_end(cps_syl, has_kinzi)
+        # source offset one past the base cluster, captured BEFORE GSUB
+        # mutates the cluster list
+        boundary = (
+            clusters[base_end_idx][0] if base_end_idx < len(clusters)
+            else clusters[-1][1]
+        )
+        for tags, req in self.MYANMAR_BASIC_STAGES:
+            plan = self._plan(tags, lang)
+            if plan:
+                self._apply_plan(plan, names, clusters, comps,
+                                 masks=masks, req=req)
+        moved = False
+        if kinzi_range is not None:
+            kidx = [
+                k for k, c in enumerate(clusters)
+                if c[0] >= kinzi_range[0] and c[1] <= kinzi_range[1]
+            ]
+            if kidx:
+                items = [(names[k], clusters[k], comps[k], masks[k])
+                         for k in kidx]
+                for k in reversed(kidx):
+                    for lst in (names, clusters, comps, masks):
+                        del lst[k]
+                tgt = 0
+                for k, c in enumerate(clusters):
+                    if c[0] < boundary:
+                        tgt = k + 1
+                for off, (nm, cl, cm, mk) in enumerate(items):
+                    names.insert(tgt + off, nm)
+                    clusters.insert(tgt + off, cl)
+                    comps.insert(tgt + off, cm)
+                    masks.insert(tgt + off, mk)
+                moved = True
+        moved |= self._move_to_front(names, clusters, comps, masks,
+                                     medra_ranges)
+        moved |= self._move_to_front(names, clusters, comps, masks,
+                                     vpre_ranges)
+        if moved:
+            self._merge_syllable_clusters(clusters)
+        pres = self.USE_PRES_FEATURES | (
             feats & frozenset({"calt", "clig", "liga", "dlig", "ccmp"})
         )
         self._apply_plan(self._plan(pres, lang), names, clusters, comps,

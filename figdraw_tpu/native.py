@@ -177,6 +177,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.fd_renders_add_text.restype = ctypes.c_int
         lib.fd_flatten_renders.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        # retained editing over the C ABI (figdraw_flatten.h recipe)
+        lib.fd_renders_root_count.argtypes = [ctypes.c_void_p]
+        lib.fd_renders_root_count.restype = ctypes.c_int
+        lib.fd_renders_set_fig.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.fd_renders_set_fig.restype = ctypes.c_int
+        lib.fd_flatten_renders_spans.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_flatten_renders_spans.restype = ctypes.c_int
+        lib.fd_flatten_renders_root.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fd_flatten_renders_root.restype = ctypes.c_int
         lib.fd_fill_solid.argtypes = [
             ctypes.c_void_p, ctypes.c_uint8, ctypes.c_uint8,
             ctypes.c_uint8, ctypes.c_uint8,

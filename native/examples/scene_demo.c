@@ -84,7 +84,70 @@ int main(void) {
   int quads = fd_quad_count(ctx);
   printf("quads=%d\n", quads);
 
+  /* ---- retained-edit leg (snapshot_scene / update_scene from C) ---------
+   * Snapshot with per-root spans (+1 reserve row per root), edit one node,
+   * re-walk ONLY its root in a scratch context, splice the rows over the
+   * old span, and check the patched tape is byte-identical to a full
+   * re-flatten. */
+  int patch_ok = 0;
+  {
+    fd_reset(ctx, 1.0f, 1.0f, 1.2f);
+    int n_roots = fd_renders_root_count(renders);
+    int32_t spans[16];
+    if (n_roots > 8 ||
+        fd_flatten_renders_spans(ctx, renders, spans, 8, 1) != n_roots)
+      goto done;
+    int n = fd_quad_count(ctx);
+    static float fields[256][68];
+    static int32_t modes[256][2];
+    static int32_t items[64][5];
+    if (n > 256 || fd_export(ctx, &fields[0][0], &modes[0][0], 256,
+                             &items[0][0], 64) != n)
+      goto done;
+
+    /* edit: recolor the gradient child (layer 0, node index root+1) */
+    memset(fig, 0, sizeof(fig));
+    fig[0] = 2;
+    memcpy(fig + 8, box2, sizeof(box2));
+    const uint8_t s2[4] = {0, 200, 80, 255}, e2[4] = {200, 0, 200, 255};
+    fd_fill_linear2(fig + 28, 0, s2, e2);
+    memcpy(fig + 44, corners, sizeof(corners));
+    if (fd_renders_set_fig(renders, 0, root + 1, fig) != 0) goto done;
+
+    /* scratch re-walk of the dirty root (position 0 of layer 0) */
+    FigdrawFlattenCtx *scratch = fd_create(1.0f, 1.0f, 1.2f);
+    int got = fd_flatten_renders_root(scratch, renders, 0, 0);
+    int span_len = spans[1] - spans[0];
+    if (got >= 0 && got <= span_len && fd_mask_count(scratch) == 0 &&
+        fd_item_count(scratch) <= 1) {
+      fd_pad_rows(scratch, span_len - got); /* fill the reserve tail */
+      static float pf[256][68];
+      static int32_t pm[256][2];
+      static int32_t pi[64][5];
+      if (fd_export(scratch, &pf[0][0], &pm[0][0], 256, &pi[0][0], 64) ==
+          span_len) {
+        memcpy(&fields[spans[0]][0], &pf[0][0],
+               (size_t)span_len * 68 * sizeof(float));
+        memcpy(&modes[spans[0]][0], &pm[0][0],
+               (size_t)span_len * 2 * sizeof(int32_t));
+        /* reference: a full re-flatten of the edited scene */
+        fd_reset(ctx, 1.0f, 1.0f, 1.2f);
+        static int32_t spans2[16];
+        fd_flatten_renders_spans(ctx, renders, spans2, 8, 1);
+        static float rf[256][68];
+        static int32_t rm[256][2];
+        if (fd_export(ctx, &rf[0][0], &rm[0][0], 256, &pi[0][0], 64) == n &&
+            memcmp(fields, rf, (size_t)n * 68 * sizeof(float)) == 0 &&
+            memcmp(modes, rm, (size_t)n * 2 * sizeof(int32_t)) == 0)
+          patch_ok = 1;
+      }
+    }
+    fd_destroy(scratch);
+  }
+done:
+  printf("patch_ok=%d\n", patch_ok);
+
   fd_renders_free(renders);
   fd_destroy(ctx);
-  return quads >= 3 ? 0 : 5;
+  return (quads >= 3 && patch_ok) ? 0 : 5;
 }

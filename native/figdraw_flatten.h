@@ -30,6 +30,12 @@ typedef struct FigdrawFlattenCtx FigdrawFlattenCtx;
 FigdrawFlattenCtx *fd_create(float ui_scale, float pixel_scale, float aa_factor);
 void fd_destroy(FigdrawFlattenCtx *ctx);
 
+/* Reset a context for a fresh walk (keeps vector capacity across frames;
+ * drops atlas entries / glyph offsets / text config so stale state cannot
+ * leak into the next scene — re-set them after). */
+void fd_reset(FigdrawFlattenCtx *ctx, float ui_scale, float pixel_scale,
+              float aa_factor);
+
 /* Walk one layer's roots in order. nodes: n_nodes packed Fig rows;
  * roots: indexes into nodes. Call once per layer in ascending ZLevel. */
 void fd_flatten_layer(FigdrawFlattenCtx *ctx, const void *nodes, int n_nodes,
@@ -132,6 +138,41 @@ int fd_renders_add_text(FdRenders *renders, int zlevel, const void *glyphs,
 
 /* Flatten every layer (ascending zlevel) into the context's tape. */
 void fd_flatten_renders(FigdrawFlattenCtx *ctx, FdRenders *renders);
+
+/* ---- retained editing (snapshot_scene / update_scene analog) ---------------
+ *
+ * Recipe (docs/native_api.md has the full walkthrough; scene_demo.c runs it):
+ *   1. fd_flatten_renders_spans records each root's tape row span (+reserve
+ *      inert pad rows for count-growing edits); export and keep the rows.
+ *   2. Edit nodes in place with fd_renders_set_fig.
+ *   3. Re-walk ONLY the dirty root with fd_flatten_renders_root on a reset
+ *      scratch context (same atlas/white-uv/text config as the snapshot
+ *      walk), export its rows, fd_pad_rows the shortfall up to the span
+ *      length, and splice them over the old span — byte-identical to a full
+ *      re-flatten PROVIDED the dirty subtree emits no masks/blur/backdrop
+ *      (check fd_mask_count(scratch) == 0 and fd_item_count(scratch) <= 1,
+ *      else fall back to a full re-flatten). */
+
+/* Total root count across layers — the span-table size (one pair per root,
+ * flatten order: layers ascending zlevel, then layer root order). */
+int fd_renders_root_count(FdRenders *renders);
+
+/* Overwrite node `index` of layer `zlevel` in place (zlevel/parent/
+ * child_count are preserved). Returns 0, or -1 on a bad layer/index. */
+int fd_renders_set_fig(FdRenders *renders, int zlevel, int index,
+                       const void *fig);
+
+/* fd_flatten_renders recording per-root spans into spans[i*2..i*2+1],
+ * each padded with `reserve` trailing inert rows. Returns the root count,
+ * or -1 if spans_cap holds fewer pairs. */
+int fd_flatten_renders_spans(FigdrawFlattenCtx *ctx, FdRenders *renders,
+                             int32_t *spans, int spans_cap, int reserve);
+
+/* Re-walk ONE root (layer `zlevel`, position `root_pos` in its root order)
+ * appending its quads to ctx — the scratch patch walk. Returns the quad
+ * count emitted, or -1 on a bad layer/root. */
+int fd_flatten_renders_root(FigdrawFlattenCtx *ctx, FdRenders *renders,
+                            int zlevel, int root_pos);
 
 /* Packed-fill helpers (filltypes.nim fill()/linear()). fill points at the
  * 16-byte PackedFill field inside a Fig row. axis: 0 X, 1 Y, 2 diagonal

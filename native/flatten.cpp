@@ -2370,4 +2370,110 @@ int fd_export(Ctx* ctx, float* fields, int32_t* modes, int quad_cap,
   return ctx->count;
 }
 
+// ---- retained-scene C API ---------------------------------------------------
+//
+// The C-host analog of renderer.snapshot_scene / update_scene (the reference
+// exports retained editing over its dynlib the same way,
+// bindings/native_bindings.nim updateNode consumers): flatten once recording
+// per-root spans, keep the exported rows, then after an edit re-walk ONLY the
+// dirty root in a scratch context and splice its rows over the old span.
+// docs/native_api.md walks the full recipe; native/examples/scene_demo.c
+// exercises it end-to-end.
+
+// Total root count across layers — the span-table size for
+// fd_flatten_renders_spans (one [start, end) pair per root, flatten order:
+// layers ascending zlevel, then layer root order).
+int fd_renders_root_count(FdRenders* r) {
+  int n = 0;
+  for (const FdLayer& l : r->layers) n += (int)l.roots.size();
+  return n;
+}
+
+// Overwrite node `index` of layer `zlevel` in place — the retained-edit
+// mutation (fills, boxes, corners, rotation). The tree-management fields the
+// add calls own (zlevel, parent, child_count) are preserved; everything else
+// is replaced. Returns 0, or -1 on an unknown layer / bad index.
+int fd_renders_set_fig(FdRenders* r, int zlevel, int index, const void* fig) {
+  for (FdLayer& l : r->layers) {
+    if ((int)l.zlevel != zlevel) continue;
+    if (index < 0 || index >= (int)l.nodes.size()) return -1;
+    Fig& dst = l.nodes[index];
+    const int8_t zl = dst.zlevel;
+    const int16_t parent = dst.parent;
+    const int16_t child_count = dst.child_count;
+    std::memcpy(&dst, fig, sizeof(Fig));
+    dst.zlevel = zl;
+    dst.parent = parent;
+    dst.child_count = child_count;
+    return 0;
+  }
+  return -1;
+}
+
+// fd_flatten_renders recording per-root quad spans: spans[i*2]/spans[i*2+1]
+// hold the tape row range root i's subtree emitted (flatten order), INCLUDING
+// `reserve` trailing inert rows (fd_pad_rows) appended after every root so
+// count-growing edits can patch in place — the C analog of
+// renderer.snapshot_scene(reserve=...). Always a serial walk (the span table
+// is the retained-update contract); apart from the pads the tape is
+// byte-identical to fd_flatten_renders. Returns the root count, or -1 if
+// spans_cap holds fewer pairs.
+int fd_flatten_renders_spans(Ctx* ctx, FdRenders* r, int32_t* spans,
+                             int spans_cap, int reserve) {
+  const int n_roots = fd_renders_root_count(r);
+  if (spans_cap < n_roots) return -1;
+  int i = 0;
+  for (FdLayer& l : r->layers) {
+    ctx->ops = l.ops.empty() ? nullptr : l.ops.data();
+    ctx->points = l.points.empty() ? nullptr : l.points.data();
+    ctx->glyphs = l.glyphs.empty() ? nullptr : l.glyphs.data();
+    ctx->trects = l.trects.empty() ? nullptr : l.trects.data();
+    ctx->merged = false;
+    for (int32_t root : l.roots) {
+      spans[i * 2] = ctx->count;
+      render_node(*ctx, l.nodes.data(), (int)l.nodes.size(), root);
+      if (reserve > 0) fd_pad_rows(ctx, reserve);
+      spans[i * 2 + 1] = ctx->count;
+      i++;
+    }
+  }
+  ctx->ops = nullptr;
+  ctx->points = nullptr;
+  ctx->glyphs = nullptr;
+  ctx->trects = nullptr;
+  return n_roots;
+}
+
+// Re-walk ONE root subtree — layer `zlevel`, root position `root_pos` in that
+// layer's root order — appending its quads to `ctx`: the retained-edit patch
+// walk, run on a fresh/reset scratch context configured like the snapshot
+// walk (same fd_set_atlas / fd_set_glyph_offsets / fd_set_white_uv /
+// fd_set_text_config; layer geometry comes from `r` here). The rows are
+// byte-identical to that root's segment of fd_flatten_renders PROVIDED the
+// subtree emits no mask planes, blur, or backdrop items (mask numbering and
+// pass structure are context-global): verify fd_mask_count(scratch) == 0 and
+// fd_item_count(scratch) <= 1 after the walk, else re-flatten everything —
+// the same downgrade rule renderer.update_scene applies. Returns the quad
+// count emitted, or -1 on an unknown layer / bad root position.
+int fd_flatten_renders_root(Ctx* ctx, FdRenders* r, int zlevel, int root_pos) {
+  for (FdLayer& l : r->layers) {
+    if ((int)l.zlevel != zlevel) continue;
+    if (root_pos < 0 || root_pos >= (int)l.roots.size()) return -1;
+    ctx->ops = l.ops.empty() ? nullptr : l.ops.data();
+    ctx->points = l.points.empty() ? nullptr : l.points.data();
+    ctx->glyphs = l.glyphs.empty() ? nullptr : l.glyphs.data();
+    ctx->trects = l.trects.empty() ? nullptr : l.trects.data();
+    ctx->merged = false;
+    const int before = ctx->count;
+    render_node(*ctx, l.nodes.data(), (int)l.nodes.size(),
+                l.roots[root_pos]);
+    ctx->ops = nullptr;
+    ctx->points = nullptr;
+    ctx->glyphs = nullptr;
+    ctx->trects = nullptr;
+    return ctx->count - before;
+  }
+  return -1;
+}
+
 }  // extern "C"

@@ -189,8 +189,121 @@ def test_c_host_demo_compiles_and_runs(tmp_path):
         check=True, capture_output=True,
     )
     out = subprocess.run([exe], check=True, capture_output=True, text=True)
-    assert out.stdout.startswith("quads=")
-    assert int(out.stdout.split("=")[1]) >= 3
+    lines = dict(l.split("=") for l in out.stdout.split())
+    assert int(lines["quads"]) >= 3
+    assert int(lines["patch_ok"]) == 1  # the C retained-edit leg
+
+
+def test_capi_retained_patch_matches_full_reflatten():
+    """fd_flatten_renders_spans + fd_renders_set_fig + fd_flatten_renders_root:
+    a C host's retained edit (scratch re-walk of the dirty root spliced over
+    its recorded span, reserve tail padded with fd_pad_rows) is bit-identical
+    to a full re-flatten of the edited scene — the update_scene contract over
+    the C ABI (the reference dynlib's updateNode consumers,
+    bindings/native_bindings.nim)."""
+    lib = native._load()
+    renders = lib.fd_renders_new()
+    ctx = lib.fd_create(
+        ctypes.c_float(1.0), ctypes.c_float(1.0), ctypes.c_float(1.2)
+    )
+    scratch = lib.fd_create(
+        ctypes.c_float(1.0), ctypes.c_float(1.0), ctypes.c_float(1.2)
+    )
+
+    def export(c):
+        n = lib.fd_quad_count(c)
+        fields = np.zeros((max(n, 1), 68), np.float32)
+        modes = np.zeros((max(n, 1), 2), np.int32)
+        items = np.zeros((max(lib.fd_item_count(c), 1), 5), np.int32)
+        rc = lib.fd_export(
+            c,
+            fields.ctypes.data_as(ctypes.c_void_p),
+            modes.ctypes.data_as(ctypes.c_void_p),
+            fields.shape[0],
+            items.ctypes.data_as(ctypes.c_void_p),
+            items.shape[0],
+        )
+        assert rc == n
+        return fields[:n], modes[:n]
+
+    try:
+        for i in range(3):
+            fig = np.zeros((), FIG_DTYPE)
+            fig["kind"] = NK_RECT
+            fig["box"] = (10 + 30 * i, 10, 24, 24)
+            fig["corners"] = (4, 4, 4, 4)
+            lib.fd_fill_solid(_row_ptr(fig["fill"]), 40 * (i + 1), 80, 120, 255)
+            assert lib.fd_renders_add_root(renders, 0, _row_ptr(fig)) == i
+        # a second layer so spans cross layers
+        top = np.zeros((), FIG_DTYPE)
+        top["kind"] = NK_RECT
+        top["box"] = (0, 60, 100, 10)
+        lib.fd_fill_solid(_row_ptr(top["fill"]), 9, 9, 9, 255)
+        lib.fd_renders_add_root(renders, 2, _row_ptr(top))
+
+        n_roots = lib.fd_renders_root_count(renders)
+        assert n_roots == 4
+        spans = np.zeros((n_roots, 2), np.int32)
+        reserve = 2
+        rc = lib.fd_flatten_renders_spans(
+            ctx, renders, spans.ctypes.data_as(ctypes.c_void_p),
+            n_roots, reserve,
+        )
+        assert rc == n_roots
+        assert lib.fd_flatten_renders_spans(  # cap too small -> -1
+            ctx, renders, spans.ctypes.data_as(ctypes.c_void_p), 1, 0
+        ) == -1
+        lib.fd_reset(ctx, ctypes.c_float(1.0), ctypes.c_float(1.0),
+                     ctypes.c_float(1.2))
+        rc = lib.fd_flatten_renders_spans(
+            ctx, renders, spans.ctypes.data_as(ctypes.c_void_p),
+            n_roots, reserve,
+        )
+        assert rc == n_roots
+        fields, modes = export(ctx)
+        assert (spans[:, 1] - spans[:, 0] >= reserve).all()
+
+        # edit root 1 (layer 0): new fill + corners change
+        edit = np.zeros((), FIG_DTYPE)
+        edit["kind"] = NK_RECT
+        edit["box"] = (40, 10, 24, 24)
+        edit["corners"] = (9, 9, 0, 0)
+        lib.fd_fill_solid(_row_ptr(edit["fill"]), 250, 50, 10, 255)
+        assert lib.fd_renders_set_fig(renders, 0, 1, _row_ptr(edit)) == 0
+        assert lib.fd_renders_set_fig(renders, 0, 99, _row_ptr(edit)) == -1
+        assert lib.fd_renders_set_fig(renders, 7, 0, _row_ptr(edit)) == -1
+
+        # scratch re-walk of the dirty root, pad to span, splice
+        got = lib.fd_flatten_renders_root(scratch, renders, 0, 1)
+        span_len = int(spans[1, 1] - spans[1, 0])
+        assert 0 < got <= span_len
+        assert lib.fd_mask_count(scratch) == 0
+        assert lib.fd_item_count(scratch) <= 1
+        lib.fd_pad_rows(scratch, span_len - got)
+        pf, pm = export(scratch)
+        assert pf.shape[0] == span_len
+        patched_f = fields.copy()
+        patched_m = modes.copy()
+        patched_f[spans[1, 0] : spans[1, 1]] = pf
+        patched_m[spans[1, 0] : spans[1, 1]] = pm
+
+        # reference: full re-flatten of the edited scene
+        lib.fd_reset(ctx, ctypes.c_float(1.0), ctypes.c_float(1.0),
+                     ctypes.c_float(1.2))
+        lib.fd_flatten_renders_spans(
+            ctx, renders, spans.ctypes.data_as(ctypes.c_void_p),
+            n_roots, reserve,
+        )
+        rf, rm = export(ctx)
+        assert np.array_equal(patched_f, rf)
+        assert np.array_equal(patched_m, rm)
+
+        assert lib.fd_flatten_renders_root(scratch, renders, 0, 99) == -1
+        assert lib.fd_flatten_renders_root(scratch, renders, 5, 0) == -1
+    finally:
+        lib.fd_renders_free(renders)
+        lib.fd_destroy(ctx)
+        lib.fd_destroy(scratch)
 
 
 def test_capi_text_node_matches_python_scene():

@@ -229,3 +229,34 @@ def test_3d_overlay_golden(use_pallas):
           f"rmse={rmse_g:.5f} bad={bad_g:.5f}")
     assert rmse_g < 0.002 + extra, rmse_g
     assert bad_g < 0.001, bad_g
+
+
+SELF_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "goldens", "render_3d_overlay_gaussian.png")
+
+
+@pytest.mark.parametrize("use_pallas", [False, True], ids=["xla", "pallas"])
+def test_3d_overlay_gaussian_self_golden(use_pallas):
+    """The CURRENT shadow profile (gaussian, atlas.frag:211-216 semantics)
+    against a committed self-generated golden at the tight 1e-3 bar — the
+    reference PNG above predates the profile change, so its gaussian leg
+    carries a documented 2e-3 exception; this pins the current code path
+    exactly (XLA-generated golden; the Pallas leg doubles as a kernel-parity
+    check on the full overlay scene)."""
+    from PIL import Image
+
+    expected = np.asarray(Image.open(SELF_GOLDEN).convert("RGBA"),
+                          dtype=np.float32)
+    h, w = expected.shape[:2]
+    pyramid = rasterize_pyramid(w, h)
+    frame = _render_overlay(w, h, pyramid, legacy_shadow=False,
+                            use_pallas=use_pallas)
+    got = (np.clip(frame, 0.0, 1.0) * 255.0).round()
+    diff = np.abs(got - expected) / 255.0
+    rmse = float(np.sqrt((diff ** 2).mean()))
+    bad = float((diff.max(axis=-1) > 32 / 255.0).mean())
+    print(f"render_3d_overlay gaussian self-golden pallas={use_pallas}: "
+          f"rmse={rmse:.5f} bad={bad:.5f}")
+    extra = (1.0 / 255.0) if use_pallas else 0.0  # documented kernel tolerance
+    assert rmse < 0.001 + extra, rmse
+    assert bad < 0.001, bad

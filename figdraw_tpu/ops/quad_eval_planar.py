@@ -358,9 +358,16 @@ def eval_quad_planar(fget, mode_packed, px, py, backdrop_planes=None,
             fget(QF_RECT_RADII + 2),
             fget(QF_RECT_RADII + 3),
         )
-        d_c = sdf.sd_rounded_box(qx, -qy, hx, hy, rt, rb, rtl, rbl)
-        d_e = sdf.sd_elliptical_rounded_box(qx, -qy, hx, hy, rt, rb, rtl, rbl)
-        d = jnp.where(fget(QF_RECT_MATY + 3) > 0.5, d_e, d_c)
+        # scalar branch on the elliptical flag (box_dist's pattern): the
+        # elliptical decode costs ~2x the circular SDF, so a rect-masked quad
+        # only evaluates the family its clip actually uses
+        d = jax.lax.cond(
+            fget(QF_RECT_MATY + 3) > 0.5,
+            lambda _: sdf.sd_elliptical_rounded_box(
+                qx, -qy, hx, hy, rt, rb, rtl, rbl),
+            lambda _: sdf.sd_rounded_box(qx, -qy, hx, hy, rt, rb, rtl, rbl),
+            None,
+        )
         return 1.0 - jnp.clip(aa * d + 0.5, 0.0, 1.0)
 
     rm_alpha = jax.lax.cond(

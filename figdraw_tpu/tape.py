@@ -223,6 +223,17 @@ class TapeBackend(BackendContext):
         self.tape = Tape()
         self.mask_write = 0
         self.mask_begun = False
+        # per-plane clip SUPPORT: the union of the write quads' stored screen
+        # bboxes since the plane's last clear (begin_mask). A quad reading
+        # plane k contributes exactly 0 outside this box (the evaluators
+        # hard-clip coverage at the write quad's vertex extent via the uv
+        # `inside` test, and every executor's plane is 0 wherever no write
+        # landed), so clipped content CLAMPS its bbox to it — spilling
+        # children stop binning into tiles where their mask is all-zero.
+        # Bit-exact: dropped tiles only lose fa*0 blends (IEEE identities);
+        # the XLA paths never read bboxes for coverage. Index 0 (the all-pass
+        # plane) is never clamped.
+        self.plane_support: List = [None]
         self.rect_mask_stack: List[RectMask] = []
         # run tracking: current open DrawItem (target, mask_read) or None
         self._run_target: Optional[Tuple[int, int]] = None
@@ -340,10 +351,31 @@ class TapeBackend(BackendContext):
         f[QF_ORG_Y] = p3.y
         xs = (p0.x, p1.x, p2.x, p3.x)
         ys = (p0.y, p1.y, p2.y, p3.y)
-        f[QF_BBOX_X0] = min(xs)
-        f[QF_BBOX_Y0] = min(ys)
-        f[QF_BBOX_X1] = max(xs)
-        f[QF_BBOX_Y1] = max(ys)
+        bx0, by0, bx1, by1 = min(xs), min(ys), max(xs), max(ys)
+        if mask_read >= 1:
+            # clip-support clamp (see plane_support): outside the plane's
+            # write-quad union this quad's contribution is exactly 0
+            s = self.plane_support[mask_read]
+            if s is not None:
+                bx0 = max(bx0, s[0])
+                by0 = max(by0, s[1])
+                bx1 = min(bx1, s[2])
+                by1 = min(by1, s[3])
+                if bx0 > bx1 or by0 > by1:
+                    # fully clipped away: the inert-row bbox (never binned)
+                    bx0, by0, bx1, by1 = 2e9, 2e9, -2e9, -2e9
+        f[QF_BBOX_X0] = bx0
+        f[QF_BBOX_Y0] = by0
+        f[QF_BBOX_X1] = bx1
+        f[QF_BBOX_Y1] = by1
+        if self.mask_begun:
+            s = self.plane_support[self.mask_write]
+            self.plane_support[self.mask_write] = (
+                min(s[0], float(f[QF_BBOX_X0])),
+                min(s[1], float(f[QF_BBOX_Y0])),
+                max(s[2], float(f[QF_BBOX_X1])),
+                max(s[3], float(f[QF_BBOX_Y1])),
+            )
 
         uv0, uv1, uv2, uv3 = uv_quad
         f[QF_UV3_X + 0] = uv3[0]
@@ -640,6 +672,10 @@ class TapeBackend(BackendContext):
         self.mask_write += 1
         self.tape.mask_count = max(self.tape.mask_count, self.mask_write)
         self.tape.items.append(ClearMaskItem(index=self.mask_write))
+        while len(self.plane_support) <= self.mask_write:
+            self.plane_support.append(None)
+        # the clear empties the plane; write quads re-grow the support
+        self.plane_support[self.mask_write] = (2e9, 2e9, -2e9, -2e9)
         self.draw_rounded_rect_sdf(
             rect=clip_rect,
             fill=Color(1.0, 0.0, 0.0, 1.0),

@@ -25,6 +25,7 @@
 #include <cstring>
 #include <thread>
 #include <algorithm>
+#include <array>
 #include <vector>
 
 namespace {
@@ -320,6 +321,13 @@ struct Ctx {
   int mask_write = 0;
   int mask_count = 0;
   bool mask_begun = false;
+  // per-plane clip SUPPORT (tape.py plane_support): union of the write
+  // quads' stored screen bboxes since the plane's last clear. Quads reading
+  // plane k clamp their bbox to it — bit-exact (contribution outside is
+  // exactly 0), and spilling clipped content stops binning into tiles where
+  // its mask is all-zero. Entry [k] is valid once begin_mask(k) ran this
+  // walk; index 0 (all-pass) is never clamped.
+  std::vector<std::array<float, 4>> plane_support;
   bool merged = false;  // items already run-merged (reset by any new walk)
   bool any_atlas = false, any_backdrop = false;
   std::vector<RectMask> rect_masks;
@@ -409,10 +417,30 @@ void emit_quad(Ctx& ctx, const double pq[4][2], const double uv[4][2],
     mxx = std::fmax(mxx, pq[i][0]);
     mxy = std::fmax(mxy, pq[i][1]);
   }
+  if (mask_read >= 1 && mask_read < (int)ctx.plane_support.size()) {
+    // clip-support clamp (tape.py _emit_quad twin): outside the plane's
+    // write-quad union this quad's contribution is exactly 0
+    const std::array<float, 4>& s = ctx.plane_support[mask_read];
+    mnx = std::fmax(mnx, (double)s[0]);
+    mny = std::fmax(mny, (double)s[1]);
+    mxx = std::fmin(mxx, (double)s[2]);
+    mxy = std::fmin(mxy, (double)s[3]);
+    if (mnx > mxx || mny > mxy) {
+      // fully clipped away: the inert-row bbox (never binned)
+      mnx = 2e9; mny = 2e9; mxx = -2e9; mxy = -2e9;
+    }
+  }
   f[QF_BBOX + 0] = mnx;
   f[QF_BBOX + 1] = mny;
   f[QF_BBOX + 2] = mxx;
   f[QF_BBOX + 3] = mxy;
+  if (ctx.mask_begun) {
+    std::array<float, 4>& s = ctx.plane_support[ctx.mask_write];
+    s[0] = std::fmin(s[0], f[QF_BBOX + 0]);
+    s[1] = std::fmin(s[1], f[QF_BBOX + 1]);
+    s[2] = std::fmax(s[2], f[QF_BBOX + 2]);
+    s[3] = std::fmax(s[3], f[QF_BBOX + 3]);
+  }
   f[QF_UV + 0] = uv[3][0];
   f[QF_UV + 1] = uv[3][1];
   f[QF_UV + 2] = uv[2][0] - uv[3][0];
@@ -1166,6 +1194,10 @@ void begin_mask(Ctx& ctx, double rx, double ry, double rw, double rh,
   ctx.mask_write++;
   if (ctx.mask_write > ctx.mask_count) ctx.mask_count = ctx.mask_write;
   ctx.items.push_back({2, ctx.mask_write, 0, 0, 0.0f});
+  if ((int)ctx.plane_support.size() <= ctx.mask_write)
+    ctx.plane_support.resize(ctx.mask_write + 1);
+  // the clear empties the plane; write quads re-grow the support
+  ctx.plane_support[ctx.mask_write] = {2e9f, 2e9f, -2e9f, -2e9f};
   PackedFill red{};
   red.kind = 0;
   red.c0[0] = 255; red.c0[3] = 255;
@@ -1563,6 +1595,7 @@ void fd_reset(Ctx* ctx, float ui_scale, float pixel_scale, float aa_factor) {
   ctx->mask_write = 0;
   ctx->mask_count = 0;
   ctx->mask_begun = false;
+  ctx->plane_support.clear();
   ctx->merged = false;
   ctx->any_atlas = false;
   ctx->any_backdrop = false;
@@ -1622,6 +1655,7 @@ static void copy_walk_config(Ctx& dst, const Ctx& src) {
   dst.mask_write = 0;
   dst.mask_count = 0;
   dst.mask_begun = false;
+  dst.plane_support.clear();
   dst.merged = false;
   dst.any_atlas = false;
   dst.any_backdrop = false;

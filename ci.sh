@@ -5,7 +5,9 @@
 # (XLA + Pallas-interpret), the driver's multichip dry run on a virtual
 # 8-device mesh, and the native flattener build. Run from the repo root:
 #
-#   ./ci.sh            # everything (~12 min on CPU)
+#   ./ci.sh            # everything (~10 min warm / ~30 min on a cold
+#                      # compile cache — tests/conftest.py keeps a
+#                      # persistent XLA cache under ~/.cache)
 #   ./ci.sh quick      # smoke: goldens + dryrun only (~4 min)
 #
 # On a machine with a real TPU attached, add FIGDRAW_TEST_TPU=1 to run the

@@ -1892,11 +1892,13 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
       const int32_t* mo = &ctx->modes[(size_t)q * QI_WIDTH];
       const float bx0 = f[QF_BBOX + 0], by0 = f[QF_BBOX + 1];
       const float bx1 = f[QF_BBOX + 2], by1 = f[QF_BBOX + 3];
-      // cell c spans [c*W, (c+1)*W): touched iff bx0 < (c+1)*W && bx1 > c*W
-      int cx0 = std::max(0, (int)std::floor(bx0 / CULL_CELL_W));
-      int cx1 = std::min(cw - 1, (int)std::ceil(bx1 / CULL_CELL_W) - 1);
-      int cy0 = std::max(0, (int)std::floor(by0 / CULL_CELL_H));
-      int cy1 = std::min(ch - 1, (int)std::ceil(by1 / CULL_CELL_H) - 1);
+      // cell c spans [c*W, (c+1)*W): touched iff bx0 < (c+1)*W && bx1 > c*W.
+      // Division by the pow2 cell sizes rides exact inverse multiplies.
+      constexpr float INV_CW = 1.0f / CULL_CELL_W, INV_CH = 1.0f / CULL_CELL_H;
+      int cx0 = std::max(0, (int)std::floor(bx0 * INV_CW));
+      int cx1 = std::min(cw - 1, (int)std::ceil(bx1 * INV_CW) - 1);
+      int cy0 = std::max(0, (int)std::floor(by0 * INV_CH));
+      int cy1 = std::min(ch - 1, (int)std::ceil(by1 * INV_CH) - 1);
       if (cx0 <= cx1 && cy0 <= cy1) {
         // drop test: one AND+CMP per touched row instead of a float scan
         const uint64_t span =
@@ -1923,6 +1925,10 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
       if (f[QF_RECT + 2] >= 0.0f) continue;                  // rect mask on
       const bool ell = rest >= 128;
       const float hx = f[QF_PARAMS + 2], hy = f[QF_PARAMS + 3];
+      // cover needs 2*ihx >= CELL_W-1 (and ihx < hx since margin > 0):
+      // quads smaller than a cell skip the radii decode entirely
+      if (hx * 2.0f < CULL_CELL_W - 1.0f || hy * 2.0f < CULL_CELL_H - 1.0f)
+        continue;
       float inset_x = 0.0f, inset_y = 0.0f;
       bool radii_ok = true;
       for (int k = 0; k < 4; k++) {
@@ -1955,12 +1961,10 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
       const float ihx = hx - inset_x - margin;
       const float ihy = hy - inset_y - margin;
       if (ihx <= 0.0f || ihy <= 0.0f) continue;
-      float amin = std::min(std::min(f[QF_COLOR0 + 3], f[QF_COLOR0 + 7]),
-                            std::min(f[QF_COLOR0 + 11], f[QF_COLOR0 + 15]));
-      if (fill_mode != 0)
-        amin = std::min(amin, std::min(f[QF_MID + 3], f[QF_STOP + 3]));
-      const float lt =
-          std::log2(std::max(1.0f - amin, 5.9604644775390625e-8f));  // 2^-24
+      // the log2 (and the 4-6 alpha reads feeding it) runs only once a
+      // covered cell actually exists — most candidates cover none
+      float lt = 0.0f;
+      bool lt_ready = false;
       const float ccx = (bx0 + bx1) * 0.5f, ccy = (by0 + by1) * 0.5f;
       for (int cy = cy0; cy <= cy1; cy++) {
         const float t0y = (float)cy * CULL_CELL_H;
@@ -1970,6 +1974,16 @@ int fd_cull_saturated(Ctx* ctx, float px_w, float px_h) {
           const float t0x = (float)cx * CULL_CELL_W;
           if (ccx - ihx <= t0x + 0.5f &&
               ccx + ihx >= t0x + CULL_CELL_W - 0.5f) {
+            if (!lt_ready) {
+              float amin =
+                  std::min(std::min(f[QF_COLOR0 + 3], f[QF_COLOR0 + 7]),
+                           std::min(f[QF_COLOR0 + 11], f[QF_COLOR0 + 15]));
+              if (fill_mode != 0)
+                amin = std::min(amin, std::min(f[QF_MID + 3], f[QF_STOP + 3]));
+              lt = std::log2(
+                  std::max(1.0f - amin, 5.9604644775390625e-8f));  // 2^-24
+              lt_ready = true;
+            }
             float& cell = trans[(size_t)cy * cw + cx];
             cell += lt;
             if (cell < CULL_LOG2_EPS) sat_rows[cy] |= 1ull << cx;

@@ -1,0 +1,224 @@
+"""ctypes bridge to the native typesetter (native/typeset.cpp).
+
+Builds libfigdraw_typeset.so on first use (same auto-rebuild pattern as the
+native flattener, figdraw_tpu/native.py) and exposes the FDTP font-pack
+engine to Python — primarily so tests/test_native_typeset.py can pin the C
+engine glyph-for-glyph against the Python pipeline (text/shaper.py +
+text/layout.py), and as the reference consumer for C hosts
+(native/figdraw_typeset.h is the public surface; docs/native_api.md the
+contract).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .native_pack import build_font_pack
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "typeset.cpp")
+_HDR = os.path.join(_REPO_ROOT, "native", "figdraw_typeset.h")
+_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_LIB_DIR, "libfigdraw_typeset.so")
+
+E_CAP = -1
+E_MARKS = -2
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+_packs: Dict[int, Tuple[bytes, int]] = {}  # typeface_id -> (blob, handle)
+
+
+class NativeTypesetUnsupported(Exception):
+    """The text needs GPOS mark positioning — shape it in Python."""
+
+
+def _build() -> None:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-I", os.path.dirname(_SRC), "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
+                    os.path.getmtime(_SRC), os.path.getmtime(_HDR)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+        except Exception as exc:  # no toolchain → Python shaping only
+            print(f"figdraw_tpu: native typesetter unavailable ({exc})",
+                  file=sys.stderr)
+            _load_failed = True
+            return None
+
+        lib.fd_pack_load.restype = ctypes.c_void_p
+        lib.fd_pack_load.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.fd_pack_free.argtypes = [ctypes.c_void_p]
+        lib.fd_pack_metric.restype = ctypes.c_float
+        lib.fd_pack_metric.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.fd_pack_flags.restype = ctypes.c_uint32
+        lib.fd_pack_flags.argtypes = [ctypes.c_void_p]
+        lib.fd_pack_glyph_count.restype = ctypes.c_int32
+        lib.fd_pack_glyph_count.argtypes = [ctypes.c_void_p]
+        lib.fd_pack_glyph_id.restype = ctypes.c_uint32
+        lib.fd_pack_glyph_id.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.fd_pack_advance.restype = ctypes.c_float
+        lib.fd_pack_advance.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.fd_typeset_shape.restype = ctypes.c_int32
+        lib.fd_typeset_shape.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.fd_typeset_line.restype = ctypes.c_int32
+        lib.fd_typeset_line.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.fd_utf8_to_cps.restype = ctypes.c_int32
+        lib.fd_utf8_to_cps.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _pack_handle(typeface_id: int) -> int:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native typesetter unavailable")
+    with _lock:
+        cached = _packs.get(typeface_id)
+        if cached is not None:
+            return cached[1]
+    blob = build_font_pack(typeface_id)
+    handle = lib.fd_pack_load(blob, len(blob))
+    if not handle:
+        raise RuntimeError("fd_pack_load rejected the font pack")
+    with _lock:
+        # keep the blob alive alongside the handle (the C side copies, but
+        # the pair documents ownership and lets tests reuse the bytes)
+        _packs[typeface_id] = (blob, handle)
+    return handle
+
+
+def pack_blob(typeface_id: int) -> bytes:
+    _pack_handle(typeface_id)
+    return _packs[typeface_id][0]
+
+
+def pack_flags(typeface_id: int) -> int:
+    return _load().fd_pack_flags(_pack_handle(typeface_id))
+
+
+def glyph_id(typeface_id: int, codepoint: int) -> int:
+    return _load().fd_pack_glyph_id(_pack_handle(typeface_id), codepoint)
+
+
+def advance(typeface_id: int, gid: int) -> float:
+    return _load().fd_pack_advance(_pack_handle(typeface_id), gid)
+
+
+def metrics(typeface_id: int) -> Tuple[float, float, float, float]:
+    lib = _load()
+    h = _pack_handle(typeface_id)
+    return tuple(lib.fd_pack_metric(h, i) for i in range(4))
+
+
+def _cps_array(text) -> np.ndarray:
+    if isinstance(text, str):
+        return np.array([ord(c) for c in text], dtype=np.uint32)
+    return np.asarray(list(text), dtype=np.uint32)
+
+
+def shape(typeface_id: int, text) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """C-engine shaping: (gids u32, advances f32 font units, clusters u32).
+
+    Raises NativeTypesetUnsupported when the run needs mark positioning —
+    the caller falls back to the Python pipeline (the documented boundary)."""
+    lib = _load()
+    h = _pack_handle(typeface_id)
+    cps = _cps_array(text)
+    cap = max(16, len(cps) * 4)
+    while True:
+        gids = np.zeros(cap, dtype=np.uint32)
+        adv = np.zeros(cap, dtype=np.float32)
+        clus = np.zeros(cap, dtype=np.uint32)
+        n = lib.fd_typeset_shape(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps),
+            gids.ctypes.data_as(ctypes.c_void_p),
+            adv.ctypes.data_as(ctypes.c_void_p),
+            clus.ctypes.data_as(ctypes.c_void_p), cap)
+        if n == E_CAP and cap < 1 << 24:
+            cap *= 2
+            continue
+        if n == E_MARKS:
+            raise NativeTypesetUnsupported(
+                "text needs GPOS mark positioning")
+        if n < 0:
+            raise RuntimeError(f"fd_typeset_shape failed ({n})")
+        return gids[:n].copy(), adv[:n].copy(), clus[:n].copy()
+
+
+def typeset_line(typeface_id: int, text, size: float):
+    """C-engine single-line placement: (gids, xs px, clusters, baseline)."""
+    lib = _load()
+    h = _pack_handle(typeface_id)
+    cps = _cps_array(text)
+    cap = max(16, len(cps) * 4)
+    baseline = ctypes.c_float(0.0)
+    while True:
+        gids = np.zeros(cap, dtype=np.uint32)
+        xs = np.zeros(cap, dtype=np.float32)
+        clus = np.zeros(cap, dtype=np.uint32)
+        n = lib.fd_typeset_line(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps),
+            ctypes.c_float(size),
+            gids.ctypes.data_as(ctypes.c_void_p),
+            xs.ctypes.data_as(ctypes.c_void_p),
+            clus.ctypes.data_as(ctypes.c_void_p), cap,
+            ctypes.byref(baseline))
+        if n == E_CAP and cap < 1 << 24:
+            cap *= 2
+            continue
+        if n == E_MARKS:
+            raise NativeTypesetUnsupported(
+                "text needs GPOS mark positioning")
+        if n < 0:
+            raise RuntimeError(f"fd_typeset_line failed ({n})")
+        return gids[:n].copy(), xs[:n].copy(), clus[:n].copy(), baseline.value
+
+
+def utf8_to_cps(data: bytes) -> np.ndarray:
+    lib = _load()
+    cap = max(16, len(data) + 1)
+    cps = np.zeros(cap, dtype=np.uint32)
+    n = lib.fd_utf8_to_cps(data, len(data),
+                           cps.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        raise RuntimeError("fd_utf8_to_cps failed")
+    return cps[:n].copy()
+
+
+def load_raw_pack(blob: bytes) -> int:
+    """Load an arbitrary blob (malformed-input tests). 0 = rejected."""
+    lib = _load()
+    return lib.fd_pack_load(blob, len(blob)) or 0

@@ -1,0 +1,269 @@
+"""Native C typesetter (native/typeset.cpp + text/native_pack.py).
+
+Pins the FDTP font-pack engine GLYPH-FOR-GLYPH against the Python pipeline
+(text/shaper.py substitute_ex + position, text/layout.py typeset) on the
+simple-script path — the C-host text surface that closes the reference
+dynlib's typeset export gap (/root/reference/src/figdraw/bindings/
+native_bindings.nim:1-628): Latin/Cyrillic/Greek text shaped from C must be
+IDENTICAL (gids, advances incl. kerning, clusters), and anything the engine
+cannot reproduce (GPOS mark positioning) must be REFUSED, never mis-shaped.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from figdraw_tpu import fill, rgba, vec2
+from figdraw_tpu.text import native_typeset as nt
+from figdraw_tpu.text.layout import typeset
+from figdraw_tpu.text.native_pack import (
+    F_FEATURES_REDUCED,
+    F_GSUB_DROPPED,
+    F_HAS_GPOS_KERN,
+    F_HAS_MARKS,
+    build_font_pack,
+)
+from figdraw_tpu.text.shaper import DEFAULT_GSUB_FEATURES, get_shaper
+from figdraw_tpu.text.typefaces import FigFont, get_typeface, load_typeface
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+UBUNTU = "/root/reference/data/Ubuntu.ttf"
+HACK = "/root/reference/data/HackNerdFont-Regular.ttf"
+FIRACODE = "/root/reference/examples/fonts/FiraCode-wght.ttf"
+
+pytestmark = pytest.mark.skipif(
+    not nt.available(), reason="native typesetter did not build")
+
+
+def _py_shape(tid, text):
+    """The Python pipeline's simple-run shaping (layout.py:640-725 segment
+    path): cmap -> substitute_ex(default features) -> GPOS kern deltas."""
+    tf = get_typeface(tid)
+    shaper = get_shaper(tf)
+    cps = [ord(c) for c in text]
+    names = [tf.glyph_name(tf.glyph_id(cp)) for cp in cps]
+    clusters = [(i, i + 1) for i in range(len(cps))]
+    if shaper is not None:
+        names, clusters, _ = shaper.substitute_ex(
+            names, clusters, frozenset(DEFAULT_GSUB_FEATURES), None, cps=cps)
+    deltas = (shaper.position(names)
+              if shaper is not None and shaper.has_gpos_kern
+              else [0] * len(names))
+    gids = [tf._name_to_gid.get(n, 0) for n in names]
+    advs = [tf.advance(g) + d for g, d in zip(gids, deltas)]
+    if (shaper is None or not shaper.has_gpos_kern) and len(gids) > 1:
+        # legacy kern folded into the left glyph (layout.py:717-725)
+        for k in range(len(gids) - 1):
+            advs[k] += tf.kerning(gids[k], gids[k + 1])
+    return gids, advs, [c[0] for c in clusters]
+
+
+def _assert_match(tid, text):
+    pg, pa, pc = _py_shape(tid, text)
+    cg, ca, cc = nt.shape(tid, text)
+    assert list(cg) == pg, f"gids diverge for {text!r}"
+    assert [float(x) for x in ca] == [float(a) for a in pa], \
+        f"advances diverge for {text!r}"
+    assert list(cc) == pc, f"clusters diverge for {text!r}"
+
+
+# ---- pack format ------------------------------------------------------------
+
+def test_pack_header_and_metrics():
+    tid = load_typeface(DEJAVU)
+    blob = build_font_pack(tid)
+    magic, ver = struct.unpack_from("<II", blob, 0)
+    assert magic == 0x46445450 and ver == 1
+    tf = get_typeface(tid)
+    upem, asc, desc, gap = nt.metrics(tid)
+    assert (upem, asc, desc, gap) == (
+        tf.units_per_em, tf.ascent, tf.descent, tf.line_gap)
+    # DejaVu: GPOS kern feature, mark attachment, a dropped ccmp ctx chain
+    flags = nt.pack_flags(tid)
+    assert flags & F_HAS_GPOS_KERN
+    assert flags & F_HAS_MARKS
+    assert flags & F_GSUB_DROPPED
+
+
+def test_pack_load_rejects_malformed():
+    tid = load_typeface(DEJAVU)
+    blob = nt.pack_blob(tid)
+    assert nt.load_raw_pack(b"") == 0
+    assert nt.load_raw_pack(b"\x00" * 64) == 0
+    assert nt.load_raw_pack(blob[:40]) == 0          # truncated header
+    assert nt.load_raw_pack(blob[: len(blob) // 2]) == 0  # truncated body
+    bad = bytearray(blob)
+    bad[4] = 99  # version
+    assert nt.load_raw_pack(bytes(bad)) == 0
+
+
+def test_cmap_and_advances_match_typeface():
+    tid = load_typeface(DEJAVU)
+    tf = get_typeface(tid)
+    probe = [ord(c) for c in "Aa0zZ@é Ω-我"] + [0x10FFFF]
+    for cp in probe:
+        assert nt.glyph_id(tid, cp) == tf.glyph_id(cp)
+    for cp in probe:
+        gid = tf.glyph_id(cp)
+        assert nt.advance(tid, gid) == np.float32(tf.advance(gid))
+
+
+# ---- shaping parity ---------------------------------------------------------
+
+def test_latin_ligatures_and_gpos_kern_match():
+    tid = load_typeface(DEJAVU)
+    _assert_match(tid, "Office fifi ffl flow first")
+    _assert_match(tid, "AVATAR WAVE To Ya LTA")
+    # ligature count sanity: 'ffi' must actually ligate (not a no-op pass)
+    gids, _, clus = nt.shape(tid, "ffi")
+    assert len(gids) == 1 and clus[0] == 0
+
+
+def test_cyrillic_and_greek_match():
+    tid = load_typeface(DEJAVU)
+    _assert_match(tid, "Тест добро пожаловать")
+    _assert_match(tid, "δόξα τω θεώ ΔΘΛ")
+
+
+def test_ubuntu_and_hack_fonts_match():
+    _assert_match(load_typeface(UBUNTU), "Toffle waffle AV fi ffl Tj")
+    _assert_match(load_typeface(HACK), "Office -> != === www AV")
+
+
+def test_mark_text_is_refused_not_misshaped():
+    """DejaVu ccmp decomposes precomposed accents into base + combining
+    mark; positioning them needs GPOS mark attachment, which the pack does
+    not carry — the engine must refuse (FD_TYPESET_E_MARKS), and the raw
+    combining-mark form must be refused too."""
+    tid = load_typeface(DEJAVU)
+    with pytest.raises(nt.NativeTypesetUnsupported):
+        nt.shape(tid, "e\u0301")  # e + combining acute
+    # the Python pipeline shapes the same text fine (the fallback the
+    # boundary contract points C hosts at)
+    pg, _, _ = _py_shape(tid, "e\u0301")
+    assert len(pg) == 2
+    # precomposed form: no mark in the run, shapes natively
+    _assert_match(tid, "caf\u00e9")
+
+
+def test_firacode_flags_reduced_features():
+    """calt/rclt are excluded from the exported plan by design; the pack
+    must SAY so (bit 5) so a C host knows FiraCode-class fonts shape
+    differently natively."""
+    tid = load_typeface(FIRACODE)
+    assert nt.pack_flags(tid) & F_FEATURES_REDUCED
+    # DejaVu has no calt: same plan, no flag
+    assert not (nt.pack_flags(load_typeface(DEJAVU)) & F_FEATURES_REDUCED)
+
+
+def test_legacy_kern_table_branch(tmp_path):
+    """A font with a legacy 'kern' table and no GPOS kern feature: the C
+    engine must fold kern0 into the left glyph's advance exactly like
+    layout.py's elif branch."""
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+    from fontTools.ttLib import newTable
+
+    fb = FontBuilder(1000, isTTF=True)
+    names = [".notdef", "A", "V", "o"]
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap({ord(c): c for c in "AVo"})
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics({g: (500, 50) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "KernTest", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    kern = newTable("kern")
+    kern.version = 0
+    from fontTools.ttLib.tables._k_e_r_n import KernTable_format_0
+    st = KernTable_format_0()
+    st.coverage = 1
+    st.format = 0
+    st.version = 0
+    st.kernTable = {("A", "V"): -80, ("V", "o"): -30}
+    kern.kernTables = [st]
+    fb.font["kern"] = kern
+    path = str(tmp_path / "kerntest.ttf")
+    fb.font.save(path)
+
+    tid = load_typeface(path)
+    assert not (nt.pack_flags(tid) & F_HAS_GPOS_KERN)
+    _assert_match(tid, "AVo oVA AA")
+    _, adv, _ = nt.shape(tid, "AV")
+    assert float(adv[0]) == 500.0 - 80.0
+
+
+# ---- line placement ---------------------------------------------------------
+
+def test_typeset_line_matches_typeset():
+    tid = load_typeface(DEJAVU)
+    text = "Office flow AVATAR 123"
+    font = FigFont(typeface_id=tid, size=24.0)
+    arr = typeset(vec2(100000, 100),
+                  [(font, fill(rgba(0, 0, 0, 255)), text)])
+    gids, xs, clus, baseline = nt.typeset_line(tid, text, 24.0)
+    got = [(int(g), float(x)) for g, x in zip(gids, xs)]
+    want = [(g.glyph_id, g.pos.x) for g in arr.arranged_glyphs]
+    assert len(got) == len(want)
+    for (cg, cx), (pg, px) in zip(got, want):
+        assert cg == pg
+        assert abs(cx - px) < 1e-3
+    assert baseline == arr.fonts[0].baseline_offset
+
+
+def test_c_host_demo_compiles_and_runs(tmp_path):
+    """native/examples/typeset_demo.c: a real C program against the public
+    header loads a .fdtp pack, decodes UTF-8, and typesets a line — the
+    external-host text path (docs/native_api.md)."""
+    import os
+    import subprocess
+
+    from figdraw_tpu.text.native_pack import save_font_pack
+
+    nt._load()  # ensure the .so exists
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "examples", "typeset_demo.c")
+    lib_dir = os.path.join(root, "native", "build")
+    exe = str(tmp_path / "typeset_demo")
+    subprocess.run(
+        ["gcc", src, "-I", os.path.join(root, "native"),
+         "-L", lib_dir, "-lfigdraw_typeset",
+         f"-Wl,-rpath,{lib_dir}", "-o", exe],
+        check=True, capture_output=True)
+
+    tid = load_typeface(DEJAVU)
+    pack_path = str(tmp_path / "dejavu.fdtp")
+    save_font_pack(tid, pack_path)
+
+    text = "Office flow AVATAR"
+    out = subprocess.run([exe, pack_path, text], check=True,
+                         capture_output=True, text=True)
+    lines = dict(l.split("=") for l in out.stdout.split())
+    gids, _, _, baseline = nt.typeset_line(tid, text, 24.0)
+    _, adv, _ = nt.shape(tid, text)
+    tf = get_typeface(tid)
+    assert int(lines["glyphs"]) == len(gids)
+    assert int(lines["first_gid"]) == int(gids[0])
+    want_w = float(np.sum(adv.astype(np.float64))) * 24.0 / tf.units_per_em
+    assert abs(float(lines["width_px"]) - want_w) < 0.05
+    assert float(lines["baseline"]) == baseline
+
+    # the refusal path surfaces as exit code 2, not a mis-shaped stream
+    r = subprocess.run([exe, pack_path, "cafe\u0301"], capture_output=True,
+                       text=True)
+    assert r.returncode == 2
+
+
+def test_utf8_helper():
+    tid = load_typeface(DEJAVU)
+    text = "Zürich → δ"
+    cps = nt.utf8_to_cps(text.encode("utf-8"))
+    assert [int(c) for c in cps] == [ord(c) for c in text]

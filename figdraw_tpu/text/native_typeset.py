@@ -89,6 +89,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.fd_typeset_box.restype = ctypes.c_int32
+        lib.fd_typeset_box.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
         lib.fd_utf8_to_cps.restype = ctypes.c_int32
         lib.fd_utf8_to_cps.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
@@ -205,6 +212,41 @@ def typeset_line(typeface_id: int, text, size: float):
         if n < 0:
             raise RuntimeError(f"fd_typeset_line failed ({n})")
         return gids[:n].copy(), xs[:n].copy(), clus[:n].copy(), baseline.value
+
+
+def typeset_box(typeface_id: int, text, size: float, *, line_height=0.0,
+                bounds=(0.0, 0.0), h_align=0, v_align=0, wrap=True):
+    """C-engine box typeset (layout.py typeset counterpart, single font):
+    (gids, xs px, ys px at baselines, clusters, (max_line_w, total_h))."""
+    lib = _load()
+    h = _pack_handle(typeface_id)
+    cps = _cps_array(text)
+    cap = max(16, len(cps) * 4)
+    out_size = (ctypes.c_float * 2)()
+    while True:
+        gids = np.zeros(cap, dtype=np.uint32)
+        xs = np.zeros(cap, dtype=np.float32)
+        ys = np.zeros(cap, dtype=np.float32)
+        clus = np.zeros(cap, dtype=np.uint32)
+        n = lib.fd_typeset_box(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps),
+            ctypes.c_float(size), ctypes.c_float(line_height),
+            ctypes.c_float(bounds[0]), ctypes.c_float(bounds[1]),
+            h_align, v_align, 1 if wrap else 0,
+            gids.ctypes.data_as(ctypes.c_void_p),
+            xs.ctypes.data_as(ctypes.c_void_p),
+            ys.ctypes.data_as(ctypes.c_void_p),
+            clus.ctypes.data_as(ctypes.c_void_p), cap, out_size)
+        if n == E_CAP and cap < 1 << 24:
+            cap *= 2
+            continue
+        if n == E_MARKS:
+            raise NativeTypesetUnsupported(
+                "text needs GPOS mark positioning")
+        if n < 0:
+            raise RuntimeError(f"fd_typeset_box failed ({n})")
+        return (gids[:n].copy(), xs[:n].copy(), ys[:n].copy(),
+                clus[:n].copy(), (out_size[0], out_size[1]))
 
 
 def utf8_to_cps(data: bytes) -> np.ndarray:

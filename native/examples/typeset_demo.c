@@ -83,11 +83,27 @@ int main(int argc, char **argv) {
   for (int32_t i = 0; i < count; i++)
     fprintf(stderr, "%-6u %-8.2f %-10u\n", gids[i], xs[i], clusters[i]);
 
+  /* the full box layouter: wrap the same text into a 160 px column,
+   * centered — the dynlib typeset() surface (layout.py counterpart) */
+  float ys[MAXG], box_size[2] = {0, 0};
+  int32_t bcount =
+      fd_typeset_box(pack, cps, n, size, 0.0f, 160.0f, 0.0f, /*h_align=*/1,
+                     /*v_align=*/0, /*wrap=*/1, gids, xs, ys, clusters, MAXG,
+                     box_size);
+  if (bcount < 0) {
+    fprintf(stderr, "typeset_box failed (%d)\n", bcount);
+    fd_pack_free(pack);
+    return 1;
+  }
+
   printf("glyphs=%d\n", count);
   printf("first_gid=%u\n", count ? gids[0] : 0);
   printf("width_px=%.3f\n", total);
   printf("baseline=%.1f\n", baseline);
   printf("flags=%u\n", fd_pack_flags(pack));
+  printf("box_glyphs=%d\n", bcount);
+  printf("box_w=%.3f\n", box_size[0]);
+  printf("box_h=%.3f\n", box_size[1]);
   fd_pack_free(pack);
   return 0;
 }

@@ -81,6 +81,26 @@ int32_t fd_typeset_line(const FdFontPack *pack, const uint32_t *cps,
                         int32_t n, float size_px, uint32_t *gids, float *xs,
                         uint32_t *clusters, int32_t cap, float *baseline);
 
+/* Full box typeset at size_px: the C counterpart of the Python layouter's
+ * typeset() (figdraw_tpu/text/layout.py; the reference dynlib's typeset
+ * export, bindings/native_bindings.nim). Shapes per newline-delimited
+ * segment (ligatures never cross '\n'; the '\n' itself is emitted as a
+ * zero-advance gid-0 glyph), greedy-wraps at whitespace/CJK break points
+ * with reflow when wrap != 0 and bounds_w > 0, then positions glyphs:
+ * xs/ys[i] are glyph i's pen position in px (ys at the line baseline,
+ * round(ascent + lineGap/2) below the line top). line_height <= 0 selects
+ * the font default (ascent - descent + lineGap, scaled). h_align:
+ * 0 left / 1 center / 2 right (against bounds_w, trailing whitespace
+ * excluded); v_align: 0 top / 1 middle / 2 bottom (against bounds_h).
+ * out_size (may be NULL) receives {max visible line width, total height}.
+ * Bidi and complex scripts stay Python-side: same FD_TYPESET_E_MARKS
+ * refusal contract as fd_typeset_shape. Returns the glyph count. */
+int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
+                       float size_px, float line_height, float bounds_w,
+                       float bounds_h, int32_t h_align, int32_t v_align,
+                       int32_t wrap, uint32_t *gids, float *xs, float *ys,
+                       uint32_t *clusters, int32_t cap, float *out_size);
+
 /* UTF-8 → codepoints helper (len < 0 = NUL-terminated). Invalid bytes decode
  * as U+FFFD. Returns the codepoint count, or FD_TYPESET_E_CAP. */
 int32_t fd_utf8_to_cps(const char *utf8, int32_t len, uint32_t *cps,

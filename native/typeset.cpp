@@ -21,6 +21,7 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -648,6 +649,180 @@ int32_t fd_typeset_line(const FdFontPack *pack, const uint32_t *cps,
     // nearbyint matches Python round's half-to-even
     *baseline =
         (float)std::nearbyint(pack->ascent * scale + pack->line_gap * scale * 0.5);
+  }
+  return count;
+}
+
+namespace {
+
+// Python str.isspace() over the codepoints layout.py consults
+// (is_whitespace = rune.isspace() on the cluster's first source rune)
+inline bool is_space_cp(uint32_t cp) {
+  return (cp >= 0x09 && cp <= 0x0D) || (cp >= 0x1C && cp <= 0x1F) ||
+         cp == 0x20 || cp == 0x85 || cp == 0xA0 || cp == 0x1680 ||
+         (cp >= 0x2000 && cp <= 0x200A) || cp == 0x2028 || cp == 0x2029 ||
+         cp == 0x202F || cp == 0x205F || cp == 0x3000;
+}
+
+// layout.py _is_cjk: CJK codepoints break lines anywhere
+inline bool is_cjk_cp(uint32_t cp) {
+  return (cp >= 0x1100 && cp <= 0x11FF) || (cp >= 0x2E80 && cp <= 0x9FFF) ||
+         (cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0xF900 && cp <= 0xFAFF) ||
+         (cp >= 0xFF00 && cp <= 0xFFEF) || (cp >= 0x20000 && cp <= 0x3FFFF);
+}
+
+}  // namespace
+
+int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
+                       float size_px, float line_height, float bounds_w,
+                       float bounds_h, int32_t h_align, int32_t v_align,
+                       int32_t wrap, uint32_t *gids, float *xs, float *ys,
+                       uint32_t *clusters, int32_t cap, float *out_size) {
+  if (n < 0) return FD_TYPESET_E_CAP;
+  double scale = pack->upem > 0 ? (double)size_px / pack->upem : 0.0;
+
+  // shape per newline-delimited segment (ligatures never cross '\n' —
+  // layout.py's segment loop), emitting the '\n' itself as a zero-advance
+  // gid-0 glyph exactly like the Python records path
+  std::vector<uint32_t> g;
+  std::vector<uint32_t> cl;
+  std::vector<double> adv;       // px
+  std::vector<uint8_t> is_ws;    // rune.isspace() of the cluster rune
+  std::vector<uint8_t> is_nl;    // rune == '\n'
+  std::vector<uint8_t> cjk;
+  {
+    std::vector<uint32_t> seg_gids(64);
+    std::vector<float> seg_adv(64);
+    std::vector<uint32_t> seg_cl(64);
+    int32_t i = 0;
+    while (i <= n) {
+      int32_t j = i;
+      while (j < n && cps[j] != '\n') j++;
+      int32_t seg_n = j - i;
+      if (seg_n > 0) {
+        int32_t count = fd_typeset_shape(pack, cps + i, seg_n,
+                                         seg_gids.data(), seg_adv.data(),
+                                         seg_cl.data(),
+                                         (int32_t)seg_gids.size());
+        while (count == FD_TYPESET_E_CAP &&
+               seg_gids.size() < (1u << 24)) {
+          seg_gids.resize(seg_gids.size() * 2);
+          seg_adv.resize(seg_adv.size() * 2);
+          seg_cl.resize(seg_cl.size() * 2);
+          count = fd_typeset_shape(pack, cps + i, seg_n, seg_gids.data(),
+                                   seg_adv.data(), seg_cl.data(),
+                                   (int32_t)seg_gids.size());
+        }
+        if (count < 0) return count;
+        for (int32_t k = 0; k < count; k++) {
+          uint32_t rune = cps[i + seg_cl[k]];
+          g.push_back(seg_gids[k]);
+          cl.push_back((uint32_t)i + seg_cl[k]);
+          adv.push_back(seg_adv[k] * scale);
+          is_ws.push_back(is_space_cp(rune) ? 1 : 0);
+          is_nl.push_back(0);
+          cjk.push_back(is_cjk_cp(rune) ? 1 : 0);
+        }
+      }
+      if (j < n) {  // the newline glyph (layout.py:629-636)
+        g.push_back(0);
+        cl.push_back((uint32_t)j);
+        adv.push_back(0.0);
+        is_ws.push_back(1);
+        is_nl.push_back(1);
+        cjk.push_back(0);
+      }
+      i = j + 1;
+      if (j >= n) break;
+    }
+  }
+
+  // line breaking (layout.py:747-788: greedy with reflow from the new start)
+  std::vector<std::pair<size_t, size_t>> lines;
+  size_t line_start = 0;
+  double x = 0.0;
+  long last_break = -1;
+  size_t i = 0;
+  while (i < g.size()) {
+    if (is_nl[i]) {
+      lines.emplace_back(line_start, i);  // the '\n' rides its line
+      line_start = i + 1;
+      x = 0.0;
+      last_break = -1;
+      i++;
+      continue;
+    }
+    bool breakable = is_ws[i] || cjk[i];
+    if (wrap && bounds_w > 0 && x + adv[i] > bounds_w && i > line_start &&
+        !is_ws[i]) {
+      if (last_break >= (long)line_start) {
+        lines.emplace_back(line_start, (size_t)last_break);
+        line_start = (size_t)last_break + 1;
+      } else {
+        lines.emplace_back(line_start, i - 1);
+        line_start = i;
+      }
+      x = 0.0;
+      last_break = -1;
+      i = line_start;  // reflow
+      continue;
+    }
+    x += adv[i];
+    if (breakable) last_break = (long)i;
+    i++;
+  }
+  if (line_start < g.size()) lines.emplace_back(line_start, g.size() - 1);
+
+  int32_t count = (int32_t)g.size();
+  if (count > cap) return FD_TYPESET_E_CAP;
+
+  // positioning (layout.py:792-845; single-font arrangement)
+  double ascent = pack->ascent * scale;
+  double descent = -pack->descent * scale;
+  double line_gap = pack->line_gap * scale;
+  double line_h =
+      line_height > 0 ? (double)line_height : ascent + descent + line_gap;
+  double baseline_off = std::nearbyint(ascent + line_gap * 0.5);
+  std::vector<float> px(g.size()), py(g.size());
+  double y = 0.0;
+  double max_line_w = 0.0;
+  for (auto [s_i, e_i] : lines) {
+    double baseline = y + baseline_off;
+    double line_w = 0.0, visible_w = 0.0;
+    for (size_t k = s_i; k <= e_i; k++) {
+      line_w += adv[k];
+      if (!is_ws[k]) visible_w = line_w;
+    }
+    double pen = 0.0;
+    if (h_align == 1)
+      pen = bounds_w > 0 ? (bounds_w - visible_w) / 2.0 : 0.0;
+    else if (h_align == 2)
+      pen = bounds_w > 0 ? bounds_w - visible_w : 0.0;
+    for (size_t k = s_i; k <= e_i; k++) {
+      px[k] = (float)pen;
+      py[k] = (float)baseline;
+      pen += adv[k];
+    }
+    if (visible_w > max_line_w) max_line_w = visible_w;
+    y += line_h;
+  }
+  double total_h = y;
+  if (v_align != 0 && bounds_h > 0) {
+    double dy = bounds_h - total_h;
+    if (v_align == 1) dy /= 2.0;
+    if (dy != 0)
+      for (size_t k = 0; k < g.size(); k++) py[k] = (float)(py[k] + dy);
+  }
+
+  for (int32_t k = 0; k < count; k++) {
+    if (gids) gids[k] = g[k];
+    if (xs) xs[k] = px[k];
+    if (ys) ys[k] = py[k];
+    if (clusters) clusters[k] = cl[k];
+  }
+  if (out_size) {
+    out_size[0] = (float)max_line_w;
+    out_size[1] = (float)total_h;
   }
   return count;
 }

@@ -219,6 +219,66 @@ def test_typeset_line_matches_typeset():
     assert baseline == arr.fonts[0].baseline_offset
 
 
+def test_typeset_box_matches_typeset_wrapped():
+    """fd_typeset_box vs layout.py typeset on a wrapped two-paragraph box:
+    identical glyph streams, pen positions, and measured size across every
+    h/v alignment (the reference dynlib's full typeset export surface)."""
+    tid = load_typeface(DEJAVU)
+    text = ("The quick brown fox jumps over the lazy dog.\n"
+            "Second paragraph with Office ffi flow and AVATAR waves to Ya.")
+    font = FigFont(typeface_id=tid, size=18.0)
+    for h_align in (0, 1, 2):
+        for v_align in (0, 1, 2):
+            arr = typeset(vec2(220, 160),
+                          [(font, fill(rgba(0, 0, 0, 255)), text)],
+                          h_align=h_align, v_align=v_align, wrap=True)
+            gids, xs, ys, clus, size = nt.typeset_box(
+                tid, text, 18.0, bounds=(220, 160),
+                h_align=h_align, v_align=v_align, wrap=True)
+            want = arr.arranged_glyphs
+            assert len(gids) == len(want), (h_align, v_align)
+            for k, g in enumerate(want):
+                assert int(gids[k]) == g.glyph_id, (h_align, v_align, k)
+                assert int(clus[k]) == g.cluster
+                assert abs(float(xs[k]) - g.pos.x) < 1e-3, (h_align, k)
+                assert abs(float(ys[k]) - g.pos.y) < 1e-3, (v_align, k)
+            assert abs(size[0] - arr.max_size.x) < 1e-3
+            assert abs(size[1] - arr.max_size.y) < 1e-3
+            # multi-line actually exercised (wrap produced >2 lines)
+            assert len(arr.lines) > 2
+
+
+def test_typeset_box_nowrap_line_height_and_cjk():
+    tid = load_typeface(DEJAVU)
+    font = FigFont(typeface_id=tid, size=20.0, line_height=30.0)
+
+    def compare(text, bounds, wrap):
+        arr = typeset(vec2(*bounds), [(font, fill(rgba(0, 0, 0, 255)), text)],
+                      wrap=wrap)
+        gids, xs, ys, clus, size = nt.typeset_box(
+            tid, text, 20.0, line_height=30.0, bounds=bounds, wrap=wrap)
+        want = arr.arranged_glyphs
+        assert len(gids) == len(want)
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id
+            assert abs(float(xs[k]) - g.pos.x) < 1e-3
+            assert abs(float(ys[k]) - g.pos.y) < 1e-3
+        assert abs(size[0] - arr.max_size.x) < 1e-3
+        assert abs(size[1] - arr.max_size.y) < 1e-3
+        return arr
+
+    # nowrap: newlines still break, custom line_height honored
+    arr = compare("one two three four five\nsix seven", (60, 0), wrap=False)
+    assert len(arr.lines) == 2
+    # CJK codepoints break anywhere (glyphless in DejaVu, but the breaker
+    # must still split — layout.py _is_cjk contract)
+    arr = compare("我们是一家人", (30, 0), wrap=True)
+    assert len(arr.lines) > 1
+    # a word longer than the box: forced mid-word break, reflow path
+    arr = compare("Honorificabilitudinitatibus again", (40, 0), wrap=True)
+    assert len(arr.lines) > 2
+
+
 def test_c_host_demo_compiles_and_runs(tmp_path):
     """native/examples/typeset_demo.c: a real C program against the public
     header loads a .fdtp pack, decodes UTF-8, and typesets a line — the
@@ -255,6 +315,13 @@ def test_c_host_demo_compiles_and_runs(tmp_path):
     want_w = float(np.sum(adv.astype(np.float64))) * 24.0 / tf.units_per_em
     assert abs(float(lines["width_px"]) - want_w) < 0.05
     assert float(lines["baseline"]) == baseline
+
+    # the demo's wrapped-box leg (fd_typeset_box, 160 px column, centered)
+    bg, _, _, _, bsize = nt.typeset_box(tid, text, 24.0, bounds=(160, 0),
+                                        h_align=1, wrap=True)
+    assert int(lines["box_glyphs"]) == len(bg)
+    assert abs(float(lines["box_w"]) - bsize[0]) < 0.05
+    assert abs(float(lines["box_h"]) - bsize[1]) < 0.05
 
     # the refusal path surfaces as exit code 2, not a mis-shaped stream
     r = subprocess.run([exe, pack_path, "cafe\u0301"], capture_output=True,

@@ -112,6 +112,8 @@ class OpenTypeShaper:
     """Per-typeface shaping tables; build with `get_shaper(typeface)`."""
 
     def __init__(self, tt):
+        self._tt = tt
+        self._cmap: Optional[dict] = None  # lazy, Thai/Lao decomposition only
         self._gsub = tt.get("GSUB")
         # feature set → ordered list of compiled lookups (skip_classes, entries)
         self._plans: Dict[frozenset, List[tuple]] = {}
@@ -629,6 +631,8 @@ class OpenTypeShaper:
             use.is_khmer(cp) or use.is_myanmar(cp) for cp in cps
         ):
             self._substitute_use(out_n, out_c, out_l, cps, feats, lang)
+        elif cps is not None and any(cp in THAI_SARA_AM for cp in cps):
+            self._substitute_thai(out_n, out_c, out_l, cps, feats, lang)
         else:
             self._apply_plan(self._plan(feats, lang), out_n, out_c, out_l)
         return out_n, out_c, out_l
@@ -674,6 +678,63 @@ class OpenTypeShaper:
     # Positional features, each its own masked stage in this order (HarfBuzz
     # arabic shaper stage list; fin2/fin3/med2 are Syriac-only but harmless)
     ARABIC_POSITIONAL = ("isol", "fina", "fin2", "fin3", "medi", "med2", "init")
+
+    def _cp_name(self, cp: int) -> Optional[str]:
+        """cmap lookup for glyphs a preprocess step introduces that are not
+        in the source run (Thai decomposition); lazy — most fonts never
+        need it."""
+        if self._cmap is None:
+            try:
+                self._cmap = self._tt.getBestCmap()
+            except Exception:
+                self._cmap = {}
+        return self._cmap.get(cp)
+
+    def _substitute_thai(self, out_n, out_c, out_l, cps, feats, lang) -> None:
+        """The HarfBuzz Thai/Lao shaper's Uniscribe-compatible preprocess
+        (hb-ot-shaper-thai.cc preprocess_text): decompose SARA AM U+0E33
+        (Lao AM U+0EB3) into NIKHAHIT U+0E4D (U+0ECD) + SARA AA U+0E32
+        (U+0EB2), then move the nikhahit backwards over any contiguous
+        preceding tone marks (U+0E48–U+0E4B / U+0EC8–U+0ECB) so it renders
+        above the base consonant, under the tones. The moved span merges
+        clusters. A font lacking either decomposition glyph keeps SARA AM
+        as-is (HarfBuzz's has-glyph gate). Thai needs no positional
+        staging beyond this — the regular plan (ccmp/liga + GPOS mark
+        attachment) runs after."""
+        new_n: List[str] = []
+        new_c: List[Tuple[int, int]] = []
+        new_cp: List[int] = []
+        for k, cp in enumerate(cps):
+            info = THAI_SARA_AM.get(cp)
+            nik_name = aa_name = None
+            if info is not None:
+                nik_name = self._cp_name(info[0])
+                aa_name = self._cp_name(info[1])
+            if info is None or nik_name is None or aa_name is None:
+                new_n.append(out_n[k])
+                new_c.append(out_c[k])
+                new_cp.append(cp)
+                continue
+            nik_cp, aa_cp, tone_lo, tone_hi = info
+            j = len(new_n)
+            while j > 0 and tone_lo <= new_cp[j - 1] <= tone_hi:
+                j -= 1
+            new_n.insert(j, nik_name)
+            new_c.insert(j, out_c[k])
+            new_cp.insert(j, nik_cp)
+            new_n.append(aa_name)
+            new_c.append(out_c[k])
+            new_cp.append(aa_cp)
+            crossed = range(j, len(new_n) - 1)  # nikhahit + crossed tones
+            if len(crossed) > 1:
+                lo = min(new_c[s][0] for s in crossed)
+                hi = max(new_c[s][1] for s in crossed)
+                for s in crossed:
+                    new_c[s] = (lo, hi)
+        out_n[:] = new_n
+        out_c[:] = new_c
+        out_l[:] = [(1, -1)] * len(new_n)
+        self._apply_plan(self._plan(feats, lang), out_n, out_c, out_l)
 
     def _substitute_arabic(self, out_n, out_c, out_l, cps, feats, lang) -> None:
         """HarfBuzz-style staged Arabic shaping: ccmp/locl first, then each
@@ -1386,6 +1447,15 @@ def _is_arabic_script(cp: int) -> bool:
     """Arabic block + Arabic Supplement (the ranges the joining-class pass
     understands) — gates the staged positional pipeline."""
     return 0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F
+
+
+# Thai SARA AM / Lao AM → (nikhahit, sara aa, tone-mark range) for the
+# HarfBuzz Thai shaper's Uniscribe-compatible decomposition
+# (hb-ot-shaper-thai.cc preprocess_text; harfbuzzy.nim reaches it for free)
+THAI_SARA_AM = {
+    0x0E33: (0x0E4D, 0x0E32, 0x0E48, 0x0E4B),
+    0x0EB3: (0x0ECD, 0x0EB2, 0x0EC8, 0x0ECB),
+}
 
 
 def _joining_class(cp: int) -> str:

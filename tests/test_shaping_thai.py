@@ -1,0 +1,137 @@
+"""Thai/Lao shaping: the HarfBuzz Thai shaper's Uniscribe-compatible SARA AM
+decomposition (hb-ot-shaper-thai.cc preprocess_text), pinned on synthetic
+feaLib-built fonts (no Thai/Lao faces ship in this image). The reference
+reaches this through HarfBuzz (textbackends/harfbuzzy.nim); glyph streams
+are behavior contracts like tests/test_shaping_use.py.
+
+Contract: U+0E33 SARA AM decomposes to U+0E4D NIKHAHIT + U+0E32 SARA AA and
+the nikhahit moves backwards over contiguous preceding tone marks
+(U+0E48-U+0E4B) so it renders above the base under the tones; Lao U+0EB3 is
+the same with U+0ECD/U+0EB2/U+0EC8-U+0ECB. A font lacking the decomposition
+glyphs keeps SARA AM as-is (HarfBuzz's has-glyph gate)."""
+
+import pytest
+
+from figdraw_tpu import fill, rgba, vec2
+from figdraw_tpu.text.layout import typeset
+from figdraw_tpu.text.shaper import get_shaper
+from figdraw_tpu.text.typefaces import FigFont, get_typeface, load_typeface
+
+# Thai codepoints
+KO, MAI_EK, MAI_THO = 0x0E01, 0x0E48, 0x0E49
+NIKHAHIT, SARA_AA, SARA_AM = 0x0E4D, 0x0E32, 0x0E33
+# Lao codepoints
+LKO, LMAI_EK, LNIGGAHITA, LAA, LAM = 0x0E81, 0x0EC8, 0x0ECD, 0x0EB2, 0x0EB3
+
+
+def _build_font(tmp_path, filename, cmap):
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    names = [".notdef"] + list(cmap.values())
+    fb = FontBuilder(1000, isTTF=True)
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap(cmap)
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics({g: (500, 50) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "ThaiTest", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    # a GPOS kern pair so get_shaper() builds (real Thai fonts carry GPOS
+    # mark attachment; the decomposition itself is table-independent)
+    addOpenTypeFeaturesFromString(
+        fb.font, "languagesystem DFLT dflt;\n"
+                 "feature kern { pos ko maiek -10; } kern;")
+    path = str(tmp_path / filename)
+    fb.font.save(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def thai_tid(tmp_path_factory):
+    cmap = {
+        KO: "ko", MAI_EK: "maiek", MAI_THO: "maitho",
+        NIKHAHIT: "nikhahit", SARA_AA: "saraaa", SARA_AM: "saraam",
+        LKO: "ko.lao", LMAI_EK: "maiek.lao", LNIGGAHITA: "niggahita",
+        LAA: "aa.lao", LAM: "am.lao",
+    }
+    path = _build_font(tmp_path_factory.mktemp("thai"), "thaitest.ttf", cmap)
+    return load_typeface(path)
+
+
+@pytest.fixture(scope="module")
+def bare_tid(tmp_path_factory):
+    # SARA AM exists but the decomposition glyphs do not
+    cmap = {KO: "ko", MAI_EK: "maiek", SARA_AM: "saraam"}
+    path = _build_font(tmp_path_factory.mktemp("thaibare"), "bare.ttf", cmap)
+    return load_typeface(path)
+
+
+def _shape(tid, cps):
+    tf = get_typeface(tid)
+    sh = get_shaper(tf)
+    names = [tf.glyph_name(tf.glyph_id(cp)) for cp in cps]
+    clusters = [(k, k + 1) for k in range(len(cps))]
+    return sh.substitute(names, clusters, cps=cps)
+
+
+def test_sara_am_decomposes(thai_tid):
+    # KO + SARA AM -> [ko, nikhahit, saraaa]; both halves keep the am's
+    # source cluster
+    names, clusters = _shape(thai_tid, [KO, SARA_AM])
+    assert names == ["ko", "nikhahit", "saraaa"], names
+    assert clusters == [(0, 1), (1, 2), (1, 2)], clusters
+
+
+def test_nikhahit_reorders_over_tone_marks(thai_tid):
+    # KO + MAI EK + SARA AM: the nikhahit moves back over the tone mark —
+    # [ko, nikhahit, maiek, saraaa]; the moved span merges clusters
+    names, clusters = _shape(thai_tid, [KO, MAI_EK, SARA_AM])
+    assert names == ["ko", "nikhahit", "maiek", "saraaa"], names
+    assert clusters == [(0, 1), (1, 3), (1, 3), (2, 3)], clusters
+    # two stacked tones: still a single hop to before both
+    names, _ = _shape(thai_tid, [KO, MAI_EK, MAI_THO, SARA_AM])
+    assert names == ["ko", "nikhahit", "maiek", "maitho", "saraaa"], names
+
+
+def test_tone_without_sara_am_untouched(thai_tid):
+    names, clusters = _shape(thai_tid, [KO, MAI_EK, KO])
+    assert names == ["ko", "maiek", "ko"], names
+    assert clusters == [(0, 1), (1, 2), (2, 3)], clusters
+
+
+def test_multiple_sara_am_per_run(thai_tid):
+    # each AM decomposes within its own syllable; reordering never crosses
+    # a non-tone glyph
+    names, _ = _shape(thai_tid, [KO, SARA_AM, KO, MAI_EK, SARA_AM])
+    assert names == ["ko", "nikhahit", "saraaa",
+                     "ko", "nikhahit", "maiek", "saraaa"], names
+
+
+def test_lao_am_decomposes(thai_tid):
+    names, _ = _shape(thai_tid, [LKO, LMAI_EK, LAM])
+    assert names == ["ko.lao", "niggahita", "maiek.lao", "aa.lao"], names
+
+
+def test_font_without_decomposition_keeps_sara_am(bare_tid):
+    # HarfBuzz's has-glyph gate: no nikhahit/saraaa glyphs -> AM stays
+    names, clusters = _shape(bare_tid, [KO, MAI_EK, SARA_AM])
+    assert names == ["ko", "maiek", "saraam"], names
+    assert clusters == [(0, 1), (1, 2), (2, 3)], clusters
+
+
+def test_end_to_end_typeset(thai_tid):
+    tf = get_typeface(thai_tid)
+    f = FigFont(typeface_id=thai_tid, size=20.0)
+    text = "".join(chr(c) for c in [KO, MAI_EK, SARA_AM])
+    arr = typeset(vec2(1000, 40), [(f, fill(rgba(0, 0, 0, 255)), text)])
+    names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    assert names == ["ko", "nikhahit", "maiek", "saraaa"], names

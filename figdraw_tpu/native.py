@@ -32,8 +32,11 @@ _load_failed = False
 
 def _build() -> None:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-pthread", "-shared", "-fPIC",
-           "-std=c++17", "-o", _LIB, _SRC]
+    # -ffp-contract=off: the walk and the scene animator are pinned
+    # BIT-identical to their numpy twins; numpy never fuses multiply-add,
+    # so FMA contraction (this host has FMA) must be off for parity.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-pthread",
+           "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -204,6 +207,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_uint8,
         ]
+        lib.fd_scene_animate.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32,
+        ] + [ctypes.c_void_p] * 8
+        lib.fd_scene_animate.restype = ctypes.c_int
 
         expected = lib.fd_fig_struct_size()
         assert expected == FIG_DTYPE.itemsize, (
@@ -826,3 +834,24 @@ def walk_roots_packed(
     if rc != n_quads:
         return None
     return rows[:n_quads], spans
+
+
+def scene_animate(nodes: np.ndarray, w: float, h: float, frame: int,
+                  copies: int, base_xs: np.ndarray, base_ys: np.ndarray,
+                  tables: dict) -> bool:
+    """C twin of scenes._scene_animate_np: writes the 300-box demo scene's
+    frame-dependent columns into the FIG_DTYPE `nodes` array in place,
+    bit-identical to the numpy animator (tests/test_scenes_native.py pins
+    it). `tables` is the _scene_anim_state dict (contiguous f64 phase
+    tables). Returns False when the native library is unavailable — the
+    caller falls back to numpy."""
+    lib = _load()
+    if lib is None:
+        return False
+    rc = lib.fd_scene_animate(
+        _ptr(nodes), nodes.shape[0], float(w), float(h), int(frame),
+        int(copies), _ptr(base_xs), _ptr(base_ys),
+        _ptr(tables["sin_of_sp"]), _ptr(tables["cos_of_sp"]),
+        _ptr(tables["sin_of_cp"]), _ptr(tables["cos_of_cp"]),
+        _ptr(tables["sin_t_c"]), _ptr(tables["cos_t_c"]))
+    return rc == 0

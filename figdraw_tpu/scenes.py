@@ -90,6 +90,10 @@ def _scene_anim_state(copies: int):
             "tmp_c": np.empty_like(cos_phase),
             "box": np.empty((3, copies, 4), np.float64),
             "corners": np.empty((3, copies, 4), np.float64),
+            # contiguous copies of the t-coefficient columns for the C
+            # animator (the numpy path reads the strided views fine)
+            "sin_t_c": np.ascontiguousarray(_SIN_COEF[:, 0]),
+            "cos_t_c": np.ascontiguousarray(_COS_COEF[:, 0]),
         }
         _scene_anim_cache[copies] = state
     return state
@@ -195,8 +199,26 @@ def _scene_static(w: float, h: float, copies: int):
 def _scene_animate(nodes, w: float, h: float, frame: int, copies: int) -> None:
     """The frame-dependent columns: box positions/sizes, corner radii,
     shadow blur/spread/offsets, and the moving blur panel + overlay.
+    Routes to the C animator (native fd_scene_animate — the reference's
+    demo loop animates in compiled Nim, renderlist_100_common.nim) when the
+    flattener library is up, else the vectorized numpy twin below; the two
+    are BIT-identical (tests/test_scenes_native.py)."""
+    from . import native
 
-    All sixteen phase functions ride cached angle-addition tables — per
+    st = _scene_anim_state(copies)
+    max_x = max(0.0, w - 580.0)
+    max_y = max(0.0, h - 480.0)
+    base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
+    if native.available() and native.scene_animate(
+            nodes, w, h, frame, copies, base_xs, base_ys, st):
+        return
+    _scene_animate_np(nodes, w, h, frame, copies)
+
+
+def _scene_animate_np(nodes, w: float, h: float, frame: int,
+                      copies: int) -> None:
+    """numpy animator — the semantic reference for fd_scene_animate. All
+    sixteen phase functions ride cached angle-addition tables — per
     frame only 32 scalar sin/cos hit libm (see _scene_anim_state; within
     1 ULP of direct evaluation) — and box/corner rows build in cached
     scratch buffers instead of np.stack."""

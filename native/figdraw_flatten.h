@@ -174,6 +174,20 @@ int fd_flatten_renders_spans(FigdrawFlattenCtx *ctx, FdRenders *renders,
 int fd_flatten_renders_root(FigdrawFlattenCtx *ctx, FdRenders *renders,
                             int zlevel, int root_pos);
 
+/* Demo-scene animator: writes the 300-box benchmark scene's frame-dependent
+ * columns (box positions/sizes, corner radii, shadow blur/spread/offsets,
+ * moving panel) straight into the FIG_DTYPE node array — bit-identical to
+ * the numpy animator (figdraw_tpu/scenes.py). nodes points at the layer's
+ * node rows; the phase tables are the Python-side caches, (9, copies) and
+ * (7, copies) row-major f64. Returns 0, or -1 when count is too small for
+ * the scene shape (1 + 3*copies + 3 rows). */
+int fd_scene_animate(void *nodes, int32_t count, double w, double h,
+                     int32_t frame, int32_t copies, const double *base_xs,
+                     const double *base_ys, const double *sin_of_sp,
+                     const double *cos_of_sp, const double *sin_of_cp,
+                     const double *cos_of_cp, const double *sin_t,
+                     const double *cos_t);
+
 /* Packed-fill helpers (filltypes.nim fill()/linear()). fill points at the
  * 16-byte PackedFill field inside a Fig row. axis: 0 X, 1 Y, 2 diagonal
  * TL-BR, 3 diagonal BL-TR. Colors are RGBA8. */

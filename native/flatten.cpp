@@ -2524,4 +2524,131 @@ int fd_flatten_renders_root(Ctx* ctx, FdRenders* r, int zlevel, int root_pos) {
   return -1;
 }
 
+// ---- demo-scene animator ----------------------------------------------------
+//
+// The per-frame column writer of the 300-box benchmark scene
+// (figdraw_tpu/scenes.py _scene_animate_np is the semantic reference — the
+// reference's renderlist_100_common.nim animates in compiled Nim, so the
+// host side of the frame loop is native there too). Must stay BIT-identical
+// to the numpy path (tests/test_scenes_native.py): all math in double in
+// the same operation order, f64->f32 stores round-to-nearest like numpy
+// assignment, f64->u16 corner stores truncate toward zero like numpy
+// casting. Built with -ffp-contract=off (native.py) so no FMA re-rounding
+// diverges from numpy, which never contracts.
+//
+// Phase tables are the Python-side caches (_scene_anim_state): sin/cos of
+// the per-copy phase offsets, (9, copies) and (7, copies) row-major. Per
+// frame only the 32 t-dependent scalars hit libm; each copy's phase value
+// is an angle-addition mul/mul/add.
+int fd_scene_animate(Fig* nodes, int32_t count, double w, double h,
+                     int32_t frame, int32_t copies,
+                     const double* base_xs, const double* base_ys,
+                     const double* sin_of_sp, const double* cos_of_sp,
+                     const double* sin_of_cp, const double* cos_of_cp,
+                     const double* sin_t, const double* cos_t) {
+  if (count < 1 + 3 * copies + 3) return -1;
+  const double t = (double)frame * 0.02;
+  double sin_ta[9], cos_ta[9], sin_tc[7], cos_tc[7];
+  for (int k = 0; k < 9; k++) {
+    sin_ta[k] = std::sin(t * sin_t[k]);
+    cos_ta[k] = std::cos(t * sin_t[k]);
+  }
+  for (int k = 0; k < 7; k++) {
+    sin_tc[k] = std::sin(t * cos_t[k]);
+    cos_tc[k] = std::cos(t * cos_t[k]);
+  }
+  const double max_x = w - 580.0 > 0.0 ? w - 580.0 : 0.0;
+  const double max_y = h - 480.0 > 0.0 ? h - 480.0 : 0.0;
+
+  for (int32_t i = 0; i < copies; i++) {
+    double s[9], c[7];
+    for (int k = 0; k < 9; k++) {
+      const int32_t idx = k * copies + i;
+      s[k] = cos_of_sp[idx] * sin_ta[k] + sin_of_sp[idx] * cos_ta[k];
+    }
+    for (int k = 0; k < 7; k++) {
+      const int32_t idx = k * copies + i;
+      c[k] = cos_of_cp[idx] * cos_tc[k] - sin_of_cp[idx] * sin_tc[k];
+    }
+    double off_x = base_xs[i] + s[0] * 20.0;
+    off_x = off_x < 0.0 ? 0.0 : (off_x > max_x ? max_x : off_x);
+    double off_y = base_ys[i] + c[0] * 20.0;
+    off_y = off_y < 0.0 ? 0.0 : (off_y > max_y ? max_y : off_y);
+    const double pulse_w = 0.5 + 0.5 * s[1];
+    const double pulse_h = 0.5 + 0.5 * c[1];
+
+    // red: elliptical corner animation
+    Fig& r = nodes[1 + 3 * i];
+    r.box[0] = (float)(60.0 + off_x);
+    r.box[1] = (float)(60.0 + off_y);
+    r.box[2] = (float)(160.0 + 100.0 * pulse_w);
+    r.box[3] = (float)(110.0 + 70.0 * pulse_h);
+    const double cp = 0.5 + 0.5 * s[2];
+    const double c0f = 4.0 + 26.0 * cp;
+    const double c1f = 6.0 + 22.0 * (1.0 - cp);
+    const double c2f = 8.0 + 18.0 * (0.5 + 0.5 * s[3]);
+    const double c3f = 10.0 + 16.0 * (0.5 + 0.5 * c[2]);
+    r.corners[0] = (uint16_t)c0f;
+    r.corners[1] = (uint16_t)c1f;
+    r.corners[2] = (uint16_t)c2f;
+    r.corners[3] = (uint16_t)c3f;
+    r.corners_y[0] = (uint16_t)c0f;
+    r.corners_y[1] = (uint16_t)(c1f * 2.0);
+    r.corners_y[2] = (uint16_t)c2f;
+    r.corners_y[3] = (uint16_t)(c3f * 2.0);
+
+    // green: box, corners, drop shadow animation
+    Fig& g = nodes[2 + 3 * i];
+    g.box[0] = (float)(320.0 + off_x);
+    g.box[1] = (float)(120.0 + off_y);
+    g.box[2] = (float)(160.0 + 100.0 * pulse_h);
+    g.box[3] = (float)(110.0 + 70.0 * pulse_w);
+    const double gp = 0.5 + 0.5 * c[3];
+    g.corners[0] = (uint16_t)(6.0 + 22.0 * gp);
+    g.corners[1] = (uint16_t)(8.0 + 18.0 * (1.0 - gp));
+    g.corners[2] = (uint16_t)(10.0 + 16.0 * (0.5 + 0.5 * c[4]));
+    g.corners[3] = (uint16_t)(12.0 + 14.0 * (0.5 + 0.5 * s[4]));
+    const double sp = 0.5 + 0.5 * s[5];
+    const double gblur = 6.0 + 18.0 * sp;
+    const double gspread = 4.0 + 20.0 * (1.0 - sp);
+    g.shadows[0].blur = (float)(gblur > 0.0 ? gblur : 0.0);
+    g.shadows[0].spread = (float)(gspread > 0.0 ? gspread : 0.0);
+    g.shadows[0].x = (float)(6.0 + 10.0 * s[6]);
+    g.shadows[0].y = (float)(6.0 + 10.0 * c[5]);
+
+    // blue: box + inner shadow animation
+    Fig& b = nodes[3 + 3 * i];
+    b.box[0] = (float)(180.0 + off_x);
+    b.box[1] = (float)(300.0 + off_y);
+    b.box[2] = (float)(160.0 + 100.0 * (1.0 - pulse_w));
+    b.box[3] = (float)(110.0 + 70.0 * (1.0 - pulse_h));
+    const double ip = 0.5 + 0.5 * s[7];
+    const double bblur = 8.0 + 10.0 * ip;
+    const double bspread = 2.0 + 10.0 * (1.0 - ip);
+    b.shadows[0].blur = (float)(bblur > 0.0 ? bblur : 0.0);
+    b.shadows[0].spread = (float)(bspread > 0.0 ? bspread : 0.0);
+    b.shadows[0].x = (float)(6.0 * s[8]);
+    b.shadows[0].y = (float)(6.0 * c[6]);
+  }
+
+  // moving blur panel + overlay
+  const int32_t base = 1 + 3 * copies;
+  const double yw = 360.0, yh = 240.0, ym = 20.0;
+  const double span_x = w - yw - ym * 2.0, span_y = h - yh - ym * 2.0;
+  const double yx =
+      ym + (span_x > 0.0 ? span_x : 0.0) * (0.5 + 0.5 * std::sin(t * 0.33));
+  const double yy =
+      ym + (span_y > 0.0 ? span_y : 0.0) * (0.5 + 0.5 * std::cos(t * 0.41));
+  const uint16_t yc =
+      (uint16_t)(20.0 + 12.0 * (0.5 + 0.5 * std::sin(t * 0.7)));
+  for (int32_t n = base + 1; n <= base + 2; n++) {
+    nodes[n].box[0] = (float)yx;
+    nodes[n].box[1] = (float)yy;
+    nodes[n].box[2] = (float)yw;
+    nodes[n].box[3] = (float)yh;
+    for (int k = 0; k < 4; k++) nodes[n].corners[k] = yc;
+  }
+  return 0;
+}
+
 }  // extern "C"

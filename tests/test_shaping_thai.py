@@ -10,6 +10,7 @@ the nikhahit moves backwards over contiguous preceding tone marks
 the same with U+0ECD/U+0EB2/U+0EC8-U+0ECB. A font lacking the decomposition
 glyphs keeps SARA AM as-is (HarfBuzz's has-glyph gate)."""
 
+import numpy as np
 import pytest
 
 from figdraw_tpu import fill, rgba, vec2
@@ -135,3 +136,36 @@ def test_end_to_end_typeset(thai_tid):
     arr = typeset(vec2(1000, 40), [(f, fill(rgba(0, 0, 0, 255)), text)])
     names = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
     assert names == ["ko", "nikhahit", "maiek", "saraaa"], names
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_shaper_dispatch_fuzz_never_crashes(seed):
+    """Adversarial mixed-script runs through the full typeset pipeline:
+    random interleavings of Thai/Lao (incl. lone SARA AM, leading tone
+    marks, AM-after-AM), Khmer coengs, Myanmar kinzi fragments, Arabic,
+    Devanagari and Latin must never raise, and every emitted cluster must
+    reference a valid source index — the dispatch in shaper.substitute_ex
+    picks ONE staged pipeline per run, so cross-script runs exercise the
+    'wrong pipeline sees foreign codepoints' paths."""
+    rng = np.random.default_rng(seed)
+    pools = [
+        [0x0E01, 0x0E33, 0x0E48, 0x0E4D, 0x0E32],         # Thai
+        [0x0E81, 0x0EB3, 0x0EC8],                         # Lao
+        [0x1780, 0x17D2, 0x179A, 0x17C1],                 # Khmer
+        [0x1000, 0x1004, 0x103A, 0x1039, 0x1031],         # Myanmar
+        [0x0627, 0x0644, 0x0628, 0x064E],                 # Arabic
+        [0x0915, 0x094D, 0x0930, 0x093F],                 # Devanagari
+        [ord("A"), ord("f"), ord("i"), ord(" "), ord("\n")],
+    ]
+    tid = load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf")
+    font = FigFont(typeface_id=tid, size=16.0)
+    for _ in range(20):
+        n = int(rng.integers(1, 24))
+        cps = [int(rng.choice(pools[int(rng.integers(0, len(pools)))]))
+               for _ in range(n)]
+        text = "".join(chr(c) for c in cps)
+        arr = typeset(vec2(200, 200),
+                      [(font, fill(rgba(0, 0, 0, 255)), text)])
+        for g in arr.arranged_glyphs:
+            assert 0 <= g.cluster < len(text)
+            assert 0 <= g.source.rune_start < g.source.rune_end <= len(text)

@@ -853,5 +853,5 @@ def scene_animate(nodes: np.ndarray, w: float, h: float, frame: int,
         int(copies), _ptr(base_xs), _ptr(base_ys),
         _ptr(tables["sin_of_sp"]), _ptr(tables["cos_of_sp"]),
         _ptr(tables["sin_of_cp"]), _ptr(tables["cos_of_cp"]),
-        _ptr(tables["sin_t_c"]), _ptr(tables["cos_t_c"]))
+        _ptr(tables["sin_t"]), _ptr(tables["cos_t"]))
     return rc == 0

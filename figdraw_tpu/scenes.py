@@ -82,18 +82,16 @@ def _scene_anim_state(copies: int):
             "cos_of_sp": np.cos(sin_phase),
             "sin_of_cp": np.sin(cos_phase),
             "cos_of_cp": np.cos(cos_phase),
-            "sin_t": _SIN_COEF[:, 0],
-            "cos_t": _COS_COEF[:, 0],
+            # contiguous (the C animator takes raw pointers; numpy is
+            # indifferent)
+            "sin_t": np.ascontiguousarray(_SIN_COEF[:, 0]),
+            "cos_t": np.ascontiguousarray(_COS_COEF[:, 0]),
             "s_buf": np.empty_like(sin_phase),
             "c_buf": np.empty_like(cos_phase),
             "tmp_s": np.empty_like(sin_phase),
             "tmp_c": np.empty_like(cos_phase),
             "box": np.empty((3, copies, 4), np.float64),
             "corners": np.empty((3, copies, 4), np.float64),
-            # contiguous copies of the t-coefficient columns for the C
-            # animator (the numpy path reads the strided views fine)
-            "sin_t_c": np.ascontiguousarray(_SIN_COEF[:, 0]),
-            "cos_t_c": np.ascontiguousarray(_COS_COEF[:, 0]),
         }
         _scene_anim_cache[copies] = state
     return state

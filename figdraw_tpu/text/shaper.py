@@ -695,12 +695,13 @@ class OpenTypeShaper:
         (hb-ot-shaper-thai.cc preprocess_text): decompose SARA AM U+0E33
         (Lao AM U+0EB3) into NIKHAHIT U+0E4D (U+0ECD) + SARA AA U+0E32
         (U+0EB2), then move the nikhahit backwards over any contiguous
-        preceding tone marks (U+0E48–U+0E4B / U+0EC8–U+0ECB) so it renders
-        above the base consonant, under the tones. The moved span merges
-        clusters. A font lacking either decomposition glyph keeps SARA AM
-        as-is (HarfBuzz's has-glyph gate). Thai needs no positional
-        staging beyond this — the regular plan (ccmp/liga + GPOS mark
-        attachment) runs after."""
+        preceding above-base marks (HarfBuzz's is_tone_mark set: the tones
+        plus MAI HAN-AKAT, above vowels, MAITAIKHU, THANTHAKHAT —
+        _THAI_ABOVE_MARKS/_LAO_ABOVE_MARKS) so it renders above the base
+        consonant, under them. The moved span merges clusters. A font
+        lacking either decomposition glyph keeps SARA AM as-is (HarfBuzz's
+        has-glyph gate). Thai needs no positional staging beyond this —
+        the regular plan (ccmp/liga + GPOS mark attachment) runs after."""
         new_n: List[str] = []
         new_c: List[Tuple[int, int]] = []
         new_cp: List[int] = []
@@ -715,9 +716,9 @@ class OpenTypeShaper:
                 new_c.append(out_c[k])
                 new_cp.append(cp)
                 continue
-            nik_cp, aa_cp, tone_lo, tone_hi = info
+            nik_cp, aa_cp, crossable = info
             j = len(new_n)
-            while j > 0 and tone_lo <= new_cp[j - 1] <= tone_hi:
+            while j > 0 and new_cp[j - 1] in crossable:
                 j -= 1
             new_n.insert(j, nik_name)
             new_c.insert(j, out_c[k])
@@ -1449,12 +1450,23 @@ def _is_arabic_script(cp: int) -> bool:
     return 0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F
 
 
-# Thai SARA AM / Lao AM → (nikhahit, sara aa, tone-mark range) for the
-# HarfBuzz Thai shaper's Uniscribe-compatible decomposition
+# The above-base marks the reordered nikhahit crosses — HarfBuzz's
+# is_tone_mark set (hb-ot-shaper-thai.cc), which despite its name covers
+# every above-base mark: MAI HAN-AKAT, the above vowels, MAITAIKHU, the
+# four tones, THANTHAKHAT, NIKHAHIT, YAMAKKAN (and the Lao equivalents)
+_THAI_ABOVE_MARKS = frozenset(
+    [0x0E31, 0x0E34, 0x0E35, 0x0E36, 0x0E37,
+     0x0E47, 0x0E48, 0x0E49, 0x0E4A, 0x0E4B, 0x0E4C, 0x0E4D, 0x0E4E])
+_LAO_ABOVE_MARKS = frozenset(
+    [0x0EB1, 0x0EB4, 0x0EB5, 0x0EB6, 0x0EB7, 0x0EBB,
+     0x0EC8, 0x0EC9, 0x0ECA, 0x0ECB, 0x0ECC, 0x0ECD])
+
+# Thai SARA AM / Lao AM → (nikhahit, sara aa, crossable above-base marks)
+# for the HarfBuzz Thai shaper's Uniscribe-compatible decomposition
 # (hb-ot-shaper-thai.cc preprocess_text; harfbuzzy.nim reaches it for free)
 THAI_SARA_AM = {
-    0x0E33: (0x0E4D, 0x0E32, 0x0E48, 0x0E4B),
-    0x0EB3: (0x0ECD, 0x0EB2, 0x0EC8, 0x0ECB),
+    0x0E33: (0x0E4D, 0x0E32, _THAI_ABOVE_MARKS),
+    0x0EB3: (0x0ECD, 0x0EB2, _LAO_ABOVE_MARKS),
 }
 
 

@@ -84,12 +84,14 @@ int main(int argc, char **argv) {
     fprintf(stderr, "%-6u %-8.2f %-10u\n", gids[i], xs[i], clusters[i]);
 
   /* the full box layouter: wrap the same text into a 160 px column,
-   * centered — the dynlib typeset() surface (layout.py counterpart) */
-  float ys[MAXG], box_size[2] = {0, 0};
+   * centered — the dynlib typeset() surface (layout.py counterpart).
+   * Own buffers: the line-leg gids/xs/clusters are still printed below. */
+  uint32_t bgids[MAXG], bclusters[MAXG];
+  float bxs[MAXG], ys[MAXG], box_size[2] = {0, 0};
   int32_t bcount =
       fd_typeset_box(pack, cps, n, size, 0.0f, 160.0f, 0.0f, /*h_align=*/1,
-                     /*v_align=*/0, /*wrap=*/1, gids, xs, ys, clusters, MAXG,
-                     box_size);
+                     /*v_align=*/0, /*wrap=*/1, bgids, bxs, ys, bclusters,
+                     MAXG, box_size);
   if (bcount < 0) {
     fprintf(stderr, "typeset_box failed (%d)\n", bcount);
     fd_pack_free(pack);

@@ -73,5 +73,5 @@ def test_native_animate_rejects_short_array():
         native._ptr(base_xs), native._ptr(base_ys),
         native._ptr(st["sin_of_sp"]), native._ptr(st["cos_of_sp"]),
         native._ptr(st["sin_of_cp"]), native._ptr(st["cos_of_cp"]),
-        native._ptr(st["sin_t_c"]), native._ptr(st["cos_t_c"]))
+        native._ptr(st["sin_t"]), native._ptr(st["cos_t"]))
     assert rc == -1

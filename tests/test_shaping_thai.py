@@ -20,6 +20,7 @@ from figdraw_tpu.text.typefaces import FigFont, get_typeface, load_typeface
 
 # Thai codepoints
 KO, MAI_EK, MAI_THO = 0x0E01, 0x0E48, 0x0E49
+MAITAIKHU, SARA_I = 0x0E47, 0x0E34
 NIKHAHIT, SARA_AA, SARA_AM = 0x0E4D, 0x0E32, 0x0E33
 # Lao codepoints
 LKO, LMAI_EK, LNIGGAHITA, LAA, LAM = 0x0E81, 0x0EC8, 0x0ECD, 0x0EB2, 0x0EB3
@@ -60,6 +61,7 @@ def _build_font(tmp_path, filename, cmap):
 def thai_tid(tmp_path_factory):
     cmap = {
         KO: "ko", MAI_EK: "maiek", MAI_THO: "maitho",
+        MAITAIKHU: "maitaikhu", SARA_I: "sarai",
         NIKHAHIT: "nikhahit", SARA_AA: "saraaa", SARA_AM: "saraam",
         LKO: "ko.lao", LMAI_EK: "maiek.lao", LNIGGAHITA: "niggahita",
         LAA: "aa.lao", LAM: "am.lao",
@@ -101,6 +103,19 @@ def test_nikhahit_reorders_over_tone_marks(thai_tid):
     # two stacked tones: still a single hop to before both
     names, _ = _shape(thai_tid, [KO, MAI_EK, MAI_THO, SARA_AM])
     assert names == ["ko", "nikhahit", "maiek", "maitho", "saraaa"], names
+
+
+def test_nikhahit_crosses_all_above_base_marks(thai_tid):
+    """HarfBuzz's is_tone_mark set covers every above-base mark, not just
+    the four tones: MAITAIKHU and the above vowel SARA I must be crossed
+    too (hb-ot-shaper-thai.cc)."""
+    names, _ = _shape(thai_tid, [KO, MAITAIKHU, SARA_AM])
+    assert names == ["ko", "nikhahit", "maitaikhu", "saraaa"], names
+    names, _ = _shape(thai_tid, [KO, SARA_I, MAI_EK, SARA_AM])
+    assert names == ["ko", "nikhahit", "sarai", "maiek", "saraaa"], names
+    # a below-base/baseline glyph is NOT crossed: SARA AA stops the hop
+    names, _ = _shape(thai_tid, [KO, SARA_AA, SARA_AM])
+    assert names == ["ko", "saraaa", "nikhahit", "saraaa"], names
 
 
 def test_tone_without_sara_am_untouched(thai_tid):

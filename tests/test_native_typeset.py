@@ -248,6 +248,16 @@ def test_typeset_box_matches_typeset_wrapped():
             assert len(arr.lines) > 2
 
 
+def test_typeset_box_refuses_mark_text():
+    """The refusal boundary holds on the box path too: a combining mark
+    anywhere in the box returns FD_TYPESET_E_MARKS, never a mis-laid-out
+    stream."""
+    tid = load_typeface(DEJAVU)
+    with pytest.raises(nt.NativeTypesetUnsupported):
+        nt.typeset_box(tid, "first line\nme\u0301lange",  # combining acute
+                       18.0, bounds=(120, 0), wrap=True)
+
+
 def test_typeset_box_nowrap_line_height_and_cjk():
     tid = load_typeface(DEJAVU)
     font = FigFont(typeface_id=tid, size=20.0, line_height=30.0)

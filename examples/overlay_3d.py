@@ -29,8 +29,9 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "out")
 
 
 def rasterize_pyramid(w, h, t):
-    """A minimal perspective rasterizer: 5 vertex-colored triangles with a
-    z-buffer, opaque over a dark clear color (the 'external 3D pass')."""
+    """A minimal perspective rasterizer: 6 vertex-colored triangles (4
+    sides + the base quad split in two) with a z-buffer, opaque over a
+    dark clear color (the 'external 3D pass')."""
     verts = np.array([[-0.5, 0, -0.5], [0.5, 0, -0.5], [0.5, 0, 0.5],
                       [-0.5, 0, 0.5], [0.0, 0.8, 0.0]])
     colors = np.array([[1, 0.2, 0.2], [0.2, 1, 0.2], [0.2, 0.2, 1],

@@ -30,6 +30,14 @@ from .geometry import rect
 from .nodes import Fig, RenderList, Renders, new_renders
 
 
+# Box-placement clamp bounds shared by the object-form builder, the numpy
+# animator, the native dispatcher AND native/flatten.cpp fd_scene_animate
+# (which hardcodes w-580/h-480 — change all four together): the rightmost
+# box column starts at x=320 / the lowest at y=300, max animated size
+# 260x180.
+_SCENE_CLAMP_X = 320.0 + 260.0  # = 580
+_SCENE_CLAMP_Y = 300.0 + 180.0  # = 480
+
 _scene_random_cache = {}
 
 
@@ -204,8 +212,8 @@ def _scene_animate(nodes, w: float, h: float, frame: int, copies: int) -> None:
     from . import native
 
     st = _scene_anim_state(copies)
-    max_x = max(0.0, w - 580.0)
-    max_y = max(0.0, h - 480.0)
+    max_x = max(0.0, w - _SCENE_CLAMP_X)
+    max_y = max(0.0, h - _SCENE_CLAMP_Y)
     base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
     if native.available() and native.scene_animate(
             nodes, w, h, frame, copies, base_xs, base_ys, st):
@@ -233,9 +241,8 @@ def _scene_animate_np(nodes, w: float, h: float, frame: int,
     c = np.multiply(st["cos_of_cp"], cos_tc, out=st["c_buf"])
     c -= np.multiply(st["sin_of_cp"], sin_tc, out=st["tmp_c"])
 
-    max_w, max_h = 260.0, 180.0
-    max_x = max(0.0, w - (320.0 + max_w))
-    max_y = max(0.0, h - (300.0 + max_h))
+    max_x = max(0.0, w - _SCENE_CLAMP_X)
+    max_y = max(0.0, h - _SCENE_CLAMP_Y)
     base_xs, base_ys = _scene_randoms(copies, max_x, max_y)
     off_x = np.clip(base_xs + s[0] * 20, 0.0, max_x)
     off_y = np.clip(base_ys + c[0] * 20, 0.0, max_y)

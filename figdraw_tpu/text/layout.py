@@ -527,6 +527,7 @@ def typeset(
 
     # --- bidi analysis over the full logical text (UAX#9, text/bidi.py) ----------
     from . import bidi as bidi_mod
+    from . import shaper as shaper_mod
     from .shaper import DEFAULT_GSUB_FEATURES, get_shaper, ot_language_tag
 
     span_texts = [apply_font_case(t, f.font_case) for f, _c, t in spans]
@@ -647,6 +648,14 @@ def typeset(
                 names, clusters, ligc = shaper.substitute_ex(
                     names, clusters, feats, ot_language_tag(font.language),
                     cps=[r[2] for r in seg],
+                )
+            elif any(r[2] in shaper_mod.THAI_SARA_AM for r in seg):
+                # HarfBuzz's Thai SARA AM preprocess is table-independent:
+                # apply it even for fonts with no GSUB/GPOS (no shaper)
+                names, clusters, _ = shaper_mod.thai_sara_am_preprocess(
+                    names, clusters, [r[2] for r in seg],
+                    lambda cp: (rtf.glyph_name(rtf.glyph_id(cp))
+                                if rtf.glyph_id(cp) else None),
                 )
             use_gpos = shaper is not None and shaper.has_gpos_kern
             gpos_deltas = None

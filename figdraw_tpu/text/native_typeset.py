@@ -44,8 +44,13 @@ class NativeTypesetUnsupported(Exception):
 
 def _build() -> None:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-I", os.path.dirname(_SRC), "-o", _LIB, _SRC]
+    # -ffp-contract=off: baseline/pen math is pinned against Python's
+    # unfused float evaluation (round() half-to-even ties) — FMA
+    # contraction could re-round a tie differently (same rationale as
+    # figdraw_tpu/native.py's flatten build)
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", "-I", os.path.dirname(_SRC), "-o", _LIB,
+           _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -156,6 +161,26 @@ def _cps_array(text) -> np.ndarray:
     return np.asarray(list(text), dtype=np.uint32)
 
 
+def _retrying_call(name, call, n_cps):
+    """Shared grow/retry + error-mapping loop for the fd_typeset_* entry
+    points: `call(cap)` allocates cap-sized buffers, invokes the C
+    function, and returns (n, result-builder); doubles cap on E_CAP up to
+    1<<24, maps E_MARKS to NativeTypesetUnsupported (the Python-pipeline
+    fallback boundary), anything else negative to RuntimeError."""
+    cap = max(16, n_cps * 4)
+    while True:
+        n, build = call(cap)
+        if n == E_CAP and cap < 1 << 24:
+            cap *= 2
+            continue
+        if n == E_MARKS:
+            raise NativeTypesetUnsupported(
+                "text needs GPOS mark positioning")
+        if n < 0:
+            raise RuntimeError(f"{name} failed ({n})")
+        return build(n)
+
+
 def shape(typeface_id: int, text) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """C-engine shaping: (gids u32, advances f32 font units, clusters u32).
 
@@ -164,8 +189,8 @@ def shape(typeface_id: int, text) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     lib = _load()
     h = _pack_handle(typeface_id)
     cps = _cps_array(text)
-    cap = max(16, len(cps) * 4)
-    while True:
+
+    def call(cap):
         gids = np.zeros(cap, dtype=np.uint32)
         adv = np.zeros(cap, dtype=np.float32)
         clus = np.zeros(cap, dtype=np.uint32)
@@ -174,15 +199,10 @@ def shape(typeface_id: int, text) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             gids.ctypes.data_as(ctypes.c_void_p),
             adv.ctypes.data_as(ctypes.c_void_p),
             clus.ctypes.data_as(ctypes.c_void_p), cap)
-        if n == E_CAP and cap < 1 << 24:
-            cap *= 2
-            continue
-        if n == E_MARKS:
-            raise NativeTypesetUnsupported(
-                "text needs GPOS mark positioning")
-        if n < 0:
-            raise RuntimeError(f"fd_typeset_shape failed ({n})")
-        return gids[:n].copy(), adv[:n].copy(), clus[:n].copy()
+        return n, lambda k: (gids[:k].copy(), adv[:k].copy(),
+                             clus[:k].copy())
+
+    return _retrying_call("fd_typeset_shape", call, len(cps))
 
 
 def typeset_line(typeface_id: int, text, size: float):
@@ -190,9 +210,9 @@ def typeset_line(typeface_id: int, text, size: float):
     lib = _load()
     h = _pack_handle(typeface_id)
     cps = _cps_array(text)
-    cap = max(16, len(cps) * 4)
     baseline = ctypes.c_float(0.0)
-    while True:
+
+    def call(cap):
         gids = np.zeros(cap, dtype=np.uint32)
         xs = np.zeros(cap, dtype=np.float32)
         clus = np.zeros(cap, dtype=np.uint32)
@@ -203,15 +223,10 @@ def typeset_line(typeface_id: int, text, size: float):
             xs.ctypes.data_as(ctypes.c_void_p),
             clus.ctypes.data_as(ctypes.c_void_p), cap,
             ctypes.byref(baseline))
-        if n == E_CAP and cap < 1 << 24:
-            cap *= 2
-            continue
-        if n == E_MARKS:
-            raise NativeTypesetUnsupported(
-                "text needs GPOS mark positioning")
-        if n < 0:
-            raise RuntimeError(f"fd_typeset_line failed ({n})")
-        return gids[:n].copy(), xs[:n].copy(), clus[:n].copy(), baseline.value
+        return n, lambda k: (gids[:k].copy(), xs[:k].copy(),
+                             clus[:k].copy(), baseline.value)
+
+    return _retrying_call("fd_typeset_line", call, len(cps))
 
 
 def typeset_box(typeface_id: int, text, size: float, *, line_height=0.0,
@@ -221,9 +236,9 @@ def typeset_box(typeface_id: int, text, size: float, *, line_height=0.0,
     lib = _load()
     h = _pack_handle(typeface_id)
     cps = _cps_array(text)
-    cap = max(16, len(cps) * 4)
     out_size = (ctypes.c_float * 2)()
-    while True:
+
+    def call(cap):
         gids = np.zeros(cap, dtype=np.uint32)
         xs = np.zeros(cap, dtype=np.float32)
         ys = np.zeros(cap, dtype=np.float32)
@@ -237,16 +252,10 @@ def typeset_box(typeface_id: int, text, size: float, *, line_height=0.0,
             xs.ctypes.data_as(ctypes.c_void_p),
             ys.ctypes.data_as(ctypes.c_void_p),
             clus.ctypes.data_as(ctypes.c_void_p), cap, out_size)
-        if n == E_CAP and cap < 1 << 24:
-            cap *= 2
-            continue
-        if n == E_MARKS:
-            raise NativeTypesetUnsupported(
-                "text needs GPOS mark positioning")
-        if n < 0:
-            raise RuntimeError(f"fd_typeset_box failed ({n})")
-        return (gids[:n].copy(), xs[:n].copy(), ys[:n].copy(),
-                clus[:n].copy(), (out_size[0], out_size[1]))
+        return n, lambda k: (gids[:k].copy(), xs[:k].copy(), ys[:k].copy(),
+                             clus[:k].copy(), (out_size[0], out_size[1]))
+
+    return _retrying_call("fd_typeset_box", call, len(cps))
 
 
 def utf8_to_cps(data: bytes) -> np.ndarray:

@@ -691,47 +691,11 @@ class OpenTypeShaper:
         return self._cmap.get(cp)
 
     def _substitute_thai(self, out_n, out_c, out_l, cps, feats, lang) -> None:
-        """The HarfBuzz Thai/Lao shaper's Uniscribe-compatible preprocess
-        (hb-ot-shaper-thai.cc preprocess_text): decompose SARA AM U+0E33
-        (Lao AM U+0EB3) into NIKHAHIT U+0E4D (U+0ECD) + SARA AA U+0E32
-        (U+0EB2), then move the nikhahit backwards over any contiguous
-        preceding above-base marks (HarfBuzz's is_tone_mark set: the tones
-        plus MAI HAN-AKAT, above vowels, MAITAIKHU, THANTHAKHAT —
-        _THAI_ABOVE_MARKS/_LAO_ABOVE_MARKS) so it renders above the base
-        consonant, under them. The moved span merges clusters. A font
-        lacking either decomposition glyph keeps SARA AM as-is (HarfBuzz's
-        has-glyph gate). Thai needs no positional staging beyond this —
-        the regular plan (ccmp/liga + GPOS mark attachment) runs after."""
-        new_n: List[str] = []
-        new_c: List[Tuple[int, int]] = []
-        new_cp: List[int] = []
-        for k, cp in enumerate(cps):
-            info = THAI_SARA_AM.get(cp)
-            nik_name = aa_name = None
-            if info is not None:
-                nik_name = self._cp_name(info[0])
-                aa_name = self._cp_name(info[1])
-            if info is None or nik_name is None or aa_name is None:
-                new_n.append(out_n[k])
-                new_c.append(out_c[k])
-                new_cp.append(cp)
-                continue
-            nik_cp, aa_cp, crossable = info
-            j = len(new_n)
-            while j > 0 and new_cp[j - 1] in crossable:
-                j -= 1
-            new_n.insert(j, nik_name)
-            new_c.insert(j, out_c[k])
-            new_cp.insert(j, nik_cp)
-            new_n.append(aa_name)
-            new_c.append(out_c[k])
-            new_cp.append(aa_cp)
-            crossed = range(j, len(new_n) - 1)  # nikhahit + crossed tones
-            if len(crossed) > 1:
-                lo = min(new_c[s][0] for s in crossed)
-                hi = max(new_c[s][1] for s in crossed)
-                for s in crossed:
-                    new_c[s] = (lo, hi)
+        """thai_sara_am_preprocess (module function below), then the
+        regular plan — Thai needs no positional staging beyond the
+        decomposition (ccmp/liga + GPOS mark attachment run after)."""
+        new_n, new_c, _ = thai_sara_am_preprocess(out_n, out_c, cps,
+                                                  self._cp_name)
         out_n[:] = new_n
         out_c[:] = new_c
         out_l[:] = [(1, -1)] * len(new_n)
@@ -1457,9 +1421,11 @@ def _is_arabic_script(cp: int) -> bool:
 _THAI_ABOVE_MARKS = frozenset(
     [0x0E31, 0x0E34, 0x0E35, 0x0E36, 0x0E37,
      0x0E47, 0x0E48, 0x0E49, 0x0E4A, 0x0E4B, 0x0E4C, 0x0E4D, 0x0E4E])
-_LAO_ABOVE_MARKS = frozenset(
-    [0x0EB1, 0x0EB4, 0x0EB5, 0x0EB6, 0x0EB7, 0x0EBB,
-     0x0EC8, 0x0EC9, 0x0ECA, 0x0ECB, 0x0ECC, 0x0ECD])
+# HarfBuzz folds Lao onto Thai with u & ~0x0080 before the range test, so
+# the Lao set is the Thai set + 0x80 exactly: MAI KAN, above vowels,
+# 0x0EC7 (unassigned but folded in), tones, CANCELLATION, NIGGAHITA,
+# 0x0ECE (Lao yamakkan)
+_LAO_ABOVE_MARKS = frozenset(cp + 0x80 for cp in _THAI_ABOVE_MARKS)
 
 # Thai SARA AM / Lao AM → (nikhahit, sara aa, crossable above-base marks)
 # for the HarfBuzz Thai shaper's Uniscribe-compatible decomposition
@@ -1468,6 +1434,52 @@ THAI_SARA_AM = {
     0x0E33: (0x0E4D, 0x0E32, _THAI_ABOVE_MARKS),
     0x0EB3: (0x0ECD, 0x0EB2, _LAO_ABOVE_MARKS),
 }
+
+
+def thai_sara_am_preprocess(names, clusters, cps, cp_name):
+    """The HarfBuzz Thai/Lao shaper's Uniscribe-compatible preprocess
+    (hb-ot-shaper-thai.cc preprocess_text): decompose SARA AM U+0E33
+    (Lao AM U+0EB3) into NIKHAHIT U+0E4D (U+0ECD) + SARA AA U+0E32
+    (U+0EB2), then move the nikhahit backwards over any contiguous
+    preceding above-base marks (_THAI_ABOVE_MARKS/_LAO_ABOVE_MARKS) so it
+    renders above the base consonant, under them. The moved span merges
+    clusters. A font lacking either decomposition glyph keeps SARA AM
+    as-is (HarfBuzz's has-glyph gate, via cp_name returning None).
+
+    HarfBuzz runs this BEFORE any table lookup, so it is a module function:
+    layout.py applies it even when the font has no GSUB/GPOS tables (no
+    OpenTypeShaper). Returns (names, clusters, cps) as new lists."""
+    new_n: List[str] = []
+    new_c: List[Tuple[int, int]] = []
+    new_cp: List[int] = []
+    for k, cp in enumerate(cps):
+        info = THAI_SARA_AM.get(cp)
+        nik_name = aa_name = None
+        if info is not None:
+            nik_name = cp_name(info[0])
+            aa_name = cp_name(info[1])
+        if info is None or nik_name is None or aa_name is None:
+            new_n.append(names[k])
+            new_c.append(clusters[k])
+            new_cp.append(cp)
+            continue
+        nik_cp, aa_cp, crossable = info
+        j = len(new_n)
+        while j > 0 and new_cp[j - 1] in crossable:
+            j -= 1
+        new_n.insert(j, nik_name)
+        new_c.insert(j, clusters[k])
+        new_cp.insert(j, nik_cp)
+        new_n.append(aa_name)
+        new_c.append(clusters[k])
+        new_cp.append(aa_cp)
+        crossed = range(j, len(new_n) - 1)  # nikhahit + crossed marks
+        if len(crossed) > 1:
+            lo = min(new_c[s][0] for s in crossed)
+            hi = max(new_c[s][1] for s in crossed)
+            for s in crossed:
+                new_c[s] = (lo, hi)
+    return new_n, new_c, new_cp
 
 
 def _joining_class(cp: int) -> str:

@@ -2557,6 +2557,8 @@ int fd_scene_animate(Fig* nodes, int32_t count, double w, double h,
     sin_tc[k] = std::sin(t * cos_t[k]);
     cos_tc[k] = std::cos(t * cos_t[k]);
   }
+  // 580/480 = scenes.py _SCENE_CLAMP_X/_SCENE_CLAMP_Y (box-column start +
+  // max animated size) — change together
   const double max_x = w - 580.0 > 0.0 ? w - 580.0 : 0.0;
   const double max_y = h - 480.0 > 0.0 ? h - 480.0 : 0.0;
 

@@ -626,16 +626,26 @@ int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
 int32_t fd_typeset_line(const FdFontPack *pack, const uint32_t *cps,
                         int32_t n, float size_px, uint32_t *gids, float *xs,
                         uint32_t *clusters, int32_t cap, float *baseline) {
+  // shape into internal buffers: the shaped count is only known afterwards
+  // (GSUB multiple substitution can EXPAND the run), so writing straight
+  // into the caller's cap-sized arrays would overflow them before the cap
+  // check — the caller sees its buffers touched only up to cap
   std::vector<float> adv((size_t)(n > 0 ? n * 2 : 16));
-  int32_t count = fd_typeset_shape(pack, cps, n, gids, adv.data(), clusters,
-                                   (int32_t)adv.size());
+  std::vector<uint32_t> g(adv.size()), cl(adv.size());
+  int32_t count = fd_typeset_shape(pack, cps, n, g.data(), adv.data(),
+                                   cl.data(), (int32_t)adv.size());
   while (count == FD_TYPESET_E_CAP && adv.size() < (1u << 24)) {
     adv.resize(adv.size() * 2);
-    count = fd_typeset_shape(pack, cps, n, gids, adv.data(), clusters,
+    g.resize(adv.size());
+    cl.resize(adv.size());
+    count = fd_typeset_shape(pack, cps, n, g.data(), adv.data(), cl.data(),
                              (int32_t)adv.size());
   }
   if (count < 0) return count;
   if (count > cap) return FD_TYPESET_E_CAP;
+  if (gids) std::memcpy(gids, g.data(), (size_t)count * sizeof(uint32_t));
+  if (clusters)
+    std::memcpy(clusters, cl.data(), (size_t)count * sizeof(uint32_t));
   double scale = pack->upem > 0 ? (double)size_px / pack->upem : 0.0;
   if (xs) {
     double pen = 0.0;

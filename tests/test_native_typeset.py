@@ -201,6 +201,39 @@ def test_legacy_kern_table_branch(tmp_path):
     assert float(adv[0]) == 500.0 - 80.0
 
 
+def test_small_cap_returns_e_cap_without_overflow():
+    """A C host passing a too-small cap must get FD_TYPESET_E_CAP back with
+    its buffers untouched past cap — the shaped count is only known after
+    GSUB runs, so the engine must shape internally first (a raw write into
+    the caller's cap-sized arrays would be a heap overflow)."""
+    import ctypes
+
+    tid = load_typeface(DEJAVU)
+    lib = nt._load()
+    h = nt._pack_handle(tid)
+    text = "The quick brown fox jumps over the lazy dog Office ffi"
+    cps = np.array([ord(c) for c in text], dtype=np.uint32)
+    CAP, GUARD = 4, 64
+    for fn, extra in (
+        (lambda g, x, c: lib.fd_typeset_shape(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps), g, x, c, CAP),
+         np.float32),
+        (lambda g, x, c: lib.fd_typeset_line(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps),
+            ctypes.c_float(24.0), g, x, c, CAP, None), np.float32),
+    ):
+        gids = np.full(CAP + GUARD, 0xAB, dtype=np.uint32)
+        vals = np.full(CAP + GUARD, -1.0, dtype=extra)
+        clus = np.full(CAP + GUARD, 0xCD, dtype=np.uint32)
+        rc = fn(gids.ctypes.data_as(ctypes.c_void_p),
+                vals.ctypes.data_as(ctypes.c_void_p),
+                clus.ctypes.data_as(ctypes.c_void_p))
+        assert rc == nt.E_CAP
+        assert (gids[CAP:] == 0xAB).all(), "gids written past cap"
+        assert (vals[CAP:] == -1.0).all(), "values written past cap"
+        assert (clus[CAP:] == 0xCD).all(), "clusters written past cap"
+
+
 # ---- line placement ---------------------------------------------------------
 
 def test_typeset_line_matches_typeset():

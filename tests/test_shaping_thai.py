@@ -24,6 +24,7 @@ MAITAIKHU, SARA_I = 0x0E47, 0x0E34
 NIKHAHIT, SARA_AA, SARA_AM = 0x0E4D, 0x0E32, 0x0E33
 # Lao codepoints
 LKO, LMAI_EK, LNIGGAHITA, LAA, LAM = 0x0E81, 0x0EC8, 0x0ECD, 0x0EB2, 0x0EB3
+LYAMAKKAN, LMAI_KON = 0x0ECE, 0x0EBB
 
 
 def _build_font(tmp_path, filename, cmap):
@@ -64,7 +65,8 @@ def thai_tid(tmp_path_factory):
         MAITAIKHU: "maitaikhu", SARA_I: "sarai",
         NIKHAHIT: "nikhahit", SARA_AA: "saraaa", SARA_AM: "saraam",
         LKO: "ko.lao", LMAI_EK: "maiek.lao", LNIGGAHITA: "niggahita",
-        LAA: "aa.lao", LAM: "am.lao",
+        LAA: "aa.lao", LAM: "am.lao", LYAMAKKAN: "yamakkan",
+        LMAI_KON: "maikon",
     }
     path = _build_font(tmp_path_factory.mktemp("thai"), "thaitest.ttf", cmap)
     return load_typeface(path)
@@ -135,6 +137,52 @@ def test_multiple_sara_am_per_run(thai_tid):
 def test_lao_am_decomposes(thai_tid):
     names, _ = _shape(thai_tid, [LKO, LMAI_EK, LAM])
     assert names == ["ko.lao", "niggahita", "maiek.lao", "aa.lao"], names
+    # HarfBuzz's Lao set is the Thai set folded by +0x80: yamakkan
+    # (0x0ECE -> 0x0E4E) IS crossed, MAI KON (0x0EBB -> 0x0E3B) is NOT
+    names, _ = _shape(thai_tid, [LKO, LYAMAKKAN, LAM])
+    assert names == ["ko.lao", "niggahita", "yamakkan", "aa.lao"], names
+    names, _ = _shape(thai_tid, [LKO, LMAI_KON, LAM])
+    assert names == ["ko.lao", "maikon", "niggahita", "aa.lao"], names
+
+
+def test_tableless_font_still_decomposes(tmp_path_factory):
+    """HarfBuzz's preprocess runs before any table lookup, so a legacy
+    Thai font with NO GSUB/GPOS (get_shaper -> None) must still get the
+    SARA AM decomposition on the typeset path (layout.py's no-shaper
+    branch)."""
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    cmap = {KO: "ko", MAI_EK: "maiek", NIKHAHIT: "nikhahit",
+            SARA_AA: "saraaa", SARA_AM: "saraam"}
+    names = [".notdef"] + list(cmap.values())
+    fb = FontBuilder(1000, isTTF=True)
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap(cmap)
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics({g: (500, 50) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "ThaiBareTables",
+                       "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    path = str(tmp_path_factory.mktemp("thainotables") / "notables.ttf")
+    fb.font.save(path)
+
+    tid = load_typeface(path)
+    tf = get_typeface(tid)
+    assert get_shaper(tf) is None
+    f = FigFont(typeface_id=tid, size=20.0)
+    text = "".join(chr(c) for c in [KO, MAI_EK, SARA_AM])
+    arr = typeset(vec2(1000, 40), [(f, fill(rgba(0, 0, 0, 255)), text)])
+    got = [tf.glyph_name(g.glyph_id) for g in arr.arranged_glyphs]
+    assert got == ["ko", "nikhahit", "maiek", "saraaa"], got
 
 
 def test_font_without_decomposition_keeps_sara_am(bare_tid):

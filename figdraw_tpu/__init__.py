@@ -72,7 +72,7 @@ fgaY = _FGA.fgaY
 fgaDiagTLBR = _FGA.fgaDiagTLBR
 fgaDiagBLTR = _FGA.fgaDiagBLTR
 
-from .geometry import Mat3, Rect, Vec2, rect, vec2  # noqa: F401
+from .geometry import Mat3, Rect, Vec2, rect, root_affine, vec2  # noqa: F401
 from .nodes import (  # noqa: F401
     DrawableKind,
     DrawableOp,

@@ -802,6 +802,132 @@ def view_rows(combo, d, z, n_quads: int,
     return jnp.concatenate([out, combo[n_quads:]], axis=0)
 
 
+def animate_rows(combo, table, ridx, n_quads: int,
+                 rect_cols=VIEW_RECT_COLS_PACKED):
+    """Apply PER-ROOT scene-space affines p' = M·p + t to a device-resident
+    combo inside jit — the generalization of view_rows from one whole-tape
+    camera to an animation table: one (R+1, 6) f32 row
+    (m00, m01, m10, m11, tx, ty) per animatable root (row R = identity) and
+    one precomputed (n_quads,) i32 root-slot index per quad row (-1 = not in
+    any root span: mega clear sentinels, the shared prologue, padding). Per
+    frame only the table crosses the host→device link; the host C walk never
+    runs (the reference re-walks the scene per animation tick,
+    figrender.nim:1960-1995 — there is no GL analog of a tape-resident
+    transform).
+
+    Columns touched per animated live row (same set as view_rows): the
+    screen→uv inverse affine (0..3) right-multiplies by M⁻¹; origin (4,5)
+    maps by M·p + t; the bbox (6..9) becomes the AABB of the four mapped
+    bbox corners — exact for axis-aligned M, conservative under rotation
+    (safe: quad coverage is clipped to the uv unit square in eval_quad, so
+    extra binned tiles contribute exactly-zero coverage); the rect-mask
+    screen→local rows compose with M⁻¹ and re-derive their translations
+    (local-space params/centers are animation-invariant). SDF params/radii,
+    uv affines, colors and mode lanes are local-space and untouched — like
+    the camera, scaling a root widens its AA/shadow falloff proportionally,
+    exactly as a GL transform of a recorded vertex stream would.
+
+    Bit-exactness contract (tests/test_animview.py): integer translations
+    and power-of-two axis-aligned scales of integer axis-aligned roots
+    reproduce a host re-flatten of the scene with each root wrapped in the
+    equivalent nkTransform BIT-exactly (ceil snapping commutes with integer
+    affine maps; pow-2 products/divisions are IEEE-exact). Rotations and
+    fractional affines keep the baked vertex snapping and are
+    float-rounding approximate. Rows outside every span, rows with an empty
+    bbox (inert reserve rows, padding) and the meta tail are byte-untouched
+    (per-column where-selects — their lanes may hold bitcast integers)."""
+    quads = combo[:n_quads]
+    live = (quads[:, 8] > quads[:, 6]) & (quads[:, 9] > quads[:, 7])
+    aff = table[jnp.maximum(ridx, 0)]  # (n, 6)
+    anim = live & (ridx >= 0)
+    a, b = aff[:, 0], aff[:, 1]
+    c, dd = aff[:, 2], aff[:, 3]
+    tx, ty = aff[:, 4], aff[:, 5]
+    det = a * dd - b * c
+    ia = dd / det
+    ib = -b / det
+    ic = -c / det
+    idd = a / det
+    q = quads
+    new = {}
+    # INV' = INV @ M⁻¹   (u = INV·(p − org) ⇒ u' = INV·M⁻¹·(p' − (M·org + t)))
+    new[0] = q[:, 0] * ia + q[:, 1] * ic
+    new[1] = q[:, 0] * ib + q[:, 1] * idd
+    new[2] = q[:, 2] * ia + q[:, 3] * ic
+    new[3] = q[:, 2] * ib + q[:, 3] * idd
+    # org' = M·org + t
+    new[4] = a * q[:, 4] + b * q[:, 5] + tx
+    new[5] = c * q[:, 4] + dd * q[:, 5] + ty
+    # bbox: AABB of the four mapped corners (translation added after the
+    # min/max so pure integer translations stay bit-exact: 1·x + 0·y = x)
+    xs = (a * q[:, 6] + b * q[:, 7], a * q[:, 6] + b * q[:, 9],
+          a * q[:, 8] + b * q[:, 7], a * q[:, 8] + b * q[:, 9])
+    ys = (c * q[:, 6] + dd * q[:, 7], c * q[:, 6] + dd * q[:, 9],
+          c * q[:, 8] + dd * q[:, 7], c * q[:, 8] + dd * q[:, 9])
+    new[6] = jnp.minimum(jnp.minimum(xs[0], xs[1]),
+                         jnp.minimum(xs[2], xs[3])) + tx
+    new[8] = jnp.maximum(jnp.maximum(xs[0], xs[1]),
+                         jnp.maximum(xs[2], xs[3])) + tx
+    new[7] = jnp.minimum(jnp.minimum(ys[0], ys[1]),
+                         jnp.minimum(ys[2], ys[3])) + ty
+    new[9] = jnp.maximum(jnp.maximum(ys[0], ys[1]),
+                         jnp.maximum(ys[2], ys[3])) + ty
+    # rect-mask rows: local = mat·p + t_loc ⇒ mat' = mat·M⁻¹,
+    # t' = t_loc − mat'·t (params/center are LOCAL-space)
+    ax, bx, txc, ay, by, tyc = rect_cols
+    mxa = q[:, ax] * ia + q[:, bx] * ic
+    mxb = q[:, ax] * ib + q[:, bx] * idd
+    mya = q[:, ay] * ia + q[:, by] * ic
+    myb = q[:, ay] * ib + q[:, by] * idd
+    new[ax], new[bx] = mxa, mxb
+    new[ay], new[by] = mya, myb
+    new[txc] = q[:, txc] - (mxa * tx + mxb * ty)
+    new[tyc] = q[:, tyc] - (mya * tx + myb * ty)
+    out = quads
+    for col, val in new.items():
+        out = out.at[:, col].set(jnp.where(anim, val, quads[:, col]))
+    return jnp.concatenate([out, combo[n_quads:]], axis=0)
+
+
+@lru_cache(maxsize=64)
+def get_anim_view_runner(run, n_quads: int,
+                         rect_cols=VIEW_RECT_COLS_PACKED):
+    """Compose the per-root animation table with the camera and a cached
+    single-frame executor: ONE jitted dispatch renders a device-resident
+    tape under per-root affines + pan/zoom. Per frame only the (R+1, 6)
+    table (and the (2,) pan + zoom scalar) travels; ridx is the scene's
+    device-resident per-quad root-slot index."""
+
+    @jax.jit
+    def av(combo, table, ridx, d, z, *rest):
+        return run(view_rows(animate_rows(combo, table, ridx, n_quads,
+                                          rect_cols),
+                             d, z, n_quads, rect_cols), *rest)
+
+    return av
+
+
+@lru_cache(maxsize=64)
+def get_patch_anim_view_runner(run, n_quads: int, cap: int,
+                               rect_cols=VIEW_RECT_COLS_PACKED):
+    """Fused retained patch + per-root animation + camera view in ONE jitted
+    dispatch: scatter the deferred patch rows into the resident combo
+    (donated, in place in HBM), then render it under the animation table and
+    the camera. Returns (frame, patched combo) — the patch lands in BASE
+    scene space (animation is functional, applied per frame on top)."""
+
+    def pav(combo, packed, table, ridx, d, z, *rest):
+        w = combo.shape[1]
+        idx = packed[:, w].astype(jnp.int32)
+        combo = combo.at[idx].set(packed[:, :w])
+        frame = run(view_rows(animate_rows(combo, table, ridx, n_quads,
+                                           rect_cols),
+                              d, z, n_quads, rect_cols), *rest)
+        return frame, combo
+
+    return jax.jit(pav, donate_argnums=(0,))
+
+
 @lru_cache(maxsize=32)
 def get_patch_runner(n_rows: int):
     """Scatter n_rows packed wire rows into a device-resident combo — the

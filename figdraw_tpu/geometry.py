@@ -184,3 +184,30 @@ class Mat3:
 
     def __repr__(self) -> str:
         return f"Mat3({self.a},{self.b},{self.tx} / {self.c},{self.d},{self.ty})"
+
+
+def root_affine(translate=(0.0, 0.0), rotate: float = 0.0, scale=1.0,
+                center=(0.0, 0.0)):
+    """One animation-table row (m00, m01, m10, m11, tx, ty) for
+    render_view's root_transforms: p' = M·p + t with M = R·S — scale
+    (scalar or (sx, sy)) then rotate (DEGREES, + = counter-clockwise on the
+    y-down screen, node.rotation's convention) about `center`, then
+    translate. Equivalent to wrapping the root in
+    nkTransform(translation=t, matrix=M), which is exactly what the host
+    re-flatten comparison in tests/test_animview.py does.
+
+    rotate=0 degenerates to exact diag(sx, sy) + translate (cos(0)=1 /
+    sin(0)=0 are IEEE-exact), preserving the integer/pow-2 bit-exactness
+    contract of executor.animate_rows."""
+    import numpy as np
+
+    sx, sy = (scale, scale) if np.isscalar(scale) else (scale[0], scale[1])
+    rad = math.radians(rotate)
+    co, si = math.cos(rad), math.sin(rad)
+    # R·S in Mat3's row-major convention (rotation(): a=co b=si c=-si d=co)
+    a, b = co * sx, si * sy
+    c, d = -si * sx, co * sy
+    cx, cy = float(center[0]), float(center[1])
+    tx = float(translate[0]) + cx - (a * cx + b * cy)
+    ty = float(translate[1]) + cy - (c * cx + d * cy)
+    return np.asarray((a, b, c, d, tx, ty), np.float32)

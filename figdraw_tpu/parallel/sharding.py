@@ -624,7 +624,8 @@ class ShardedFigRenderer:
     # --- device-resident scenes on the mesh ---------------------------------
 
     def snapshot_scene(self, renders, frame_size, clear_main=True,
-                       clear_color=(1.0, 1.0, 1.0, 1.0), reserve=None):
+                       clear_color=(1.0, 1.0, 1.0, 1.0), reserve=None,
+                       animate=False):
         """Flatten once (saturation cull OFF — panning can reveal culled
         quads) and park the replicated combo on the mesh; render_view then
         scrolls/zooms it row-sharded across chips for pure kernel + ICI
@@ -641,6 +642,11 @@ class ShardedFigRenderer:
             record_spans=True, reserve=reserve,
         )
         plan = self._plan(tape)
+        if animate and tape.mask_count:
+            # the mega export interleaves clear sentinel rows when plane
+            # masks exist, breaking the tape-row ↔ combo-row mapping the
+            # animation table needs — stay on the frame executor
+            plan.mega = False
         if plan.mega and self.use_pallas:
             kind = "mega"
             combo = plan.mega_combo
@@ -662,8 +668,12 @@ class ShardedFigRenderer:
             from ..renderer import _patchable_spans
 
             scene.spans = _patchable_spans(tape)
+            # animation keeps the UNfiltered spans (clip cells move their
+            # mask-plane quads along; only patches need the filter)
+            scene.anim_spans = dict(tape.root_spans)
         scene.atlas_generation = self._flattener.atlas.generation
-        scene.snap_args = (frame_size, clear_main, clear_color, reserve)
+        scene.snap_args = (frame_size, clear_main, clear_color, reserve,
+                           animate)
         return scene
 
     def update_scene(self, scene, renders, dirty=None):
@@ -676,9 +686,10 @@ class ShardedFigRenderer:
         patched = self._try_patch_scene(scene, renders, dirty)
         if patched:
             return scene
-        frame_size, clear_main, clear_color, reserve = scene.snap_args
+        frame_size, clear_main, clear_color, reserve, animate = scene.snap_args
         fresh = self.snapshot_scene(renders, frame_size, clear_main,
-                                    clear_color, reserve=reserve)
+                                    clear_color, reserve=reserve,
+                                    animate=animate)
         from ..renderer import DeviceScene
 
         for slot in DeviceScene.__slots__:
@@ -716,17 +727,24 @@ class ShardedFigRenderer:
             old_bboxes=old_bboxes, apply_mirrors=apply_mirrors,
         )
 
-    def render_view(self, scene, pan=(0.0, 0.0), zoom: float = 1.0):
+    def render_view(self, scene, pan=(0.0, 0.0), zoom: float = 1.0,
+                    root_transforms=None):
         """One row-sharded frame of a device-resident scene under the camera
         p' = zoom·p + pan. Same bit-exactness contract as the single-chip
         render_view (view_rows runs on the replicated combo before the
         shard_map splits row bands); the combo layout here is the unpacked
         70-wide one, so the rect-mask columns differ
-        (executor.VIEW_RECT_COLS_UNPACKED)."""
+        (executor.VIEW_RECT_COLS_UNPACKED). root_transforms animates the
+        replicated combo with the per-root affine table exactly like
+        FigRenderer.render_view — the table applies BEFORE the shard_map
+        splits row bands, so sharded animation is bit-exact vs single-chip
+        (tests/test_sharded_perf.py)."""
         import numpy as np
 
         from .. import executor as ex
-        from ..renderer import FigRenderer, _patch_staging
+        from ..renderer import (
+            FigRenderer, _anim_table, _patch_staging,
+        )
 
         plan = scene.plan
         cam = (float(pan[0]), float(pan[1]), float(zoom), self.use_pallas,
@@ -734,6 +752,35 @@ class ShardedFigRenderer:
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
         run, rest = self._view_executor(scene)
+        if root_transforms is not None:
+            table = jnp.asarray(_anim_table(scene, root_transforms))
+            ridx = scene.anim_ridx_dev
+            try:
+                if scene.pending_patch is not None:
+                    packed = _patch_staging(*scene.pending_patch)
+                    pav = ex.get_patch_anim_view_runner(
+                        run, scene.n_quads, packed.shape[0],
+                        ex.VIEW_RECT_COLS_UNPACKED,
+                    )
+                    frame, scene.combo_dev = pav(
+                        scene.combo_dev, jnp.asarray(packed), table, ridx,
+                        d, z, *rest,
+                    )
+                    scene.pending_patch = None
+                else:
+                    av = ex.get_anim_view_runner(
+                        run, scene.n_quads, ex.VIEW_RECT_COLS_UNPACKED
+                    )
+                    frame = av(scene.combo_dev, table, ridx, d, z, *rest)
+            except Exception as exc:
+                self._downgrade_scene(scene, exc)
+                return self.render_view(scene, pan, zoom, root_transforms)
+            scene.pending_damage = None
+            scene.last_cam = None
+            scene.last_view_frame = None
+            self._last_padded = frame
+            self.last_frame = frame[: plan.height, : plan.width]
+            return self.last_frame
         try:
             if scene.pending_patch is not None and FigRenderer._partial_ok(
                 scene, cam
@@ -825,6 +872,8 @@ class ShardedFigRenderer:
         scene.last_cam = None
         scene.combo_dev = jnp.asarray(self._frame_combo(scene.plan))
         scene.n_quads = scene.plan.n_pad
+        # per-quad slot index is sized to n_quads — rebuild lazily
+        scene.anim_ridx_dev = None
 
     def render_views(self, scene, pans, zooms=1.0, chunk: int = 0,
                      as_uint8: bool = False):

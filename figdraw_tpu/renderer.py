@@ -88,7 +88,15 @@ class DeviceScene:
                  # damage rect accumulated since the last rendered frame,
                  # and that frame + its camera (the partial-render sources)
                  "spans", "atlas_generation", "snap_args", "pending_patch",
-                 "pending_damage", "last_cam", "last_view_frame")
+                 "pending_damage", "last_cam", "last_view_frame",
+                 # device-resident animation state (render_view's
+                 # root_transforms): UNfiltered per-root spans (mask-writing
+                 # roots animate fine — only the patch path needs the
+                 # structure filter), the sorted key order defining table
+                 # slots, key → slot, the device-resident per-quad slot
+                 # index, and the identity-filled host table template
+                 "anim_spans", "anim_order", "anim_slot", "anim_ridx_dev",
+                 "anim_template")
 
     def __init__(self, kind, plan, combo_dev, n_quads, n_pad):
         self.kind = kind
@@ -105,6 +113,11 @@ class DeviceScene:
         self.pending_damage = None
         self.last_cam = None
         self.last_view_frame = None
+        self.anim_spans = None
+        self.anim_order = None
+        self.anim_slot = None
+        self.anim_ridx_dev = None
+        self.anim_template = None
 
 
 def _build_rolled_items(structure, bounds, radii):
@@ -267,6 +280,91 @@ def _patchable_spans(tape):
         for key, (qs, qe) in spans.items()
         if not bad[qs:qe].any()
     }
+
+
+def _anim_state(scene):
+    """Lazily build a DeviceScene's animation-table state: the sorted
+    root-key order (= table slot order), key → slot, the per-quad slot
+    index (device-resident, -1 for rows outside every span) and the
+    identity-filled host table template. None when the snapshot has no
+    usable row mapping (mega layout with interleaved clear sentinels)."""
+    if scene.anim_spans is None:
+        return None
+    if scene.anim_order is None:
+        scene.anim_order = sorted(scene.anim_spans)
+        scene.anim_slot = {k: i for i, k in enumerate(scene.anim_order)}
+        tmpl = np.zeros((len(scene.anim_order) + 1, 6), np.float32)
+        tmpl[:, 0] = 1.0
+        tmpl[:, 3] = 1.0
+        scene.anim_template = tmpl
+    if scene.anim_ridx_dev is None:
+        ridx = np.full(scene.n_quads, -1, np.int32)
+        for i, key in enumerate(scene.anim_order):
+            qs, qe = scene.anim_spans[key]
+            ridx[qs:qe] = i
+        scene.anim_ridx_dev = jnp.asarray(ridx)
+    return scene.anim_order
+
+
+def _affine6(tr):
+    """Normalize one transform spec to the animation-table row
+    (m00, m01, m10, m11, tx, ty) meaning p' = M·p + t: a geometry.Mat3
+    (its translation IS t), a flat 6-sequence in table order, or a nested
+    2x3 [[a, b, tx], [c, d, ty]]."""
+    from .geometry import Mat3
+
+    if isinstance(tr, Mat3):
+        return (tr.a, tr.b, tr.c, tr.d, tr.tx, tr.ty)
+    arr = np.asarray(tr, np.float32)
+    if arr.shape == (2, 3):
+        return (arr[0, 0], arr[0, 1], arr[1, 0], arr[1, 1],
+                arr[0, 2], arr[1, 2])
+    if arr.shape == (6,):
+        return arr
+    raise ValueError(
+        "root transform must be a Mat3, a (6,) row "
+        "(m00, m01, m10, m11, tx, ty) or a 2x3 affine"
+    )
+
+
+def _anim_table(scene, root_transforms):
+    """Build the (R+1, 6) f32 animation table for executor.animate_rows.
+    root_transforms: {root_key: transform} with update_scene's key
+    convention (bare int = layer 0), or a bulk (R, 6) array in
+    scene.anim_order slot order (the zero-Python-loop path for
+    thousands-of-roots animation)."""
+    order = _anim_state(scene)
+    if order is None:
+        raise ValueError(
+            "scene is not animatable: the snapshot has no per-root row "
+            "mapping (a mega-path snapshot with clip masks interleaves "
+            "clear sentinel rows). Snapshot with animate=True to force an "
+            "animatable layout."
+        )
+    n = len(order)
+    if not isinstance(root_transforms, dict):
+        arr = np.asarray(root_transforms, np.float32)
+        if arr.shape != (n, 6):
+            raise ValueError(
+                f"bulk animation table must be ({n}, 6) f32 rows "
+                "(m00, m01, m10, m11, tx, ty) in scene.anim_order slot order"
+            )
+        table = np.empty((n + 1, 6), np.float32)
+        table[:n] = arr
+        table[n] = scene.anim_template[n]
+        return table
+    table = scene.anim_template.copy()
+    for key, tr in root_transforms.items():
+        k = (0, key) if isinstance(key, int) else (int(key[0]), int(key[1]))
+        slot = scene.anim_slot.get(k)
+        if slot is None:
+            raise KeyError(
+                f"root {k} has no recorded span in this snapshot "
+                "(keys are (zlevel, root_node_idx) or bare layer-0 ints; "
+                "see scene.anim_order)"
+            )
+        table[slot] = _affine6(tr)
+    return table
 
 
 def _patch_device_scene(flat, scene, renders, dirty, layout, atlas11,
@@ -1284,6 +1382,7 @@ class FigRenderer:
         clear_main: bool = True,
         clear_color: Color = Color(1.0, 1.0, 1.0, 1.0),
         reserve=None,
+        animate: bool = False,
     ) -> "DeviceScene":
         """Flatten once and park the tape ON DEVICE; render_view() then
         draws it at any screen offset for pure kernel cost — per frame only
@@ -1298,7 +1397,12 @@ class FigRenderer:
         the snapshot are not seen; use update_scene (in-place patch) or take
         a new snapshot. reserve ((lvl, root_idx) → n): pad those roots'
         spans with n inert rows so count-CHANGING edits (growing text
-        labels) can still patch in place up to the reserve."""
+        labels) can still patch in place up to the reserve.
+
+        animate=True guarantees render_view's root_transforms works: a
+        clip-mask-bearing scene that would take the mega layout (whose
+        interleaved clear sentinel rows break the tape-row ↔ combo-row
+        mapping) stays on the rolled executor instead."""
         from .basics import scaled
         from .colors import as_color
 
@@ -1315,6 +1419,10 @@ class FigRenderer:
         # CPU backend jnp.asarray may even alias the numpy buffer)
         plan.combo = plan.combo.copy()
         n_pad = _bucket(max(tape.count, 1))
+        if animate and tape.mask_count:
+            # the mega export would interleave clear sentinel rows and break
+            # the tape-row ↔ combo-row mapping animation needs
+            plan.mega_combo = None
         if plan.mega_combo is not None and self.use_pallas:
             kind = "mega"
             combo = plan.mega_combo
@@ -1339,8 +1447,13 @@ class FigRenderer:
             kind == "mega" and tape.mask_count
         ):
             scene.spans = _patchable_spans(tape)
+            # animation keeps the UNfiltered spans: moving a clip cell must
+            # move its mask-plane quads too (only the patch path needs the
+            # structure filter)
+            scene.anim_spans = dict(tape.root_spans)
         scene.atlas_generation = self.atlas.generation
-        scene.snap_args = (frame_size, clear_main, clear_color, reserve)
+        scene.snap_args = (frame_size, clear_main, clear_color, reserve,
+                           animate)
         return scene
 
     def update_scene(
@@ -1367,9 +1480,10 @@ class FigRenderer:
         patched = self._try_patch_scene(scene, renders, dirty)
         if patched:
             return scene
-        frame_size, clear_main, clear_color, reserve = scene.snap_args
+        frame_size, clear_main, clear_color, reserve, animate = scene.snap_args
         fresh = self.snapshot_scene(renders, frame_size, clear_main,
-                                    clear_color, reserve=reserve)
+                                    clear_color, reserve=reserve,
+                                    animate=animate)
         for slot in DeviceScene.__slots__:
             setattr(scene, slot, getattr(fresh, slot))
         return scene
@@ -1414,7 +1528,8 @@ class FigRenderer:
         scene.pending_patch = None
 
     def render_view(
-        self, scene: "DeviceScene", pan=(0.0, 0.0), zoom: float = 1.0
+        self, scene: "DeviceScene", pan=(0.0, 0.0), zoom: float = 1.0,
+        root_transforms=None,
     ) -> jnp.ndarray:
         """One frame of a device-resident scene under a screen-space camera
         p' = zoom·p + pan (zoom > 0).
@@ -1426,7 +1541,20 @@ class FigRenderer:
         semantics as GL transforming a recorded vertex stream
         (tests/test_camera.py pins both). Like a GL scale transform, zoom
         widens AA/shadow falloff proportionally (SDF params are local-space)
-        and leaves backdrop-blur radii in screen pixels."""
+        and leaves backdrop-blur radii in screen pixels.
+
+        root_transforms animates the scene WITHOUT any host re-walk: per
+        frame only a (roots, 6) affine table crosses the link and
+        executor.animate_rows applies p' = M·p + t per root span inside the
+        jitted dispatch — a dict {root_key: Mat3 | (6,) | 2x3} with
+        update_scene's key convention, or a bulk (R, 6) array in
+        scene.anim_order slot order. Transforms are ABSOLUTE from the
+        snapshot's base geometry (no drift); the camera composes on top
+        (p'' = zoom·(M·p + t) + pan). Same bit-exactness contract as the
+        camera, per root (tests/test_animview.py); non-affine edits
+        (corner radii, shadow params, fills) go through update_scene as
+        before. Raises ValueError for snapshots without a per-root row
+        mapping — snapshot with animate=True to guarantee one."""
         from . import executor as ex
 
         # the camera key carries the executor identity too: a renderer-level
@@ -1436,6 +1564,39 @@ class FigRenderer:
                scene.kind)
         d = jnp.asarray(np.asarray(pan, dtype=np.float32).reshape(2))
         z = jnp.float32(zoom)
+        if root_transforms is not None:
+            # build the table BEFORE the try: key/shape errors are caller
+            # bugs, not executor failures to downgrade on
+            table = jnp.asarray(_anim_table(scene, root_transforms))
+            ridx = scene.anim_ridx_dev
+            run, rest = self._view_executor(scene)
+            try:
+                if scene.pending_patch is not None:
+                    # fused patch + animate + view: the deferred retained
+                    # update lands in BASE scene space, animation applies
+                    # functionally on top, one dispatch total
+                    packed = _patch_staging(*scene.pending_patch)
+                    pav = ex.get_patch_anim_view_runner(
+                        run, scene.n_quads, packed.shape[0],
+                    )
+                    frame, scene.combo_dev = pav(
+                        scene.combo_dev, jnp.asarray(packed), table, ridx,
+                        d, z, *rest,
+                    )
+                    scene.pending_patch = None
+                else:
+                    av = ex.get_anim_view_runner(run, scene.n_quads)
+                    frame = av(scene.combo_dev, table, ridx, d, z, *rest)
+            except Exception as exc:
+                self._downgrade_scene(scene, exc)
+                return self.render_view(scene, pan, zoom, root_transforms)
+            # an animated frame is NOT a partial-render source: quads moved
+            # without damage tracking
+            scene.pending_damage = None
+            scene.last_cam = None
+            scene.last_view_frame = None
+            self.last_frame = frame
+            return frame
         run, rest = self._view_executor(scene)
         try:
             if scene.pending_patch is not None and self._partial_ok(scene, cam):
@@ -1564,6 +1725,9 @@ class FigRenderer:
         scene.last_cam = None
         scene.combo_dev = jnp.asarray(plan.combo)
         scene.n_quads = scene.n_pad
+        # the per-quad slot index is sized to n_quads — rebuild lazily for
+        # the downgraded layout (spans map 1:1 onto both when present)
+        scene.anim_ridx_dev = None
 
     def render_views(
         self,

@@ -257,6 +257,61 @@ def test_sharded_camera_mega_bit_exact():
     assert sharded.use_pallas, "sharded camera megakernel fell back"
 
 
+def test_sharded_animation_bit_exact():
+    """Row-sharded render_view(root_transforms) == the sharded re-walk with
+    the animated roots wrapped in equivalent nkTransforms, bit-exactly
+    (executor.animate_rows runs on the replicated unpacked combo before the
+    shard_map splits bands); and it equals the single-chip animated view
+    within 1/255."""
+    from figdraw_tpu.basics import TransformStyle
+    from figdraw_tpu.geometry import Mat3
+    from figdraw_tpu.nodesarray import from_renders
+    from figdraw_tpu.parallel.sharding import ShardedFigRenderer
+
+    def scene(moves=None):
+        renders = new_renders()
+        keys = []
+        for i in range(12):
+            f = Fig(
+                kind=FigKind.nkRectangle,
+                screen_box=rect(8 + (i % 4) * 42, 6 + (i // 4) * 38, 30, 24),
+                corners=(5,) * 4,
+                fill=fill(rgba(40 + i * 10, (i * 53) % 255, 180, 160)))
+            if moves and i in moves:
+                a, b, c, d, tx, ty = [float(v) for v in moves[i]]
+                tr = renders.add_root(0, Fig(
+                    kind=FigKind.nkTransform,
+                    transform=TransformStyle(
+                        translation=vec2(tx, ty),
+                        matrix=Mat3(a, b, 0.0, c, d, 0.0))))
+                renders.add_child(0, tr, f)
+                keys.append(tr)
+            else:
+                keys.append(renders.add_root(0, f))
+        return from_renders(renders), keys
+
+    moves = {1: (1.0, 0.0, 0.0, 1.0, 12.0, -6.0),
+             7: (2.0, 0.0, 0.0, 2.0, 4.0, 8.0)}
+    w, h = 256, 192
+    sharded = ShardedFigRenderer(atlas_size=64, use_pallas=False)
+    ref = ShardedFigRenderer(atlas_size=64, use_pallas=False)
+    base, keys = scene()
+    snap = sharded.snapshot_scene(base, vec2(w, h))
+    view = np.asarray(sharded.render_view(
+        snap, root_transforms={keys[i]: m for i, m in moves.items()}))
+    wrapped, _ = scene(moves)
+    expect = np.asarray(ref.render_frame(wrapped, vec2(w, h)))
+    np.testing.assert_array_equal(view, expect)
+
+    single = FigRenderer(atlas_size=64, use_pallas=False)
+    ssnap = single.snapshot_scene(base, vec2(w, h))
+    a = _screenshot(single.render_view(
+        ssnap, root_transforms={keys[i]: m for i, m in moves.items()}))
+    b = _screenshot(sharded.render_view(
+        snap, root_transforms={keys[i]: m for i, m in moves.items()}))
+    assert _max_diff(a, b) <= 1
+
+
 def test_sharded_camera_views_match_loop():
     """Row-sharded flythrough (chunked lax.map over the sharded executor)
     equals the render_view loop bit-exactly."""

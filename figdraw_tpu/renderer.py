@@ -119,6 +119,13 @@ class DeviceScene:
         self.anim_ridx_dev = None
         self.anim_template = None
 
+    def animation_order(self):
+        """The (zlevel, root_node_idx) keys in table-slot order for
+        render_view's bulk (R, 6) root_transforms array; None when the
+        snapshot has no per-root row mapping (snapshot with animate=True
+        to guarantee one)."""
+        return _anim_state(self)
+
 
 def _build_rolled_items(structure, bounds, radii):
     """Flatten the pass structure into the rolled executor's item table:

@@ -5,13 +5,14 @@ Reproduces the reference's headline demo workload
 and the driver's north star (BASELINE.json: < 2 ms/frame @ 1080p).
 
 Prints JSON lines {"metric", "value", "unit", "vs_baseline"} PROGRESSIVELY —
-the first one as soon as the first measured loop completes (so a cold-cache
-run inside a hard wall-clock window still produces a parseable number), then
-refined lines as better loop modes finish; the LAST line is the headline.
-`value` is the best frame time in ms across a blocking sequential loop, a
-direct async-dispatch loop, and a pipelined loop (host flatten of frame N+1
-overlapped with frame N's upload+kernel); vs_baseline is the speedup over the
-reference's 120 FPS (8.333 ms).
+the first one as soon as an 8-frame sequential probe completes (so a
+cold-cache run inside a hard wall-clock window still produces a parseable
+number), then refined lines as better loop modes finish; the LAST line is
+the headline. The direct async-dispatch loop (the usual winner) runs FIRST
+among the loop modes so best-of lands in the first measured seconds; the
+pipelined loop (host flatten of frame N+1 overlapped with frame N's
+upload+kernel) and the full blocking sequential stats follow. vs_baseline
+is the speedup over the reference's 120 FPS (8.333 ms).
 
 FIGDRAW_BENCH_BUDGET_S (default 900) bounds the run: stages that don't fit
 the remaining budget are skipped and the best-so-far stands.
@@ -107,29 +108,32 @@ def main():
     heap0 = heap_snapshot()
     frames_done = 0
 
-    # --- sequential latency: block every frame -------------------------------
-    # Emitted FIRST so even a budget-starved run produces a number.
+    # --- quick sequential probe: 8 blocked frames -----------------------------
+    # Emitted FIRST so even a budget-starved run produces a number; the full
+    # sequential stats loop runs LAST (it informs the log, not the headline).
     flatten_ms = []
     device_ms = []
     total_ms = []
-    for f in range(WARMUP, WARMUP + FRAMES):
-        t0 = time.perf_counter()
-        renders = make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache)
-        tape = renderer.flatten(renders, size)
-        t1 = time.perf_counter()
-        out = renderer.execute(tape)
-        out.block_until_ready()
-        t2 = time.perf_counter()
-        flatten_ms.append((t1 - t0) * 1000.0)
-        device_ms.append((t2 - t1) * 1000.0)
-        total_ms.append((t2 - t0) * 1000.0)
-        frames_done += 1
-        # emit after the first 8 frames, refine with the full run
-        if f == WARMUP + 7:
-            headline.update(float(np.median(total_ms)), "sequential(8)")
-    latency_med = float(np.median(total_ms))
-    headline.update(latency_med, "sequential")
-    seq_cost = sum(total_ms) / 1000.0  # one loop's wall clock, for budgeting
+
+    def seq_frames(n):
+        nonlocal frames_done
+        start = WARMUP + len(total_ms)
+        for f in range(start, start + n):
+            t0 = time.perf_counter()
+            renders = make_render_tree_array(WIDTH, HEIGHT, f, copies=COPIES, cache=scene_cache)
+            tape = renderer.flatten(renders, size)
+            t1 = time.perf_counter()
+            out = renderer.execute(tape)
+            out.block_until_ready()
+            t2 = time.perf_counter()
+            flatten_ms.append((t1 - t0) * 1000.0)
+            device_ms.append((t2 - t1) * 1000.0)
+            total_ms.append((t2 - t0) * 1000.0)
+            frames_done += 1
+
+    seq_frames(8)
+    headline.update(float(np.median(total_ms)), "sequential(8)")
+    seq_cost = sum(total_ms) / 8.0 * FRAMES / 1000.0  # per-loop wall clock
 
     # --- direct frame loop: plain render_frame calls, block once at the end.
     # The kernel dispatch is already async, so only the upload RPC sits on
@@ -138,6 +142,9 @@ def main():
     # overlap buys (measured on the 1-CPU bench host) — at 10x/40x scales
     # the pipelined loop wins. A real render loop picks whichever fits its
     # scene; the headline is the best loop mode, each improvement printed.
+    # Runs FIRST among the loop modes: it is the usual winner, so best-of
+    # lands within the first seconds of the measured window regardless of
+    # where the driver's wall clock cuts the run.
     best_direct = None
     for _rep in range(REPS):
         if remaining() < 3.0 * seq_cost + 10.0:
@@ -175,6 +182,13 @@ def main():
         frames_done += FRAMES
         best_pipe = pipe if best_pipe is None else min(best_pipe, pipe)
         headline.update(pipe, "pipelined")
+
+    # --- full sequential stats: the med/p95 latency log (headline already
+    # captured by the loop modes above; a better median still updates it)
+    if remaining() > 2.0 * seq_cost + 10.0:
+        seq_frames(FRAMES - 8)
+    latency_med = float(np.median(total_ms))
+    headline.update(latency_med, "sequential")
 
     fmt = lambda v: f"{v:.2f}" if v is not None else "skipped"
     log(

@@ -99,49 +99,71 @@ def make_nonclip_scene(w: float, h: float):
     return renders
 
 
-def bench_case(kind: str):
-    from figdraw_tpu import FigRenderer, vec2
-    from figdraw_tpu.nodesarray import from_renders
-
-    ren = FigRenderer(atlas_size=128)
-    # array form → per-frame flatten runs through the C++ walk
-    maker = make_nonclip_scene if kind == "noclip" else (
-        lambda w, h: make_table_scene(kind, w, h))
-    scene = from_renders(maker(float(W), float(H)))
-    size = vec2(W, H)
-    for _ in range(WARMUP):
-        out = ren.render_frame(scene, size)
-    out.block_until_ready()
-    samples = []
-    for _ in range(FRAMES):
-        t0 = time.perf_counter()
-        out = ren.render_frame(scene, size)
-        out.block_until_ready()
-        samples.append((time.perf_counter() - t0) * 1000.0)
-    arr = np.asarray(samples)
-    return {
-        "count": len(samples),
-        "min": float(arr.min()),
-        "avg": float(arr.mean()),
-        "p50": float(np.percentile(arr, 50)),
-        "p95": float(np.percentile(arr, 95)),
-        "max": float(arr.max()),
-        "fps": 1000.0 / float(arr.mean()),
-    }
+KINDS = ("noclip", "rectmask", "subclip")
 
 
 def main():
-    print(f"clip-mask benchmark: {ROWS}x{COLS} cells @ {W}x{H}, "
-          f"{WARMUP} warmup + {FRAMES} timed frames", file=sys.stderr)
-    for kind, label in (("noclip", "no-clip table"),
-                        ("rectmask", "clip + rect-mask"),
-                        ("subclip", "clip + sub-clip")):
-        stats = bench_case(kind)
+    """PAIRED measurement: the three cases interleave inside ONE loop —
+    every iteration times one blocked frame of each kind back-to-back, so
+    the sub-clip/rect-mask ratio is computed per iteration and tunnel-hour
+    drift cancels out of it (separate 30-frame loops confounded the ratio
+    with drift: rect-mask alone swung 1.6-2.4 ms between runs of identical
+    code). The headline is the MEDIAN of the per-iteration ratios."""
+    import json
+
+    from figdraw_tpu import FigRenderer, vec2
+    from figdraw_tpu.nodesarray import from_renders
+
+    print(f"clip-mask benchmark (paired): {ROWS}x{COLS} cells @ {W}x{H}, "
+          f"{WARMUP} warmup + {FRAMES} interleaved frames", file=sys.stderr)
+    size = vec2(W, H)
+    rens = {k: FigRenderer(atlas_size=128) for k in KINDS}
+    scenes = {
+        "noclip": from_renders(make_nonclip_scene(float(W), float(H))),
+        "rectmask": from_renders(make_table_scene("rectmask", float(W), float(H))),
+        "subclip": from_renders(make_table_scene("subclip", float(W), float(H))),
+    }
+    for k in KINDS:
+        out = None
+        for _ in range(WARMUP):
+            out = rens[k].render_frame(scenes[k], size)
+        out.block_until_ready()
+
+    samples = {k: [] for k in KINDS}
+    for _ in range(FRAMES):
+        for k in KINDS:
+            t0 = time.perf_counter()
+            rens[k].render_frame(scenes[k], size).block_until_ready()
+            samples[k].append((time.perf_counter() - t0) * 1000.0)
+
+    arrs = {k: np.asarray(v) for k, v in samples.items()}
+    ratios = arrs["subclip"] / arrs["rectmask"]
+    for k, label in (("noclip", "no-clip table"),
+                     ("rectmask", "clip + rect-mask"),
+                     ("subclip", "clip + sub-clip")):
+        a = arrs[k]
         print(
-            f"{label:18s} avg={stats['avg']:8.2f}ms p50={stats['p50']:8.2f}ms "
-            f"p95={stats['p95']:8.2f}ms min={stats['min']:8.2f}ms "
-            f"max={stats['max']:8.2f}ms fps={stats['fps']:7.1f}"
+            f"{label:18s} avg={a.mean():8.2f}ms "
+            f"p50={np.percentile(a, 50):8.2f}ms "
+            f"p95={np.percentile(a, 95):8.2f}ms min={a.min():8.2f}ms "
+            f"max={a.max():8.2f}ms fps={1000.0 / a.mean():7.1f}",
+            file=sys.stderr,
         )
+    print(
+        f"paired sub-clip/rect-mask ratio: p50={np.median(ratios):.3f} "
+        f"p90={np.percentile(ratios, 90):.3f} min={ratios.min():.3f} "
+        f"max={ratios.max():.3f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "clipmask_paired_ratio",
+        "value": round(float(np.median(ratios)), 3),
+        "unit": "x (sub-clip / rect-mask, per-iteration paired)",
+        "ratio_p90": round(float(np.percentile(ratios, 90)), 3),
+        "subclip_p50_ms": round(float(np.median(arrs["subclip"])), 3),
+        "rectmask_p50_ms": round(float(np.median(arrs["rectmask"])), 3),
+        "noclip_p50_ms": round(float(np.median(arrs["noclip"])), 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -209,6 +209,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.fd_scene_animate.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double,
             ctypes.c_int32, ctypes.c_int32,
         ] + [ctypes.c_void_p] * 8
         lib.fd_scene_animate.restype = ctypes.c_int
@@ -848,8 +849,13 @@ def scene_animate(nodes: np.ndarray, w: float, h: float, frame: int,
     lib = _load()
     if lib is None:
         return False
+    # the clamp bounds travel from scenes.py (the single source of truth)
+    # instead of being duplicated as constants in the C animator
+    from .scenes import _SCENE_CLAMP_X, _SCENE_CLAMP_Y
+
     rc = lib.fd_scene_animate(
-        _ptr(nodes), nodes.shape[0], float(w), float(h), int(frame),
+        _ptr(nodes), nodes.shape[0], float(w), float(h),
+        float(_SCENE_CLAMP_X), float(_SCENE_CLAMP_Y), int(frame),
         int(copies), _ptr(base_xs), _ptr(base_ys),
         _ptr(tables["sin_of_sp"]), _ptr(tables["cos_of_sp"]),
         _ptr(tables["sin_of_cp"]), _ptr(tables["cos_of_cp"]),

@@ -31,8 +31,8 @@ from .nodes import Fig, RenderList, Renders, new_renders
 
 
 # Box-placement clamp bounds shared by the object-form builder, the numpy
-# animator, the native dispatcher AND native/flatten.cpp fd_scene_animate
-# (which hardcodes w-580/h-480 — change all four together): the rightmost
+# animator and the native animator (native.scene_animate passes these to
+# fd_scene_animate, so this is the single source of truth): the rightmost
 # box column starts at x=320 / the lowest at y=300, max animated size
 # 260x180.
 _SCENE_CLAMP_X = 320.0 + 260.0  # = 580

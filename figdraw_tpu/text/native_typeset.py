@@ -126,6 +126,13 @@ def _pack_handle(typeface_id: int) -> int:
     if not handle:
         raise RuntimeError("fd_pack_load rejected the font pack")
     with _lock:
+        # two threads can both have built the pack (the build runs outside
+        # the lock — it is slow); the first one in wins and the loser's
+        # handle is freed instead of leaking
+        cached = _packs.get(typeface_id)
+        if cached is not None:
+            lib.fd_pack_free(handle)
+            return cached[1]
         # keep the blob alive alongside the handle (the C side copies, but
         # the pair documents ownership and lets tests reuse the bytes)
         _packs[typeface_id] = (blob, handle)

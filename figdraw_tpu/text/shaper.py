@@ -1473,11 +1473,22 @@ def thai_sara_am_preprocess(names, clusters, cps, cp_name):
         new_n.append(aa_name)
         new_c.append(clusters[k])
         new_cp.append(aa_cp)
-        crossed = range(j, len(new_n) - 1)  # nikhahit + crossed marks
-        if len(crossed) > 1:
-            lo = min(new_c[s][0] for s in crossed)
-            hi = max(new_c[s][1] for s in crossed)
-            for s in crossed:
+        # cluster merges exactly as hb-ot-shaper-thai.cc: marks crossed →
+        # merge the whole moved span INCLUDING the appended SARA AA
+        # [start, end); nothing crossed → the decomposed combining pair
+        # merges with the PREVIOUS cluster [start-1, end) — selection/caret
+        # ranges stay HarfBuzz-compatible
+        end = len(new_n)
+        if j + 2 < end:
+            merged = range(j, end)
+        elif j > 0:
+            merged = range(j - 1, end)
+        else:
+            merged = range(0, 0)
+        if len(merged) > 1:
+            lo = min(new_c[s][0] for s in merged)
+            hi = max(new_c[s][1] for s in merged)
+            for s in merged:
                 new_c[s] = (lo, hi)
     return new_n, new_c, new_cp
 

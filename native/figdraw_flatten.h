@@ -182,6 +182,7 @@ int fd_flatten_renders_root(FigdrawFlattenCtx *ctx, FdRenders *renders,
  * (7, copies) row-major f64. Returns 0, or -1 when count is too small for
  * the scene shape (1 + 3*copies + 3 rows). */
 int fd_scene_animate(void *nodes, int32_t count, double w, double h,
+                     double clamp_x, double clamp_y,
                      int32_t frame, int32_t copies, const double *base_xs,
                      const double *base_ys, const double *sin_of_sp,
                      const double *cos_of_sp, const double *sin_of_cp,

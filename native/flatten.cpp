@@ -2541,6 +2541,7 @@ int fd_flatten_renders_root(Ctx* ctx, FdRenders* r, int zlevel, int root_pos) {
 // frame only the 32 t-dependent scalars hit libm; each copy's phase value
 // is an angle-addition mul/mul/add.
 int fd_scene_animate(Fig* nodes, int32_t count, double w, double h,
+                     double clamp_x, double clamp_y,
                      int32_t frame, int32_t copies,
                      const double* base_xs, const double* base_ys,
                      const double* sin_of_sp, const double* cos_of_sp,
@@ -2557,10 +2558,11 @@ int fd_scene_animate(Fig* nodes, int32_t count, double w, double h,
     sin_tc[k] = std::sin(t * cos_t[k]);
     cos_tc[k] = std::cos(t * cos_t[k]);
   }
-  // 580/480 = scenes.py _SCENE_CLAMP_X/_SCENE_CLAMP_Y (box-column start +
-  // max animated size) — change together
-  const double max_x = w - 580.0 > 0.0 ? w - 580.0 : 0.0;
-  const double max_y = h - 480.0 > 0.0 ? h - 480.0 : 0.0;
+  // clamp_x/clamp_y come from the Python dispatcher (scenes.py
+  // _SCENE_CLAMP_X/_SCENE_CLAMP_Y — box-column start + max animated size):
+  // one source of truth instead of a comment-enforced constant pairing
+  const double max_x = w - clamp_x > 0.0 ? w - clamp_x : 0.0;
+  const double max_y = h - clamp_y > 0.0 ? h - clamp_y : 0.0;
 
   for (int32_t i = 0; i < copies; i++) {
     double s[9], c[7];

@@ -112,6 +112,16 @@ struct Reader {
     }
     return true;
   }
+  // bound a COUNT against the remaining bytes BEFORE resize/reserve: a
+  // malformed blob with a huge count must fail the parse (NULL from
+  // fd_pack_load), not throw std::bad_alloc out of a multi-GB allocation
+  bool can(uint64_t count, size_t elem_size) {
+    if (!ok || count > (uint64_t)(end - p) / elem_size) {
+      ok = false;
+      return false;
+    }
+    return true;
+  }
   uint32_t u32() {
     if (!need(4)) return 0;
     uint32_t v;
@@ -146,6 +156,7 @@ bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
   uint32_t count = r.u32();
   switch (e.kind) {
     case K_SINGLE:
+      if (!r.can(count, 4)) return false;
       e.single.reserve(count);
       for (uint32_t k = 0; k < count && r.ok; k++) {
         SingleRow row;
@@ -175,6 +186,7 @@ bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
       }
       break;
     case K_POS1:
+      if (!r.can(count, 4)) return false;
       e.pos1.reserve(count);
       for (uint32_t k = 0; k < count && r.ok; k++) {
         Pos1Row row;
@@ -184,6 +196,7 @@ bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
       }
       break;
     case K_POS2S:
+      if (!r.can(count, 8)) return false;
       e.pos2s.reserve(count);
       for (uint32_t k = 0; k < count && r.ok; k++) {
         Pos2sRow row;
@@ -199,6 +212,8 @@ bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
       uint32_t n_cov = r.u32(), n_cd1 = r.u32(), n_cd2 = r.u32();
       t.c1 = r.u32();
       t.c2 = r.u32();
+      if (!r.can(n_cov, 2) || !r.can(n_cd1, 4) || !r.can(n_cd2, 4))
+        return false;
       t.cov.resize(n_cov);
       for (uint32_t k = 0; k < n_cov; k++) t.cov[k] = r.u16();
       r.align4(base);
@@ -213,6 +228,7 @@ bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
         t.cd2[k].second = r.u16();
       }
       if (t.c1 && t.c2 > (1u << 24) / t.c1) return false;  // size guard
+      if (!r.can((uint64_t)t.c1 * t.c2, 4)) return false;
       t.mat.resize((size_t)t.c1 * t.c2);
       for (auto &mv : t.mat) {
         mv.first = r.i16();
@@ -233,6 +249,7 @@ bool parse_lookup(Reader &r, const uint8_t *base, Lookup &L) {
   uint32_t filter_state = r.u32();  // 0 none, 1 empty set, 2 present
   uint32_t filter_n = r.u32();
   L.has_filter = filter_state != 0;
+  if (!r.can(filter_n, 2)) return false;
   L.filter.resize(filter_n);
   for (uint32_t k = 0; k < filter_n; k++) L.filter[k] = r.u16();
   r.align4(base);
@@ -462,7 +479,11 @@ FdFontPack *fd_pack_load(const void *blob, int32_t len) {
   uint32_t n_kern0 = r.u32();
   pk->n_glyphs = n_glyphs;
   bool ok = r.ok && n_glyphs <= (1u << 20) && n_cmap <= (1u << 22) &&
-            n_sub + n_pos <= (1u << 16) && n_kern0 <= (1u << 24);
+            n_sub + n_pos <= (1u << 16) && n_kern0 <= (1u << 24) &&
+            // every top-level count must also fit the remaining blob bytes
+            // (cmap 8B, advances 4B + 2x 1B tables, kern rows 8B) — reject
+            // instead of allocating from a lying header
+            r.can(n_cmap, 8) && r.can(n_glyphs, 6) && r.can(n_kern0, 8);
   if (ok) {
     pk->cmap.resize(n_cmap);
     for (uint32_t k = 0; k < n_cmap; k++) {
@@ -865,13 +886,24 @@ int32_t fd_utf8_to_cps(const char *utf8, int32_t len, uint32_t *cps,
         cp = 0xFFFD;
         more = 0;
       } else {
+        bool complete = true;
         for (size_t k = 1; k <= more; k++) {
           if ((s[i + k] & 0xC0) != 0x80) {
             cp = 0xFFFD;
             more = k - 1;
+            complete = false;
             break;
           }
           cp = (cp << 6) | (s[i + k] & 0x3F);
+        }
+        if (complete) {
+          // the header's contract: invalid bytes decode as U+FFFD —
+          // overlong encodings, UTF-16 surrogates and out-of-range
+          // codepoints are invalid per RFC 3629
+          static const uint32_t kMin[4] = {0, 0x80, 0x800, 0x10000};
+          if (cp < kMin[more] || cp > 0x10FFFF ||
+              (cp >= 0xD800 && cp <= 0xDFFF))
+            cp = 0xFFFD;
         }
       }
     }

@@ -96,6 +96,16 @@ def test_pack_load_rejects_malformed():
     bad = bytearray(blob)
     bad[4] = 99  # version
     assert nt.load_raw_pack(bytes(bad)) == 0
+    # a LYING header: counts UNDER the hard caps but far past the remaining
+    # body bytes must be rejected by the bounds check, not attempt a
+    # multi-hundred-MB allocation (std::bad_alloc would terminate the host)
+    lying = bytearray(blob[:64])
+    for off, count in ((24, 0x80000),   # n_glyphs (cap 1<<20)
+                       (28, 0x100000),  # n_cmap   (cap 1<<22)
+                       (44, 0xFFFFFF)):  # n_kern0 (cap 1<<24)
+        lie = bytearray(lying)
+        lie[off : off + 4] = count.to_bytes(4, "little")
+        assert nt.load_raw_pack(bytes(lie)) == 0
 
 
 def test_cmap_and_advances_match_typeface():
@@ -377,3 +387,25 @@ def test_utf8_helper():
     text = "Zürich → δ"
     cps = nt.utf8_to_cps(text.encode("utf-8"))
     assert [int(c) for c in cps] == [ord(c) for c in text]
+
+
+def test_utf8_invalid_sequences_become_replacement():
+    """The header's contract: invalid bytes decode as U+FFFD — that covers
+    overlong encodings, UTF-16 surrogates and codepoints past U+10FFFF
+    (RFC 3629), not just malformed continuation bytes."""
+    load_typeface(DEJAVU)
+    cases = [
+        (b"\xc0\x80", [0xFFFD]),              # overlong NUL
+        (b"\xc1\xbf", [0xFFFD]),              # overlong U+007F
+        (b"\xe0\x80\xaf", [0xFFFD]),          # overlong 3-byte
+        (b"\xed\xa0\x80", [0xFFFD]),          # surrogate U+D800
+        (b"\xed\xbf\xbf", [0xFFFD]),          # surrogate U+DFFF
+        (b"\xf4\x90\x80\x80", [0xFFFD]),      # U+110000 (> max)
+        (b"\xf0\x80\x80\x80", [0xFFFD]),      # overlong 4-byte
+        (b"A\xed\xa0\x80B", [65, 0xFFFD, 66]),  # valid context preserved
+        (b"\xf4\x8f\xbf\xbf", [0x10FFFF]),    # the actual max is valid
+        (b"\xed\x9f\xbf", [0xD7FF]),          # just below surrogates valid
+    ]
+    for raw, want in cases:
+        cps = [int(c) for c in nt.utf8_to_cps(raw)]
+        assert cps == want, (raw, cps)

@@ -69,7 +69,7 @@ def test_native_animate_rejects_short_array():
     base_xs, base_ys = _scene_randoms(3, 60.0, 0.0)
     lib = native._load()
     rc = lib.fd_scene_animate(
-        native._ptr(lst.nodes), 2, 640.0, 480.0, 0, 3,
+        native._ptr(lst.nodes), 2, 640.0, 480.0, 580.0, 480.0, 0, 3,
         native._ptr(base_xs), native._ptr(base_ys),
         native._ptr(st["sin_of_sp"]), native._ptr(st["cos_of_sp"]),
         native._ptr(st["sin_of_cp"]), native._ptr(st["cos_of_cp"]),

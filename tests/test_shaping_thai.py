@@ -89,19 +89,21 @@ def _shape(tid, cps):
 
 
 def test_sara_am_decomposes(thai_tid):
-    # KO + SARA AM -> [ko, nikhahit, saraaa]; both halves keep the am's
-    # source cluster
+    # KO + SARA AM -> [ko, nikhahit, saraaa]; no marks crossed, so the
+    # decomposed combining pair merges with the PREVIOUS cluster, exactly
+    # like hb-ot-shaper-thai.cc's merge_out_clusters(start-1, end)
     names, clusters = _shape(thai_tid, [KO, SARA_AM])
     assert names == ["ko", "nikhahit", "saraaa"], names
-    assert clusters == [(0, 1), (1, 2), (1, 2)], clusters
+    assert clusters == [(0, 2), (0, 2), (0, 2)], clusters
 
 
 def test_nikhahit_reorders_over_tone_marks(thai_tid):
     # KO + MAI EK + SARA AM: the nikhahit moves back over the tone mark —
-    # [ko, nikhahit, maiek, saraaa]; the moved span merges clusters
+    # [ko, nikhahit, maiek, saraaa]; the whole moved span INCLUDING the
+    # appended SARA AA merges clusters (hb merge_out_clusters(start, end))
     names, clusters = _shape(thai_tid, [KO, MAI_EK, SARA_AM])
     assert names == ["ko", "nikhahit", "maiek", "saraaa"], names
-    assert clusters == [(0, 1), (1, 3), (1, 3), (2, 3)], clusters
+    assert clusters == [(0, 1), (1, 3), (1, 3), (1, 3)], clusters
     # two stacked tones: still a single hop to before both
     names, _ = _shape(thai_tid, [KO, MAI_EK, MAI_THO, SARA_AM])
     assert names == ["ko", "nikhahit", "maiek", "maitho", "saraaa"], names

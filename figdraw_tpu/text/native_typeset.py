@@ -31,6 +31,8 @@ _LIB = os.path.join(_LIB_DIR, "libfigdraw_typeset.so")
 
 E_CAP = -1
 E_MARKS = -2
+E_REDUCED = -3
+E_SCRIPT = -4
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -39,7 +41,8 @@ _packs: Dict[int, Tuple[bytes, int]] = {}  # typeface_id -> (blob, handle)
 
 
 class NativeTypesetUnsupported(Exception):
-    """The text needs GPOS mark positioning — shape it in Python."""
+    """The text is outside the native boundary (offset-less API with marks,
+    a staged-script run, or a reduced pack) — shape it in Python."""
 
 
 def _build() -> None:
@@ -83,10 +86,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fd_pack_glyph_id.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
         lib.fd_pack_advance.restype = ctypes.c_float
         lib.fd_pack_advance.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.fd_pack_set_allow_reduced.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
         lib.fd_typeset_shape.restype = ctypes.c_int32
         lib.fd_typeset_shape.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.fd_typeset_shape_ex.restype = ctypes.c_int32
+        lib.fd_typeset_shape_ex.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
         ]
         lib.fd_typeset_line.restype = ctypes.c_int32
         lib.fd_typeset_line.argtypes = [
@@ -182,7 +194,14 @@ def _retrying_call(name, call, n_cps):
             continue
         if n == E_MARKS:
             raise NativeTypesetUnsupported(
-                "text needs GPOS mark positioning")
+                "the offset-less API cannot place attach-capable marks")
+        if n == E_SCRIPT:
+            raise NativeTypesetUnsupported(
+                "text needs a staged shaping pipeline (Arabic/Indic/USE)")
+        if n == E_REDUCED:
+            raise NativeTypesetUnsupported(
+                "pack is reduced vs the Python plan; opt in with "
+                "set_allow_reduced")
         if n < 0:
             raise RuntimeError(f"{name} failed ({n})")
         return build(n)
@@ -210,6 +229,43 @@ def shape(typeface_id: int, text) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                              clus[:k].copy())
 
     return _retrying_call("fd_typeset_shape", call, len(cps))
+
+
+def shape_ex(typeface_id: int, text, rtl: bool = False):
+    """Full C-engine shaping with per-glyph offsets: (gids u32, advances
+    f32 font units — attached marks carry 0, dx f32, dy f32 — font units
+    y-UP, clusters u32). The glyph stream is LOGICAL order; rtl selects the
+    RTL mark-offset convention (no pen pullback)."""
+    lib = _load()
+    h = _pack_handle(typeface_id)
+    cps = _cps_array(text)
+
+    def call(cap):
+        gids = np.zeros(cap, dtype=np.uint32)
+        adv = np.zeros(cap, dtype=np.float32)
+        dx = np.zeros(cap, dtype=np.float32)
+        dy = np.zeros(cap, dtype=np.float32)
+        clus = np.zeros(cap, dtype=np.uint32)
+        n = lib.fd_typeset_shape_ex(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps),
+            1 if rtl else 0,
+            gids.ctypes.data_as(ctypes.c_void_p),
+            adv.ctypes.data_as(ctypes.c_void_p),
+            dx.ctypes.data_as(ctypes.c_void_p),
+            dy.ctypes.data_as(ctypes.c_void_p),
+            clus.ctypes.data_as(ctypes.c_void_p), cap)
+        return n, lambda k: (gids[:k].copy(), adv[:k].copy(), dx[:k].copy(),
+                             dy[:k].copy(), clus[:k].copy())
+
+    return _retrying_call("fd_typeset_shape_ex", call, len(cps))
+
+
+def set_allow_reduced(typeface_id: int, allow: bool = True) -> None:
+    """Opt this typeface's pack into reduced-feature divergence (the
+    refuse-by-default boundary of FD_PACK_FEATURES_REDUCED)."""
+    lib = _load()
+    lib.fd_pack_set_allow_reduced(_pack_handle(typeface_id),
+                                  1 if allow else 0)
 
 
 def typeset_line(typeface_id: int, text, size: float):

@@ -4,15 +4,23 @@
  * dynlib's typeset exports (/root/reference/src/figdraw/bindings/
  * native_bindings.nim:1-628). Shaping itself is a Python subsystem
  * (figdraw_tpu/text/shaper.py over fontTools); a C host instead consumes a
- * COMPILED FONT PACK (FDTP v1, produced offline by
+ * COMPILED FONT PACK (FDTP v2, produced offline by
  * figdraw_tpu.text.native_pack.save_font_pack) holding the typeface's
- * metrics plus the shaper's own compiled simple-script plan. This engine
- * re-applies that plan with semantics identical to the Python pipeline:
- * Latin/Cyrillic/Greek-class text shapes glyph-for-glyph the same
- * (tests/test_native_typeset.py pins it). Complex scripts (bidi, staged
- * Arabic/Indic/USE shaping, GPOS mark attachment) stay Python-side — the
- * documented ABI boundary (docs/native_api.md); text needing them is
- * REFUSED (FD_TYPESET_E_MARKS) rather than mis-shaped.
+ * metrics plus the shaper's own compiled default-feature plan: single /
+ * multiple / ligature / (chain-)contextual / reverse-chain GSUB (with
+ * nested lookup application — calt/rclt fonts like FiraCode shape
+ * natively), the kern/dist GPOS lookups incl. contextual kerning, GPOS 3
+ * cursive chaining, and the GPOS 4/5/6 mark-to-base / mark-to-ligature /
+ * mark-to-mark anchor tables. This engine re-applies that plan with
+ * semantics identical to the Python pipeline — gids, advances, clusters
+ * AND mark offsets match glyph-for-glyph (tests/test_native_typeset.py).
+ *
+ * The remaining boundary is the STAGED pipelines: Arabic/Indic/USE text
+ * needs masked per-stage lookup application and returns
+ * FD_TYPESET_E_SCRIPT rather than a mis-shaped stream (docs/native_api.md).
+ * Bidi reordering also stays host-side: fd_typeset_shape_ex takes the
+ * run's direction like a HarfBuzz buffer; fd_typeset_line / fd_typeset_box
+ * lay out LTR.
  */
 #ifndef FIGDRAW_TYPESET_H
 #define FIGDRAW_TYPESET_H
@@ -25,26 +33,42 @@ extern "C" {
 
 typedef struct FdFontPack FdFontPack;
 
-/* Error returns from fd_typeset_shape / fd_typeset_line. */
+/* Error returns from the fd_typeset_* calls. */
 #define FD_TYPESET_E_CAP   (-1) /* output capacity too small */
-#define FD_TYPESET_E_MARKS (-2) /* text needs GPOS mark positioning —
-                                 * typeset it through the Python pipeline */
+#define FD_TYPESET_E_MARKS (-2) /* the offset-less APIs (fd_typeset_shape /
+                                 * fd_typeset_line) cannot express mark
+                                 * placement — use fd_typeset_shape_ex or
+                                 * fd_typeset_box for mark-bearing text */
+#define FD_TYPESET_E_REDUCED (-3) /* pack carries FD_PACK_FEATURES_REDUCED
+                                 * and the host did not opt into divergence
+                                 * (fd_pack_set_allow_reduced) */
+#define FD_TYPESET_E_SCRIPT (-4) /* text needs a staged shaping pipeline
+                                 * (Arabic/Indic/USE) — typeset it through
+                                 * the Python pipeline */
 
-/* Pack header flag bits (native_pack.py): fidelity losses vs Python. */
+/* Pack header flag bits (native_pack.py). */
 #define FD_PACK_HAS_GPOS_KERN (1u << 0)
-#define FD_PACK_GSUB_DROPPED  (1u << 1) /* contextual GSUB entries dropped */
-#define FD_PACK_GPOS_DROPPED  (1u << 2) /* contextual kern entries dropped */
-#define FD_PACK_HAS_CURSIVE   (1u << 3) /* GPOS cursive not exported */
-#define FD_PACK_HAS_MARKS     (1u << 4) /* GPOS mark attachment not exported */
-#define FD_PACK_FEATURES_REDUCED (1u << 5) /* the font's default-feature plan
-                                 * (calt/rclt) selects more lookups than the
-                                 * exported plan — contextual-alternate fonts
-                                 * (e.g. FiraCode) shape differently in C */
+#define FD_PACK_GSUB_DROPPED  (1u << 1) /* GSUB entries dropped (unsupported) */
+#define FD_PACK_GPOS_DROPPED  (1u << 2) /* GPOS kern entries dropped */
+#define FD_PACK_HAS_CURSIVE   (1u << 3) /* GPOS cursive present (exported) */
+#define FD_PACK_HAS_MARKS     (1u << 4) /* GPOS mark attachment present
+                                 * (exported; see FD_TYPESET_E_MARKS) */
+#define FD_PACK_FEATURES_REDUCED (1u << 5) /* the exported plan lost entries
+                                 * vs the Python default plan — typesetting
+                                 * from such a pack REFUSES by default with
+                                 * FD_TYPESET_E_REDUCED; opt into divergence
+                                 * with fd_pack_set_allow_reduced */
 
-/* Parse an FDTP v1 blob (the bytes of a .fdtp file). The blob is copied;
+/* Parse an FDTP v2 blob (the bytes of a .fdtp file). The blob is copied;
  * returns NULL on a malformed/truncated blob or wrong magic/version. */
 FdFontPack *fd_pack_load(const void *blob, int32_t len);
 void fd_pack_free(FdFontPack *pack);
+
+/* Opt this pack into reduced-feature divergence: by default a pack whose
+ * header carries FD_PACK_FEATURES_REDUCED refuses to typeset
+ * (FD_TYPESET_E_REDUCED) because its output would silently differ from the
+ * Python pipeline; a host that accepts that divergence enables it here. */
+void fd_pack_set_allow_reduced(FdFontPack *pack, int32_t allow);
 
 /* Font metrics in FONT UNITS: which = 0 unitsPerEm, 1 ascent, 2 descent
  * (negative), 3 lineGap. Scale by (size_px / unitsPerEm). */
@@ -73,6 +97,23 @@ int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
                          int32_t n, uint32_t *gids, float *advances,
                          uint32_t *clusters, int32_t cap);
 
+/* Full shaping with per-glyph offsets — the HarfBuzz-buffer-shaped API:
+ * GSUB (incl. contextual/reverse-chain and the Thai/Lao SARA AM
+ * preprocess), GPOS kerning, cursive chaining, and GPOS 4/5/6 mark
+ * attachment. Outputs (each may be NULL): gids, advances (font units;
+ * attached marks carry 0), dx/dy (font units, y-UP — the draw position of
+ * glyph i is pen_i + (dx[i], -dy[i]) at scale), clusters. `rtl` selects the
+ * mark-offset convention of an RTL run (the host's visual reversal parks a
+ * mark's cursor at its base's origin, so dx omits the pen pullback —
+ * layout.py:680-716); the glyph stream stays in LOGICAL order either way,
+ * bidi reordering is the host's job (like a HarfBuzz buffer). Returns the
+ * glyph count, FD_TYPESET_E_CAP / FD_TYPESET_E_REDUCED /
+ * FD_TYPESET_E_SCRIPT. */
+int32_t fd_typeset_shape_ex(const FdFontPack *pack, const uint32_t *cps,
+                            int32_t n, int32_t rtl, uint32_t *gids,
+                            float *advances, float *dx, float *dy,
+                            uint32_t *clusters, int32_t cap);
+
 /* Single-line placement at size_px: fd_typeset_shape + pen sweep. xs[i] is
  * glyph i's pen x in px (xs[0] = 0); *baseline gets the line-top→baseline
  * offset round(ascent + lineGap/2) scaled (pixie.nim:41-42 formula,
@@ -93,8 +134,10 @@ int32_t fd_typeset_line(const FdFontPack *pack, const uint32_t *cps,
  * 0 left / 1 center / 2 right (against bounds_w, trailing whitespace
  * excluded); v_align: 0 top / 1 middle / 2 bottom (against bounds_h).
  * out_size (may be NULL) receives {max visible line width, total height}.
- * Bidi and complex scripts stay Python-side: same FD_TYPESET_E_MARKS
- * refusal contract as fd_typeset_shape. Returns the glyph count. */
+ * Mark attachment and cursive offsets are FOLDED into xs/ys: a host draws
+ * glyph i at (xs[i], ys[i]) and attached marks land on their base's
+ * anchor. Bidi and staged scripts stay Python-side (FD_TYPESET_E_SCRIPT;
+ * the layouter is LTR). Returns the glyph count. */
 int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
                        float size_px, float line_height, float bounds_w,
                        float bounds_h, int32_t h_align, int32_t v_align,

@@ -1,4 +1,4 @@
-// figdraw_tpu native typesetter: FDTP v1 font-pack engine.
+// figdraw_tpu native typesetter: FDTP v2 font-pack engine.
 //
 // Re-applies the compiled OpenType plan serialized by
 // figdraw_tpu/text/native_pack.py with semantics IDENTICAL to the Python
@@ -7,13 +7,21 @@
 // harfbuzzy.nim): lookup records apply in plan order; at each position a
 // lookup's subtable entries are tried in order and the first match wins;
 // LookupFlag skipping (GDEF classes, MarkFilteringSet, MarkAttachmentType)
-// filters multi-glyph matching. tests/test_native_typeset.py pins this
-// engine glyph-for-glyph against the Python pipeline.
+// filters multi-glyph matching. v2 adds (chain-)contextual substitution and
+// positioning (all three formats, with nested lookup application —
+// shaper._try_entry_at's ctx branch), reverse-chain substitution, GPOS 3
+// cursive chaining, GPOS 4/5/6 mark attachment (mark-to-base / ligature
+// component / mark stacking — layout.py:667-752's attach loop), and the
+// HarfBuzz Thai/Lao SARA AM preprocess.
+// tests/test_native_typeset.py pins this engine glyph-for-glyph against the
+// Python pipeline.
 //
-// Scope: the simple-script pipeline only. Text whose shaped run contains an
-// attach-capable mark (GPOS 4/5/6 coverage, MARK_BIT in the pack's GDEF
-// bytes) is refused with FD_TYPESET_E_MARKS — the ABI boundary documented
-// in docs/native_api.md.
+// Scope: the STAGED pipelines stay Python-side — Arabic/Indic/USE text
+// needs masked per-stage lookup application and returns
+// FD_TYPESET_E_SCRIPT rather than a mis-shaped stream (docs/native_api.md).
+// fd_typeset_shape (the offset-less advance-stream API) keeps refusing
+// attach-capable marks with FD_TYPESET_E_MARKS; fd_typeset_shape_ex /
+// fd_typeset_line / fd_typeset_box place marks via per-glyph offsets.
 
 #include "figdraw_typeset.h"
 
@@ -27,7 +35,7 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x46445450;  // 'FDTP'
-constexpr uint32_t kVersion = 1;
+constexpr uint32_t kVersion = 2;
 constexpr uint8_t kMarkBit = 0x80;  // gdef byte: attach-capable mark
 constexpr uint8_t kClassMask = 0x7F;
 
@@ -35,6 +43,10 @@ constexpr uint8_t kClassMask = 0x7F;
 constexpr uint32_t K_SINGLE = 1;
 constexpr uint32_t K_MULTIPLE = 2;
 constexpr uint32_t K_LIGA = 4;
+constexpr uint32_t K_CTX1 = 5;
+constexpr uint32_t K_CTX2 = 6;
+constexpr uint32_t K_CTX3 = 7;
+constexpr uint32_t K_RCHAIN = 8;
 constexpr uint32_t K_POS1 = 17;
 constexpr uint32_t K_POS2S = 18;
 constexpr uint32_t K_POS2C = 19;
@@ -61,11 +73,39 @@ struct Pos2cTable {
   std::vector<std::pair<int16_t, int16_t>> mat;  // c1*c2 (v1, v2)
 };
 
+// one (chain) context rule: values are gids (fmt 1) or class ids (fmt 2);
+// the input sequence EXCLUDES the first (coverage) glyph, exactly like the
+// shaper's compiled rules
+struct CtxRule {
+  std::vector<uint16_t> bt, inp, la;
+  std::vector<std::pair<uint16_t, uint16_t>> recs;  // (seq_idx, pack lookup)
+};
+struct Ctx1Table {
+  std::unordered_map<uint16_t, std::vector<CtxRule>> rules;  // first gid
+};
+struct Ctx2Table {
+  std::vector<uint16_t> cov;  // sorted
+  std::vector<std::pair<uint16_t, uint16_t>> in_cd, bt_cd, la_cd;  // sorted
+  std::unordered_map<uint16_t, std::vector<CtxRule>> rules;  // input class
+};
+struct Ctx3Table {
+  std::vector<std::vector<uint16_t>> bt, inp, la;  // sorted coverage sets
+  std::vector<std::pair<uint16_t, uint16_t>> recs;
+};
+struct RchainTable {
+  std::vector<SingleRow> map;  // sorted by from
+  std::vector<std::vector<uint16_t>> bt, la;  // sorted coverage sets
+};
+
 struct Entry {
   uint32_t kind = 0;
   std::vector<SingleRow> single;  // sorted by from
   std::unordered_map<uint16_t, std::vector<uint16_t>> multiple;
   std::unordered_map<uint16_t, std::vector<LigaCand>> liga;  // emit order kept
+  Ctx1Table ctx1;
+  Ctx2Table ctx2;
+  Ctx3Table ctx3;
+  RchainTable rchain;
   std::vector<Pos1Row> pos1;    // sorted by gid
   std::vector<Pos2sRow> pos2s;  // sorted by (g1, g2)
   Pos2cTable pos2c;
@@ -84,18 +124,44 @@ struct KernRow {
   int16_t value;
 };
 
+// GPOS 3 cursive: entry/exit anchors per glyph
+struct CursRow {
+  uint8_t flags = 0;  // 1 = has entry, 2 = has exit
+  int16_t ex = 0, ey = 0, xx = 0, xy = 0;
+};
+// GPOS 4/5/6 mark record: attachment class + the mark's own anchor
+struct MarkRec {
+  uint16_t cls = 0;
+  int16_t mx = 0, my = 0;
+};
+using AnchorSet = std::unordered_map<uint16_t, std::pair<int16_t, int16_t>>;
+struct MarkBaseTable {
+  std::unordered_map<uint16_t, MarkRec> marks;
+  std::unordered_map<uint16_t, AnchorSet> bases;  // also mark2 of mkmk
+};
+struct MarkLigTable {
+  std::unordered_map<uint16_t, MarkRec> marks;
+  std::unordered_map<uint16_t, std::vector<AnchorSet>> ligs;  // per component
+};
+
 }  // namespace
 
 struct FdFontPack {
   float upem = 0, ascent = 0, descent = 0, line_gap = 0;
   uint32_t flags = 0;
   uint32_t n_glyphs = 0;
+  bool allow_reduced = false;  // fd_pack_set_allow_reduced (runtime opt-in)
   std::vector<std::pair<uint32_t, uint32_t>> cmap;  // sorted by codepoint
   std::vector<float> advances;
   std::vector<uint8_t> gdef;     // low 7 bits class, bit 7 mark
   std::vector<uint8_t> mattach;  // MarkAttachClassDef class
-  std::vector<Lookup> gsub, gpos;
+  std::vector<Lookup> gsub, gpos;           // ALL lookups (plan + nested)
+  std::vector<uint32_t> sub_plan, pos_plan;  // pack-local plan order
   std::vector<KernRow> kern0;  // sorted by (left, right)
+  std::vector<std::unordered_map<uint16_t, CursRow>> cursive;
+  std::vector<MarkBaseTable> mark_base;
+  std::vector<MarkLigTable> mark_lig;
+  std::vector<MarkBaseTable> mark_mark;  // marks=marks1, bases=mark2 anchors
 };
 
 namespace {
@@ -151,6 +217,32 @@ struct Reader {
   }
 };
 
+bool parse_rule(Reader &r, CtxRule &rule) {
+  uint16_t n_bt = r.u16(), n_inp = r.u16(), n_la = r.u16(), n_rec = r.u16();
+  if (!r.can((uint64_t)n_bt + n_inp + n_la, 2) || !r.can(n_rec, 4))
+    return false;
+  rule.bt.resize(n_bt);
+  for (uint16_t k = 0; k < n_bt; k++) rule.bt[k] = r.u16();
+  rule.inp.resize(n_inp);
+  for (uint16_t k = 0; k < n_inp; k++) rule.inp[k] = r.u16();
+  rule.la.resize(n_la);
+  for (uint16_t k = 0; k < n_la; k++) rule.la[k] = r.u16();
+  rule.recs.resize(n_rec);
+  for (uint16_t k = 0; k < n_rec; k++) {
+    rule.recs[k].first = r.u16();
+    rule.recs[k].second = r.u16();
+  }
+  return r.ok;
+}
+
+bool parse_cov(Reader &r, std::vector<uint16_t> &cov) {
+  uint16_t n = r.u16();
+  if (!r.can(n, 2)) return false;
+  cov.resize(n);
+  for (uint16_t k = 0; k < n; k++) cov[k] = r.u16();
+  return r.ok;
+}
+
 bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
   e.kind = r.u32();
   uint32_t count = r.u32();
@@ -185,6 +277,93 @@ bool parse_entry(Reader &r, const uint8_t *base, Entry &e) {
         e.liga[first].push_back(std::move(cand));  // emit order preserved
       }
       break;
+    case K_CTX1: {
+      uint32_t n_first = r.u32();
+      if (!r.can(n_first, 4)) return false;
+      for (uint32_t k = 0; k < n_first && r.ok; k++) {
+        uint16_t first = r.u16();
+        uint16_t n_rules = r.u16();
+        auto &rules = e.ctx1.rules[first];
+        rules.resize(n_rules);
+        for (uint16_t q = 0; q < n_rules; q++)
+          if (!parse_rule(r, rules[q])) return false;
+      }
+      break;
+    }
+    case K_CTX2: {
+      Ctx2Table &t = e.ctx2;
+      uint32_t n_cov = r.u32(), n_in = r.u32(), n_bt = r.u32(),
+               n_la = r.u32(), n_sets = r.u32();
+      if (!r.can(n_cov, 2) ||
+          !r.can((uint64_t)n_in + n_bt + n_la, 4) || !r.can(n_sets, 4))
+        return false;
+      t.cov.resize(n_cov);
+      for (uint32_t k = 0; k < n_cov; k++) t.cov[k] = r.u16();
+      t.in_cd.resize(n_in);
+      for (uint32_t k = 0; k < n_in; k++) {
+        t.in_cd[k].first = r.u16();
+        t.in_cd[k].second = r.u16();
+      }
+      t.bt_cd.resize(n_bt);
+      for (uint32_t k = 0; k < n_bt; k++) {
+        t.bt_cd[k].first = r.u16();
+        t.bt_cd[k].second = r.u16();
+      }
+      t.la_cd.resize(n_la);
+      for (uint32_t k = 0; k < n_la; k++) {
+        t.la_cd[k].first = r.u16();
+        t.la_cd[k].second = r.u16();
+      }
+      for (uint32_t k = 0; k < n_sets && r.ok; k++) {
+        uint16_t ci = r.u16();
+        uint16_t n_rules = r.u16();
+        auto &rules = t.rules[ci];
+        rules.resize(n_rules);
+        for (uint16_t q = 0; q < n_rules; q++)
+          if (!parse_rule(r, rules[q])) return false;
+      }
+      break;
+    }
+    case K_CTX3: {
+      Ctx3Table &t = e.ctx3;
+      uint32_t n_bt = r.u32(), n_inp = r.u32(), n_la = r.u32(),
+               n_rec = r.u32();
+      if (!r.can((uint64_t)n_bt + n_inp + n_la, 2) || !r.can(n_rec, 4))
+        return false;
+      t.bt.resize(n_bt);
+      for (uint32_t k = 0; k < n_bt; k++)
+        if (!parse_cov(r, t.bt[k])) return false;
+      t.inp.resize(n_inp);
+      for (uint32_t k = 0; k < n_inp; k++)
+        if (!parse_cov(r, t.inp[k])) return false;
+      t.la.resize(n_la);
+      for (uint32_t k = 0; k < n_la; k++)
+        if (!parse_cov(r, t.la[k])) return false;
+      t.recs.resize(n_rec);
+      for (uint32_t k = 0; k < n_rec; k++) {
+        t.recs[k].first = r.u16();
+        t.recs[k].second = r.u16();
+      }
+      break;
+    }
+    case K_RCHAIN: {
+      RchainTable &t = e.rchain;
+      uint32_t n_map = r.u32(), n_bt = r.u32(), n_la = r.u32();
+      if (!r.can(n_map, 4) || !r.can((uint64_t)n_bt + n_la, 2))
+        return false;
+      t.map.resize(n_map);
+      for (uint32_t k = 0; k < n_map; k++) {
+        t.map[k].from = r.u16();
+        t.map[k].to = r.u16();
+      }
+      t.bt.resize(n_bt);
+      for (uint32_t k = 0; k < n_bt; k++)
+        if (!parse_cov(r, t.bt[k])) return false;
+      t.la.resize(n_la);
+      for (uint32_t k = 0; k < n_la; k++)
+        if (!parse_cov(r, t.la[k])) return false;
+      break;
+    }
     case K_POS1:
       if (!r.can(count, 4)) return false;
       e.pos1.reserve(count);
@@ -275,6 +454,19 @@ inline bool sorted_contains(const std::vector<uint16_t> &v, uint16_t g) {
   return lo < v.size() && v[lo] == g;
 }
 
+inline int cls_of(const std::vector<std::pair<uint16_t, uint16_t>> &cd,
+                  uint16_t g) {
+  size_t lo = 0, hi = cd.size();
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (cd[mid].first < g)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return (lo < cd.size() && cd[lo].first == g) ? cd[lo].second : 0;
+}
+
 inline bool skipped(const FdFontPack *pk, const Lookup &L, uint16_t g) {
   uint8_t cls = (g < pk->gdef.size() ? pk->gdef[g] : 0) & kClassMask;
   if (cls && (L.skip_classes >> cls) & 1) return true;
@@ -294,12 +486,81 @@ inline size_t next_pos(const FdFontPack *pk, const Lookup &L,
   return j;
 }
 
+inline long prev_pos(const FdFontPack *pk, const Lookup &L,
+                     const std::vector<uint16_t> &g, long j) {
+  while (j >= 0 && skipped(pk, L, g[(size_t)j])) j--;
+  return j;
+}
+
+// per-glyph (lig_size, attach_comp) — shaper.substitute_ex's third list:
+// lig_size > 1 marks a ligature of that many components; attach_comp >= 0
+// tags a skipped mark with the 0-based component it logically follows
+using Comps = std::vector<std::pair<uint16_t, int16_t>>;
+
+// ---- (chain) context matching (shaper._match_ctx) ----------------------------
+
+// Matches backtrack / input-rest / lookahead around position i with flag
+// skipping; value checks go through the per-sequence callables (glyph /
+// class / coverage formats). Fills input_pos (starting with i).
+template <typename BtF, typename InF, typename LaF>
+bool match_ctx(const FdFontPack *pk, const Lookup &L,
+               const std::vector<uint16_t> &g, size_t i, size_t n_bt,
+               size_t n_inp, size_t n_la, BtF btv, InF inv, LaF lav,
+               std::vector<size_t> &input_pos) {
+  long j = (long)i;
+  for (size_t k = 0; k < n_bt; k++) {  // closest-first order
+    j = prev_pos(pk, L, g, j - 1);
+    if (j < 0 || !btv(k, g[(size_t)j])) return false;
+  }
+  input_pos.clear();
+  input_pos.push_back(i);
+  size_t jj = i;
+  for (size_t k = 0; k < n_inp; k++) {
+    jj = next_pos(pk, L, g, jj + 1);
+    if (jj >= g.size() || !inv(k, g[jj])) return false;
+    input_pos.push_back(jj);
+  }
+  jj = input_pos.back();
+  for (size_t k = 0; k < n_la; k++) {
+    jj = next_pos(pk, L, g, jj + 1);
+    if (jj >= g.size() || !lav(k, g[jj])) return false;
+  }
+  return true;
+}
+
 // ---- GSUB (shaper._try_entry_at / _apply_plan) -------------------------------
+
+long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
+                   std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
+                   Comps &comps, size_t i);
+
+// nested lookups run at the recorded INPUT indices; earlier records may
+// change the sequence length, shifting later positions (shaper's ctx branch)
+long apply_nested_sub(const FdFontPack *pk,
+                      const std::vector<std::pair<uint16_t, uint16_t>> &recs,
+                      const std::vector<size_t> &input_pos,
+                      std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
+                      Comps &comps) {
+  long end = (long)input_pos.back() + 1;
+  long delta = 0;
+  for (auto [seq_idx, nli] : recs) {
+    if (seq_idx >= input_pos.size() || nli >= pk->gsub.size()) continue;
+    long pos = (long)input_pos[seq_idx] + delta;
+    if (pos < 0 || (size_t)pos >= g.size()) continue;
+    const Lookup &NL = pk->gsub[nli];
+    if (skipped(pk, NL, g[(size_t)pos])) continue;
+    long before = (long)g.size();
+    for (const Entry &ne : NL.entries)
+      if (try_sub_entry(pk, NL, ne, g, cl, comps, (size_t)pos) >= 0) break;
+    delta += (long)g.size() - before;
+  }
+  return end + delta;
+}
 
 // Returns the next cursor position on match, or -1.
 long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                    std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                   size_t i) {
+                   Comps &comps, size_t i) {
   switch (e.kind) {
     case K_SINGLE: {
       size_t lo = 0, hi = e.single.size();
@@ -321,6 +582,7 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
       if (seq.empty()) {  // glyph deletion (HarfBuzz semantics)
         g.erase(g.begin() + i);
         cl.erase(cl.begin() + i);
+        comps.erase(comps.begin() + i);
         return (long)i;
       }
       uint32_t c = cl[i];  // decomposed glyphs inherit the source cluster
@@ -328,6 +590,8 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
       g.insert(g.begin() + i, seq.begin(), seq.end());
       cl.erase(cl.begin() + i);
       cl.insert(cl.begin() + i, seq.size(), c);
+      comps.erase(comps.begin() + i);
+      comps.insert(comps.begin() + i, seq.size(), {1, -1});
       return (long)(i + seq.size());
     }
     case K_LIGA: {
@@ -348,15 +612,98 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         }
         if (!okm) continue;
         // the ligature replaces the first component; later matched
-        // components are removed, skipped glyphs in between stay put
+        // components are removed, skipped glyphs in between stay put,
+        // tagged with the ligature component they followed (GPOS 5
+        // anchors are per-component)
         g[i] = cand.result;
+        comps[i] = {(uint16_t)pos.size(), -1};
+        for (size_t k = 0; k + 1 < pos.size(); k++)
+          for (size_t q = pos[k] + 1; q < pos[k + 1]; q++)
+            comps[q].second = (int16_t)k;
         for (size_t k = pos.size(); k-- > 1;) {
           g.erase(g.begin() + pos[k]);
           cl.erase(cl.begin() + pos[k]);
+          comps.erase(comps.begin() + pos[k]);
         }
         return (long)i + 1;
       }
       return -1;
+    }
+    case K_RCHAIN: {
+      const RchainTable &t = e.rchain;
+      size_t lo = 0, hi = t.map.size();
+      while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        if (t.map[mid].from < g[i])
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      if (lo >= t.map.size() || t.map[lo].from != g[i]) return -1;
+      long j = (long)i;
+      for (const auto &want : t.bt) {
+        j = prev_pos(pk, L, g, j - 1);
+        if (j < 0 || !sorted_contains(want, g[(size_t)j])) return -1;
+      }
+      size_t jj = i;
+      for (const auto &want : t.la) {
+        jj = next_pos(pk, L, g, jj + 1);
+        if (jj >= g.size() || !sorted_contains(want, g[jj])) return -1;
+      }
+      g[i] = t.map[lo].to;
+      return (long)i + 1;
+    }
+    case K_CTX1: {
+      auto it = e.ctx1.rules.find(g[i]);
+      if (it == e.ctx1.rules.end()) return -1;
+      std::vector<size_t> input_pos;
+      for (const CtxRule &rule : it->second) {
+        auto gv = [](const std::vector<uint16_t> *vals) {
+          return [vals](size_t k, uint16_t gg) { return (*vals)[k] == gg; };
+        };
+        if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
+                      rule.la.size(), gv(&rule.bt), gv(&rule.inp),
+                      gv(&rule.la), input_pos))
+          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps);
+      }
+      return -1;
+    }
+    case K_CTX2: {
+      const Ctx2Table &t = e.ctx2;
+      if (!sorted_contains(t.cov, g[i])) return -1;
+      uint16_t ci = (uint16_t)cls_of(t.in_cd, g[i]);
+      auto it = t.rules.find(ci);
+      if (it == t.rules.end()) return -1;
+      std::vector<size_t> input_pos;
+      for (const CtxRule &rule : it->second) {
+        auto cv = [](const std::vector<uint16_t> *vals,
+                     const std::vector<std::pair<uint16_t, uint16_t>> *cd) {
+          return [vals, cd](size_t k, uint16_t gg) {
+            return cls_of(*cd, gg) == (int)(*vals)[k];
+          };
+        };
+        if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
+                      rule.la.size(), cv(&rule.bt, &t.bt_cd),
+                      cv(&rule.inp, &t.in_cd), cv(&rule.la, &t.la_cd),
+                      input_pos))
+          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps);
+      }
+      return -1;
+    }
+    case K_CTX3: {
+      const Ctx3Table &t = e.ctx3;
+      if (t.inp.empty() || !sorted_contains(t.inp[0], g[i])) return -1;
+      std::vector<size_t> input_pos;
+      auto sv = [](const std::vector<std::vector<uint16_t>> *sets,
+                   size_t off) {
+        return [sets, off](size_t k, uint16_t gg) {
+          return sorted_contains((*sets)[k + off], gg);
+        };
+      };
+      if (!match_ctx(pk, L, g, i, t.bt.size(), t.inp.size() - 1, t.la.size(),
+                     sv(&t.bt, 0), sv(&t.inp, 1), sv(&t.la, 0), input_pos))
+        return -1;
+      return apply_nested_sub(pk, t.recs, input_pos, g, cl, comps);
     }
     default:
       return -1;
@@ -365,17 +712,26 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
 
 // ---- GPOS kern (shaper._try_pos_entry_at / position) -------------------------
 
-inline int cls_of(const std::vector<std::pair<uint16_t, uint16_t>> &cd,
-                  uint16_t g) {
-  size_t lo = 0, hi = cd.size();
-  while (lo < hi) {
-    size_t mid = (lo + hi) / 2;
-    if (cd[mid].first < g)
-      lo = mid + 1;
-    else
-      hi = mid;
+long try_pos_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
+                   const std::vector<uint16_t> &g, std::vector<int32_t> &d,
+                   size_t i);
+
+// nested GPOS lookups run at the recorded input indices (lengths never
+// change on the positioning pass)
+long apply_nested_pos(const FdFontPack *pk,
+                      const std::vector<std::pair<uint16_t, uint16_t>> &recs,
+                      const std::vector<size_t> &input_pos,
+                      const std::vector<uint16_t> &g,
+                      std::vector<int32_t> &d) {
+  for (auto [seq_idx, nli] : recs) {
+    if (seq_idx >= input_pos.size() || nli >= pk->gpos.size()) continue;
+    size_t pos = input_pos[seq_idx];
+    const Lookup &NL = pk->gpos[nli];
+    if (skipped(pk, NL, g[pos])) continue;
+    for (const Entry &ne : NL.entries)
+      if (try_pos_entry(pk, NL, ne, g, d, pos) >= 0) break;
   }
-  return (lo < cd.size() && cd[lo].first == g) ? cd[lo].second : 0;
+  return (long)input_pos.back() + 1;
 }
 
 long try_pos_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
@@ -434,6 +790,58 @@ long try_pos_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         return (long)j + 1;
       }
       return (long)j;
+    }
+    case K_CTX1: {
+      auto it = e.ctx1.rules.find(g[i]);
+      if (it == e.ctx1.rules.end()) return -1;
+      std::vector<size_t> input_pos;
+      for (const CtxRule &rule : it->second) {
+        auto gv = [](const std::vector<uint16_t> *vals) {
+          return [vals](size_t k, uint16_t gg) { return (*vals)[k] == gg; };
+        };
+        if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
+                      rule.la.size(), gv(&rule.bt), gv(&rule.inp),
+                      gv(&rule.la), input_pos))
+          return apply_nested_pos(pk, rule.recs, input_pos, g, d);
+      }
+      return -1;
+    }
+    case K_CTX2: {
+      const Ctx2Table &t = e.ctx2;
+      if (!sorted_contains(t.cov, g[i])) return -1;
+      uint16_t ci = (uint16_t)cls_of(t.in_cd, g[i]);
+      auto it = t.rules.find(ci);
+      if (it == t.rules.end()) return -1;
+      std::vector<size_t> input_pos;
+      for (const CtxRule &rule : it->second) {
+        auto cv = [](const std::vector<uint16_t> *vals,
+                     const std::vector<std::pair<uint16_t, uint16_t>> *cd) {
+          return [vals, cd](size_t k, uint16_t gg) {
+            return cls_of(*cd, gg) == (int)(*vals)[k];
+          };
+        };
+        if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
+                      rule.la.size(), cv(&rule.bt, &t.bt_cd),
+                      cv(&rule.inp, &t.in_cd), cv(&rule.la, &t.la_cd),
+                      input_pos))
+          return apply_nested_pos(pk, rule.recs, input_pos, g, d);
+      }
+      return -1;
+    }
+    case K_CTX3: {
+      const Ctx3Table &t = e.ctx3;
+      if (t.inp.empty() || !sorted_contains(t.inp[0], g[i])) return -1;
+      std::vector<size_t> input_pos;
+      auto sv = [](const std::vector<std::vector<uint16_t>> *sets,
+                   size_t off) {
+        return [sets, off](size_t k, uint16_t gg) {
+          return sorted_contains((*sets)[k + off], gg);
+        };
+      };
+      if (!match_ctx(pk, L, g, i, t.bt.size(), t.inp.size() - 1, t.la.size(),
+                     sv(&t.bt, 0), sv(&t.inp, 1), sv(&t.la, 0), input_pos))
+        return -1;
+      return apply_nested_pos(pk, t.recs, input_pos, g, d);
     }
     default:
       return -1;
@@ -504,12 +912,30 @@ FdFontPack *fd_pack_load(const void *blob, int32_t len) {
       r.p += n_glyphs;
     }
     r.align4(base);
+    // v2: each lookup section leads with its plan-order index list
+    uint32_t n_sub_plan = r.u32();
+    ok = ok && r.can(n_sub_plan, 4) && n_sub_plan <= (1u << 16);
+    if (ok) {
+      pk->sub_plan.resize(n_sub_plan);
+      for (uint32_t k = 0; k < n_sub_plan; k++) pk->sub_plan[k] = r.u32();
+    }
     pk->gsub.resize(n_sub);
     for (uint32_t k = 0; k < n_sub && ok; k++)
       ok = parse_lookup(r, base, pk->gsub[k]);
+    uint32_t n_pos_plan = ok ? r.u32() : 0;
+    ok = ok && r.can(n_pos_plan, 4) && n_pos_plan <= (1u << 16);
+    if (ok) {
+      pk->pos_plan.resize(n_pos_plan);
+      for (uint32_t k = 0; k < n_pos_plan; k++) pk->pos_plan[k] = r.u32();
+    }
     pk->gpos.resize(n_pos);
     for (uint32_t k = 0; k < n_pos && ok; k++)
       ok = parse_lookup(r, base, pk->gpos[k]);
+    // plan indices and nested rule records must stay in range
+    for (uint32_t idx : pk->sub_plan)
+      if (idx >= n_sub) ok = false;
+    for (uint32_t idx : pk->pos_plan)
+      if (idx >= n_pos) ok = false;
     pk->kern0.resize(n_kern0);
     for (uint32_t k = 0; k < n_kern0; k++) {
       pk->kern0[k].left = r.u16();
@@ -517,12 +943,112 @@ FdFontPack *fd_pack_load(const void *blob, int32_t len) {
       pk->kern0[k].value = r.i16();
       r.u16();  // pad
     }
+    // ---- GPOS anchor sections ------------------------------------------
+    auto parse_marks = [&](std::unordered_map<uint16_t, MarkRec> &m) {
+      uint32_t nm = r.u32();
+      if (!r.can(nm, 8)) return false;
+      for (uint32_t k = 0; k < nm; k++) {
+        uint16_t g = r.u16();
+        MarkRec rec;
+        rec.cls = r.u16();
+        rec.mx = r.i16();
+        rec.my = r.i16();
+        m.emplace(g, rec);
+      }
+      return r.ok;
+    };
+    auto parse_anchor_map =
+        [&](std::unordered_map<uint16_t, AnchorSet> &bases) {
+          uint32_t nb = r.u32();
+          if (!r.can(nb, 4)) return false;
+          for (uint32_t k = 0; k < nb && r.ok; k++) {
+            uint16_t g = r.u16();
+            uint16_t na = r.u16();
+            if (!r.can(na, 6)) return false;
+            AnchorSet &as = bases[g];
+            for (uint16_t q = 0; q < na; q++) {
+              uint16_t cls = r.u16();
+              int16_t ax = r.i16();
+              int16_t ay = r.i16();
+              as.emplace(cls, std::make_pair(ax, ay));
+            }
+          }
+          r.align4(base);
+          return r.ok;
+        };
+    if (ok) {
+      uint32_t n_curs = r.u32();
+      ok = r.can(n_curs, 4);
+      for (uint32_t t = 0; t < n_curs && ok; t++) {
+        uint32_t nr = r.u32();
+        ok = r.can(nr, 12);
+        std::unordered_map<uint16_t, CursRow> table;
+        for (uint32_t k = 0; k < nr && ok; k++) {
+          uint16_t g = r.u16();
+          CursRow row;
+          row.flags = (uint8_t)r.u16();  // u8 flags + u8 pad ride one u16
+          row.ex = r.i16();
+          row.ey = r.i16();
+          row.xx = r.i16();
+          row.xy = r.i16();
+          table.emplace(g, row);
+        }
+        if (ok) pk->cursive.push_back(std::move(table));
+      }
+      uint32_t n_mb = ok ? r.u32() : 0;
+      ok = ok && r.can(n_mb, 8);
+      for (uint32_t t = 0; t < n_mb && ok; t++) {
+        MarkBaseTable mb;
+        ok = parse_marks(mb.marks) && parse_anchor_map(mb.bases);
+        if (ok) pk->mark_base.push_back(std::move(mb));
+      }
+      uint32_t n_ml = ok ? r.u32() : 0;
+      ok = ok && r.can(n_ml, 8);
+      for (uint32_t t = 0; t < n_ml && ok; t++) {
+        MarkLigTable ml;
+        ok = parse_marks(ml.marks);
+        uint32_t nl = ok ? r.u32() : 0;
+        ok = ok && r.can(nl, 4);
+        for (uint32_t k = 0; k < nl && ok; k++) {
+          uint16_t g = r.u16();
+          uint16_t nc = r.u16();
+          ok = r.can(nc, 2);
+          auto &comps = ml.ligs[g];
+          for (uint16_t c = 0; c < nc && ok; c++) {
+            uint16_t na = r.u16();
+            ok = r.can(na, 6);
+            AnchorSet as;
+            for (uint16_t q = 0; q < na && ok; q++) {
+              uint16_t cls = r.u16();
+              int16_t ax = r.i16();
+              int16_t ay = r.i16();
+              as.emplace(cls, std::make_pair(ax, ay));
+            }
+            comps.push_back(std::move(as));
+          }
+        }
+        r.align4(base);
+        ok = ok && r.ok;
+        if (ok) pk->mark_lig.push_back(std::move(ml));
+      }
+      uint32_t n_mm = ok ? r.u32() : 0;
+      ok = ok && r.can(n_mm, 8);
+      for (uint32_t t = 0; t < n_mm && ok; t++) {
+        MarkBaseTable mm;
+        ok = parse_marks(mm.marks) && parse_anchor_map(mm.bases);
+        if (ok) pk->mark_mark.push_back(std::move(mm));
+      }
+    }
   }
   if (!ok || !r.ok) {
     delete pk;
     return nullptr;
   }
   return pk;
+}
+
+void fd_pack_set_allow_reduced(FdFontPack *pack, int32_t allow) {
+  pack->allow_reduced = allow != 0;
 }
 
 void fd_pack_free(FdFontPack *pack) { delete pack; }
@@ -566,57 +1092,233 @@ float fd_pack_advance(const FdFontPack *pack, uint32_t gid) {
   return gid < pack->advances.size() ? pack->advances[gid] : 0.0f;
 }
 
-int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
-                         int32_t n, uint32_t *gids, float *advances,
-                         uint32_t *clusters, int32_t cap) {
-  if (n < 0) return FD_TYPESET_E_CAP;
-  std::vector<uint16_t> g((size_t)n);
-  std::vector<uint32_t> cl((size_t)n);
-  for (int32_t k = 0; k < n; k++) {
-    g[k] = (uint16_t)fd_pack_glyph_id(pack, cps[k]);
-    cl[k] = (uint32_t)k;
-  }
+namespace {
 
-  // GSUB plan: lookups in order; entries first-match-wins per position
-  // (shaper._apply_plan)
-  for (const Lookup &L : pack->gsub) {
+// staged-script pipelines (masked per-stage lookup application:
+// shaper._substitute_arabic/_indic/_use) stay Python-side — mirror
+// substitute_ex's routing (shaper.py:626-635)
+inline bool staged_script_cp(uint32_t cp) {
+  return (cp >= 0x0600 && cp <= 0x06FF) || (cp >= 0x0750 && cp <= 0x077F) ||
+         (cp >= 0x0900 && cp <= 0x097F) || (cp >= 0x1780 && cp <= 0x17FF) ||
+         (cp >= 0x1000 && cp <= 0x109F);
+}
+
+// HarfBuzz's Thai/Lao above-base-mark sets (shaper._THAI_ABOVE_MARKS;
+// the Lao set is the Thai set + 0x80 exactly)
+inline bool thai_above_mark(uint32_t cp, bool lao) {
+  if (lao) {
+    if (cp < 0x0E80 || cp > 0x0EFF) return false;
+    cp -= 0x80;
+  } else if (cp > 0x0E7F) {
+    return false;
+  }
+  return cp == 0x0E31 || (cp >= 0x0E34 && cp <= 0x0E37) ||
+         (cp >= 0x0E47 && cp <= 0x0E4E);
+}
+
+// the Uniscribe-compatible SARA AM decomposition (hb-ot-shaper-thai.cc via
+// shaper.thai_sara_am_preprocess): U+0E33/U+0EB3 → NIKHAHIT + SARA AA with
+// the nikhahit moved back over contiguous above-base marks; cluster merges
+// follow hb merge_out_clusters exactly (crossed → whole moved span incl.
+// the SARA AA; uncrossed → merge with the previous cluster)
+void thai_preprocess(const FdFontPack *pk, std::vector<uint32_t> &cps,
+                     std::vector<uint32_t> &cl) {
+  std::vector<uint32_t> out_cp, out_cl;
+  out_cp.reserve(cps.size() + 4);
+  out_cl.reserve(cps.size() + 4);
+  for (size_t k = 0; k < cps.size(); k++) {
+    uint32_t cp = cps[k];
+    uint32_t nik = 0, aa = 0;
+    bool lao = false;
+    if (cp == 0x0E33) {
+      nik = 0x0E4D;
+      aa = 0x0E32;
+    } else if (cp == 0x0EB3) {
+      nik = 0x0ECD;
+      aa = 0x0EB2;
+      lao = true;
+    }
+    if (!nik || !fd_pack_glyph_id(pk, nik) || !fd_pack_glyph_id(pk, aa)) {
+      out_cp.push_back(cp);
+      out_cl.push_back(cl[k]);
+      continue;
+    }
+    size_t j = out_cp.size();
+    while (j > 0 && thai_above_mark(out_cp[j - 1], lao)) j--;
+    out_cp.insert(out_cp.begin() + j, nik);
+    out_cl.insert(out_cl.begin() + j, cl[k]);
+    out_cp.push_back(aa);
+    out_cl.push_back(cl[k]);
+    size_t end = out_cp.size();
+    size_t lo_i = end, hi_i = end;  // merged range [lo_i, hi_i)
+    if (j + 2 < end) {
+      lo_i = j;
+      hi_i = end;
+    } else if (j > 0) {
+      lo_i = j - 1;
+      hi_i = end;
+    }
+    if (hi_i > lo_i + 1) {
+      uint32_t lo = out_cl[lo_i];
+      for (size_t q = lo_i; q < hi_i; q++)
+        if (out_cl[q] < lo) lo = out_cl[q];
+      for (size_t q = lo_i; q < hi_i; q++) out_cl[q] = lo;
+    }
+  }
+  cps.swap(out_cp);
+  cl.swap(out_cl);
+}
+
+struct ShapeOut {
+  std::vector<uint16_t> g;
+  std::vector<uint32_t> cl;
+  Comps comps;
+};
+
+// cmap + Thai preprocess + the GSUB plan (in plan order, rchain lookups
+// walking last-to-first — shaper._apply_plan)
+int32_t shape_core(const FdFontPack *pk, const uint32_t *cps, int32_t n,
+                   ShapeOut &out) {
+  if (n < 0) return FD_TYPESET_E_CAP;
+  if ((pk->flags & FD_PACK_FEATURES_REDUCED) && !pk->allow_reduced)
+    return FD_TYPESET_E_REDUCED;
+  bool has_am = false;
+  for (int32_t k = 0; k < n; k++) {
+    if (staged_script_cp(cps[k])) return FD_TYPESET_E_SCRIPT;
+    if (cps[k] == 0x0E33 || cps[k] == 0x0EB3) has_am = true;
+  }
+  std::vector<uint32_t> cpv(cps, cps + n);
+  std::vector<uint32_t> clv((size_t)n);
+  for (int32_t k = 0; k < n; k++) clv[k] = (uint32_t)k;
+  if (has_am) thai_preprocess(pk, cpv, clv);
+  size_t m = cpv.size();
+  out.g.resize(m);
+  out.cl = std::move(clv);
+  out.comps.assign(m, {1, -1});
+  for (size_t k = 0; k < m; k++)
+    out.g[k] = (uint16_t)fd_pack_glyph_id(pk, cpv[k]);
+
+  for (uint32_t pi : pk->sub_plan) {
+    const Lookup &L = pk->gsub[pi];
+    if (L.entries.empty()) continue;
+    if (L.entries[0].kind == K_RCHAIN) {
+      // reverse chaining lookups walk the sequence last-to-first
+      for (long i = (long)out.g.size() - 1; i >= 0; i--) {
+        if (skipped(pk, L, out.g[(size_t)i])) continue;
+        for (const Entry &e : L.entries)
+          if (try_sub_entry(pk, L, e, out.g, out.cl, out.comps,
+                            (size_t)i) >= 0)
+            break;
+      }
+      continue;
+    }
     size_t i = 0;
-    while (i < g.size()) {
-      if (skipped(pack, L, g[i])) {
+    while (i < out.g.size()) {
+      if (skipped(pk, L, out.g[i])) {
         i++;
         continue;
       }
       long nxt = -1;
       for (const Entry &e : L.entries) {
-        nxt = try_sub_entry(pack, L, e, g, cl, i);
+        nxt = try_sub_entry(pk, L, e, out.g, out.cl, out.comps, i);
         if (nxt >= 0) break;
       }
       i = nxt >= 0 ? (size_t)nxt : i + 1;
     }
   }
+  return (int32_t)out.g.size();
+}
 
-  // mark refusal: GPOS mark attachment is not exported — a shaped run
-  // containing an attach-capable mark cannot be positioned natively
-  if (pack->flags & FD_PACK_HAS_MARKS) {
-    for (uint16_t gg : g)
-      if (gg < pack->gdef.size() && (pack->gdef[gg] & kMarkBit))
-        return FD_TYPESET_E_MARKS;
+inline bool is_attach_mark(const FdFontPack *pk, uint16_t g) {
+  return g < pk->gdef.size() && (pk->gdef[g] & kMarkBit);
+}
+
+// GPOS 4/5/6 anchor queries — shaper.mark_attach / mark_attach_ligature /
+// mark_attach_mark (first table with both records wins, y-up font units)
+bool mark_attach(const FdFontPack *pk, uint16_t base, uint16_t mark,
+                 double *dx, double *dy) {
+  for (const MarkBaseTable &t : pk->mark_base) {
+    auto mit = t.marks.find(mark);
+    if (mit == t.marks.end()) continue;
+    auto bit = t.bases.find(base);
+    if (bit == t.bases.end()) continue;
+    auto ait = bit->second.find(mit->second.cls);
+    if (ait == bit->second.end()) continue;
+    *dx = ait->second.first - mit->second.mx;
+    *dy = ait->second.second - mit->second.my;
+    return true;
   }
+  return false;
+}
 
-  // kerning: GPOS kern feature (shaper.position), else legacy kern table
-  std::vector<int32_t> deltas(g.size(), 0);
-  if (pack->flags & FD_PACK_HAS_GPOS_KERN) {
-    for (const Lookup &L : pack->gpos) {
+bool mark_attach_lig(const FdFontPack *pk, uint16_t lig, uint16_t mark,
+                     int comp, double *dx, double *dy) {
+  for (const MarkLigTable &t : pk->mark_lig) {
+    auto mit = t.marks.find(mark);
+    if (mit == t.marks.end()) continue;
+    auto lit = t.ligs.find(lig);
+    if (lit == t.ligs.end() || lit->second.empty()) continue;
+    size_t ci = comp >= 0 ? (size_t)comp : lit->second.size() - 1;
+    if (ci >= lit->second.size()) ci = lit->second.size() - 1;
+    const AnchorSet &as = lit->second[ci];
+    auto ait = as.find(mit->second.cls);
+    if (ait == as.end()) continue;
+    *dx = ait->second.first - mit->second.mx;
+    *dy = ait->second.second - mit->second.my;
+    return true;
+  }
+  return false;
+}
+
+bool mark_attach_mark2(const FdFontPack *pk, uint16_t mark2, uint16_t mark1,
+                       double *dx, double *dy) {
+  for (const MarkBaseTable &t : pk->mark_mark) {
+    auto mit = t.marks.find(mark1);
+    if (mit == t.marks.end()) continue;
+    auto bit = t.bases.find(mark2);
+    if (bit == t.bases.end()) continue;
+    auto ait = bit->second.find(mit->second.cls);
+    if (ait == bit->second.end()) continue;
+    *dx = ait->second.first - mit->second.mx;
+    *dy = ait->second.second - mit->second.my;
+    return true;
+  }
+  return false;
+}
+
+struct PosOut {
+  std::vector<double> adv;     // font units (kern + cursive folded)
+  std::vector<double> dx, dy;  // per-glyph offsets, font units, y-UP
+  std::vector<uint8_t> attached;
+};
+
+// the positioning half of layout.py's segment loop (:660-752): GPOS kern
+// deltas, the cursive chain, then the base/mark attach sweep. rtl selects
+// the mark-offset convention (the visual reversal parks a mark's cursor at
+// its base's origin — no pen pullback).
+void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
+                   PosOut &p) {
+  size_t n = s.g.size();
+  p.adv.assign(n, 0.0);
+  p.dx.assign(n, 0.0);
+  p.dy.assign(n, 0.0);
+  p.attached.assign(n, 0);
+
+  std::vector<int32_t> deltas(n, 0);
+  bool use_gpos = (pk->flags & FD_PACK_HAS_GPOS_KERN) != 0;
+  if (use_gpos) {
+    for (uint32_t pi : pk->pos_plan) {
+      const Lookup &L = pk->gpos[pi];
       if (L.entries.empty()) continue;
       size_t i = 0;
-      while (i < g.size()) {
-        if (skipped(pack, L, g[i])) {
+      while (i < n) {
+        if (skipped(pk, L, s.g[i])) {
           i++;
           continue;
         }
         long nxt = -1;
         for (const Entry &e : L.entries) {
-          nxt = try_pos_entry(pack, L, e, g, deltas, i);
+          nxt = try_pos_entry(pk, L, e, s.g, deltas, i);
           if (nxt >= 0) break;
         }
         i = (nxt >= 0 && (size_t)nxt > i) ? (size_t)nxt : i + 1;
@@ -624,22 +1326,149 @@ int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
     }
   }
 
-  int32_t count = (int32_t)g.size();
-  if (count > cap) return FD_TYPESET_E_CAP;
-  for (int32_t k = 0; k < count; k++) {
-    if (gids) gids[k] = g[k];
-    if (clusters) clusters[k] = cl[k];
-    if (advances) {
-      float adv = fd_pack_advance(pack, g[k]) + (float)deltas[k];
-      advances[k] = adv;
+  // GPOS 3 cursive chain (shaper.cursive_chain): exit_i meets entry_{i+1}
+  std::vector<uint8_t> has_cadv(n, 0);
+  std::vector<double> cadv(n, 0.0), cdy(n, 0.0);
+  if (!pk->cursive.empty()) {
+    double cur_dy = 0.0;
+    long prev = -1;
+    CursRow pexit{};
+    for (size_t i = 0; i < n; i++) {
+      const CursRow *rec = nullptr;
+      for (const auto &table : pk->cursive) {
+        auto it = table.find(s.g[i]);
+        if (it != table.end()) {
+          rec = &it->second;
+          break;
+        }
+      }
+      if (rec == nullptr) {
+        prev = -1;
+        cur_dy = 0.0;
+        continue;
+      }
+      if (prev >= 0 && (rec->flags & 1)) {
+        cadv[(size_t)prev] = (double)pexit.xx - rec->ex;
+        has_cadv[(size_t)prev] = 1;
+        cur_dy += (double)pexit.xy - rec->ey;
+        cdy[i] = cur_dy;
+      } else {
+        cur_dy = 0.0;
+      }
+      if (rec->flags & 2) {
+        prev = (long)i;
+        pexit = *rec;
+      } else {
+        prev = -1;
+      }
     }
   }
-  if (advances && !(pack->flags & FD_PACK_HAS_GPOS_KERN) &&
-      !pack->kern0.empty()) {
-    // the legacy 'kern' value lands on the LEFT glyph's advance
-    // (layout.py:717-725 folds it into the previous pen glyph)
-    for (int32_t k = 0; k + 1 < count; k++)
-      advances[k] += kern0_lookup(pack, g[k], g[k + 1]);
+
+  long base = -1;
+  uint16_t base_gid = 0;
+  int base_lig = 1;
+  double pen_since_base = 0.0;
+  long prev_mark = -1;
+  long prev_glyph = -1;   // prev_name (legacy kern pair left glyph)
+  long last_pen = -1;     // glyph carrying the pen advance
+  for (size_t k = 0; k < n; k++) {
+    uint16_t gid = s.g[k];
+    double adv = gid < pk->advances.size() ? pk->advances[gid] : 0.0;
+    bool attach = false;
+    double ax = 0.0, ay = 0.0;
+    if (is_attach_mark(pk, gid)) {
+      double ddx, ddy;
+      if (prev_mark >= 0 &&
+          mark_attach_mark2(pk, s.g[(size_t)prev_mark], gid, &ddx, &ddy)) {
+        ax = p.dx[(size_t)prev_mark] + ddx;
+        ay = p.dy[(size_t)prev_mark] + ddy;
+        attach = true;
+      }
+      if (!attach && base >= 0) {
+        bool found = false;
+        if (base_lig > 1)
+          found = mark_attach_lig(pk, base_gid, gid, s.comps[k].second,
+                                  &ddx, &ddy);
+        if (!found) found = mark_attach(pk, base_gid, gid, &ddx, &ddy);
+        if (found) {
+          ax = ddx - (rtl ? 0.0 : pen_since_base);
+          ay = ddy;
+          attach = true;
+        }
+      }
+    }
+    double curs_dy = 0.0;
+    if (has_cadv[k]) adv = cadv[k];
+    curs_dy = cdy[k];
+    if (use_gpos) {
+      if (!attach && deltas[k]) adv += (double)deltas[k];
+    } else if (!attach && prev_glyph >= 0 && !pk->kern0.empty()) {
+      // the legacy 'kern' value lands on the previous pen glyph's advance
+      // (layout.py:726-734)
+      double kv = kern0_lookup(pk, s.g[(size_t)prev_glyph], gid);
+      if (kv != 0.0 && last_pen >= 0) {
+        p.adv[(size_t)last_pen] += kv;
+        pen_since_base += kv;
+      }
+    }
+    p.adv[k] = attach ? 0.0 : adv;
+    p.dx[k] = attach ? ax : 0.0;
+    p.dy[k] = attach ? ay : curs_dy;
+    p.attached[k] = attach ? 1 : 0;
+    if (attach) {
+      prev_mark = (long)k;
+    } else {
+      base = (long)k;
+      base_gid = gid;
+      base_lig = s.comps[k].first;
+      last_pen = (long)k;
+      pen_since_base = adv;
+      prev_mark = -1;
+      prev_glyph = (long)k;
+    }
+  }
+}
+
+}  // namespace
+
+int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
+                         int32_t n, uint32_t *gids, float *advances,
+                         uint32_t *clusters, int32_t cap) {
+  ShapeOut s;
+  int32_t count = shape_core(pack, cps, n, s);
+  if (count < 0) return count;
+  // the offset-less advance-stream API cannot express mark placement —
+  // refuse attach-capable marks (fd_typeset_shape_ex / fd_typeset_box
+  // position them via per-glyph offsets)
+  for (uint16_t gg : s.g)
+    if (is_attach_mark(pack, gg)) return FD_TYPESET_E_MARKS;
+  if (count > cap) return FD_TYPESET_E_CAP;
+  PosOut p;
+  position_core(pack, s, false, p);
+  for (int32_t k = 0; k < count; k++) {
+    if (gids) gids[k] = s.g[k];
+    if (clusters) clusters[k] = s.cl[k];
+    if (advances) advances[k] = (float)p.adv[k];
+  }
+  return count;
+}
+
+int32_t fd_typeset_shape_ex(const FdFontPack *pack, const uint32_t *cps,
+                            int32_t n, int32_t rtl, uint32_t *gids,
+                            float *advances, float *dx, float *dy,
+                            uint32_t *clusters, int32_t cap) {
+  ShapeOut s;
+  int32_t count = shape_core(pack, cps, n, s);
+  if (count < 0) return count;
+  if (count > cap) return FD_TYPESET_E_CAP;
+  PosOut p;
+  position_core(pack, s, rtl != 0, p);
+  for (int32_t k = 0; k < count; k++) {
+    if (gids) gids[k] = s.g[k];
+    if (clusters) clusters[k] = s.cl[k];
+    if (advances) advances[k] = (float)p.adv[k];
+    if (dx) dx[k] = (float)p.dx[k];
+    if (dy) dy[k] = (float)p.dy[k];
   }
   return count;
 }
@@ -718,39 +1547,30 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
   std::vector<uint32_t> g;
   std::vector<uint32_t> cl;
   std::vector<double> adv;       // px
+  std::vector<double> offx, offy;  // px, y-DOWN (mark/cursive offsets)
   std::vector<uint8_t> is_ws;    // rune.isspace() of the cluster rune
   std::vector<uint8_t> is_nl;    // rune == '\n'
   std::vector<uint8_t> cjk;
   {
-    std::vector<uint32_t> seg_gids(64);
-    std::vector<float> seg_adv(64);
-    std::vector<uint32_t> seg_cl(64);
     int32_t i = 0;
     while (i <= n) {
       int32_t j = i;
       while (j < n && cps[j] != '\n') j++;
       int32_t seg_n = j - i;
       if (seg_n > 0) {
-        int32_t count = fd_typeset_shape(pack, cps + i, seg_n,
-                                         seg_gids.data(), seg_adv.data(),
-                                         seg_cl.data(),
-                                         (int32_t)seg_gids.size());
-        while (count == FD_TYPESET_E_CAP &&
-               seg_gids.size() < (1u << 24)) {
-          seg_gids.resize(seg_gids.size() * 2);
-          seg_adv.resize(seg_adv.size() * 2);
-          seg_cl.resize(seg_cl.size() * 2);
-          count = fd_typeset_shape(pack, cps + i, seg_n, seg_gids.data(),
-                                   seg_adv.data(), seg_cl.data(),
-                                   (int32_t)seg_gids.size());
-        }
+        ShapeOut so;
+        int32_t count = shape_core(pack, cps + i, seg_n, so);
         if (count < 0) return count;
+        PosOut po;
+        position_core(pack, so, false, po);
         for (int32_t k = 0; k < count; k++) {
-          uint32_t rune = cps[i + seg_cl[k]];
-          g.push_back(seg_gids[k]);
-          cl.push_back((uint32_t)i + seg_cl[k]);
-          adv.push_back(seg_adv[k] * scale);
-          is_ws.push_back(is_space_cp(rune) ? 1 : 0);
+          uint32_t rune = cps[i + so.cl[k]];
+          g.push_back(so.g[k]);
+          cl.push_back((uint32_t)i + so.cl[k]);
+          adv.push_back(po.adv[k] * scale);
+          offx.push_back(po.dx[k] * scale);
+          offy.push_back(-po.dy[k] * scale);  // font y-up → screen y-down
+          is_ws.push_back(is_space_cp(rune) && !po.attached[k] ? 1 : 0);
           is_nl.push_back(0);
           cjk.push_back(is_cjk_cp(rune) ? 1 : 0);
         }
@@ -759,6 +1579,8 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
         g.push_back(0);
         cl.push_back((uint32_t)j);
         adv.push_back(0.0);
+        offx.push_back(0.0);
+        offy.push_back(0.0);
         is_ws.push_back(1);
         is_nl.push_back(1);
         cjk.push_back(0);
@@ -830,8 +1652,11 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
     else if (h_align == 2)
       pen = bounds_w > 0 ? bounds_w - visible_w : 0.0;
     for (size_t k = s_i; k <= e_i; k++) {
-      px[k] = (float)pen;
-      py[k] = (float)baseline;
+      // per-glyph offsets fold into the emitted positions: a host draws
+      // glyph k at (xs[k], ys[k]) and attached marks land on their base's
+      // anchor (layout.py's pos + offset, consumed by glyphs.py)
+      px[k] = (float)(pen + offx[k]);
+      py[k] = (float)(baseline + offy[k]);
       pen += adv[k];
     }
     if (visible_w > max_line_w) max_line_w = visible_w;

@@ -74,16 +74,17 @@ def test_pack_header_and_metrics():
     tid = load_typeface(DEJAVU)
     blob = build_font_pack(tid)
     magic, ver = struct.unpack_from("<II", blob, 0)
-    assert magic == 0x46445450 and ver == 1
+    assert magic == 0x46445450 and ver == 2
     tf = get_typeface(tid)
     upem, asc, desc, gap = nt.metrics(tid)
     assert (upem, asc, desc, gap) == (
         tf.units_per_em, tf.ascent, tf.descent, tf.line_gap)
-    # DejaVu: GPOS kern feature, mark attachment, a dropped ccmp ctx chain
+    # DejaVu: GPOS kern feature + mark attachment, both EXPORTED in v2 —
+    # nothing is dropped anymore (the ccmp ctx chain serializes)
     flags = nt.pack_flags(tid)
     assert flags & F_HAS_GPOS_KERN
     assert flags & F_HAS_MARKS
-    assert flags & F_GSUB_DROPPED
+    assert not (flags & F_GSUB_DROPPED)
 
 
 def test_pack_load_rejects_malformed():
@@ -141,30 +142,34 @@ def test_ubuntu_and_hack_fonts_match():
     _assert_match(load_typeface(HACK), "Office -> != === www AV")
 
 
-def test_mark_text_is_refused_not_misshaped():
-    """DejaVu ccmp decomposes precomposed accents into base + combining
-    mark; positioning them needs GPOS mark attachment, which the pack does
-    not carry — the engine must refuse (FD_TYPESET_E_MARKS), and the raw
-    combining-mark form must be refused too."""
+def test_mark_text_refused_on_offsetless_api_only():
+    """The offset-less advance-stream API (fd_typeset_shape) cannot express
+    mark placement and must refuse; fd_typeset_shape_ex shapes the SAME
+    text with per-glyph anchor offsets."""
     tid = load_typeface(DEJAVU)
     with pytest.raises(nt.NativeTypesetUnsupported):
         nt.shape(tid, "e\u0301")  # e + combining acute
-    # the Python pipeline shapes the same text fine (the fallback the
-    # boundary contract points C hosts at)
-    pg, _, _ = _py_shape(tid, "e\u0301")
-    assert len(pg) == 2
-    # precomposed form: no mark in the run, shapes natively
+    gids, adv, dx, dy, clus = nt.shape_ex(tid, "e\u0301")
+    assert len(gids) == 2 and adv[1] == 0.0
+    assert dx[1] != 0.0 or dy[1] != 0.0  # the mark anchors on the base
+    # precomposed form: no mark in the run, shapes on both APIs
     _assert_match(tid, "caf\u00e9")
 
 
-def test_firacode_flags_reduced_features():
-    """calt/rclt are excluded from the exported plan by design; the pack
-    must SAY so (bit 5) so a C host knows FiraCode-class fonts shape
-    differently natively."""
+def test_firacode_calt_shapes_natively():
+    """v2 exports the full default plan incl. calt/rclt contextual chains
+    with nested lookups — FiraCode's programming ligatures shape in C
+    glyph-for-glyph equal to Python, and the pack is NOT flagged reduced."""
     tid = load_typeface(FIRACODE)
-    assert nt.pack_flags(tid) & F_FEATURES_REDUCED
-    # DejaVu has no calt: same plan, no flag
-    assert not (nt.pack_flags(load_typeface(DEJAVU)) & F_FEATURES_REDUCED)
+    assert not (nt.pack_flags(tid) & F_FEATURES_REDUCED)
+    for text in ("a -> b => c", "x != y === z", "<= >= <> |> <|",
+                 "// comment /* block */", "a ... b :: c",
+                 "www ## ###", "plain words stay plain"):
+        _assert_match(tid, text)
+    # the arrow must actually ligate via the calt chain (not a no-op plan)
+    pg, _, _ = _py_shape(tid, "->")
+    cg, _, _ = nt.shape(tid, "->")
+    assert list(cg) == pg
 
 
 def test_legacy_kern_table_branch(tmp_path):
@@ -291,14 +296,27 @@ def test_typeset_box_matches_typeset_wrapped():
             assert len(arr.lines) > 2
 
 
-def test_typeset_box_refuses_mark_text():
-    """The refusal boundary holds on the box path too: a combining mark
-    anywhere in the box returns FD_TYPESET_E_MARKS, never a mis-laid-out
-    stream."""
+def test_typeset_box_places_marks_on_anchors():
+    """v2: combining marks lay out ON the box path — xs/ys fold the GPOS
+    anchor offsets, matching the Python arrangement's pos + offset exactly
+    (layout.py's draw convention, consumed by glyphs.py)."""
     tid = load_typeface(DEJAVU)
-    with pytest.raises(nt.NativeTypesetUnsupported):
-        nt.typeset_box(tid, "first line\nme\u0301lange",  # combining acute
-                       18.0, bounds=(120, 0), wrap=True)
+    text = "first line\nme\u0301lange a\u0301\u0308 stack"
+    font = FigFont(typeface_id=tid, size=18.0)
+    arr = typeset(vec2(160, 0), [(font, fill(rgba(0, 0, 0, 255)), text)],
+                  wrap=True)
+    gids, xs, ys, clus, size = nt.typeset_box(
+        tid, text, 18.0, bounds=(160, 0), wrap=True)
+    want = arr.arranged_glyphs
+    assert len(gids) == len(want)
+    saw_mark_offset = False
+    for k, g in enumerate(want):
+        assert int(gids[k]) == g.glyph_id, k
+        assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < 1e-3, k
+        assert abs(float(ys[k]) - (g.pos.y + g.offset.y)) < 1e-3, k
+        if g.offset.x or g.offset.y:
+            saw_mark_offset = True
+    assert saw_mark_offset  # the marks really anchored
 
 
 def test_typeset_box_nowrap_line_height_and_cjk():
@@ -380,6 +398,160 @@ def test_c_host_demo_compiles_and_runs(tmp_path):
     r = subprocess.run([exe, pack_path, "cafe\u0301"], capture_output=True,
                        text=True)
     assert r.returncode == 2
+
+
+HEBREW = "/root/reference/examples/fonts/NotoSansHebrew-wdth-wght.ttf"
+NASKH = "/root/reference/examples/fonts/NotoNaskhArabic-wght.ttf"
+DEVANAGARI = "/root/reference/examples/fonts/NotoSansDevanagari-wdth-wght.ttf"
+
+
+def test_hebrew_niqqud_shape_ex_matches_python():
+    """shape_ex(rtl=True) reproduces layout.py's Hebrew arrangement
+    component-wise: the LOGICAL-order glyph stream with zero-advance marks
+    and bare anchor offsets (the RTL convention parks a mark's cursor at
+    its base's origin — no pen pullback). Bidi reversal stays the host's
+    job, exactly like a HarfBuzz buffer."""
+    tid = load_typeface(HEBREW)
+    tf = get_typeface(tid)
+    size = 30.0
+    rs = size / tf.units_per_em
+    for text in ("\u05e9\u05b8\u05c1\u05dc\u05d5\u05b9\u05dd",
+                 "\u05d1\u05b0\u05bc\u05e8\u05b5\u05d0"
+                 "\u05e9\u05b4\u05c1\u05d9\u05ea"):
+        font = FigFont(typeface_id=tid, size=size)
+        arr = typeset(vec2(100000, 100),
+                      [(font, fill(rgba(0, 0, 0, 255)), text)])
+        want = arr.arranged_glyphs
+        gids, adv, dx, dy, clus = nt.shape_ex(tid, text, rtl=True)
+        assert len(gids) == len(want)
+        saw_mark = False
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (text, k)
+            assert abs(float(adv[k]) * rs - g.advance.x) < 1e-3, (text, k)
+            assert abs(float(dx[k]) * rs - g.offset.x) < 1e-3, (text, k)
+            assert abs(-float(dy[k]) * rs - g.offset.y) < 1e-3, (text, k)
+            if g.advance.x == 0.0:
+                saw_mark = True
+        assert saw_mark  # niqqud actually anchored with zero advance
+
+
+def test_staged_scripts_refused_loudly():
+    """Arabic/Indic text needs the masked staged pipelines — the C engine
+    refuses (FD_TYPESET_E_SCRIPT) instead of emitting isolated-form or
+    unreordered streams."""
+    tid = load_typeface(NASKH)
+    with pytest.raises(nt.NativeTypesetUnsupported, match="staged"):
+        nt.shape_ex(tid, "\u0633\u0644\u0627\u0645")
+    tid2 = load_typeface(DEVANAGARI)
+    with pytest.raises(nt.NativeTypesetUnsupported, match="staged"):
+        nt.shape_ex(tid2, "\u0915\u0930\u094d\u092e")
+
+
+def _build_fea_font(tmp_path, filename, cmap, fea):
+    from fontTools.feaLib.builder import addOpenTypeFeaturesFromString
+    from fontTools.fontBuilder import FontBuilder
+    from fontTools.pens.ttGlyphPen import TTGlyphPen
+
+    names = [".notdef"] + list(cmap.values())
+    fb = FontBuilder(1000, isTTF=True)
+    fb.setupGlyphOrder(names)
+    fb.setupCharacterMap(cmap)
+    glyf = {}
+    for g in names:
+        pen = TTGlyphPen(None)
+        pen.moveTo((50, 0)); pen.lineTo((450, 0))
+        pen.lineTo((450, 700)); pen.lineTo((50, 700)); pen.closePath()
+        glyf[g] = pen.glyph()
+    fb.setupGlyf(glyf)
+    fb.setupHorizontalMetrics({g: (500, 50) for g in names})
+    fb.setupHorizontalHeader(ascent=800, descent=-200)
+    fb.setupNameTable({"familyName": "PackTest", "styleName": "Regular"})
+    fb.setupOS2(sTypoAscender=800, sTypoDescender=-200)
+    fb.setupPost()
+    addOpenTypeFeaturesFromString(fb.font, fea)
+    path = str(tmp_path / filename)
+    fb.font.save(path)
+    return load_typeface(path)
+
+
+def test_thai_sara_am_preprocess_native(tmp_path):
+    """The C engine runs the HarfBuzz SARA AM decomposition itself: glyph
+    stream AND merged clusters equal the Python shaper's (the synthetic
+    Thai font of tests/test_shaping_thai.py)."""
+    KO, MAI_EK, SARA_AM = 0x0E01, 0x0E48, 0x0E33
+    NIK, AA = 0x0E4D, 0x0E32
+    cmap = {KO: "ko", MAI_EK: "maiek", NIK: "nikhahit", AA: "saraaa",
+            SARA_AM: "saraam"}
+    tid = _build_fea_font(tmp_path, "thai.ttf", cmap,
+                          "languagesystem DFLT dflt;\n"
+                          "feature kern { pos ko maiek -10; } kern;")
+    tf = get_typeface(tid)
+    gids, adv, clus = nt.shape(tid, [KO, MAI_EK, SARA_AM])
+    names = {tf._name_to_gid[n]: n for n in cmap.values()}
+    assert [names[int(g)] for g in gids] == [
+        "ko", "nikhahit", "maiek", "saraaa"]
+    # hb merge_out_clusters: the moved span incl. SARA AA merges to start 1
+    assert [int(c) for c in clus] == [0, 1, 1, 1]
+    # no SARA AM -> untouched, and the kern pair still applies
+    gids2, adv2, clus2 = nt.shape(tid, [KO, MAI_EK])
+    assert [names[int(g)] for g in gids2] == ["ko", "maiek"]
+    assert float(adv2[0]) == tf.advance(tf._name_to_gid["ko"]) - 10
+
+
+def test_cursive_attachment_matches_python(tmp_path):
+    """GPOS 3 cursive chaining: exit_i meets entry_{i+1}; advances override
+    and the vertical offset accumulates — C equals the Python layouter."""
+    cmap = {ord("a"): "a", ord("b"): "b", ord("c"): "c", ord(" "): "space"}
+    tid = _build_fea_font(
+        tmp_path, "curs.ttf", cmap,
+        "languagesystem DFLT dflt;\n"
+        "feature curs {\n"
+        "  position cursive a <anchor 30 60> <anchor 470 90>;\n"
+        "  position cursive b <anchor 20 40> <anchor 480 10>;\n"
+        "  position cursive c <anchor 10 0> <anchor NULL>;\n"
+        "} curs;\n")
+    text = "abc ab"
+    font = FigFont(typeface_id=tid, size=20.0)
+    arr = typeset(vec2(100000, 100),
+                  [(font, fill(rgba(0, 0, 0, 255)), text)])
+    gids, xs, ys, clus, size = nt.typeset_box(tid, text, 20.0)
+    want = arr.arranged_glyphs
+    assert len(gids) == len(want)
+    for k, g in enumerate(want):
+        assert int(gids[k]) == g.glyph_id, k
+        assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < 1e-3, k
+        assert abs(float(ys[k]) - (g.pos.y + g.offset.y)) < 1e-3, k
+    # the chain actually altered an advance and a vertical offset
+    assert any(g.offset.y != 0.0 for g in want)
+
+
+def test_reduced_pack_refuses_by_default():
+    """FD_PACK_FEATURES_REDUCED text is refused (FD_TYPESET_E_REDUCED)
+    unless the host opts into divergence via fd_pack_set_allow_reduced —
+    refuse-or-match is the default, divergence is explicit."""
+    import ctypes
+
+    tid = load_typeface(DEJAVU)
+    blob = bytearray(nt.pack_blob(tid))
+    flags = struct.unpack_from("<I", blob, 40)[0]
+    struct.pack_into("<I", blob, 40, flags | F_FEATURES_REDUCED)
+    lib = nt._load()
+    h = lib.fd_pack_load(bytes(blob), len(blob))
+    assert h
+    try:
+        cps = np.array([ord(c) for c in "abc"], np.uint32)
+        gids = np.zeros(16, np.uint32)
+        adv = np.zeros(16, np.float32)
+        cl = np.zeros(16, np.uint32)
+        args = (h, cps.ctypes.data_as(ctypes.c_void_p), 3,
+                gids.ctypes.data_as(ctypes.c_void_p),
+                adv.ctypes.data_as(ctypes.c_void_p),
+                cl.ctypes.data_as(ctypes.c_void_p), 16)
+        assert lib.fd_typeset_shape(*args) == nt.E_REDUCED
+        lib.fd_pack_set_allow_reduced(h, 1)
+        assert lib.fd_typeset_shape(*args) == 3
+    finally:
+        lib.fd_pack_free(h)
 
 
 def test_utf8_helper():

@@ -218,6 +218,26 @@ def _row_total(blocks: list) -> int:
     return sum(b.shape[0] if b.ndim else 1 for b in blocks)
 
 
+def _merge_structured(rows: list, dtype) -> np.ndarray:
+    """Merge a list of same-dtype structured blocks/rows into one array by
+    RAW BYTE copy. np.concatenate/np.stack on structured dtypes run field
+    promotion per block (~0.9 ms for a 36-block text frame, 13x the
+    memcpy) — and the views rebuild per frame on rebuilt scenes."""
+    if not rows:
+        return np.zeros(0, dtype=dtype)
+    blocks = [np.atleast_1d(b) for b in rows]
+    total = sum(b.shape[0] for b in blocks)
+    out = np.empty(total, dtype=dtype)
+    out_b = out.view(np.uint8)
+    isz = dtype.itemsize
+    off = 0
+    for b in blocks:
+        nb = b.shape[0] * isz
+        out_b[off : off + nb] = np.ascontiguousarray(b).view(np.uint8)
+        off += nb
+    return out
+
+
 def pack_text(row, node: Fig, glyph_rows: list, trect_rows: list,
               glyph_total: int = -1) -> int:
     """Pre-compute the text node's draw list (text/glyphs.py draw_text_layout):
@@ -413,11 +433,7 @@ class RenderListArray:
     def ops_view(self):
         """(ops array, points array) for the native walk."""
         if self._ops_cache is None or self._ops_cache[0] != len(self.ops_rows):
-            ops = (
-                np.stack(self.ops_rows).astype(OP_DTYPE, copy=False)
-                if self.ops_rows
-                else np.zeros(0, dtype=OP_DTYPE)
-            )
+            ops = _merge_structured(self.ops_rows, OP_DTYPE)
             pts = (
                 np.asarray(self.points_rows, dtype=np.float32).reshape(-1, 2)
                 if self.points_rows
@@ -428,18 +444,15 @@ class RenderListArray:
 
     def text_view(self):
         """(glyphs array, trects array) for the native walk. glyph_rows holds
-        one block array per text node; trect_rows holds 0-d rows."""
+        one block array per text node; trect_rows holds 0-d rows.
+
+        The glyph blocks merge as RAW BYTES into one preallocated array:
+        np.concatenate on structured dtypes runs field promotion per block
+        (~0.9 ms for a 36-label frame — measured 13x slower than the
+        memcpy), and this runs per frame on rebuilt scenes."""
         if self._text_cache is None or self._text_cache[0] != len(self.glyph_rows):
-            glyphs = (
-                np.concatenate([np.atleast_1d(b) for b in self.glyph_rows])
-                if self.glyph_rows
-                else np.zeros(0, dtype=GLYPH_DTYPE)
-            )
-            trects = (
-                np.stack(self.trect_rows).astype(TRECT_DTYPE, copy=False)
-                if self.trect_rows
-                else np.zeros(0, dtype=TRECT_DTYPE)
-            )
+            glyphs = _merge_structured(self.glyph_rows, GLYPH_DTYPE)
+            trects = _merge_structured(self.trect_rows, TRECT_DTYPE)
             self._text_cache = (len(self.glyph_rows), glyphs, trects)
         return self._text_cache[1], self._text_cache[2]
 

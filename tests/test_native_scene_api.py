@@ -194,6 +194,64 @@ def test_c_host_demo_compiles_and_runs(tmp_path):
     assert int(lines["patch_ok"]) == 1  # the C retained-edit leg
 
 
+def test_layout_header_is_current():
+    """native/figdraw_layout.h is GENERATED from the Python row dtypes —
+    a dtype change without regeneration would desync every shim consumer
+    (fdx_scene_new also validates sizes at runtime, but compile-time
+    offsets must match too)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen = os.path.join(root, "native", "gen_layout.py")
+    spec = importlib.util.spec_from_file_location("gen_layout", gen)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "native", "figdraw_layout.h")) as fh:
+        assert fh.read() == mod.generate(), (
+            "figdraw_layout.h is stale — run python native/gen_layout.py")
+
+
+def test_shim_demo_compiles_and_runs(tmp_path):
+    """native/examples/shim_demo.c: the single-header convenience layer
+    (native/figdraw.h, the dynlib.nim-shim analog) drives scene building,
+    fd_typeset_box text measurement (marks included) and the retained
+    patch recipe end-to-end from one real C program."""
+    import os
+    import subprocess
+
+    from figdraw_tpu.text import native_typeset as nt
+    from figdraw_tpu.text.native_pack import save_font_pack
+    from figdraw_tpu.text.typefaces import load_typeface
+
+    native._load()
+    if not nt.available():
+        pytest.skip("native typesetter did not build")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "examples", "shim_demo.c")
+    lib_dir = os.path.join(root, "native", "build")
+    exe = str(tmp_path / "shim_demo")
+    pack = str(tmp_path / "dejavu.fdtp")
+    save_font_pack(
+        load_typeface("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"),
+        pack)
+    subprocess.run(
+        [
+            "gcc", src, "-I", os.path.join(root, "native"),
+            "-L", lib_dir, "-lfigdraw_flatten", "-lfigdraw_typeset",
+            f"-Wl,-rpath,{lib_dir}", "-o", exe,
+        ],
+        check=True, capture_output=True,
+    )
+    out = subprocess.run([exe, pack], check=True, capture_output=True,
+                         text=True)
+    lines = dict(
+        kv.split("=") for l in out.stdout.splitlines() for kv in l.split())
+    assert int(lines["quads"]) > 0
+    assert int(lines["patch_ok"]) == 1
+    assert int(lines["label_glyphs"]) > 0  # mark-bearing label typeset in C
+
+
 def test_capi_retained_patch_matches_full_reflatten():
     """fd_flatten_renders_spans + fd_renders_set_fig + fd_flatten_renders_root:
     a C host's retained edit (scratch re-walk of the dirty root spliced over

@@ -604,18 +604,32 @@ class TapeBackend(BackendContext):
             draw_size = size
         else:
             draw_size = vec2(r[2] * self.atlas_size, r[3] * self.atlas_size)
-        # minified draws pick the matching mip level when the atlas carries a
-        # chain (the GL atlas is mipmapped, glcontext.nim:610-620; per-quad
-        # scale is constant so level select can happen at flatten time)
+        # minified draws blend the two bracketing mip levels when the atlas
+        # carries a chain — flatten-time TRILINEAR (GL mipmapped atlas,
+        # glcontext.nim:610-620): the per-quad scale is constant, so the
+        # level pair and blend fraction resolve here. The blend rides a
+        # second quad at level+1 whose vertex alpha carries the fraction
+        # (u8-quantized: the PACKED wire layout requires quantized colors):
+        # source-over of the pair equals the texel lerp exactly for opaque
+        # images and approximates it for translucent ones — animated zooms
+        # fade between levels instead of popping (tests/test_images.py).
+        # The fraction is linear in scale over [1, 2) (not log2) so BOTH
+        # walks compute it with the same primitive ops (C++ twin:
+        # native/flatten.cpp draw_image_node, bit-identical).
         native_w = r[2] * self.atlas_size
-        if draw_size.x > 0 and native_w > draw_size.x * 1.5:
+        blend = None  # (level+1 entry, u8 alpha scale) second pass
+        if draw_size.x > 0 and native_w > draw_size.x:
             level = 0
             scale = native_w / max(draw_size.x, 1e-6)
-            while scale >= 1.5 and (image_id, level + 1) in self.entries:
+            while scale >= 2.0 and (image_id, level + 1) in self.entries:
                 level += 1
                 scale *= 0.5
             if level > 0:
                 r = self.entries[(image_id, level)]
+            t = scale - 1.0  # in [0, 1) relative to the chosen level
+            nxt = self.entries.get((image_id, level + 1))
+            if t > 1.0 / 255.0 and nxt is not None:
+                blend = (nxt, t)
         uv_at, uv_to = self._image_uv_bounds(r, flip_y)
         self._draw_uv_rect(
             pos,
@@ -627,6 +641,25 @@ class TapeBackend(BackendContext):
             (0.0, 0.0),
             (0.0, 0.0, 0.0, 0.0),
         )
+        if blend is not None:
+            from .colors import ColorRGBA
+
+            nxt, t = blend
+            bc = tuple(
+                ColorRGBA(c.r, c.g, c.b, int(math.floor(c.a * t + 0.5)))
+                for c in colors
+            )
+            uv_at, uv_to = self._image_uv_bounds(nxt, flip_y)
+            self._draw_uv_rect(
+                pos,
+                pos + draw_size,
+                uv_at,
+                uv_to,
+                bc,
+                SdfMode.sdfModeAtlas,
+                (0.0, 0.0),
+                (0.0, 0.0, 0.0, 0.0),
+            )
 
     def _draw_sd_image(self, image_id, pos, color, size, px_range, sd_threshold,
                        stroke_weight, flip_y, solid_mode, annular_mode):

@@ -551,16 +551,26 @@ void draw_image_node(Ctx& ctx, const Fig& n, double bx, double by, double bw,
     drw = e->w * ctx.atlas_size;
     drh = e->h * ctx.atlas_size;
   }
-  // mip select at flatten time (tape.py draw_image; per-quad constant LOD)
+  // flatten-time TRILINEAR mip blend (tape.py draw_image, bit-identical:
+  // per-quad constant LOD; the bracketing level+1 rides a second quad whose
+  // vertex alpha carries the u8-quantized linear-in-scale fraction)
   double native_w = e->w * ctx.atlas_size;
-  if (n.kind == NK_IMAGE && drw > 0 && native_w > drw * 1.5) {
+  const AtlasEntry* blend_e = nullptr;
+  double blend_t = 0.0;
+  if (n.kind == NK_IMAGE && drw > 0 && native_w > drw) {
     int level = 0;
     double scale = native_w / (drw > 1e-6 ? drw : 1e-6);
     const AtlasEntry* next;
-    while (scale >= 1.5 && (next = ctx.find_entry(n.image_id, level + 1))) {
+    while (scale >= 2.0 && (next = ctx.find_entry(n.image_id, level + 1))) {
       level++;
       scale *= 0.5;
       e = next;
+    }
+    double t = scale - 1.0;  // in [0, 1) relative to the chosen level
+    next = ctx.find_entry(n.image_id, level + 1);
+    if (t > 1.0 / 255.0 && next) {
+      blend_e = next;
+      blend_t = t;
     }
   }
   double u0 = e->x, v0 = e->y, u1 = e->x + e->w, v1 = e->y + e->h;
@@ -575,6 +585,18 @@ void draw_image_node(Ctx& ctx, const Fig& n, double bx, double by, double bw,
     double params[4] = {0, 0, 0, 0};
     draw_uv_rect(ctx, bx, by, bx + drw, by + drh, u0, v0, u1, v1, colors,
                  MODE_ATLAS, 0.0, 0.0, params);
+    if (blend_e) {
+      uint8_t bc[4][4];
+      for (int i = 0; i < 4; i++) {
+        std::memcpy(bc[i], colors[i], 4);
+        bc[i][3] = (uint8_t)std::floor((double)colors[i][3] * blend_t + 0.5);
+      }
+      double bu0 = blend_e->x, bv0 = blend_e->y;
+      double bu1 = blend_e->x + blend_e->w, bv1 = blend_e->y + blend_e->h;
+      if (flip) { double t = bv0; bv0 = bv1; bv1 = t; }
+      draw_uv_rect(ctx, bx, by, bx + drw, by + drh, bu0, bv0, bu1, bv1, bc,
+                   MODE_ATLAS, 0.0, 0.0, params);
+    }
   } else {
     // MSDF / MTSDF (figrender.nim:1686-1732 parameter resolution)
     double px_range = n.px_range > 0.0f ? n.px_range : 4.0;

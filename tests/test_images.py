@@ -69,6 +69,55 @@ def test_draw_image_and_flip_y():
     assert flipped[35, 12, 0] > 200  # red at bottom
 
 
+def test_minified_zoom_blends_mip_levels_monotonically():
+    """Flatten-time TRILINEAR: a minified image blends the two bracketing
+    mip levels by the (linear-in-scale) fraction instead of nearest-level
+    popping — an animated zoom fades between levels monotonically
+    (GL mipmapped atlas, glcontext.nim:610-620). Levels are synthetic
+    solid colors (level 0 red, level 1 blue) so the blend is measurable."""
+    from figdraw_tpu.resources import ImageMessageBus, ImageMsg, ImageMsgKind
+
+    red = np.zeros((32, 32, 4), np.uint8)
+    red[:] = (255, 0, 0, 255)
+    blue = np.zeros((16, 16, 4), np.uint8)
+    blue[:] = (0, 0, 255, 255)
+    mips = tuple(
+        np.full((e, e, 4), (0, 255, 0, 255), np.uint8) for e in (8, 4, 2, 1)
+    )
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=128, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    bus.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=555, image=red,
+                         mipmapped=True, mips=(blue,) + mips))
+
+    def center_px(w):
+        lst = RenderList()
+        lst.add_root(Fig(kind=FigKind.nkRectangle, screen_box=rect(0, 0, 48, 48),
+                         fill=fill(rgba(255, 255, 255, 255))))
+        lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(4, 4, w, w),
+                         image=image_style(555)))
+        r = new_renders()
+        r.set_layer(0, lst)
+        ren.render_frame(r, vec2(48, 48))
+        shot = ren.take_screenshot()
+        return shot[4 + int(w // 2), 4 + int(w // 2)].astype(float)
+
+    reds, blues = [], []
+    for w in (32, 28, 24, 20, 17, 16):
+        px = center_px(w)
+        reds.append(px[0])
+        blues.append(px[2])
+    assert reds[0] > 250 and blues[0] < 5    # native size: pure level 0
+    assert blues[-1] > 250 and reds[-1] < 5  # 2x minified: pure level 1
+    # monotone: red fades out, blue fades in, no pops back
+    for a, b in zip(reds, reds[1:]):
+        assert b <= a + 1.0, reds
+    for a, b in zip(blues, blues[1:]):
+        assert b >= a - 1.0, blues
+    # mid-sweep is a genuine BLEND of both levels, not a switch
+    assert 30 < reds[2] < 225 and 30 < blues[2] < 225, (reds, blues)
+
+
 def test_replace_image_updates_pixels():
     bus = ImageMessageBus()
     ren = FigRenderer(atlas_size=64, use_pallas=False)

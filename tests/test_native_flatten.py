@@ -276,8 +276,12 @@ def test_native_image_and_msdf_parity():
                      image=image_style(321)))
     lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(48, 8, 32, 32),
                      flags=FigFlags.NfInvertY, image=image_style(321)))
-    # minified draw hits the mip-select path
+    # minified draw hits the mip-select path (exact pow-2: single quad)
     lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(88, 8, 4, 4),
+                     image=image_style(321)))
+    # fractional minification hits the TRILINEAR blend pass (scale 1.6:
+    # a second level-1 quad with u8-quantized fractional alpha)
+    lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(96, 8, 10, 10),
                      image=image_style(321)))
     lst.add_root(Fig(kind=FigKind.nkMsdfImage, screen_box=rect(8, 48, 32, 32),
                      msdf_image=MsdfImageStyle(id=654, fill=fill(rgba(0, 0, 0, 255)),

@@ -5,9 +5,11 @@
 # (XLA + Pallas-interpret), the driver's multichip dry run on a virtual
 # 8-device mesh, and the native flattener build. Run from the repo root:
 #
-#   ./ci.sh            # everything (~10 min warm / ~30 min on a cold
+#   ./ci.sh            # everything (~11 min warm / ~30 min on a cold
 #                      # compile cache — tests/conftest.py keeps a
 #                      # persistent XLA cache under ~/.cache)
+#   ./ci.sh fast       # -m "not slow": skips the heavyweight frame-loop
+#                      # suites (sub-10-min tier, pyproject.toml markers)
 #   ./ci.sh quick      # smoke: goldens + dryrun only (~4 min)
 #
 # On a machine with a real TPU attached, add FIGDRAW_TEST_TPU=1 to run the
@@ -26,7 +28,10 @@ mode="${1:-full}"
 echo "== native flattener build =="
 python -c "import figdraw_tpu.native as n; assert n.available(), 'libfigdraw_flatten.so failed to build'; print('native OK')"
 
-if [ "$mode" != "quick" ]; then
+if [ "$mode" = "fast" ]; then
+  echo "== fast suite (true CPU, -m 'not slow') =="
+  python -m pytest tests/ -q -m "not slow"
+elif [ "$mode" != "quick" ]; then
   echo "== full suite (true CPU) =="
   python -m pytest tests/ -q
 else

@@ -40,3 +40,43 @@ if os.environ.get("FIGDRAW_TEST_TPU") != "1":
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# Every XLA:CPU executable JIT-maps ~6 VMAs (r--p/r-xp/rw-p triples) that live
+# until jax.clear_caches(); the full suite compiles enough signatures to cross
+# the kernel's vm.max_map_count (default 65530), at which point a failed mmap
+# inside deserialize_executable SEGFAULTS the process (observed
+# deterministically at test_sharded_perf, ~392 tests in: 65321 maps right
+# before the crash). Clearing between modules once the map count passes 70%
+# of the limit keeps the process far from the cliff; the persistent compile
+# cache (above) makes the re-compiles cheap cache reads.
+def _map_clear_threshold():
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read()) * 7 // 10
+    except (OSError, ValueError):
+        return 45_000
+
+
+_MAP_CLEAR_THRESHOLD = _map_clear_threshold()
+
+
+def _vma_count():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no /proc — never trigger
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_map_pressure_relief():
+    if _vma_count() > _MAP_CLEAR_THRESHOLD:
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+    yield

@@ -19,6 +19,9 @@ dispatch.
 import numpy as np
 import pytest
 
+# heavyweight end-to-end frame-loop suite: excluded by `./ci.sh fast` (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 from figdraw_tpu import (
     Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, root_affine, vec2,
 )

@@ -11,6 +11,9 @@ pow2 padding, and past the native combo pool's two-buffer ping-pong.
 import numpy as np
 import pytest
 
+# heavyweight end-to-end frame-loop suite: excluded by `./ci.sh fast` (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 from figdraw_tpu import (
     Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
 )

@@ -14,6 +14,9 @@ flythrough equals the per-view loop.
 import numpy as np
 import pytest
 
+# heavyweight end-to-end frame-loop suite: excluded by `./ci.sh fast` (-m 'not slow')
+pytestmark = pytest.mark.slow
+
 from figdraw_tpu import (
     Fig, FigFlags, FigKind, fill, new_renders, rect, rgba, vec2,
 )

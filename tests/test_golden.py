@@ -12,6 +12,9 @@ import os
 import numpy as np
 import pytest
 
+# reference-PNG fidelity pins: the `./ci.sh quick` tier
+pytestmark = pytest.mark.golden
+
 from figdraw_tpu import (
     Fig,
     FigKind,

@@ -31,9 +31,13 @@ def _native_available():
     return native._load() is not None
 
 
-pytestmark = pytest.mark.skipif(
-    not _native_available(), reason="retained patching needs the C++ walk"
-)
+# heavyweight end-to-end frame-loop suite: excluded by `./ci.sh fast`
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not _native_available(), reason="retained patching needs the C++ walk"
+    ),
+]
 
 
 def boxes_scene(n=40):

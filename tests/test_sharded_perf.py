@@ -21,9 +21,13 @@ from figdraw_tpu import (
 )
 from figdraw_tpu.renderer import FigRenderer
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 2, reason="needs multi-device mesh"
-)
+# heavyweight end-to-end frame-loop suite: excluded by `./ci.sh fast`
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        len(jax.devices()) < 2, reason="needs multi-device mesh"
+    ),
+]
 
 DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
 

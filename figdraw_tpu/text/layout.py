@@ -731,7 +731,10 @@ def typeset(
                     if adv_kern and last_pen_glyph is not None:
                         g = glyphs[last_pen_glyph]
                         g.advance = vec2(g.advance.x + adv_kern, 0.0)
-                        pen_since_base += adv_kern
+                        # no pen_since_base update: the current glyph is
+                        # non-attached here and becomes the new base below,
+                        # resetting pen_since_base before any mark reads it
+                        # (C twin native/typeset.cpp position_core agrees)
                 glyphs.append(ArrangedGlyph(
                     font_id=rfid, glyph_id=gid, cluster=cs,
                     source=GlyphSourceRange(cs, ce),

@@ -33,6 +33,7 @@ E_CAP = -1
 E_MARKS = -2
 E_REDUCED = -3
 E_SCRIPT = -4
+E_OFFSETS = -5
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -202,6 +203,10 @@ def _retrying_call(name, call, n_cps):
             raise NativeTypesetUnsupported(
                 "pack is reduced vs the Python plan; opt in with "
                 "set_allow_reduced")
+        if n == E_OFFSETS:
+            raise NativeTypesetUnsupported(
+                "run has vertical positioning (GPOS cursive dy) the "
+                "advance-stream API cannot carry; use shape_ex")
         if n < 0:
             raise RuntimeError(f"{name} failed ({n})")
         return build(n)

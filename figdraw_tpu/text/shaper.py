@@ -526,7 +526,12 @@ class OpenTypeShaper:
             if seq_idx >= len(input_pos):
                 continue
             pos = input_pos[seq_idx] + delta
-            if pos >= len(names):
+            # pos < 0 happens only when an earlier record DELETED glyphs
+            # before a later out-of-order record's position: skip it (Python
+            # list indexing would silently wrap to the run's tail — the C
+            # twin native/typeset.cpp apply_nested_sub skips, and both now
+            # agree)
+            if pos < 0 or pos >= len(names):
                 continue
             before = len(names)
             n_skip, n_entries, _n_trig = self._compile_lookup(nested_li)

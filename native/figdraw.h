@@ -292,6 +292,9 @@ static inline const char *fdx_typeset_strerror(int code) {
     case FD_TYPESET_E_SCRIPT:
       return "text needs a staged shaping pipeline (Arabic/Indic/USE) — "
              "typeset it through the Python pipeline";
+    case FD_TYPESET_E_OFFSETS:
+      return "run has nonzero vertical positioning (GPOS cursive dy) the "
+             "advance-stream API cannot carry (use fd_typeset_shape_ex)";
     default:
       return code < 0 ? "unknown typeset error" : "ok";
   }

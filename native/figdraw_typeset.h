@@ -45,6 +45,11 @@ typedef struct FdFontPack FdFontPack;
 #define FD_TYPESET_E_SCRIPT (-4) /* text needs a staged shaping pipeline
                                  * (Arabic/Indic/USE) — typeset it through
                                  * the Python pipeline */
+#define FD_TYPESET_E_OFFSETS (-5) /* the offset-less fd_typeset_shape cannot
+                                 * express this run's nonzero vertical
+                                 * positioning (GPOS cursive entry/exit dy)
+                                 * — use fd_typeset_shape_ex (refusal, not
+                                 * silent flat-baseline degradation) */
 
 /* Pack header flag bits (native_pack.py). */
 #define FD_PACK_HAS_GPOS_KERN (1u << 0)
@@ -91,8 +96,10 @@ float fd_pack_advance(const FdFontPack *pack, uint32_t gid);
  * Outputs (each may be NULL to skip): gids, advances (font units, kern
  * included), clusters (source index of each glyph's first codepoint;
  * ligatures keep their first component's index — HarfBuzz cluster model).
- * Returns the glyph count, FD_TYPESET_E_CAP if it exceeds cap, or
- * FD_TYPESET_E_MARKS if the shaped run contains an attach-capable mark. */
+ * Returns the glyph count, FD_TYPESET_E_CAP if it exceeds cap,
+ * FD_TYPESET_E_MARKS if the shaped run contains an attach-capable mark, or
+ * FD_TYPESET_E_OFFSETS if positioning yields nonzero vertical offsets
+ * (GPOS cursive dy) this advance-stream API cannot carry. */
 int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
                          int32_t n, uint32_t *gids, float *advances,
                          uint32_t *clusters, int32_t cap);

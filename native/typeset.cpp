@@ -1369,8 +1369,8 @@ void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
   int base_lig = 1;
   double pen_since_base = 0.0;
   long prev_mark = -1;
-  long prev_glyph = -1;   // prev_name (legacy kern pair left glyph)
-  long last_pen = -1;     // glyph carrying the pen advance
+  long last_pen = -1;  // previous pen glyph: legacy kern pair left glyph
+                       // AND the advance the kern value lands on
   for (size_t k = 0; k < n; k++) {
     uint16_t gid = s.g[k];
     double adv = gid < pk->advances.size() ? pk->advances[gid] : 0.0;
@@ -1402,14 +1402,13 @@ void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
     curs_dy = cdy[k];
     if (use_gpos) {
       if (!attach && deltas[k]) adv += (double)deltas[k];
-    } else if (!attach && prev_glyph >= 0 && !pk->kern0.empty()) {
+    } else if (!attach && last_pen >= 0 && !pk->kern0.empty()) {
       // the legacy 'kern' value lands on the previous pen glyph's advance
-      // (layout.py:726-734)
-      double kv = kern0_lookup(pk, s.g[(size_t)prev_glyph], gid);
-      if (kv != 0.0 && last_pen >= 0) {
-        p.adv[(size_t)last_pen] += kv;
-        pen_since_base += kv;
-      }
+      // (layout.py:726-733). No pen_since_base update: this glyph is
+      // non-attached and becomes the new base below, resetting it before
+      // any mark reads it (layout.py agrees)
+      double kv = kern0_lookup(pk, s.g[(size_t)last_pen], gid);
+      if (kv != 0.0) p.adv[(size_t)last_pen] += kv;
     }
     p.adv[k] = attach ? 0.0 : adv;
     p.dx[k] = attach ? ax : 0.0;
@@ -1424,7 +1423,6 @@ void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
       last_pen = (long)k;
       pen_since_base = adv;
       prev_mark = -1;
-      prev_glyph = (long)k;
     }
   }
 }
@@ -1445,6 +1443,12 @@ int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
   if (count > cap) return FD_TYPESET_E_CAP;
   PosOut p;
   position_core(pack, s, false, p);
+  // refusal, not degradation: GPOS cursive entry/exit chains can produce
+  // nonzero vertical offsets that an advance stream cannot carry — emitting
+  // the cursive-adjusted advances on a flat baseline would be silently
+  // wrong joins (fd_typeset_shape_ex exposes the dy channel)
+  for (int32_t k = 0; k < count; k++)
+    if (p.dy[(size_t)k] != 0.0) return FD_TYPESET_E_OFFSETS;
   for (int32_t k = 0; k < count; k++) {
     if (gids) gids[k] = s.g[k];
     if (clusters) clusters[k] = s.cl[k];

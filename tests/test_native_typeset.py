@@ -524,6 +524,15 @@ def test_cursive_attachment_matches_python(tmp_path):
     # the chain actually altered an advance and a vertical offset
     assert any(g.offset.y != 0.0 for g in want)
 
+    # refusal, not degradation: the offset-less advance-stream API cannot
+    # carry the chain's nonzero vertical offsets — FD_TYPESET_E_OFFSETS
+    # instead of silently flattening the joins onto the baseline; the
+    # offset-bearing API shapes the same text fine
+    with pytest.raises(nt.NativeTypesetUnsupported, match="cursive dy"):
+        nt.shape(tid, "abc")
+    _, _, _, dy, _ = nt.shape_ex(tid, "abc")
+    assert any(float(v) != 0.0 for v in dy)
+
 
 def test_reduced_pack_refuses_by_default():
     """FD_PACK_FEATURES_REDUCED text is refused (FD_TYPESET_E_REDUCED)

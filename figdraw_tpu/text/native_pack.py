@@ -13,13 +13,19 @@ features select (ccmp/liga/clig/rlig/calt/rclt/locl) with single / multiple
 entries plus every lookup they nest; the kern/dist GPOS lookups with single
 / pair / class-pair / (chain-)contextual (7/8) entries; GPOS 3 cursive
 entry/exit anchors; and the GPOS 4/5/6 mark-to-base / mark-to-ligature /
-mark-to-mark anchor tables. The remaining refusal boundary is the STAGED
-pipelines — Arabic/Indic/USE/Thai text needs masked per-stage lookup
-application (shaper._substitute_arabic et al) and is rejected with
-FD_TYPESET_E_SCRIPT rather than mis-shaped; everything else (Latin-class
-scripts WITH combining marks, Hebrew niqqud, FiraCode-class contextual
-alternates) shapes glyph-for-glyph equal to the Python pipeline
-(tests/test_native_typeset.py).
+mark-to-mark anchor tables.
+
+v3 adds the STAGED ARABIC pipeline (shaper._substitute_arabic): the pack
+carries the Unicode joining classes for the Arabic blocks plus seven
+per-stage plan arrays (ccmp+locl, isol, fina, medi, init, rlig, rest) so
+the C engine can run HarfBuzz-style masked positional shaping — Noto
+Naskh-class fonts (skeleton+dot ccmp decomposition, shared positional
+lookups) shape glyph-for-glyph equal to Python. The remaining refusal
+boundary is the Indic/USE syllable pipelines (reordering + per-syllable
+masks, shaper._substitute_indic/_use) — rejected with FD_TYPESET_E_SCRIPT
+rather than mis-shaped; everything else (Latin-class scripts WITH combining
+marks, Hebrew niqqud, Arabic, FiraCode-class contextual alternates) shapes
+glyph-for-glyph equal to the Python pipeline (tests/test_native_typeset.py).
 
 Blob layout (all little-endian, naturally aligned):
   header:  u32 magic 'FDTP'  u32 version=2
@@ -56,6 +62,11 @@ Blob layout (all little-endian, naturally aligned):
   marklig: u32 n_tables; per table marks + ligs {u32 n; per lig u16 gid,
            u16 n_comp, per comp u16 n_anchor + anchors}, pad4
   markmark: u32 n_tables; per table marks1 + mark2 (same shape as bases)
+  arabic:  304 x u8 joining classes (0=U, 1=R, 2=D, 3=T) for U+0600..U+06FF
+           then U+0750..U+077F (shaper._joining_class, evaluated at pack
+           build so C matches the builder's unicodedata exactly), then
+           7 x {u32 n, u32 idx[n]} stage plan arrays in _substitute_arabic
+           order: ccmp+locl, isol, fina, medi, init, rlig, rest
 
 `flags` bits record fidelity losses relative to the Python pipeline:
   bit 0  font has a GPOS kern/dist feature (C must NOT fall back to kern0)
@@ -67,6 +78,9 @@ Blob layout (all little-endian, naturally aligned):
          does not carry — text shaped from such a pack is REFUSED by
          default (FD_TYPESET_E_REDUCED) unless the host opts into
          divergence via fd_pack_set_allow_reduced
+  bit 6  an ARABIC-stage-only lookup dropped entries: Arabic runs from such
+         a pack are refused by default (same opt-in), non-Arabic text is
+         unaffected
 """
 
 from __future__ import annotations
@@ -74,11 +88,16 @@ from __future__ import annotations
 import struct
 from typing import Dict, List, Optional
 
-from .shaper import DEFAULT_GSUB_FEATURES, _select_lookups, get_shaper
+from .shaper import (
+    DEFAULT_GSUB_FEATURES,
+    _joining_class,
+    _select_lookups,
+    get_shaper,
+)
 from .typefaces import get_typeface
 
 MAGIC = 0x46445450  # 'FDTP'
-VERSION = 2
+VERSION = 3
 
 # entry kinds (within a lookup record)
 K_SINGLE = 1     # count x {u16 from, u16 to}                     sorted by from
@@ -103,7 +122,22 @@ F_GPOS_DROPPED = 1 << 2
 F_HAS_CURSIVE = 1 << 3
 F_HAS_MARKS = 1 << 4
 F_FEATURES_REDUCED = 1 << 5
+F_ARABIC_REDUCED = 1 << 6
 MARK_BIT = 0x80  # gdef byte: attach-capable mark (GPOS 4/5/6 coverage)
+
+# v3 staged Arabic: stage feature sets in shaper._substitute_arabic order
+# (ARABIC_POSITIONAL's Syriac-only fin2/fin3/med2 are not in the default
+# feature set, so the Python pipeline skips them — 7 stages remain). The
+# final 'rest' stage is feats - {ccmp, locl, rlig} - positional.
+ARABIC_STAGE_FEATURES = (
+    frozenset({"ccmp", "locl"}),
+    frozenset({"isol"}),
+    frozenset({"fina"}),
+    frozenset({"medi"}),
+    frozenset({"init"}),
+    frozenset({"rlig"}),
+    frozenset(DEFAULT_GSUB_FEATURES) - {"ccmp", "locl", "rlig"},
+)
 
 # v2 exports the full default plan — kept for callers/tests that reference
 # the v1 reduced set
@@ -443,18 +477,32 @@ def build_font_pack(typeface_id: int) -> bytes:
     pos_blobs = bytearray()
     pos_plan: List[int] = []
     n_pos = 0
+    arab_plans: List[List[int]] = [[] for _ in ARABIC_STAGE_FEATURES]
     if shaper is not None and shaper._gsub is not None:
         table = shaper._gsub.table
         plan_lis = _select_lookups(table, set(DEFAULT_GSUB_FEATURES))
-        order, limap = _collect_lookups(plan_lis, shaper._compile_lookup)
+        # lookups only the Arabic positional stages reach (isol/fina/medi/
+        # init are not default features) join the pool; a serialization drop
+        # there flags F_ARABIC_REDUCED (Arabic runs refuse), not
+        # F_GSUB_DROPPED (which would refuse ALL text from the pack)
+        default_reachable = set(
+            _collect_lookups(plan_lis, shaper._compile_lookup)[0])
+        stage_lis = [_select_lookups(table, set(fs))
+                     for fs in ARABIC_STAGE_FEATURES]
+        all_lis = list(plan_lis)
+        for lis in stage_lis:
+            all_lis.extend(lis)
+        order, limap = _collect_lookups(all_lis, shaper._compile_lookup)
         sub_plan = [limap[li] for li in plan_lis]
+        arab_plans = [[limap[li] for li in lis] for lis in stage_lis]
         for li in order:
             skip, entries, _trig = shaper._compile_lookup(li)
             packed = []
             for entry in entries:
                 p = _pack_gsub_entry(ctx, entry, limap)
                 if p is None:
-                    ctx.flags |= F_GSUB_DROPPED
+                    ctx.flags |= (F_GSUB_DROPPED if li in default_reachable
+                                  else F_ARABIC_REDUCED)
                 else:
                     packed.append(p)
             _emit_record(tf, sub_blobs, skip, packed)
@@ -577,6 +625,18 @@ def build_font_pack(typeface_id: int) -> bytes:
     for lg, rg, v in kern0:
         out += struct.pack("<HHhh", lg, rg, v, 0)
     out += anchors_out
+    # --- v3 staged Arabic: joining classes + per-stage plan arrays --------
+    cls_code = {"U": 0, "R": 1, "D": 2, "T": 3}
+    join = bytearray()
+    for cp in range(0x0600, 0x0700):
+        join.append(cls_code[_joining_class(cp)])
+    for cp in range(0x0750, 0x0780):
+        join.append(cls_code[_joining_class(cp)])
+    assert len(join) == 304  # 4-aligned by construction
+    out += bytes(join)
+    for plan in arab_plans:
+        out += struct.pack("<I", len(plan))
+        out += struct.pack("<%dI" % len(plan), *plan) if plan else b""
     return bytes(out)
 
 

@@ -43,7 +43,8 @@ _packs: Dict[int, Tuple[bytes, int]] = {}  # typeface_id -> (blob, handle)
 
 class NativeTypesetUnsupported(Exception):
     """The text is outside the native boundary (offset-less API with marks,
-    a staged-script run, or a reduced pack) — shape it in Python."""
+    an Indic/USE syllable-script run, or a reduced pack) — shape it in
+    Python. Arabic shapes natively since FDTP v3."""
 
 
 def _build() -> None:
@@ -198,7 +199,8 @@ def _retrying_call(name, call, n_cps):
                 "the offset-less API cannot place attach-capable marks")
         if n == E_SCRIPT:
             raise NativeTypesetUnsupported(
-                "text needs a staged shaping pipeline (Arabic/Indic/USE)")
+                "text needs a syllable shaping pipeline (Indic/USE "
+                "reordering)")
         if n == E_REDUCED:
             raise NativeTypesetUnsupported(
                 "pack is reduced vs the Python plan; opt in with "

@@ -4,23 +4,27 @@
  * dynlib's typeset exports (/root/reference/src/figdraw/bindings/
  * native_bindings.nim:1-628). Shaping itself is a Python subsystem
  * (figdraw_tpu/text/shaper.py over fontTools); a C host instead consumes a
- * COMPILED FONT PACK (FDTP v2, produced offline by
+ * COMPILED FONT PACK (FDTP v3, produced offline by
  * figdraw_tpu.text.native_pack.save_font_pack) holding the typeface's
  * metrics plus the shaper's own compiled default-feature plan: single /
  * multiple / ligature / (chain-)contextual / reverse-chain GSUB (with
  * nested lookup application — calt/rclt fonts like FiraCode shape
  * natively), the kern/dist GPOS lookups incl. contextual kerning, GPOS 3
  * cursive chaining, and the GPOS 4/5/6 mark-to-base / mark-to-ligature /
- * mark-to-mark anchor tables. This engine re-applies that plan with
- * semantics identical to the Python pipeline — gids, advances, clusters
- * AND mark offsets match glyph-for-glyph (tests/test_native_typeset.py).
+ * mark-to-mark anchor tables. v3 packs additionally carry the staged
+ * ARABIC pipeline (Unicode joining classes + per-stage positional plans):
+ * Arabic text shapes natively with HarfBuzz-style masked isol/fina/medi/
+ * init stages — Noto Naskh-class fonts (ccmp skeleton+dot decomposition,
+ * shared positional lookups) shape identically to Python. This engine
+ * re-applies the plans with semantics identical to the Python pipeline —
+ * gids, advances, clusters AND mark offsets match glyph-for-glyph
+ * (tests/test_native_typeset.py).
  *
- * The remaining boundary is the STAGED pipelines: Arabic/Indic/USE text
- * needs masked per-stage lookup application and returns
- * FD_TYPESET_E_SCRIPT rather than a mis-shaped stream (docs/native_api.md).
- * Bidi reordering also stays host-side: fd_typeset_shape_ex takes the
- * run's direction like a HarfBuzz buffer; fd_typeset_line / fd_typeset_box
- * lay out LTR.
+ * The remaining boundary is the Indic/USE SYLLABLE pipelines (per-syllable
+ * masks + glyph reordering) which return FD_TYPESET_E_SCRIPT rather than a
+ * mis-shaped stream (docs/native_api.md). Bidi reordering also stays
+ * host-side: fd_typeset_shape_ex takes the run's direction like a HarfBuzz
+ * buffer; fd_typeset_line / fd_typeset_box lay out LTR.
  */
 #ifndef FIGDRAW_TYPESET_H
 #define FIGDRAW_TYPESET_H
@@ -42,9 +46,9 @@ typedef struct FdFontPack FdFontPack;
 #define FD_TYPESET_E_REDUCED (-3) /* pack carries FD_PACK_FEATURES_REDUCED
                                  * and the host did not opt into divergence
                                  * (fd_pack_set_allow_reduced) */
-#define FD_TYPESET_E_SCRIPT (-4) /* text needs a staged shaping pipeline
-                                 * (Arabic/Indic/USE) — typeset it through
-                                 * the Python pipeline */
+#define FD_TYPESET_E_SCRIPT (-4) /* text needs a syllable shaping pipeline
+                                 * (Indic/USE reordering) — typeset it
+                                 * through the Python pipeline */
 #define FD_TYPESET_E_OFFSETS (-5) /* the offset-less fd_typeset_shape cannot
                                  * express this run's nonzero vertical
                                  * positioning (GPOS cursive entry/exit dy)
@@ -63,8 +67,12 @@ typedef struct FdFontPack FdFontPack;
                                  * from such a pack REFUSES by default with
                                  * FD_TYPESET_E_REDUCED; opt into divergence
                                  * with fd_pack_set_allow_reduced */
+#define FD_PACK_ARABIC_REDUCED (1u << 6) /* an ARABIC-stage-only lookup lost
+                                 * entries: Arabic runs refuse by default
+                                 * (same opt-in); non-Arabic text is
+                                 * unaffected */
 
-/* Parse an FDTP v2 blob (the bytes of a .fdtp file). The blob is copied;
+/* Parse an FDTP v3 blob (the bytes of a .fdtp file). The blob is copied;
  * returns NULL on a malformed/truncated blob or wrong magic/version. */
 FdFontPack *fd_pack_load(const void *blob, int32_t len);
 void fd_pack_free(FdFontPack *pack);

@@ -1,4 +1,4 @@
-// figdraw_tpu native typesetter: FDTP v2 font-pack engine.
+// figdraw_tpu native typesetter: FDTP v3 font-pack engine.
 //
 // Re-applies the compiled OpenType plan serialized by
 // figdraw_tpu/text/native_pack.py with semantics IDENTICAL to the Python
@@ -12,12 +12,17 @@
 // shaper._try_entry_at's ctx branch), reverse-chain substitution, GPOS 3
 // cursive chaining, GPOS 4/5/6 mark attachment (mark-to-base / ligature
 // component / mark stacking — layout.py:667-752's attach loop), and the
-// HarfBuzz Thai/Lao SARA AM preprocess.
+// HarfBuzz Thai/Lao SARA AM preprocess. v3 adds the staged ARABIC pipeline
+// (shaper._substitute_arabic): per-position joining analysis from the
+// pack's Unicode joining classes, then HarfBuzz-style masked stages —
+// ccmp+locl, isol/fina/medi/init (each applied only at tagged positions,
+// tags surviving decomposition and ligation), rlig, and the remaining
+// common features.
 // tests/test_native_typeset.py pins this engine glyph-for-glyph against the
 // Python pipeline.
 //
-// Scope: the STAGED pipelines stay Python-side — Arabic/Indic/USE text
-// needs masked per-stage lookup application and returns
+// Scope: the Indic/USE SYLLABLE pipelines stay Python-side — they need
+// per-syllable masks and glyph REORDERING, and such text returns
 // FD_TYPESET_E_SCRIPT rather than a mis-shaped stream (docs/native_api.md).
 // fd_typeset_shape (the offset-less advance-stream API) keeps refusing
 // attach-capable marks with FD_TYPESET_E_MARKS; fd_typeset_shape_ex /
@@ -35,7 +40,7 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x46445450;  // 'FDTP'
-constexpr uint32_t kVersion = 2;
+constexpr uint32_t kVersion = 3;
 constexpr uint8_t kMarkBit = 0x80;  // gdef byte: attach-capable mark
 constexpr uint8_t kClassMask = 0x7F;
 
@@ -162,6 +167,11 @@ struct FdFontPack {
   std::vector<MarkBaseTable> mark_base;
   std::vector<MarkLigTable> mark_lig;
   std::vector<MarkBaseTable> mark_mark;  // marks=marks1, bases=mark2 anchors
+  // v3 staged Arabic: joining classes (0=U 1=R 2=D 3=T) for U+0600..U+06FF
+  // then U+0750..U+077F, and the 7 stage plans in _substitute_arabic order
+  // (ccmp+locl, isol, fina, medi, init, rlig, rest)
+  uint8_t arab_join[304] = {0};
+  std::vector<uint32_t> arab_plans[7];
 };
 
 namespace {
@@ -497,6 +507,22 @@ inline long prev_pos(const FdFontPack *pk, const Lookup &L,
 // tags a skipped mark with the 0-based component it logically follows
 using Comps = std::vector<std::pair<uint16_t, int16_t>>;
 
+// ---- HarfBuzz-style stage masks (shaper._mask_ok) -----------------------------
+//
+// Staged Arabic shaping tags each position with the positional features it
+// may participate in (bit per tag; 0 = none, the Python pipeline's None).
+// A masked stage (`req` != 0) only matches input glyphs carrying the bit —
+// a mismatching glyph FAILS the match, it is not skipped. Unmasked stages
+// (req == 0) ignore masks but still thread them through substitutions so
+// tags survive decomposition and ligation.
+using Masks = std::vector<uint8_t>;
+constexpr uint8_t M_ISOL = 1, M_FINA = 2, M_MEDI = 4, M_INIT = 8;
+
+inline bool mask_ok(const Masks *mk, uint8_t req, size_t pos) {
+  if (!req || mk == nullptr) return true;
+  return pos < mk->size() && ((*mk)[pos] & req) != 0;
+}
+
 // ---- (chain) context matching (shaper._match_ctx) ----------------------------
 
 // Matches backtrack / input-rest / lookahead around position i with flag
@@ -506,7 +532,8 @@ template <typename BtF, typename InF, typename LaF>
 bool match_ctx(const FdFontPack *pk, const Lookup &L,
                const std::vector<uint16_t> &g, size_t i, size_t n_bt,
                size_t n_inp, size_t n_la, BtF btv, InF inv, LaF lav,
-               std::vector<size_t> &input_pos) {
+               std::vector<size_t> &input_pos, const Masks *mk = nullptr,
+               uint8_t req = 0) {
   long j = (long)i;
   for (size_t k = 0; k < n_bt; k++) {  // closest-first order
     j = prev_pos(pk, L, g, j - 1);
@@ -517,7 +544,10 @@ bool match_ctx(const FdFontPack *pk, const Lookup &L,
   size_t jj = i;
   for (size_t k = 0; k < n_inp; k++) {
     jj = next_pos(pk, L, g, jj + 1);
-    if (jj >= g.size() || !inv(k, g[jj])) return false;
+    // input glyphs must carry the stage's mask; backtrack/lookahead are
+    // not mask-checked (HarfBuzz semantics, shaper._match_ctx)
+    if (jj >= g.size() || !inv(k, g[jj]) || !mask_ok(mk, req, jj))
+      return false;
     input_pos.push_back(jj);
   }
   jj = input_pos.back();
@@ -532,7 +562,8 @@ bool match_ctx(const FdFontPack *pk, const Lookup &L,
 
 long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                    std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                   Comps &comps, size_t i);
+                   Comps &comps, size_t i, Masks *mk = nullptr,
+                   uint8_t req = 0);
 
 // nested lookups run at the recorded INPUT indices; earlier records may
 // change the sequence length, shifting later positions (shaper's ctx branch)
@@ -540,7 +571,7 @@ long apply_nested_sub(const FdFontPack *pk,
                       const std::vector<std::pair<uint16_t, uint16_t>> &recs,
                       const std::vector<size_t> &input_pos,
                       std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                      Comps &comps) {
+                      Comps &comps, Masks *mk = nullptr, uint8_t req = 0) {
   long end = (long)input_pos.back() + 1;
   long delta = 0;
   for (auto [seq_idx, nli] : recs) {
@@ -551,7 +582,8 @@ long apply_nested_sub(const FdFontPack *pk,
     if (skipped(pk, NL, g[(size_t)pos])) continue;
     long before = (long)g.size();
     for (const Entry &ne : NL.entries)
-      if (try_sub_entry(pk, NL, ne, g, cl, comps, (size_t)pos) >= 0) break;
+      if (try_sub_entry(pk, NL, ne, g, cl, comps, (size_t)pos, mk, req) >= 0)
+        break;
     delta += (long)g.size() - before;
   }
   return end + delta;
@@ -560,7 +592,7 @@ long apply_nested_sub(const FdFontPack *pk,
 // Returns the next cursor position on match, or -1.
 long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                    std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                   Comps &comps, size_t i) {
+                   Comps &comps, size_t i, Masks *mk, uint8_t req) {
   switch (e.kind) {
     case K_SINGLE: {
       size_t lo = 0, hi = e.single.size();
@@ -583,6 +615,7 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         g.erase(g.begin() + i);
         cl.erase(cl.begin() + i);
         comps.erase(comps.begin() + i);
+        if (mk) mk->erase(mk->begin() + i);
         return (long)i;
       }
       uint32_t c = cl[i];  // decomposed glyphs inherit the source cluster
@@ -592,6 +625,11 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
       cl.insert(cl.begin() + i, seq.size(), c);
       comps.erase(comps.begin() + i);
       comps.insert(comps.begin() + i, seq.size(), {1, -1});
+      if (mk) {  // decomposed glyphs inherit the source mask
+        uint8_t m = (*mk)[i];
+        mk->erase(mk->begin() + i);
+        mk->insert(mk->begin() + i, seq.size(), m);
+      }
       return (long)(i + seq.size());
     }
     case K_LIGA: {
@@ -603,7 +641,7 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         bool okm = true;
         for (uint16_t comp : cand.rest) {
           j = next_pos(pk, L, g, j);
-          if (j >= g.size() || g[j] != comp) {
+          if (j >= g.size() || g[j] != comp || !mask_ok(mk, req, j)) {
             okm = false;
             break;
           }
@@ -624,6 +662,7 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
           g.erase(g.begin() + pos[k]);
           cl.erase(cl.begin() + pos[k]);
           comps.erase(comps.begin() + pos[k]);
+          if (mk) mk->erase(mk->begin() + pos[k]);
         }
         return (long)i + 1;
       }
@@ -663,8 +702,9 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         };
         if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
                       rule.la.size(), gv(&rule.bt), gv(&rule.inp),
-                      gv(&rule.la), input_pos))
-          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps);
+                      gv(&rule.la), input_pos, mk, req))
+          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps,
+                                  mk, req);
       }
       return -1;
     }
@@ -685,8 +725,9 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
                       rule.la.size(), cv(&rule.bt, &t.bt_cd),
                       cv(&rule.inp, &t.in_cd), cv(&rule.la, &t.la_cd),
-                      input_pos))
-          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps);
+                      input_pos, mk, req))
+          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps,
+                                  mk, req);
       }
       return -1;
     }
@@ -701,9 +742,10 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         };
       };
       if (!match_ctx(pk, L, g, i, t.bt.size(), t.inp.size() - 1, t.la.size(),
-                     sv(&t.bt, 0), sv(&t.inp, 1), sv(&t.la, 0), input_pos))
+                     sv(&t.bt, 0), sv(&t.inp, 1), sv(&t.la, 0), input_pos,
+                     mk, req))
         return -1;
-      return apply_nested_sub(pk, t.recs, input_pos, g, cl, comps);
+      return apply_nested_sub(pk, t.recs, input_pos, g, cl, comps, mk, req);
     }
     default:
       return -1;
@@ -1038,6 +1080,24 @@ FdFontPack *fd_pack_load(const void *blob, int32_t len) {
         ok = parse_marks(mm.marks) && parse_anchor_map(mm.bases);
         if (ok) pk->mark_mark.push_back(std::move(mm));
       }
+      // ---- v3 staged Arabic: joining classes + stage plans ---------------
+      if (ok && r.need(sizeof(pk->arab_join))) {
+        std::memcpy(pk->arab_join, r.p, sizeof(pk->arab_join));
+        r.p += sizeof(pk->arab_join);
+      } else {
+        ok = false;
+      }
+      for (int t = 0; t < 7 && ok; t++) {
+        uint32_t np = r.u32();
+        ok = r.can(np, 4) && np <= (1u << 16);
+        if (!ok) break;
+        pk->arab_plans[t].resize(np);
+        for (uint32_t k = 0; k < np; k++) {
+          uint32_t idx = r.u32();
+          if (idx >= n_sub) ok = false;
+          pk->arab_plans[t][k] = idx;
+        }
+      }
     }
   }
   if (!ok || !r.ok) {
@@ -1094,13 +1154,56 @@ float fd_pack_advance(const FdFontPack *pack, uint32_t gid) {
 
 namespace {
 
-// staged-script pipelines (masked per-stage lookup application:
-// shaper._substitute_arabic/_indic/_use) stay Python-side — mirror
-// substitute_ex's routing (shaper.py:626-635)
+// v3 shapes Arabic natively (staged masked pipeline below); the Indic/USE
+// syllable pipelines (reordering + per-syllable masks:
+// shaper._substitute_indic/_use) stay Python-side — mirror substitute_ex's
+// routing (shaper.py:626-640)
+inline bool arabic_script_cp(uint32_t cp) {  // shaper._is_arabic_script
+  return (cp >= 0x0600 && cp <= 0x06FF) || (cp >= 0x0750 && cp <= 0x077F);
+}
+
 inline bool staged_script_cp(uint32_t cp) {
-  return (cp >= 0x0600 && cp <= 0x06FF) || (cp >= 0x0750 && cp <= 0x077F) ||
-         (cp >= 0x0900 && cp <= 0x097F) || (cp >= 0x1780 && cp <= 0x17FF) ||
+  return (cp >= 0x0900 && cp <= 0x097F) || (cp >= 0x1780 && cp <= 0x17FF) ||
          (cp >= 0x1000 && cp <= 0x109F);
+}
+
+// Unicode joining class from the pack's table (shaper._joining_class,
+// evaluated at pack build): 0=U 1=R 2=D 3=T
+constexpr uint8_t J_U = 0, J_R = 1, J_D = 2, J_T = 3;
+
+inline uint8_t joining_class(const FdFontPack *pk, uint32_t cp) {
+  if (cp >= 0x0600 && cp <= 0x06FF) return pk->arab_join[cp - 0x0600];
+  if (cp >= 0x0750 && cp <= 0x077F) return pk->arab_join[256 + cp - 0x0750];
+  return J_U;
+}
+
+// per-character positional mask in logical order (shaper.arabic_forms +
+// the mask construction in _substitute_arabic: '' → isol; non-Arabic or
+// transparent positions carry no tag at all — 0 fails every masked stage)
+void arabic_masks(const FdFontPack *pk, const std::vector<uint32_t> &cps,
+                  Masks &mk) {
+  size_t n = cps.size();
+  std::vector<uint8_t> cls(n);
+  for (size_t k = 0; k < n; k++) cls[k] = joining_class(pk, cps[k]);
+  mk.assign(n, 0);
+  for (size_t k = 0; k < n; k++) {
+    if (!arabic_script_cp(cps[k]) || cls[k] == J_T) continue;  // None
+    if (cls[k] != J_R && cls[k] != J_D) {
+      mk[k] = M_ISOL;  // '' form defaults to the isol tag
+      continue;
+    }
+    long j = (long)k - 1;  // previous non-transparent connects forward?
+    while (j >= 0 && cls[(size_t)j] == J_T) j--;
+    bool before = j >= 0 && cls[(size_t)j] == J_D;
+    size_t q = k + 1;  // next non-transparent connects backward?
+    while (q < n && cls[q] == J_T) q++;
+    bool after = cls[k] == J_D && q < n &&
+                 (cls[q] == J_R || cls[q] == J_D);
+    mk[k] = (before && after) ? M_MEDI
+            : before          ? M_FINA
+            : after           ? M_INIT
+                              : M_ISOL;
+  }
 }
 
 // HarfBuzz's Thai/Lao above-base-mark sets (shaper._THAI_ABOVE_MARKS;
@@ -1175,18 +1278,87 @@ struct ShapeOut {
   Comps comps;
 };
 
-// cmap + Thai preprocess + the GSUB plan (in plan order, rchain lookups
-// walking last-to-first — shaper._apply_plan)
+// one plan pass over the run (shaper._apply_plan): rchain lookups walk
+// last-to-first; masked stages (`req` != 0) only start matches at tagged
+// positions, and input glyphs inside a match must carry the tag too
+void apply_sub_plan(const FdFontPack *pk, const std::vector<uint32_t> &plan,
+                    ShapeOut &out, Masks *mk, uint8_t req) {
+  for (uint32_t pi : plan) {
+    const Lookup &L = pk->gsub[pi];
+    if (L.entries.empty()) continue;
+    if (L.entries[0].kind == K_RCHAIN) {
+      // reverse chaining lookups walk the sequence last-to-first
+      for (long i = (long)out.g.size() - 1; i >= 0; i--) {
+        if (skipped(pk, L, out.g[(size_t)i]) ||
+            !mask_ok(mk, req, (size_t)i))
+          continue;
+        for (const Entry &e : L.entries)
+          if (try_sub_entry(pk, L, e, out.g, out.cl, out.comps, (size_t)i,
+                            mk, req) >= 0)
+            break;
+      }
+      continue;
+    }
+    size_t i = 0;
+    while (i < out.g.size()) {
+      if (skipped(pk, L, out.g[i]) || !mask_ok(mk, req, i)) {
+        i++;
+        continue;
+      }
+      long nxt = -1;
+      for (const Entry &e : L.entries) {
+        nxt = try_sub_entry(pk, L, e, out.g, out.cl, out.comps, i, mk, req);
+        if (nxt >= 0) break;
+      }
+      i = nxt >= 0 ? (size_t)nxt : i + 1;
+    }
+  }
+}
+
+// cmap + Thai preprocess + the GSUB plan (in plan order) for generic runs;
+// Arabic-script runs take the staged masked pipeline
+// (shaper._substitute_arabic): ccmp+locl riding the masks, one masked
+// stage per positional feature in joining-analysis order, then rlig and
+// the remaining common features unmasked (masks still threaded so tags
+// survive decomposition/ligation)
 int32_t shape_core(const FdFontPack *pk, const uint32_t *cps, int32_t n,
                    ShapeOut &out) {
   if (n < 0) return FD_TYPESET_E_CAP;
   if ((pk->flags & FD_PACK_FEATURES_REDUCED) && !pk->allow_reduced)
     return FD_TYPESET_E_REDUCED;
-  bool has_am = false;
+  bool has_am = false, has_arabic = false, has_staged = false;
   for (int32_t k = 0; k < n; k++) {
-    if (staged_script_cp(cps[k])) return FD_TYPESET_E_SCRIPT;
+    if (arabic_script_cp(cps[k])) has_arabic = true;
+    if (staged_script_cp(cps[k])) has_staged = true;
     if (cps[k] == 0x0E33 || cps[k] == 0x0EB3) has_am = true;
   }
+  // routing mirrors substitute_ex's elif chain (shaper.py:631-640): any
+  // Arabic routes the WHOLE run through the Arabic stages (non-Arabic
+  // positions carry no positional tag); otherwise Indic/USE refuse and
+  // Thai gets its SARA AM preprocess before the generic plan
+  if (has_arabic) {
+    if ((pk->flags & FD_PACK_ARABIC_REDUCED) && !pk->allow_reduced)
+      return FD_TYPESET_E_REDUCED;
+    std::vector<uint32_t> cpv(cps, cps + n);
+    size_t m = cpv.size();
+    out.g.resize(m);
+    out.cl.resize(m);
+    out.comps.assign(m, {1, -1});
+    for (size_t k = 0; k < m; k++) {
+      out.g[k] = (uint16_t)fd_pack_glyph_id(pk, cpv[k]);
+      out.cl[k] = (uint32_t)k;
+    }
+    Masks mk;
+    arabic_masks(pk, cpv, mk);
+    apply_sub_plan(pk, pk->arab_plans[0], out, &mk, 0);  // ccmp + locl
+    static const uint8_t stage_bits[4] = {M_ISOL, M_FINA, M_MEDI, M_INIT};
+    for (int t = 0; t < 4; t++)
+      apply_sub_plan(pk, pk->arab_plans[1 + t], out, &mk, stage_bits[t]);
+    apply_sub_plan(pk, pk->arab_plans[5], out, &mk, 0);  // rlig
+    apply_sub_plan(pk, pk->arab_plans[6], out, &mk, 0);  // liga/clig/calt/rclt
+    return (int32_t)out.g.size();
+  }
+  if (has_staged) return FD_TYPESET_E_SCRIPT;
   std::vector<uint32_t> cpv(cps, cps + n);
   std::vector<uint32_t> clv((size_t)n);
   for (int32_t k = 0; k < n; k++) clv[k] = (uint32_t)k;
@@ -1197,35 +1369,7 @@ int32_t shape_core(const FdFontPack *pk, const uint32_t *cps, int32_t n,
   out.comps.assign(m, {1, -1});
   for (size_t k = 0; k < m; k++)
     out.g[k] = (uint16_t)fd_pack_glyph_id(pk, cpv[k]);
-
-  for (uint32_t pi : pk->sub_plan) {
-    const Lookup &L = pk->gsub[pi];
-    if (L.entries.empty()) continue;
-    if (L.entries[0].kind == K_RCHAIN) {
-      // reverse chaining lookups walk the sequence last-to-first
-      for (long i = (long)out.g.size() - 1; i >= 0; i--) {
-        if (skipped(pk, L, out.g[(size_t)i])) continue;
-        for (const Entry &e : L.entries)
-          if (try_sub_entry(pk, L, e, out.g, out.cl, out.comps,
-                            (size_t)i) >= 0)
-            break;
-      }
-      continue;
-    }
-    size_t i = 0;
-    while (i < out.g.size()) {
-      if (skipped(pk, L, out.g[i])) {
-        i++;
-        continue;
-      }
-      long nxt = -1;
-      for (const Entry &e : L.entries) {
-        nxt = try_sub_entry(pk, L, e, out.g, out.cl, out.comps, i);
-        if (nxt >= 0) break;
-      }
-      i = nxt >= 0 ? (size_t)nxt : i + 1;
-    }
-  }
+  apply_sub_plan(pk, pk->sub_plan, out, nullptr, 0);
   return (int32_t)out.g.size();
 }
 

@@ -74,7 +74,7 @@ def test_pack_header_and_metrics():
     tid = load_typeface(DEJAVU)
     blob = build_font_pack(tid)
     magic, ver = struct.unpack_from("<II", blob, 0)
-    assert magic == 0x46445450 and ver == 2
+    assert magic == 0x46445450 and ver == 3
     tf = get_typeface(tid)
     upem, asc, desc, gap = nt.metrics(tid)
     assert (upem, asc, desc, gap) == (
@@ -435,16 +435,123 @@ def test_hebrew_niqqud_shape_ex_matches_python():
         assert saw_mark  # niqqud actually anchored with zero advance
 
 
-def test_staged_scripts_refused_loudly():
-    """Arabic/Indic text needs the masked staged pipelines — the C engine
-    refuses (FD_TYPESET_E_SCRIPT) instead of emitting isolated-form or
-    unreordered streams."""
+def test_syllable_scripts_refused_loudly():
+    """Indic/USE text needs per-syllable masks + glyph REORDERING — the C
+    engine refuses (FD_TYPESET_E_SCRIPT) instead of emitting unreordered
+    streams. (Arabic shapes natively since FDTP v3 — tests below.)"""
+    tid = load_typeface(DEVANAGARI)
+    with pytest.raises(nt.NativeTypesetUnsupported, match="syllable"):
+        nt.shape_ex(tid, "\u0915\u0930\u094d\u092e")
+    # Khmer/Myanmar codepoints refuse even via the DejaVu pack (the gate is
+    # the codepoint range, before any lookup runs)
+    tid2 = load_typeface(DEJAVU)
+    with pytest.raises(nt.NativeTypesetUnsupported, match="syllable"):
+        nt.shape_ex(tid2, "\u1780\u17d2\u1798")
+    with pytest.raises(nt.NativeTypesetUnsupported, match="syllable"):
+        nt.shape_ex(tid2, "\u1000\u103c")
+
+
+# ---- staged Arabic (FDTP v3) --------------------------------------------------
+
+def _py_shape_ex_stream(tid, text):
+    """The Python pipeline's full shaping stream: substitute_ex with source
+    codepoints (routes Arabic runs through the staged positional pipeline
+    exactly like layout.py's segment loop)."""
+    tf = get_typeface(tid)
+    shaper = get_shaper(tf)
+    cps = [ord(c) for c in text]
+    names = [tf.glyph_name(tf.glyph_id(cp)) for cp in cps]
+    clusters = [(i, i + 1) for i in range(len(cps))]
+    names, clusters, _ = shaper.substitute_ex(
+        names, clusters, frozenset(DEFAULT_GSUB_FEATURES), None, cps=cps)
+    return [tf._name_to_gid.get(n, 0) for n in names], \
+        [c[0] for c in clusters]
+
+
+def test_arabic_naskh_shape_ex_matches_layout():
+    """Noto Naskh Arabic end-to-end: the staged masked pipeline (ccmp
+    skeleton+dot decomposition, shared positional lookups, rlig lam-alef)
+    PLUS mark anchoring must reproduce layout.py's arrangement bit-exactly
+    — the reference shapes this through HarfBuzz's Arabic shaper
+    (harfbuzzy.nim; surfer_text_shaping_demo class scenes)."""
     tid = load_typeface(NASKH)
-    with pytest.raises(nt.NativeTypesetUnsupported, match="staged"):
-        nt.shape_ex(tid, "\u0633\u0644\u0627\u0645")
-    tid2 = load_typeface(DEVANAGARI)
-    with pytest.raises(nt.NativeTypesetUnsupported, match="staged"):
-        nt.shape_ex(tid2, "\u0915\u0930\u094d\u092e")
+    tf = get_typeface(tid)
+    size = 30.0
+    rs = size / tf.units_per_em
+    for text in ("\u0633\u0644\u0627\u0645",                  # salam
+                 "\u0627\u0644\u0639\u0631\u0628\u064a\u0629",  # al-arabiya
+                 "\u0628\u0633\u0645 \u0627\u0644\u0644\u0647",  # basmala
+                 "\u0645\u064f\u062d\u064e\u0645\u0651\u062f"):  # harakat
+        font = FigFont(typeface_id=tid, size=size)
+        arr = typeset(vec2(100000, 100),
+                      [(font, fill(rgba(0, 0, 0, 255)), text)])
+        want = arr.arranged_glyphs
+        gids, adv, dx, dy, clus = nt.shape_ex(tid, text, rtl=True)
+        assert len(gids) == len(want), text
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (text, k)
+            assert abs(float(adv[k]) * rs - g.advance.x) < 1e-6, (text, k)
+            assert abs(float(dx[k]) * rs - g.offset.x) < 1e-6, (text, k)
+            assert abs(-float(dy[k]) * rs - g.offset.y) < 1e-6, (text, k)
+
+
+def test_arabic_positional_forms_actually_fire():
+    """The masked stages must select DIFFERENT glyphs per position: BEH
+    inside a word takes init/medi/fina forms distinct from its isolated
+    form, proving the positional lookups fired at the joining analysis'
+    positions rather than a global pass."""
+    tid = load_typeface(NASKH)
+    gi_iso, _, _, _, _ = nt.shape_ex(tid, "\u0628")  # isolated beh
+    gi_word, _, _, _, _ = nt.shape_ex(tid, "\u0628\u0628\u0628")
+    assert len(set(int(g) for g in gi_word)) >= 2
+    assert int(gi_iso[0]) != int(gi_word[0])
+
+
+def test_arabic_lam_alef_ligature_dejavu():
+    """DejaVu's rlig lam-alef must ligate identically to the Python staged
+    path (the reference pins uniFEFB on this font); mark-free, so the
+    offset-less API also accepts it."""
+    tid = load_typeface(DEJAVU)
+    text = "\u0644\u0627"  # lam + alef
+    pg, pc = _py_shape_ex_stream(tid, text)
+    assert len(pg) == 1  # actually ligated
+    cg, ca, cc = nt.shape(tid, text)
+    assert list(cg) == pg and list(cc) == pc
+
+
+def test_arabic_mixed_and_fuzz_parity():
+    """Mixed Arabic/Latin runs and 120 seeded random strings (letters from
+    both Arabic blocks, harakat marks, tatweel, digits, Latin) shape
+    glyph-for-glyph equal to Python on Naskh and DejaVu."""
+    import random
+
+    rng = random.Random(1234)
+    letters = (list(range(0x0621, 0x064B)) + [0x0640]
+               + list(range(0x0660, 0x066A))
+               + list(range(0x0671, 0x06D4))
+               + list(range(0x0750, 0x0780)))
+    marks = list(range(0x064B, 0x0660)) + [0x0670]
+    latin = [ord(c) for c in "ab X."]
+    tids = [load_typeface(NASKH), load_typeface(DEJAVU)]
+    cases = ["abc \u0633\u0644\u0627\u0645 xyz"]
+    for _ in range(120):
+        n = rng.randint(1, 12)
+        cps = []
+        for _k in range(n):
+            r = rng.random()
+            if r < 0.55:
+                cps.append(rng.choice(letters))
+            elif r < 0.8:
+                cps.append(rng.choice(marks))
+            else:
+                cps.append(rng.choice(latin))
+        cases.append("".join(chr(c) for c in cps))
+    for i, text in enumerate(cases):
+        tid = tids[i % 2]
+        pg, pc = _py_shape_ex_stream(tid, text)
+        cg, _, _, _, cc = nt.shape_ex(tid, text)
+        assert list(cg) == pg, (text, [hex(ord(c)) for c in text])
+        assert list(cc) == pc, text
 
 
 def _build_fea_font(tmp_path, filename, cmap, fea):

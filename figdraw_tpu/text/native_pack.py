@@ -1,4 +1,4 @@
-"""Compiled font packs for the native C typesetter (FDTP v2).
+"""Compiled font packs for the native C typesetter (FDTP v4).
 
 The reference's dynlib exports the WHOLE text API to C hosts
 (/root/reference/src/figdraw/bindings/native_bindings.nim:1-628 typeset/
@@ -20,15 +20,19 @@ carries the Unicode joining classes for the Arabic blocks plus seven
 per-stage plan arrays (ccmp+locl, isol, fina, medi, init, rlig, rest) so
 the C engine can run HarfBuzz-style masked positional shaping — Noto
 Naskh-class fonts (skeleton+dot ccmp decomposition, shared positional
-lookups) shape glyph-for-glyph equal to Python. The remaining refusal
-boundary is the Indic/USE syllable pipelines (reordering + per-syllable
-masks, shaper._substitute_indic/_use) — rejected with FD_TYPESET_E_SCRIPT
-rather than mis-shaped; everything else (Latin-class scripts WITH combining
-marks, Hebrew niqqud, Arabic, FiraCode-class contextual alternates) shapes
+lookups) shape glyph-for-glyph equal to Python.
+
+v4 adds the SYLLABLE pipelines (shaper._substitute_indic/_use): 21 more
+stage plan arrays (Devanagari basic+presentation, Khmer, Myanmar) — the C
+engine carries the syllable segmentation, base/reph analysis, positional
+masks and reordering natively, so FD_TYPESET_E_SCRIPT is no longer
+returned for any script the Python pipeline stages; everything (Latin-class
+scripts WITH combining marks, Hebrew niqqud, Arabic, Devanagari, Khmer,
+Myanmar, Thai/Lao, FiraCode-class contextual alternates) shapes
 glyph-for-glyph equal to the Python pipeline (tests/test_native_typeset.py).
 
 Blob layout (all little-endian, naturally aligned):
-  header:  u32 magic 'FDTP'  u32 version=2
+  header:  u32 magic 'FDTP'  u32 version=4
            f32 upem  f32 ascent  f32 descent  f32 line_gap   (font units)
            u32 n_glyphs  u32 n_cmap  u32 n_sub  u32 n_pos
            u32 flags  u32 n_kern0
@@ -67,6 +71,11 @@ Blob layout (all little-endian, naturally aligned):
            build so C matches the builder's unicodedata exactly), then
            7 x {u32 n, u32 idx[n]} stage plan arrays in _substitute_arabic
            order: ccmp+locl, isol, fina, medi, init, rlig, rest
+  syllable: 21 x {u32 n, u32 idx[n]} stage plan arrays: the 9 Indic stages
+           (locl+nukt+akhn, rphf, rkrf, pref, blwf, half, pstf, vatu+cjct,
+           presentation), 6 Khmer (locl+ccmp, pref, blwf, abvf, pstf,
+           cfar), 5 Myanmar (locl+ccmp, rphf, pref, blwf, pstf), and the
+           USE presentation set — V4_STAGE_FEATURES order
 
 `flags` bits record fidelity losses relative to the Python pipeline:
   bit 0  font has a GPOS kern/dist feature (C must NOT fall back to kern0)
@@ -81,6 +90,8 @@ Blob layout (all little-endian, naturally aligned):
   bit 6  an ARABIC-stage-only lookup dropped entries: Arabic runs from such
          a pack are refused by default (same opt-in), non-Arabic text is
          unaffected
+  bit 7  a SYLLABLE-stage-only lookup (Indic/Khmer/Myanmar plans) dropped
+         entries: runs in those scripts refuse by default (same opt-in)
 """
 
 from __future__ import annotations
@@ -97,7 +108,7 @@ from .shaper import (
 from .typefaces import get_typeface
 
 MAGIC = 0x46445450  # 'FDTP'
-VERSION = 3
+VERSION = 4
 
 # entry kinds (within a lookup record)
 K_SINGLE = 1     # count x {u16 from, u16 to}                     sorted by from
@@ -123,6 +134,7 @@ F_HAS_CURSIVE = 1 << 3
 F_HAS_MARKS = 1 << 4
 F_FEATURES_REDUCED = 1 << 5
 F_ARABIC_REDUCED = 1 << 6
+F_SYLLABLE_REDUCED = 1 << 7
 MARK_BIT = 0x80  # gdef byte: attach-capable mark (GPOS 4/5/6 coverage)
 
 # v3 staged Arabic: stage feature sets in shaper._substitute_arabic order
@@ -138,6 +150,41 @@ ARABIC_STAGE_FEATURES = (
     frozenset({"rlig"}),
     frozenset(DEFAULT_GSUB_FEATURES) - {"ccmp", "locl", "rlig"},
 )
+
+# v4 syllable pipelines: stage feature sets in the _shape_*_syllable order.
+# The presentation stages fold in the default features HarfBuzz keeps on
+# (feats ∩ {calt, clig, liga, dlig, ccmp} with the default feature set).
+_PRES_COMMON = frozenset({"calt", "clig", "liga", "ccmp"})
+INDIC_STAGE_FEATURES = (
+    frozenset({"locl", "nukt", "akhn"}),
+    frozenset({"rphf"}),
+    frozenset({"rkrf"}),
+    frozenset({"pref"}),
+    frozenset({"blwf"}),
+    frozenset({"half"}),
+    frozenset({"pstf"}),
+    frozenset({"vatu", "cjct"}),
+    frozenset({"pres", "abvs", "blws", "psts", "haln"}) | _PRES_COMMON,
+)
+KHMER_STAGE_FEATURES = (
+    frozenset({"locl", "ccmp"}),
+    frozenset({"pref"}),
+    frozenset({"blwf"}),
+    frozenset({"abvf"}),
+    frozenset({"pstf"}),
+    frozenset({"cfar"}),
+)
+MYANMAR_STAGE_FEATURES = (
+    frozenset({"locl", "ccmp"}),
+    frozenset({"rphf"}),
+    frozenset({"pref"}),
+    frozenset({"blwf"}),
+    frozenset({"pstf"}),
+)
+USE_PRES_FEATURES = frozenset({"pres", "abvs", "blws", "psts"}) | _PRES_COMMON
+# serialization order of the v4 arrays (after the 7 Arabic ones)
+V4_STAGE_FEATURES = (INDIC_STAGE_FEATURES + KHMER_STAGE_FEATURES
+                     + MYANMAR_STAGE_FEATURES + (USE_PRES_FEATURES,))
 
 # v2 exports the full default plan — kept for callers/tests that reference
 # the v1 reduced set
@@ -478,23 +525,33 @@ def build_font_pack(typeface_id: int) -> bytes:
     pos_plan: List[int] = []
     n_pos = 0
     arab_plans: List[List[int]] = [[] for _ in ARABIC_STAGE_FEATURES]
+    syl_plans: List[List[int]] = [[] for _ in V4_STAGE_FEATURES]
     if shaper is not None and shaper._gsub is not None:
         table = shaper._gsub.table
         plan_lis = _select_lookups(table, set(DEFAULT_GSUB_FEATURES))
-        # lookups only the Arabic positional stages reach (isol/fina/medi/
-        # init are not default features) join the pool; a serialization drop
-        # there flags F_ARABIC_REDUCED (Arabic runs refuse), not
-        # F_GSUB_DROPPED (which would refuse ALL text from the pack)
+        # lookups only the staged pipelines reach (the positional/syllable
+        # features are not default features) join the pool; a serialization
+        # drop there flags F_ARABIC_REDUCED / F_SYLLABLE_REDUCED (only the
+        # affected pipeline's runs refuse), not F_GSUB_DROPPED (which would
+        # refuse ALL text from the pack)
         default_reachable = set(
             _collect_lookups(plan_lis, shaper._compile_lookup)[0])
         stage_lis = [_select_lookups(table, set(fs))
                      for fs in ARABIC_STAGE_FEATURES]
+        arabic_reachable = set(_collect_lookups(
+            [li for lis in stage_lis for li in lis],
+            shaper._compile_lookup)[0])
+        v4_lis = [_select_lookups(table, set(fs))
+                  for fs in V4_STAGE_FEATURES]
         all_lis = list(plan_lis)
         for lis in stage_lis:
+            all_lis.extend(lis)
+        for lis in v4_lis:
             all_lis.extend(lis)
         order, limap = _collect_lookups(all_lis, shaper._compile_lookup)
         sub_plan = [limap[li] for li in plan_lis]
         arab_plans = [[limap[li] for li in lis] for lis in stage_lis]
+        syl_plans = [[limap[li] for li in lis] for lis in v4_lis]
         for li in order:
             skip, entries, _trig = shaper._compile_lookup(li)
             packed = []
@@ -502,7 +559,9 @@ def build_font_pack(typeface_id: int) -> bytes:
                 p = _pack_gsub_entry(ctx, entry, limap)
                 if p is None:
                     ctx.flags |= (F_GSUB_DROPPED if li in default_reachable
-                                  else F_ARABIC_REDUCED)
+                                  else F_ARABIC_REDUCED
+                                  if li in arabic_reachable
+                                  else F_SYLLABLE_REDUCED)
                 else:
                     packed.append(p)
             _emit_record(tf, sub_blobs, skip, packed)
@@ -635,6 +694,11 @@ def build_font_pack(typeface_id: int) -> bytes:
     assert len(join) == 304  # 4-aligned by construction
     out += bytes(join)
     for plan in arab_plans:
+        out += struct.pack("<I", len(plan))
+        out += struct.pack("<%dI" % len(plan), *plan) if plan else b""
+    # --- v4 syllable pipelines: 21 stage plan arrays (9 Indic basic+pres,
+    # 6 Khmer basic, 5 Myanmar basic, 1 USE presentation) -------------------
+    for plan in syl_plans:
         out += struct.pack("<I", len(plan))
         out += struct.pack("<%dI" % len(plan), *plan) if plan else b""
     return bytes(out)

@@ -42,9 +42,9 @@ _packs: Dict[int, Tuple[bytes, int]] = {}  # typeface_id -> (blob, handle)
 
 
 class NativeTypesetUnsupported(Exception):
-    """The text is outside the native boundary (offset-less API with marks,
-    an Indic/USE syllable-script run, or a reduced pack) — shape it in
-    Python. Arabic shapes natively since FDTP v3."""
+    """The text is outside the native boundary (offset-less API with marks
+    or a reduced pack) — shape it in Python. Arabic shapes natively since
+    FDTP v3; the Indic/Khmer/Myanmar syllable pipelines since v4."""
 
 
 def _build() -> None:
@@ -199,8 +199,7 @@ def _retrying_call(name, call, n_cps):
                 "the offset-less API cannot place attach-capable marks")
         if n == E_SCRIPT:
             raise NativeTypesetUnsupported(
-                "text needs a syllable shaping pipeline (Indic/USE "
-                "reordering)")
+                "reserved error (not returned since FDTP v4)")
         if n == E_REDUCED:
             raise NativeTypesetUnsupported(
                 "pack is reduced vs the Python plan; opt in with "

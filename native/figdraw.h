@@ -290,8 +290,8 @@ static inline const char *fdx_typeset_strerror(int code) {
       return "pack is reduced vs the Python plan (opt in with "
              "fd_pack_set_allow_reduced)";
     case FD_TYPESET_E_SCRIPT:
-      return "text needs a syllable shaping pipeline (Indic/USE "
-             "reordering) — typeset it through the Python pipeline";
+      return "reserved error (not returned since FDTP v4: syllable "
+             "scripts shape natively)";
     case FD_TYPESET_E_OFFSETS:
       return "run has nonzero vertical positioning (GPOS cursive dy) the "
              "advance-stream API cannot carry (use fd_typeset_shape_ex)";

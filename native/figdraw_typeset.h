@@ -4,7 +4,7 @@
  * dynlib's typeset exports (/root/reference/src/figdraw/bindings/
  * native_bindings.nim:1-628). Shaping itself is a Python subsystem
  * (figdraw_tpu/text/shaper.py over fontTools); a C host instead consumes a
- * COMPILED FONT PACK (FDTP v3, produced offline by
+ * COMPILED FONT PACK (FDTP v4, produced offline by
  * figdraw_tpu.text.native_pack.save_font_pack) holding the typeface's
  * metrics plus the shaper's own compiled default-feature plan: single /
  * multiple / ligature / (chain-)contextual / reverse-chain GSUB (with
@@ -15,16 +15,18 @@
  * ARABIC pipeline (Unicode joining classes + per-stage positional plans):
  * Arabic text shapes natively with HarfBuzz-style masked isol/fina/medi/
  * init stages — Noto Naskh-class fonts (ccmp skeleton+dot decomposition,
- * shared positional lookups) shape identically to Python. This engine
- * re-applies the plans with semantics identical to the Python pipeline —
- * gids, advances, clusters AND mark offsets match glyph-for-glyph
- * (tests/test_native_typeset.py).
+ * shared positional lookups) shape identically to Python. v4 packs add the
+ * SYLLABLE pipelines: Devanagari (syllable segmentation, base/reph
+ * analysis, masked basic features, reph/pre-base-matra reordering), Khmer
+ * (coeng pairs, pre-base vowel reordering) and Myanmar (kinzi, medials) —
+ * FD_TYPESET_E_SCRIPT is no longer returned for any script the Python
+ * pipeline stages. This engine re-applies the plans with semantics
+ * identical to the Python pipeline — gids, advances, clusters AND mark
+ * offsets match glyph-for-glyph (tests/test_native_typeset.py).
  *
- * The remaining boundary is the Indic/USE SYLLABLE pipelines (per-syllable
- * masks + glyph reordering) which return FD_TYPESET_E_SCRIPT rather than a
- * mis-shaped stream (docs/native_api.md). Bidi reordering also stays
- * host-side: fd_typeset_shape_ex takes the run's direction like a HarfBuzz
- * buffer; fd_typeset_line / fd_typeset_box lay out LTR.
+ * Bidi reordering stays host-side: fd_typeset_shape_ex takes the run's
+ * direction like a HarfBuzz buffer; fd_typeset_line / fd_typeset_box lay
+ * out LTR.
  */
 #ifndef FIGDRAW_TYPESET_H
 #define FIGDRAW_TYPESET_H
@@ -46,9 +48,11 @@ typedef struct FdFontPack FdFontPack;
 #define FD_TYPESET_E_REDUCED (-3) /* pack carries FD_PACK_FEATURES_REDUCED
                                  * and the host did not opt into divergence
                                  * (fd_pack_set_allow_reduced) */
-#define FD_TYPESET_E_SCRIPT (-4) /* text needs a syllable shaping pipeline
-                                 * (Indic/USE reordering) — typeset it
-                                 * through the Python pipeline */
+#define FD_TYPESET_E_SCRIPT (-4) /* reserved: no longer returned since
+                                 * FDTP v4 (every script the Python
+                                 * pipeline stages — Arabic, Devanagari,
+                                 * Khmer, Myanmar, Thai/Lao — shapes
+                                 * natively); kept for ABI stability */
 #define FD_TYPESET_E_OFFSETS (-5) /* the offset-less fd_typeset_shape cannot
                                  * express this run's nonzero vertical
                                  * positioning (GPOS cursive entry/exit dy)
@@ -71,8 +75,11 @@ typedef struct FdFontPack FdFontPack;
                                  * entries: Arabic runs refuse by default
                                  * (same opt-in); non-Arabic text is
                                  * unaffected */
+#define FD_PACK_SYLLABLE_REDUCED (1u << 7) /* an Indic/Khmer/Myanmar-stage-
+                                 * only lookup lost entries: runs in those
+                                 * scripts refuse by default (same opt-in) */
 
-/* Parse an FDTP v3 blob (the bytes of a .fdtp file). The blob is copied;
+/* Parse an FDTP v4 blob (the bytes of a .fdtp file). The blob is copied;
  * returns NULL on a malformed/truncated blob or wrong magic/version. */
 FdFontPack *fd_pack_load(const void *blob, int32_t len);
 void fd_pack_free(FdFontPack *pack);
@@ -122,8 +129,7 @@ int32_t fd_typeset_shape(const FdFontPack *pack, const uint32_t *cps,
  * mark's cursor at its base's origin, so dx omits the pen pullback —
  * layout.py:680-716); the glyph stream stays in LOGICAL order either way,
  * bidi reordering is the host's job (like a HarfBuzz buffer). Returns the
- * glyph count, FD_TYPESET_E_CAP / FD_TYPESET_E_REDUCED /
- * FD_TYPESET_E_SCRIPT. */
+ * glyph count, FD_TYPESET_E_CAP / FD_TYPESET_E_REDUCED. */
 int32_t fd_typeset_shape_ex(const FdFontPack *pack, const uint32_t *cps,
                             int32_t n, int32_t rtl, uint32_t *gids,
                             float *advances, float *dx, float *dy,
@@ -151,8 +157,8 @@ int32_t fd_typeset_line(const FdFontPack *pack, const uint32_t *cps,
  * out_size (may be NULL) receives {max visible line width, total height}.
  * Mark attachment and cursive offsets are FOLDED into xs/ys: a host draws
  * glyph i at (xs[i], ys[i]) and attached marks land on their base's
- * anchor. Bidi and staged scripts stay Python-side (FD_TYPESET_E_SCRIPT;
- * the layouter is LTR). Returns the glyph count. */
+ * anchor. Bidi reordering stays host-side (the layouter is LTR).
+ * Returns the glyph count. */
 int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
                        float size_px, float line_height, float bounds_w,
                        float bounds_h, int32_t h_align, int32_t v_align,

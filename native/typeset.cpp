@@ -21,9 +21,12 @@
 // tests/test_native_typeset.py pins this engine glyph-for-glyph against the
 // Python pipeline.
 //
-// Scope: the Indic/USE SYLLABLE pipelines stay Python-side — they need
-// per-syllable masks and glyph REORDERING, and such text returns
-// FD_TYPESET_E_SCRIPT rather than a mis-shaped stream (docs/native_api.md).
+// v4 adds the SYLLABLE pipelines (shaper._substitute_indic, text/use.py):
+// Devanagari-class Indic (reph/rakar/half/conjunct stages, pre-base matra
+// reordering), Khmer (coeng subscripts, pre-base coeng-ro, robat, cfar)
+// and Myanmar (kinzi, medials) run natively from 21 per-stage plan arrays
+// in the pack — FD_TYPESET_E_SCRIPT is no longer returned for any script
+// the Python pipeline stages.
 // fd_typeset_shape (the offset-less advance-stream API) keeps refusing
 // attach-capable marks with FD_TYPESET_E_MARKS; fd_typeset_shape_ex /
 // fd_typeset_line / fd_typeset_box place marks via per-glyph offsets.
@@ -40,7 +43,7 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x46445450;  // 'FDTP'
-constexpr uint32_t kVersion = 3;
+constexpr uint32_t kVersion = 4;
 constexpr uint8_t kMarkBit = 0x80;  // gdef byte: attach-capable mark
 constexpr uint8_t kClassMask = 0x7F;
 
@@ -172,7 +175,15 @@ struct FdFontPack {
   // (ccmp+locl, isol, fina, medi, init, rlig, rest)
   uint8_t arab_join[304] = {0};
   std::vector<uint32_t> arab_plans[7];
+  // v4 syllable pipelines: 21 stage plans in V4_STAGE_FEATURES order
+  // (9 Indic: locl+nukt+akhn, rphf, rkrf, pref, blwf, half, pstf,
+  // vatu+cjct, presentation; 6 Khmer: locl+ccmp, pref, blwf, abvf, pstf,
+  // cfar; 5 Myanmar: locl+ccmp, rphf, pref, blwf, pstf; 1 USE pres)
+  std::vector<uint32_t> syl_plans[21];
 };
+
+// syl_plans index bases
+constexpr int SP_INDIC = 0, SP_KHMER = 9, SP_MYANMAR = 15, SP_USE_PRES = 20;
 
 namespace {
 
@@ -509,16 +520,21 @@ using Comps = std::vector<std::pair<uint16_t, int16_t>>;
 
 // ---- HarfBuzz-style stage masks (shaper._mask_ok) -----------------------------
 //
-// Staged Arabic shaping tags each position with the positional features it
+// The staged pipelines tag each position with the positional features it
 // may participate in (bit per tag; 0 = none, the Python pipeline's None).
 // A masked stage (`req` != 0) only matches input glyphs carrying the bit —
 // a mismatching glyph FAILS the match, it is not skipped. Unmasked stages
 // (req == 0) ignore masks but still thread them through substitutions so
 // tags survive decomposition and ligation.
-using Masks = std::vector<uint8_t>;
-constexpr uint8_t M_ISOL = 1, M_FINA = 2, M_MEDI = 4, M_INIT = 8;
+using Masks = std::vector<uint16_t>;
+// Arabic positional tags
+constexpr uint16_t M_ISOL = 1, M_FINA = 2, M_MEDI = 4, M_INIT = 8;
+// Indic / Khmer / Myanmar positional tags (indic.build_masks,
+// use.khmer_masks / myanmar_masks)
+constexpr uint16_t M_RPHF = 16, M_HALF = 32, M_BLWF = 64, M_PREF = 128,
+                   M_PSTF = 256, M_ABVF = 512, M_CFAR = 1024;
 
-inline bool mask_ok(const Masks *mk, uint8_t req, size_t pos) {
+inline bool mask_ok(const Masks *mk, uint16_t req, size_t pos) {
   if (!req || mk == nullptr) return true;
   return pos < mk->size() && ((*mk)[pos] & req) != 0;
 }
@@ -533,7 +549,7 @@ bool match_ctx(const FdFontPack *pk, const Lookup &L,
                const std::vector<uint16_t> &g, size_t i, size_t n_bt,
                size_t n_inp, size_t n_la, BtF btv, InF inv, LaF lav,
                std::vector<size_t> &input_pos, const Masks *mk = nullptr,
-               uint8_t req = 0) {
+               uint16_t req = 0) {
   long j = (long)i;
   for (size_t k = 0; k < n_bt; k++) {  // closest-first order
     j = prev_pos(pk, L, g, j - 1);
@@ -562,8 +578,8 @@ bool match_ctx(const FdFontPack *pk, const Lookup &L,
 
 long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                    std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                   Comps &comps, size_t i, Masks *mk = nullptr,
-                   uint8_t req = 0);
+                   std::vector<uint32_t> &cle, Comps &comps, size_t i,
+                   Masks *mk = nullptr, uint16_t req = 0);
 
 // nested lookups run at the recorded INPUT indices; earlier records may
 // change the sequence length, shifting later positions (shaper's ctx branch)
@@ -571,7 +587,8 @@ long apply_nested_sub(const FdFontPack *pk,
                       const std::vector<std::pair<uint16_t, uint16_t>> &recs,
                       const std::vector<size_t> &input_pos,
                       std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                      Comps &comps, Masks *mk = nullptr, uint8_t req = 0) {
+                      std::vector<uint32_t> &cle, Comps &comps,
+                      Masks *mk = nullptr, uint16_t req = 0) {
   long end = (long)input_pos.back() + 1;
   long delta = 0;
   for (auto [seq_idx, nli] : recs) {
@@ -582,7 +599,8 @@ long apply_nested_sub(const FdFontPack *pk,
     if (skipped(pk, NL, g[(size_t)pos])) continue;
     long before = (long)g.size();
     for (const Entry &ne : NL.entries)
-      if (try_sub_entry(pk, NL, ne, g, cl, comps, (size_t)pos, mk, req) >= 0)
+      if (try_sub_entry(pk, NL, ne, g, cl, cle, comps, (size_t)pos, mk,
+                        req) >= 0)
         break;
     delta += (long)g.size() - before;
   }
@@ -592,7 +610,8 @@ long apply_nested_sub(const FdFontPack *pk,
 // Returns the next cursor position on match, or -1.
 long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                    std::vector<uint16_t> &g, std::vector<uint32_t> &cl,
-                   Comps &comps, size_t i, Masks *mk, uint8_t req) {
+                   std::vector<uint32_t> &cle, Comps &comps, size_t i,
+                   Masks *mk, uint16_t req) {
   switch (e.kind) {
     case K_SINGLE: {
       size_t lo = 0, hi = e.single.size();
@@ -614,19 +633,23 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
       if (seq.empty()) {  // glyph deletion (HarfBuzz semantics)
         g.erase(g.begin() + i);
         cl.erase(cl.begin() + i);
+        cle.erase(cle.begin() + i);
         comps.erase(comps.begin() + i);
         if (mk) mk->erase(mk->begin() + i);
         return (long)i;
       }
       uint32_t c = cl[i];  // decomposed glyphs inherit the source cluster
+      uint32_t ce = cle[i];
       g.erase(g.begin() + i);
       g.insert(g.begin() + i, seq.begin(), seq.end());
       cl.erase(cl.begin() + i);
       cl.insert(cl.begin() + i, seq.size(), c);
+      cle.erase(cle.begin() + i);
+      cle.insert(cle.begin() + i, seq.size(), ce);
       comps.erase(comps.begin() + i);
       comps.insert(comps.begin() + i, seq.size(), {1, -1});
       if (mk) {  // decomposed glyphs inherit the source mask
-        uint8_t m = (*mk)[i];
+        uint16_t m = (*mk)[i];
         mk->erase(mk->begin() + i);
         mk->insert(mk->begin() + i, seq.size(), m);
       }
@@ -654,6 +677,8 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         // tagged with the ligature component they followed (GPOS 5
         // anchors are per-component)
         g[i] = cand.result;
+        cl[i] = cl[pos[0]];
+        cle[i] = cle[pos.back()];  // (start of first, end of last) component
         comps[i] = {(uint16_t)pos.size(), -1};
         for (size_t k = 0; k + 1 < pos.size(); k++)
           for (size_t q = pos[k] + 1; q < pos[k + 1]; q++)
@@ -661,6 +686,7 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         for (size_t k = pos.size(); k-- > 1;) {
           g.erase(g.begin() + pos[k]);
           cl.erase(cl.begin() + pos[k]);
+          cle.erase(cle.begin() + pos[k]);
           comps.erase(comps.begin() + pos[k]);
           if (mk) mk->erase(mk->begin() + pos[k]);
         }
@@ -703,8 +729,8 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
         if (match_ctx(pk, L, g, i, rule.bt.size(), rule.inp.size(),
                       rule.la.size(), gv(&rule.bt), gv(&rule.inp),
                       gv(&rule.la), input_pos, mk, req))
-          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps,
-                                  mk, req);
+          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, cle,
+                                  comps, mk, req);
       }
       return -1;
     }
@@ -726,8 +752,8 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                       rule.la.size(), cv(&rule.bt, &t.bt_cd),
                       cv(&rule.inp, &t.in_cd), cv(&rule.la, &t.la_cd),
                       input_pos, mk, req))
-          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, comps,
-                                  mk, req);
+          return apply_nested_sub(pk, rule.recs, input_pos, g, cl, cle,
+                                  comps, mk, req);
       }
       return -1;
     }
@@ -745,7 +771,8 @@ long try_sub_entry(const FdFontPack *pk, const Lookup &L, const Entry &e,
                      sv(&t.bt, 0), sv(&t.inp, 1), sv(&t.la, 0), input_pos,
                      mk, req))
         return -1;
-      return apply_nested_sub(pk, t.recs, input_pos, g, cl, comps, mk, req);
+      return apply_nested_sub(pk, t.recs, input_pos, g, cl, cle, comps, mk,
+                              req);
     }
     default:
       return -1;
@@ -1098,6 +1125,18 @@ FdFontPack *fd_pack_load(const void *blob, int32_t len) {
           pk->arab_plans[t][k] = idx;
         }
       }
+      // ---- v4 syllable pipelines: 21 stage plans -------------------------
+      for (int t = 0; t < 21 && ok; t++) {
+        uint32_t np = r.u32();
+        ok = r.can(np, 4) && np <= (1u << 16);
+        if (!ok) break;
+        pk->syl_plans[t].resize(np);
+        for (uint32_t k = 0; k < np; k++) {
+          uint32_t idx = r.u32();
+          if (idx >= n_sub) ok = false;
+          pk->syl_plans[t][k] = idx;
+        }
+      }
     }
   }
   if (!ok || !r.ok) {
@@ -1154,17 +1193,20 @@ float fd_pack_advance(const FdFontPack *pack, uint32_t gid) {
 
 namespace {
 
-// v3 shapes Arabic natively (staged masked pipeline below); the Indic/USE
-// syllable pipelines (reordering + per-syllable masks:
-// shaper._substitute_indic/_use) stay Python-side — mirror substitute_ex's
-// routing (shaper.py:626-640)
+// v3 shapes Arabic natively (staged masked pipeline below); v4 adds the
+// Indic/USE syllable pipelines (segmentation + per-syllable masks +
+// reordering) — the routing mirrors substitute_ex's elif chain
+// (shaper.py:626-640)
 inline bool arabic_script_cp(uint32_t cp) {  // shaper._is_arabic_script
   return (cp >= 0x0600 && cp <= 0x06FF) || (cp >= 0x0750 && cp <= 0x077F);
 }
 
-inline bool staged_script_cp(uint32_t cp) {
-  return (cp >= 0x0900 && cp <= 0x097F) || (cp >= 0x1780 && cp <= 0x17FF) ||
-         (cp >= 0x1000 && cp <= 0x109F);
+inline bool indic_script_cp(uint32_t cp) {  // indic.is_devanagari
+  return cp >= 0x0900 && cp <= 0x097F;
+}
+
+inline bool use_script_cp(uint32_t cp) {  // use.is_khmer / is_myanmar
+  return (cp >= 0x1780 && cp <= 0x17FF) || (cp >= 0x1000 && cp <= 0x109F);
 }
 
 // Unicode joining class from the pack's table (shaper._joining_class,
@@ -1225,10 +1267,11 @@ inline bool thai_above_mark(uint32_t cp, bool lao) {
 // follow hb merge_out_clusters exactly (crossed → whole moved span incl.
 // the SARA AA; uncrossed → merge with the previous cluster)
 void thai_preprocess(const FdFontPack *pk, std::vector<uint32_t> &cps,
-                     std::vector<uint32_t> &cl) {
-  std::vector<uint32_t> out_cp, out_cl;
+                     std::vector<uint32_t> &cl, std::vector<uint32_t> &cle) {
+  std::vector<uint32_t> out_cp, out_cl, out_ce;
   out_cp.reserve(cps.size() + 4);
   out_cl.reserve(cps.size() + 4);
+  out_ce.reserve(cps.size() + 4);
   for (size_t k = 0; k < cps.size(); k++) {
     uint32_t cp = cps[k];
     uint32_t nik = 0, aa = 0;
@@ -1244,14 +1287,17 @@ void thai_preprocess(const FdFontPack *pk, std::vector<uint32_t> &cps,
     if (!nik || !fd_pack_glyph_id(pk, nik) || !fd_pack_glyph_id(pk, aa)) {
       out_cp.push_back(cp);
       out_cl.push_back(cl[k]);
+      out_ce.push_back(cle[k]);
       continue;
     }
     size_t j = out_cp.size();
     while (j > 0 && thai_above_mark(out_cp[j - 1], lao)) j--;
     out_cp.insert(out_cp.begin() + j, nik);
     out_cl.insert(out_cl.begin() + j, cl[k]);
+    out_ce.insert(out_ce.begin() + j, cle[k]);
     out_cp.push_back(aa);
     out_cl.push_back(cl[k]);
+    out_ce.push_back(cle[k]);
     size_t end = out_cp.size();
     size_t lo_i = end, hi_i = end;  // merged range [lo_i, hi_i)
     if (j + 2 < end) {
@@ -1262,19 +1308,29 @@ void thai_preprocess(const FdFontPack *pk, std::vector<uint32_t> &cps,
       hi_i = end;
     }
     if (hi_i > lo_i + 1) {
-      uint32_t lo = out_cl[lo_i];
-      for (size_t q = lo_i; q < hi_i; q++)
+      uint32_t lo = out_cl[lo_i], hi = out_ce[lo_i];
+      for (size_t q = lo_i; q < hi_i; q++) {
         if (out_cl[q] < lo) lo = out_cl[q];
-      for (size_t q = lo_i; q < hi_i; q++) out_cl[q] = lo;
+        if (out_ce[q] > hi) hi = out_ce[q];
+      }
+      for (size_t q = lo_i; q < hi_i; q++) {
+        out_cl[q] = lo;
+        out_ce[q] = hi;
+      }
     }
   }
   cps.swap(out_cp);
   cl.swap(out_cl);
+  cle.swap(out_ce);
 }
 
 struct ShapeOut {
   std::vector<uint16_t> g;
-  std::vector<uint32_t> cl;
+  std::vector<uint32_t> cl;   // cluster START per glyph (the public output)
+  std::vector<uint32_t> cle;  // cluster END (exclusive) — the second half of
+                              // Python's (start, end) tuples; load-bearing
+                              // for the syllable pipelines' identity/range
+                              // matching and cluster merges
   Comps comps;
 };
 
@@ -1282,7 +1338,7 @@ struct ShapeOut {
 // last-to-first; masked stages (`req` != 0) only start matches at tagged
 // positions, and input glyphs inside a match must carry the tag too
 void apply_sub_plan(const FdFontPack *pk, const std::vector<uint32_t> &plan,
-                    ShapeOut &out, Masks *mk, uint8_t req) {
+                    ShapeOut &out, Masks *mk, uint16_t req) {
   for (uint32_t pi : plan) {
     const Lookup &L = pk->gsub[pi];
     if (L.entries.empty()) continue;
@@ -1293,8 +1349,8 @@ void apply_sub_plan(const FdFontPack *pk, const std::vector<uint32_t> &plan,
             !mask_ok(mk, req, (size_t)i))
           continue;
         for (const Entry &e : L.entries)
-          if (try_sub_entry(pk, L, e, out.g, out.cl, out.comps, (size_t)i,
-                            mk, req) >= 0)
+          if (try_sub_entry(pk, L, e, out.g, out.cl, out.cle, out.comps,
+                            (size_t)i, mk, req) >= 0)
             break;
       }
       continue;
@@ -1307,11 +1363,668 @@ void apply_sub_plan(const FdFontPack *pk, const std::vector<uint32_t> &plan,
       }
       long nxt = -1;
       for (const Entry &e : L.entries) {
-        nxt = try_sub_entry(pk, L, e, out.g, out.cl, out.comps, i, mk, req);
+        nxt = try_sub_entry(pk, L, e, out.g, out.cl, out.cle, out.comps, i,
+                            mk, req);
         if (nxt >= 0) break;
       }
       i = nxt >= 0 ? (size_t)nxt : i + 1;
     }
+  }
+}
+
+// ======== Devanagari syllable analysis (text/indic.py, line-for-line) ========
+
+namespace indic {
+
+constexpr uint32_t RA = 0x0930, HALANT = 0x094D;
+constexpr uint32_t ZWNJ = 0x200C, ZWJ = 0x200D;
+enum Cat {
+  C_OTHER = 0, C_CONS, C_VOWEL, C_MATRA_PRE, C_MATRA, C_NUKTA, C_HALANT_C,
+  C_SM, C_ZWJ_C, C_AVAGRAHA, C_VEDIC
+};
+
+inline bool is_deva(uint32_t cp) { return cp >= 0x0900 && cp <= 0x097F; }
+
+// indic.category — the OpenType Devanagari classes (static Unicode data;
+// the parity fuzz vs the Python twin pins the tables)
+inline int category(uint32_t cp) {
+  if ((cp >= 0x0915 && cp <= 0x0939) || (cp >= 0x0958 && cp <= 0x095F) ||
+      (cp >= 0x0978 && cp <= 0x097F))
+    return C_CONS;
+  if ((cp >= 0x0904 && cp <= 0x0914) || cp == 0x0960 || cp == 0x0961 ||
+      (cp >= 0x0972 && cp <= 0x0977) || cp == 0x0950)
+    return C_VOWEL;
+  if (cp == 0x093F) return C_MATRA_PRE;
+  if (cp == 0x093A || cp == 0x093B || (cp >= 0x093E && cp <= 0x094C) ||
+      cp == 0x094E || cp == 0x094F || (cp >= 0x0955 && cp <= 0x0957) ||
+      cp == 0x0962 || cp == 0x0963)
+    return C_MATRA;
+  if (cp == 0x093C) return C_NUKTA;
+  if (cp == HALANT) return C_HALANT_C;
+  if (cp >= 0x0900 && cp <= 0x0903) return C_SM;
+  if (cp == ZWNJ || cp == ZWJ) return C_ZWJ_C;
+  if (cp == 0x093D) return C_AVAGRAHA;
+  if (cp >= 0x0951 && cp <= 0x0954) return C_VEDIC;
+  return C_OTHER;
+}
+
+// indic.next_syllable
+size_t next_syllable(const uint32_t *cps, size_t n, size_t start) {
+  size_t i = start;
+  int cat = category(cps[i]);
+  auto eat_nukta = [&]() {
+    if (i < n && category(cps[i]) == C_NUKTA) i++;
+  };
+  if (cat == C_CONS || cat == C_VOWEL) {
+    i++;
+    eat_nukta();
+    while (i < n && category(cps[i]) == C_HALANT_C) {
+      size_t j = i + 1;
+      if (j < n && category(cps[j]) == C_ZWJ_C) j++;
+      if (j < n && category(cps[j]) == C_CONS) {
+        i = j + 1;
+        eat_nukta();
+      } else {  // trailing (dead) halant, optionally + ZWNJ
+        i++;
+        if (i < n && category(cps[i]) == C_ZWJ_C) i++;
+        break;
+      }
+    }
+    while (i < n &&
+           (category(cps[i]) == C_MATRA_PRE || category(cps[i]) == C_MATRA)) {
+      i++;
+      eat_nukta();
+    }
+    while (i < n && category(cps[i]) == C_SM) i++;
+    while (i < n && category(cps[i]) == C_VEDIC) i++;
+    return i;
+  }
+  if (cat == C_SM || cat == C_MATRA || cat == C_MATRA_PRE || cat == C_NUKTA ||
+      cat == C_HALANT_C || cat == C_AVAGRAHA || cat == C_VEDIC) {
+    i++;  // broken cluster / standalone sign: consume the run of signs
+    while (i < n) {
+      int c = category(cps[i]);
+      if (c == C_MATRA || c == C_MATRA_PRE || c == C_NUKTA || c == C_SM ||
+          c == C_VEDIC)
+        i++;
+      else
+        break;
+    }
+    return i;
+  }
+  return i + 1;
+}
+
+// indic.analyze_syllable: (base index, has_reph)
+void analyze(const uint32_t *cps, size_t n, long *base_out, bool *reph_out) {
+  std::vector<int> cats(n);
+  for (size_t k = 0; k < n; k++) cats[k] = category(cps[k]);
+  bool has_reph = false;
+  if (n > 2 && cps[0] == RA && cats[1] == C_HALANT_C) {
+    for (size_t k = 2; k < n; k++)
+      if (cats[k] == C_CONS || cats[k] == C_VOWEL) {
+        has_reph = true;
+        break;
+      }
+  }
+  long limit = has_reph ? 2 : 0;
+  long base = -1;
+  for (long k = (long)n - 1; k >= limit; k--) {
+    if (cats[(size_t)k] == C_CONS || cats[(size_t)k] == C_VOWEL) {
+      base = k;
+      break;
+    }
+  }
+  // walk left past below-base (rakar) Ra forms
+  while (base > limit && cps[(size_t)base] == RA && base >= 1 &&
+         cats[(size_t)base - 1] == C_HALANT_C) {
+    bool any_before = false;
+    for (long q = limit; q < base - 1; q++)
+      if (cats[(size_t)q] == C_CONS || cats[(size_t)q] == C_VOWEL) {
+        any_before = true;
+        break;
+      }
+    if (!any_before) break;
+    long prev = -1;
+    for (long k = base - 2; k >= limit; k--)
+      if (cats[(size_t)k] == C_CONS || cats[(size_t)k] == C_VOWEL) {
+        prev = k;
+        break;
+      }
+    if (prev < 0) break;
+    base = prev;
+  }
+  *base_out = base;
+  *reph_out = has_reph;
+}
+
+// indic.build_masks: rphf / half / blwf positional tags
+void build_masks(const uint32_t *cps, size_t n, long base, bool has_reph,
+                 Masks &mk) {
+  std::vector<int> cats(n);
+  for (size_t k = 0; k < n; k++) cats[k] = category(cps[k]);
+  mk.assign(n, 0);
+  if (has_reph) {
+    mk[0] |= M_RPHF;
+    mk[1] |= M_RPHF;
+  }
+  size_t start = has_reph ? 2 : 0;
+  // half: every consonant BEFORE base that connects forward via halant;
+  // halant+ZWNJ blocks the half form
+  size_t k = start;
+  while ((long)k < base) {
+    if (cats[k] == C_CONS || cats[k] == C_VOWEL) {
+      size_t j = k + 1;
+      if (j < n && cats[j] == C_NUKTA) j++;
+      if ((long)j < base && cats[j] == C_HALANT_C) {
+        if (!(j + 1 < n && cps[j + 1] == ZWNJ)) {
+          for (size_t q = k; q <= j; q++) mk[q] |= M_HALF;
+        }
+        k = j + 1;
+        continue;
+      }
+    }
+    k++;
+  }
+  // blwf: halant + Ra (rakar), pre or post base, excluding the reph pair
+  for (size_t q = start; q + 1 < n; q++) {
+    if (cats[q] == C_HALANT_C && cps[q + 1] == RA && (long)(q + 1) != base) {
+      mk[q] |= M_BLWF;
+      mk[q + 1] |= M_BLWF;
+    }
+  }
+}
+
+}  // namespace indic
+
+// ======== Khmer & Myanmar syllable analysis (text/use.py) =====================
+
+namespace usekm {
+
+constexpr uint32_t ZWNJ = 0x200C, ZWJ = 0x200D;
+
+// ---- Khmer ----
+constexpr uint32_t KH_COENG = 0x17D2, KH_RO = 0x179A, KH_ROBAT = 0x17CC;
+inline bool is_khmer(uint32_t cp) { return cp >= 0x1780 && cp <= 0x17FF; }
+inline bool kh_cons(uint32_t cp) { return cp >= 0x1780 && cp <= 0x17A2; }
+inline bool kh_indep(uint32_t cp) { return cp >= 0x17A3 && cp <= 0x17B3; }
+inline bool kh_base(uint32_t cp) { return kh_cons(cp) || kh_indep(cp); }
+inline bool kh_dep_vowel(uint32_t cp) { return cp >= 0x17B6 && cp <= 0x17C5; }
+inline bool kh_vpre(uint32_t cp) {
+  return cp == 0x17C1 || cp == 0x17C2 || cp == 0x17C3;
+}
+inline bool kh_shifter(uint32_t cp) { return cp == 0x17C9 || cp == 0x17CA; }
+inline bool kh_sign(uint32_t cp) {
+  return cp == 0x17C6 || cp == 0x17C7 || cp == 0x17C8 ||
+         (cp >= 0x17CB && cp <= 0x17D1) || cp == 0x17DD;
+}
+
+// use.khmer_next_syllable
+size_t khmer_next_syllable(const uint32_t *cps, size_t n, size_t start) {
+  size_t i = start;
+  if (!kh_base(cps[i])) {
+    if (kh_dep_vowel(cps[i]) || kh_sign(cps[i]) || kh_shifter(cps[i]) ||
+        cps[i] == KH_COENG) {
+      i++;
+      while (i < n &&
+             (kh_dep_vowel(cps[i]) || kh_sign(cps[i]) || kh_shifter(cps[i])))
+        i++;
+      return i;
+    }
+    return i + 1;
+  }
+  i++;
+  while (i < n) {
+    uint32_t cp = cps[i];
+    if (cp == KH_COENG && i + 1 < n && kh_base(cps[i + 1]))
+      i += 2;
+    else if (kh_dep_vowel(cp) || kh_sign(cp) || kh_shifter(cp) || cp == ZWJ ||
+             cp == ZWNJ)
+      i++;
+    else
+      break;
+  }
+  return i;
+}
+
+// use.khmer_masks: coeng+Ro -> pref; other coeng+C -> blwf+pstf (+cfar
+// after a pref pair); robat -> abvf
+void khmer_masks(const uint32_t *cps, size_t n, Masks &mk) {
+  mk.assign(n, 0);
+  bool seen_pref = false;
+  for (size_t k = 0; k + 1 < n; k++) {
+    if (cps[k] == KH_COENG && kh_base(cps[k + 1])) {
+      if (cps[k + 1] == KH_RO) {
+        mk[k] |= M_PREF;
+        mk[k + 1] |= M_PREF;
+        seen_pref = true;
+      } else {
+        for (size_t q = k; q <= k + 1; q++) {
+          mk[q] |= M_BLWF | M_PSTF;
+          if (seen_pref) mk[q] |= M_CFAR;
+        }
+      }
+    }
+  }
+  for (size_t k = 0; k < n; k++)
+    if (cps[k] == KH_ROBAT) mk[k] |= M_ABVF;
+}
+
+// ---- Myanmar ----
+constexpr uint32_t MY_NGA = 0x1004, MY_ASAT = 0x103A, MY_VIRAMA = 0x1039;
+constexpr uint32_t MY_MED_YA = 0x103B, MY_MED_RA = 0x103C, MY_MED_WA = 0x103D,
+                   MY_MED_HA = 0x103E, MY_VPRE = 0x1031;
+inline bool is_myanmar(uint32_t cp) { return cp >= 0x1000 && cp <= 0x109F; }
+inline bool my_cons(uint32_t cp) {
+  return (cp >= 0x1000 && cp <= 0x1020) || cp == 0x103F;
+}
+inline bool my_indep(uint32_t cp) { return cp >= 0x1021 && cp <= 0x102A; }
+inline bool my_base(uint32_t cp) { return my_cons(cp) || my_indep(cp); }
+inline bool my_medial(uint32_t cp) { return cp >= 0x103B && cp <= 0x103E; }
+inline bool my_dep_vowel(uint32_t cp) { return cp >= 0x102B && cp <= 0x1035; }
+inline bool my_sign(uint32_t cp) { return cp >= 0x1036 && cp <= 0x1038; }
+
+// use.myanmar_has_kinzi
+inline bool my_has_kinzi(const uint32_t *cps, size_t n, size_t i) {
+  return i + 3 < n && cps[i] == MY_NGA && cps[i + 1] == MY_ASAT &&
+         cps[i + 2] == MY_VIRAMA && my_base(cps[i + 3]);
+}
+
+// use.myanmar_next_syllable
+size_t myanmar_next_syllable(const uint32_t *cps, size_t n, size_t start) {
+  size_t i = start;
+  if (my_has_kinzi(cps, n, i)) i += 3;
+  if (i >= n || !my_base(cps[i])) {
+    if (i != start) return i;  // kinzi with nothing to attach to
+    if (my_dep_vowel(cps[i]) || my_sign(cps[i]) || my_medial(cps[i]) ||
+        cps[i] == MY_ASAT) {
+      i++;
+      while (i < n && (my_dep_vowel(cps[i]) || my_sign(cps[i]))) i++;
+      return i;
+    }
+    return i + 1;
+  }
+  i++;
+  while (i < n) {
+    uint32_t cp = cps[i];
+    if (cp == MY_VIRAMA && i + 1 < n && my_base(cps[i + 1]))
+      i += 2;
+    else if (my_medial(cp) || my_dep_vowel(cp) || my_sign(cp) ||
+             cp == MY_ASAT || cp == ZWJ || cp == ZWNJ)
+      i++;
+    else
+      break;
+  }
+  return i;
+}
+
+// use.myanmar_masks
+void myanmar_masks(const uint32_t *cps, size_t n, bool has_kinzi, Masks &mk) {
+  mk.assign(n, 0);
+  if (has_kinzi)
+    for (size_t q = 0; q < 3; q++) mk[q] |= M_RPHF;
+  size_t start = has_kinzi ? 3 : 0;
+  for (size_t k = start; k < n; k++) {
+    uint32_t cp = cps[k];
+    if (cp == MY_MED_RA) {
+      mk[k] |= M_PREF;
+    } else if (cp == MY_MED_WA || cp == MY_MED_HA) {
+      mk[k] |= M_BLWF;
+    } else if (cp == MY_MED_YA) {
+      mk[k] |= M_PSTF;
+    } else if (cp == MY_VIRAMA && k + 1 < n && my_base(cps[k + 1])) {
+      mk[k] |= M_BLWF;
+      mk[k + 1] |= M_BLWF;
+    }
+  }
+}
+
+// use.myanmar_base_cluster_end
+size_t myanmar_base_cluster_end(const uint32_t *cps, size_t n,
+                                bool has_kinzi) {
+  size_t i = has_kinzi ? 3 : 0;
+  if (i < n && my_base(cps[i])) i++;
+  while (i < n) {
+    uint32_t cp = cps[i];
+    if (cp == MY_VIRAMA && i + 1 < n && my_base(cps[i + 1]))
+      i += 2;
+    else if (cp == MY_MED_YA || cp == MY_MED_WA || cp == MY_MED_HA ||
+             cp == MY_ASAT)
+      i++;
+    else
+      break;
+  }
+  return i;
+}
+
+}  // namespace usekm
+
+// ======== syllable pipeline drivers (shaper._substitute_indic/_use) ===========
+
+using ClRange = std::pair<uint32_t, uint32_t>;  // (start, end) source cluster
+
+// build a fresh sub-run for source slice [i, j): pre-GSUB the glyph stream
+// is 1:1 with codepoints, clusters (k, k+1) in SOURCE coordinates
+void init_subrun(const FdFontPack *pk, const uint32_t *cps, size_t i,
+                 size_t j, ShapeOut &s) {
+  size_t m = j - i;
+  s.g.resize(m);
+  s.cl.resize(m);
+  s.cle.resize(m);
+  s.comps.assign(m, {1, -1});
+  for (size_t k = 0; k < m; k++) {
+    s.g[k] = (uint16_t)fd_pack_glyph_id(pk, cps[i + k]);
+    s.cl[k] = (uint32_t)(i + k);
+    s.cle[k] = (uint32_t)(i + k + 1);
+  }
+}
+
+void append_run(ShapeOut &out, ShapeOut &s) {
+  out.g.insert(out.g.end(), s.g.begin(), s.g.end());
+  out.cl.insert(out.cl.end(), s.cl.begin(), s.cl.end());
+  out.cle.insert(out.cle.end(), s.cle.begin(), s.cle.end());
+  out.comps.insert(out.comps.end(), s.comps.begin(), s.comps.end());
+}
+
+// shaper._move_to_front: move every glyph whose source cluster lies inside
+// one of `ranges` to the syllable front, preserving relative order
+bool move_to_front(ShapeOut &s, Masks &mk,
+                   const std::vector<ClRange> &ranges) {
+  if (ranges.empty()) return false;
+  std::vector<size_t> idxs;
+  for (size_t k = 0; k < s.g.size(); k++) {
+    for (const ClRange &r : ranges) {
+      if (s.cl[k] >= r.first && s.cle[k] <= r.second) {
+        idxs.push_back(k);
+        break;
+      }
+    }
+  }
+  bool already_front = true;
+  for (size_t q = 0; q < idxs.size(); q++)
+    if (idxs[q] != q) {
+      already_front = false;
+      break;
+    }
+  if (idxs.empty() || already_front) return false;
+  struct Item {
+    uint16_t g;
+    uint32_t cl, cle;
+    std::pair<uint16_t, int16_t> cm;
+    uint16_t m;
+  };
+  std::vector<Item> items;
+  for (size_t k : idxs)
+    items.push_back({s.g[k], s.cl[k], s.cle[k], s.comps[k], mk[k]});
+  for (size_t q = idxs.size(); q-- > 0;) {
+    size_t k = idxs[q];
+    s.g.erase(s.g.begin() + k);
+    s.cl.erase(s.cl.begin() + k);
+    s.cle.erase(s.cle.begin() + k);
+    s.comps.erase(s.comps.begin() + k);
+    mk.erase(mk.begin() + k);
+  }
+  for (size_t q = items.size(); q-- > 0;) {
+    const Item &it = items[q];
+    s.g.insert(s.g.begin(), it.g);
+    s.cl.insert(s.cl.begin(), it.cl);
+    s.cle.insert(s.cle.begin(), it.cle);
+    s.comps.insert(s.comps.begin(), it.cm);
+    mk.insert(mk.begin(), it.m);
+  }
+  return true;
+}
+
+// HarfBuzz merges clusters across a reordered syllable
+void merge_syllable_clusters(ShapeOut &s) {
+  if (s.cl.empty()) return;
+  uint32_t lo = s.cl[0], hi = s.cle[0];
+  for (size_t k = 1; k < s.cl.size(); k++) {
+    if (s.cl[k] < lo) lo = s.cl[k];
+    if (s.cle[k] > hi) hi = s.cle[k];
+  }
+  for (size_t k = 0; k < s.cl.size(); k++) {
+    s.cl[k] = lo;
+    s.cle[k] = hi;
+  }
+}
+
+// shaper._shape_indic_syllable: masked basic stages, reorder (pre-base
+// matra to front, reph to the after-post slot), merged clusters, then the
+// presentation features
+void shape_indic_syllable(const FdFontPack *pk, const uint32_t *cps_syl,
+                          size_t sn, size_t src_off, ShapeOut &s) {
+  long base;
+  bool has_reph;
+  indic::analyze(cps_syl, sn, &base, &has_reph);
+  Masks mk;
+  indic::build_masks(cps_syl, sn, base, has_reph, mk);
+  // identities that survive GSUB: the (start, end) source clusters
+  ClRange reph_cluster{0, 0};
+  if (has_reph)
+    reph_cluster = {(uint32_t)src_off, (uint32_t)(src_off + 2)};
+  std::vector<ClRange> matra_clusters;
+  std::vector<ClRange> sm_clusters;
+  for (size_t k = 0; k < sn; k++) {
+    int cat = indic::category(cps_syl[k]);
+    if (cat == indic::C_MATRA_PRE)
+      matra_clusters.push_back(
+          {(uint32_t)(src_off + k), (uint32_t)(src_off + k + 1)});
+    if (cat == indic::C_SM || cat == indic::C_VEDIC)
+      sm_clusters.push_back(
+          {(uint32_t)(src_off + k), (uint32_t)(src_off + k + 1)});
+  }
+  static const uint16_t reqs[8] = {0,      M_RPHF, 0,      M_PREF,
+                                   M_BLWF, M_HALF, M_PSTF, 0};
+  for (int t = 0; t < 8; t++)
+    apply_sub_plan(pk, pk->syl_plans[SP_INDIC + t], s, &mk, reqs[t]);
+  bool moved = false;
+  // pre-base matra (i) moves to the front of the syllable
+  for (const ClRange &mc : matra_clusters) {
+    for (size_t k = 0; k < s.cl.size(); k++) {
+      if (s.cl[k] == mc.first && s.cle[k] == mc.second) {
+        if (k != 0) {
+          uint16_t g = s.g[k];
+          uint32_t c0 = s.cl[k], c1 = s.cle[k];
+          auto cm = s.comps[k];
+          uint16_t m = mk[k];
+          s.g.erase(s.g.begin() + k);
+          s.cl.erase(s.cl.begin() + k);
+          s.cle.erase(s.cle.begin() + k);
+          s.comps.erase(s.comps.begin() + k);
+          mk.erase(mk.begin() + k);
+          s.g.insert(s.g.begin(), g);
+          s.cl.insert(s.cl.begin(), c0);
+          s.cle.insert(s.cle.begin(), c1);
+          s.comps.insert(s.comps.begin(), cm);
+          mk.insert(mk.begin(), m);
+          moved = true;
+        }
+        break;
+      }
+    }
+  }
+  // reph moves to the after-post slot: syllable end, before syllable
+  // modifiers (anusvara & co) — REPH_POS_AFTER_POST
+  if (has_reph) {
+    long idx = -1;
+    for (size_t k = 0; k < s.cl.size(); k++)
+      if (s.cl[k] == reph_cluster.first && s.cle[k] == reph_cluster.second) {
+        idx = (long)k;
+        break;
+      }
+    if (idx >= 0) {
+      size_t tgt = s.g.size();
+      auto in_sm = [&](size_t k) {
+        for (const ClRange &c : sm_clusters)
+          if (s.cl[k] == c.first && s.cle[k] == c.second) return true;
+        return false;
+      };
+      while ((long)tgt - 1 > idx && in_sm(tgt - 1)) tgt--;
+      if ((long)tgt - 1 > idx) {
+        uint16_t g = s.g[(size_t)idx];
+        uint32_t c0 = s.cl[(size_t)idx], c1 = s.cle[(size_t)idx];
+        auto cm = s.comps[(size_t)idx];
+        uint16_t m = mk[(size_t)idx];
+        s.g.erase(s.g.begin() + idx);
+        s.cl.erase(s.cl.begin() + idx);
+        s.cle.erase(s.cle.begin() + idx);
+        s.comps.erase(s.comps.begin() + idx);
+        mk.erase(mk.begin() + idx);
+        s.g.insert(s.g.begin() + (tgt - 1), g);
+        s.cl.insert(s.cl.begin() + (tgt - 1), c0);
+        s.cle.insert(s.cle.begin() + (tgt - 1), c1);
+        s.comps.insert(s.comps.begin() + (tgt - 1), cm);
+        mk.insert(mk.begin() + (tgt - 1), m);
+        moved = true;
+      }
+    }
+  }
+  if (moved) merge_syllable_clusters(s);
+  apply_sub_plan(pk, pk->syl_plans[SP_INDIC + 8], s, &mk, 0);  // presentation
+}
+
+// shaper._shape_khmer_syllable
+void shape_khmer_syllable(const FdFontPack *pk, const uint32_t *cps_syl,
+                          size_t sn, size_t src_off, ShapeOut &s) {
+  Masks mk;
+  usekm::khmer_masks(cps_syl, sn, mk);
+  std::vector<ClRange> vpre, pref;
+  for (size_t k = 0; k < sn; k++) {
+    if (usekm::kh_vpre(cps_syl[k]))
+      vpre.push_back({(uint32_t)(src_off + k), (uint32_t)(src_off + k + 1)});
+    else if (cps_syl[k] == usekm::KH_COENG && k + 1 < sn &&
+             cps_syl[k + 1] == usekm::KH_RO)
+      pref.push_back({(uint32_t)(src_off + k), (uint32_t)(src_off + k + 2)});
+  }
+  static const uint16_t reqs[6] = {0,      M_PREF, M_BLWF,
+                                   M_ABVF, M_PSTF, M_CFAR};
+  for (int t = 0; t < 6; t++)
+    apply_sub_plan(pk, pk->syl_plans[SP_KHMER + t], s, &mk, reqs[t]);
+  bool moved = move_to_front(s, mk, pref);
+  moved |= move_to_front(s, mk, vpre);
+  if (moved) merge_syllable_clusters(s);
+  apply_sub_plan(pk, pk->syl_plans[SP_USE_PRES], s, &mk, 0);
+}
+
+// shaper._shape_myanmar_syllable
+void shape_myanmar_syllable(const FdFontPack *pk, const uint32_t *cps_syl,
+                            size_t sn, size_t src_off, ShapeOut &s) {
+  bool has_kinzi = usekm::my_has_kinzi(cps_syl, sn, 0);
+  Masks mk;
+  usekm::myanmar_masks(cps_syl, sn, has_kinzi, mk);
+  std::vector<ClRange> vpre, medra;
+  for (size_t k = 0; k < sn; k++) {
+    if (cps_syl[k] == usekm::MY_VPRE)
+      vpre.push_back({(uint32_t)(src_off + k), (uint32_t)(src_off + k + 1)});
+    else if (cps_syl[k] == usekm::MY_MED_RA)
+      medra.push_back({(uint32_t)(src_off + k), (uint32_t)(src_off + k + 1)});
+  }
+  ClRange kinzi{0, 0};
+  if (has_kinzi) kinzi = {(uint32_t)src_off, (uint32_t)(src_off + 3)};
+  size_t base_end_idx = usekm::myanmar_base_cluster_end(cps_syl, sn,
+                                                        has_kinzi);
+  // source offset one past the base cluster, captured BEFORE GSUB mutates
+  // the cluster list
+  uint32_t boundary = base_end_idx < sn
+                          ? (uint32_t)(src_off + base_end_idx)
+                          : (uint32_t)(src_off + sn);
+  static const uint16_t reqs[5] = {0, M_RPHF, M_PREF, M_BLWF, M_PSTF};
+  for (int t = 0; t < 5; t++)
+    apply_sub_plan(pk, pk->syl_plans[SP_MYANMAR + t], s, &mk, reqs[t]);
+  bool moved = false;
+  if (has_kinzi) {
+    std::vector<size_t> kidx;
+    for (size_t k = 0; k < s.cl.size(); k++)
+      if (s.cl[k] >= kinzi.first && s.cle[k] <= kinzi.second)
+        kidx.push_back(k);
+    if (!kidx.empty()) {
+      struct Item {
+        uint16_t g;
+        uint32_t cl, cle;
+        std::pair<uint16_t, int16_t> cm;
+        uint16_t m;
+      };
+      std::vector<Item> items;
+      for (size_t k : kidx)
+        items.push_back({s.g[k], s.cl[k], s.cle[k], s.comps[k], mk[k]});
+      for (size_t q = kidx.size(); q-- > 0;) {
+        size_t k = kidx[q];
+        s.g.erase(s.g.begin() + k);
+        s.cl.erase(s.cl.begin() + k);
+        s.cle.erase(s.cle.begin() + k);
+        s.comps.erase(s.comps.begin() + k);
+        mk.erase(mk.begin() + k);
+      }
+      size_t tgt = 0;
+      for (size_t k = 0; k < s.cl.size(); k++)
+        if (s.cl[k] < boundary) tgt = k + 1;
+      for (size_t off = 0; off < items.size(); off++) {
+        const Item &it = items[off];
+        s.g.insert(s.g.begin() + (tgt + off), it.g);
+        s.cl.insert(s.cl.begin() + (tgt + off), it.cl);
+        s.cle.insert(s.cle.begin() + (tgt + off), it.cle);
+        s.comps.insert(s.comps.begin() + (tgt + off), it.cm);
+        mk.insert(mk.begin() + (tgt + off), it.m);
+      }
+      moved = true;
+    }
+  }
+  moved |= move_to_front(s, mk, medra);
+  moved |= move_to_front(s, mk, vpre);
+  if (moved) merge_syllable_clusters(s);
+  apply_sub_plan(pk, pk->syl_plans[SP_USE_PRES], s, &mk, 0);
+}
+
+// shaper._substitute_indic: Devanagari syllables through the staged engine,
+// non-Devanagari stretches through the generic default plan (per-slice, so
+// context matching never crosses a segment boundary — Python slices too)
+void shape_indic_run(const FdFontPack *pk, const uint32_t *cps, size_t n,
+                     ShapeOut &out) {
+  size_t i = 0;
+  while (i < n) {
+    ShapeOut s;
+    size_t j;
+    if (indic::is_deva(cps[i])) {
+      j = indic::next_syllable(cps, n, i);
+      init_subrun(pk, cps, i, j, s);
+      shape_indic_syllable(pk, cps + i, j - i, i, s);
+    } else {
+      j = i;
+      while (j < n && !indic::is_deva(cps[j])) j++;
+      init_subrun(pk, cps, i, j, s);
+      apply_sub_plan(pk, pk->sub_plan, s, nullptr, 0);
+    }
+    append_run(out, s);
+    i = j;
+  }
+}
+
+// shaper._substitute_use
+void shape_use_run(const FdFontPack *pk, const uint32_t *cps, size_t n,
+                   ShapeOut &out) {
+  size_t i = 0;
+  while (i < n) {
+    ShapeOut s;
+    size_t j;
+    if (usekm::is_khmer(cps[i])) {
+      j = usekm::khmer_next_syllable(cps, n, i);
+      init_subrun(pk, cps, i, j, s);
+      shape_khmer_syllable(pk, cps + i, j - i, i, s);
+    } else if (usekm::is_myanmar(cps[i])) {
+      j = usekm::myanmar_next_syllable(cps, n, i);
+      init_subrun(pk, cps, i, j, s);
+      shape_myanmar_syllable(pk, cps + i, j - i, i, s);
+    } else {
+      j = i;
+      while (j < n &&
+             !(usekm::is_khmer(cps[j]) || usekm::is_myanmar(cps[j])))
+        j++;
+      init_subrun(pk, cps, i, j, s);
+      apply_sub_plan(pk, pk->sub_plan, s, nullptr, 0);
+    }
+    append_run(out, s);
+    i = j;
   }
 }
 
@@ -1326,16 +2039,19 @@ int32_t shape_core(const FdFontPack *pk, const uint32_t *cps, int32_t n,
   if (n < 0) return FD_TYPESET_E_CAP;
   if ((pk->flags & FD_PACK_FEATURES_REDUCED) && !pk->allow_reduced)
     return FD_TYPESET_E_REDUCED;
-  bool has_am = false, has_arabic = false, has_staged = false;
+  bool has_am = false, has_arabic = false, has_indic = false,
+       has_use = false;
   for (int32_t k = 0; k < n; k++) {
     if (arabic_script_cp(cps[k])) has_arabic = true;
-    if (staged_script_cp(cps[k])) has_staged = true;
+    if (indic_script_cp(cps[k])) has_indic = true;
+    if (use_script_cp(cps[k])) has_use = true;
     if (cps[k] == 0x0E33 || cps[k] == 0x0EB3) has_am = true;
   }
   // routing mirrors substitute_ex's elif chain (shaper.py:631-640): any
   // Arabic routes the WHOLE run through the Arabic stages (non-Arabic
-  // positions carry no positional tag); otherwise Indic/USE refuse and
-  // Thai gets its SARA AM preprocess before the generic plan
+  // positions carry no positional tag); else any Devanagari routes through
+  // the Indic syllable engine; else Khmer/Myanmar through the USE engine;
+  // else Thai gets its SARA AM preprocess before the generic plan
   if (has_arabic) {
     if ((pk->flags & FD_PACK_ARABIC_REDUCED) && !pk->allow_reduced)
       return FD_TYPESET_E_REDUCED;
@@ -1343,29 +2059,44 @@ int32_t shape_core(const FdFontPack *pk, const uint32_t *cps, int32_t n,
     size_t m = cpv.size();
     out.g.resize(m);
     out.cl.resize(m);
+    out.cle.resize(m);
     out.comps.assign(m, {1, -1});
     for (size_t k = 0; k < m; k++) {
       out.g[k] = (uint16_t)fd_pack_glyph_id(pk, cpv[k]);
       out.cl[k] = (uint32_t)k;
+      out.cle[k] = (uint32_t)k + 1;
     }
     Masks mk;
     arabic_masks(pk, cpv, mk);
     apply_sub_plan(pk, pk->arab_plans[0], out, &mk, 0);  // ccmp + locl
-    static const uint8_t stage_bits[4] = {M_ISOL, M_FINA, M_MEDI, M_INIT};
+    static const uint16_t stage_bits[4] = {M_ISOL, M_FINA, M_MEDI, M_INIT};
     for (int t = 0; t < 4; t++)
       apply_sub_plan(pk, pk->arab_plans[1 + t], out, &mk, stage_bits[t]);
     apply_sub_plan(pk, pk->arab_plans[5], out, &mk, 0);  // rlig
     apply_sub_plan(pk, pk->arab_plans[6], out, &mk, 0);  // liga/clig/calt/rclt
     return (int32_t)out.g.size();
   }
-  if (has_staged) return FD_TYPESET_E_SCRIPT;
+  if (has_indic || has_use) {
+    if ((pk->flags & FD_PACK_SYLLABLE_REDUCED) && !pk->allow_reduced)
+      return FD_TYPESET_E_REDUCED;
+    std::vector<uint32_t> cpv(cps, cps + n);
+    if (has_indic)
+      shape_indic_run(pk, cpv.data(), cpv.size(), out);
+    else
+      shape_use_run(pk, cpv.data(), cpv.size(), out);
+    return (int32_t)out.g.size();
+  }
   std::vector<uint32_t> cpv(cps, cps + n);
-  std::vector<uint32_t> clv((size_t)n);
-  for (int32_t k = 0; k < n; k++) clv[k] = (uint32_t)k;
-  if (has_am) thai_preprocess(pk, cpv, clv);
+  std::vector<uint32_t> clv((size_t)n), clev((size_t)n);
+  for (int32_t k = 0; k < n; k++) {
+    clv[k] = (uint32_t)k;
+    clev[k] = (uint32_t)k + 1;
+  }
+  if (has_am) thai_preprocess(pk, cpv, clv, clev);
   size_t m = cpv.size();
   out.g.resize(m);
   out.cl = std::move(clv);
+  out.cle = std::move(clev);
   out.comps.assign(m, {1, -1});
   for (size_t k = 0; k < m; k++)
     out.g[k] = (uint16_t)fd_pack_glyph_id(pk, cpv[k]);

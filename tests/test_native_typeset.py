@@ -74,7 +74,7 @@ def test_pack_header_and_metrics():
     tid = load_typeface(DEJAVU)
     blob = build_font_pack(tid)
     magic, ver = struct.unpack_from("<II", blob, 0)
-    assert magic == 0x46445450 and ver == 3
+    assert magic == 0x46445450 and ver == 4
     tf = get_typeface(tid)
     upem, asc, desc, gap = nt.metrics(tid)
     assert (upem, asc, desc, gap) == (
@@ -435,20 +435,148 @@ def test_hebrew_niqqud_shape_ex_matches_python():
         assert saw_mark  # niqqud actually anchored with zero advance
 
 
-def test_syllable_scripts_refused_loudly():
-    """Indic/USE text needs per-syllable masks + glyph REORDERING — the C
-    engine refuses (FD_TYPESET_E_SCRIPT) instead of emitting unreordered
-    streams. (Arabic shapes natively since FDTP v3 — tests below.)"""
+# ---- syllable pipelines (FDTP v4) ---------------------------------------------
+# Indic/Khmer/Myanmar shape NATIVELY since v4: the C engine carries the
+# syllable segmentation, base/reph analysis, positional masks and the
+# reorders (shaper._substitute_indic / text/use.py) -- no FD_TYPESET_E_SCRIPT
+# refusal remains for any script the Python pipeline stages.
+
+
+def test_devanagari_shape_ex_matches_layout():
+    """Noto Sans Devanagari end-to-end: syllable segmentation, reph
+    (rphf + reorder to post-base), rakar (rkrf), half forms, pre-base
+    matra I reordering, conjuncts (cjct) and the presentation stages PLUS
+    abvm/blwm mark anchoring must reproduce layout.py's arrangement
+    bit-exactly -- the reference shapes this through HarfBuzz's Indic
+    shaper (harfbuzzy.nim)."""
     tid = load_typeface(DEVANAGARI)
-    with pytest.raises(nt.NativeTypesetUnsupported, match="syllable"):
-        nt.shape_ex(tid, "\u0915\u0930\u094d\u092e")
-    # Khmer/Myanmar codepoints refuse even via the DejaVu pack (the gate is
-    # the codepoint range, before any lookup runs)
-    tid2 = load_typeface(DEJAVU)
-    with pytest.raises(nt.NativeTypesetUnsupported, match="syllable"):
-        nt.shape_ex(tid2, "\u1780\u17d2\u1798")
-    with pytest.raises(nt.NativeTypesetUnsupported, match="syllable"):
-        nt.shape_ex(tid2, "\u1000\u103c")
+    tf = get_typeface(tid)
+    size = 30.0
+    rs = size / tf.units_per_em
+    for text in ("\u0915\u0930\u094d\u092e",              # karma (reph)
+                 "\u0915\u094d\u0937\u0924\u094d\u0930"
+                 "\u093f\u092f",                          # kshatriya
+                 "\u0928\u092e\u0938\u094d\u0924\u0947",  # namaste
+                 "\u0936\u094d\u0930\u0940\u092e\u093e"
+                 "\u0928\u094d",                          # shriman
+                 "\u0939\u093f\u0928\u094d\u0926\u0940",  # hindi
+                 "\u0915\u094b\u0902"):                    # kom
+        font = FigFont(typeface_id=tid, size=size)
+        arr = typeset(vec2(100000, 100),
+                      [(font, fill(rgba(0, 0, 0, 255)), text)])
+        want = arr.arranged_glyphs
+        gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
+        assert len(gids) == len(want), text
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (text, k)
+            assert abs(float(adv[k]) * rs - g.advance.x) < 1e-6, (text, k)
+            assert abs(float(dx[k]) * rs - g.offset.x) < 1e-6, (text, k)
+            assert abs(-float(dy[k]) * rs - g.offset.y) < 1e-6, (text, k)
+
+
+def test_devanagari_fuzz_parity():
+    """200 seeded random Devanagari strings (consonants, matras, virama,
+    anusvara/candrabindu/nukta, mixed Latin) shape glyph-for-glyph and
+    cluster-for-cluster equal to the Python syllable pipeline."""
+    import random
+
+    tid = load_typeface(DEVANAGARI)
+    rng = random.Random(4242)
+    cons = list(range(0x0915, 0x093A))
+    matras = list(range(0x093E, 0x094D)) + [0x0962, 0x0963]
+    other = [0x094D, 0x0902, 0x0903, 0x0901, 0x093C,
+             ord(" "), ord("a"), ord(".")]
+    pool = cons + matras + other
+    for _ in range(200):
+        n = rng.randint(1, 10)
+        text = "".join(chr(rng.choice(pool)) for _ in range(n))
+        pg, pc = _py_shape_ex_stream(tid, text)
+        gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
+        assert list(map(int, gids)) == pg, text
+        assert list(map(int, clus)) == pc, text
+
+
+def _use_tid(tmp_path, script):
+    """The synthetic Khmer/Myanmar faces from test_shaping_use -- the exact
+    masked GSUB structure Noto Khmer/Myanmar carry (no real faces ship in
+    this image)."""
+    from test_shaping_use import _build_font
+
+    if script == "khmr":
+        cmap = {0x1780: "ka", 0x178F: "ta", 0x179F: "sa", 0x179A: "ro",
+                0x17D2: "coeng", 0x17C1: "e", 0x17C2: "ae", 0x17B8: "ii",
+                0x17CC: "robat"}
+        formed = ["ro.pre", "ka.sub", "sa.sub", "ta.sub", "ka.sub.cfar",
+                  "robat.abv"]
+        fea = """
+            languagesystem DFLT dflt;
+            languagesystem khmr dflt;
+            feature pref { sub coeng ro by ro.pre; } pref;
+            feature blwf {
+                sub coeng ka by ka.sub;
+                sub coeng sa by sa.sub;
+                sub ta by ta.sub;
+            } blwf;
+            feature abvf { sub robat by robat.abv; } abvf;
+            feature cfar { sub ka.sub by ka.sub.cfar; } cfar;
+        """
+    else:
+        cmap = {0x1000: "ka", 0x1004: "nga", 0x103A: "asat",
+                0x1039: "virama", 0x103B: "medya", 0x103C: "medra",
+                0x103D: "medwa", 0x1031: "e"}
+        formed = ["kinzi", "medra.pre", "medwa.blw", "medya.pst", "ka.stack"]
+        fea = """
+            languagesystem DFLT dflt;
+            languagesystem mym2 dflt;
+            feature rphf { sub nga asat virama by kinzi; } rphf;
+            feature pref { sub medra by medra.pre; } pref;
+            feature blwf {
+                sub medwa by medwa.blw;
+                sub virama ka by ka.stack;
+            } blwf;
+            feature pstf { sub medya by medya.pst; } pstf;
+        """
+    path = _build_font(tmp_path, script + "test.ttf", cmap, formed, fea)
+    return load_typeface(path)
+
+
+def test_khmer_native_parity(tmp_path):
+    """Khmer coeng-ro pre-base reordering, coeng subscripts, pre-base
+    vowels, robat and cfar shape in C exactly like text/use.py's
+    per-syllable masked stages."""
+    import sys
+    sys.path.insert(0, "tests") if "tests" not in sys.path else None
+    tid = _use_tid(tmp_path, "khmr")
+    KA, TA, SA, RO = "\u1780", "\u178f", "\u179f", "\u179a"
+    COENG, E, II, ROBAT = "\u17d2", "\u17c1", "\u17b8", "\u17cc"
+    for text in (KA + COENG + RO,            # coeng-ro moves pre-base
+                 KA + COENG + KA,            # coeng subscript
+                 TA + E,                     # pre-base vowel
+                 SA + COENG + KA + ROBAT,    # robat above-base
+                 KA + E + COENG + KA,        # cfar: coeng after vowel
+                 SA + COENG + RO + II):      # srei
+        pg, pc = _py_shape_ex_stream(tid, text)
+        gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
+        assert list(map(int, gids)) == pg, text
+        assert list(map(int, clus)) == pc, text
+
+
+def test_myanmar_native_parity(tmp_path):
+    """Myanmar kinzi (rphf + post-base reorder), medial ra pre-base
+    reordering, below/post medials, stacked consonants and the pre-base
+    vowel E shape in C exactly like text/use.py."""
+    tid = _use_tid(tmp_path, "mymr")
+    KA, NGA, ASAT, VIRAMA = "\u1000", "\u1004", "\u103a", "\u1039"
+    MEDYA, MEDRA, MEDWA, E = "\u103b", "\u103c", "\u103d", "\u1031"
+    for text in (KA + MEDRA,                  # medial ra pre-base
+                 NGA + ASAT + VIRAMA + KA,    # kinzi
+                 KA + E,                      # pre-base vowel
+                 KA + MEDWA + MEDYA,          # below + post medials
+                 KA + VIRAMA + KA + E + MEDRA):  # stack + E + medra
+        pg, pc = _py_shape_ex_stream(tid, text)
+        gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
+        assert list(map(int, gids)) == pg, text
+        assert list(map(int, clus)) == pc, text
 
 
 # ---- staged Arabic (FDTP v3) --------------------------------------------------

@@ -496,6 +496,32 @@ def test_devanagari_fuzz_parity():
         assert list(map(int, clus)) == pc, text
 
 
+def test_mixed_script_fuzz_parity():
+    """Adversarial cross-script fuzz: Devanagari/Khmer/Myanmar/Arabic
+    codepoints (plus ZWJ/ZWNJ/dotted circle) thrown at BOTH the Devanagari
+    and Naskh packs — wrong-script text exercises the no-coverage paths of
+    every pipeline; glyph streams and clusters must equal Python or refuse
+    identically, never crash or mis-shape."""
+    import random
+
+    rng = random.Random(777)
+    pools = [list(range(0x0900, 0x0980)), list(range(0x1780, 0x17FA)),
+             list(range(0x1000, 0x10A0)), list(range(0x0621, 0x0670)),
+             [ord(" "), ord("a"), 0x200D, 0x200C, 0x25CC]]
+    for tid in (load_typeface(DEVANAGARI), load_typeface(NASKH)):
+        for _ in range(120):
+            n = rng.randint(1, 14)
+            text = "".join(chr(rng.choice(rng.choice(pools)))
+                           for _ in range(n))
+            pg, pc = _py_shape_ex_stream(tid, text)
+            try:
+                gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
+            except nt.NativeTypesetUnsupported:
+                continue
+            assert list(map(int, gids)) == pg, text
+            assert list(map(int, clus)) == pc, text
+
+
 def _use_tid(tmp_path, script):
     """The synthetic Khmer/Myanmar faces from test_shaping_use -- the exact
     masked GSUB structure Noto Khmer/Myanmar carry (no real faces ship in

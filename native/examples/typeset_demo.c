@@ -26,7 +26,12 @@ int main(int argc, char **argv) {
     fprintf(stderr, "usage: %s <pack.fdtp> [text]\n", argv[0]);
     return 1;
   }
-  const char *text = argc > 2 ? argv[2] : "Office flow AVATAR";
+  /* --box: drive only fd_typeset_box (folds mark/cursive offsets into
+   * positions) — the API for mark-bearing and syllable-script text the
+   * offset-less line leg refuses. */
+  int box_only = argc > 2 && strcmp(argv[2], "--box") == 0;
+  const char *text = argc > (box_only ? 3 : 2) ? argv[box_only ? 3 : 2]
+                                               : "Office flow AVATAR";
 
   FILE *f = fopen(argv[1], "rb");
   if (!f) {
@@ -60,8 +65,9 @@ int main(int argc, char **argv) {
   uint32_t gids[MAXG], clusters[MAXG];
   float xs[MAXG], baseline = 0.0f;
   float size = 24.0f;
-  int32_t count = fd_typeset_line(pack, cps, n, size, gids, xs, clusters,
-                                  MAXG, &baseline);
+  int32_t count = box_only ? 0
+                           : fd_typeset_line(pack, cps, n, size, gids, xs,
+                                             clusters, MAXG, &baseline);
   if (count == FD_TYPESET_E_MARKS) {
     fprintf(stderr, "refused: text needs GPOS mark positioning\n");
     fd_pack_free(pack);
@@ -73,15 +79,18 @@ int main(int argc, char **argv) {
     return 1;
   }
 
-  float scale = size / fd_pack_metric(pack, 0);
-  float advs[MAXG];
-  int32_t c2 = fd_typeset_shape(pack, cps, n, NULL, advs, NULL, MAXG);
   float total = 0.0f;
-  for (int32_t i = 0; i < c2; i++) total += advs[i] * scale;
+  if (!box_only) {
+    float scale = size / fd_pack_metric(pack, 0);
+    float advs[MAXG];
+    int32_t c2 = fd_typeset_shape(pack, cps, n, NULL, advs, NULL, MAXG);
+    for (int32_t i = 0; i < c2; i++) total += advs[i] * scale;
 
-  fprintf(stderr, "%-6s %-8s %-10s %s\n", "gid", "x(px)", "cluster", "flags");
-  for (int32_t i = 0; i < count; i++)
-    fprintf(stderr, "%-6u %-8.2f %-10u\n", gids[i], xs[i], clusters[i]);
+    fprintf(stderr, "%-6s %-8s %-10s %s\n", "gid", "x(px)", "cluster",
+            "flags");
+    for (int32_t i = 0; i < count; i++)
+      fprintf(stderr, "%-6u %-8.2f %-10u\n", gids[i], xs[i], clusters[i]);
+  }
 
   /* the full box layouter: wrap the same text into a 160 px column,
    * centered — the dynlib typeset() surface (layout.py counterpart).
@@ -98,12 +107,15 @@ int main(int argc, char **argv) {
     return 1;
   }
 
-  printf("glyphs=%d\n", count);
-  printf("first_gid=%u\n", count ? gids[0] : 0);
-  printf("width_px=%.3f\n", total);
-  printf("baseline=%.1f\n", baseline);
+  if (!box_only) {
+    printf("glyphs=%d\n", count);
+    printf("first_gid=%u\n", count ? gids[0] : 0);
+    printf("width_px=%.3f\n", total);
+    printf("baseline=%.1f\n", baseline);
+  }
   printf("flags=%u\n", fd_pack_flags(pack));
   printf("box_glyphs=%d\n", bcount);
+  printf("box_first_gid=%u\n", bcount ? bgids[0] : 0);
   printf("box_w=%.3f\n", box_size[0]);
   printf("box_h=%.3f\n", box_size[1]);
   fd_pack_free(pack);

@@ -399,6 +399,34 @@ def test_c_host_demo_compiles_and_runs(tmp_path):
                        text=True)
     assert r.returncode == 2
 
+    # --box mode drives only the offset-folding box layouter: the SAME
+    # mark-bearing text lays out instead of refusing
+    out = subprocess.run([exe, pack_path, "--box", "cafe\u0301"],
+                         check=True, capture_output=True, text=True)
+    lines = dict(l.split("=") for l in out.stdout.split())
+    bg, _, _, _, bsize = nt.typeset_box(tid, "cafe\u0301", 24.0,
+                                        bounds=(160, 0), h_align=1, wrap=True)
+    assert int(lines["box_glyphs"]) == len(bg)
+    assert abs(float(lines["box_w"]) - bsize[0]) < 0.05
+
+    # FDTP v4: the compiled host typesets wrapped Devanagari — syllable
+    # segmentation, reph/matra reordering and mark anchors all native
+    dev_tid = load_typeface(DEVANAGARI)
+    dev_pack = str(tmp_path / "dev.fdtp")
+    save_font_pack(dev_tid, dev_pack)
+    dtext = ("\u0915\u0930\u094d\u092e \u0915\u094d\u0937"
+             "\u0924\u094d\u0930\u093f\u092f \u0939\u093f"
+             "\u0928\u094d\u0926\u0940")
+    out = subprocess.run([exe, dev_pack, "--box", dtext], check=True,
+                         capture_output=True, text=True)
+    lines = dict(l.split("=") for l in out.stdout.split())
+    bg, _, _, _, bsize = nt.typeset_box(dev_tid, dtext, 24.0,
+                                        bounds=(160, 0), h_align=1, wrap=True)
+    assert int(lines["box_glyphs"]) == len(bg)
+    assert int(lines["box_first_gid"]) == int(bg[0])
+    assert abs(float(lines["box_w"]) - bsize[0]) < 0.05
+    assert abs(float(lines["box_h"]) - bsize[1]) < 0.05
+
 
 HEBREW = "/root/reference/examples/fonts/NotoSansHebrew-wdth-wght.ttf"
 NASKH = "/root/reference/examples/fonts/NotoNaskhArabic-wght.ttf"
@@ -520,6 +548,34 @@ def test_mixed_script_fuzz_parity():
                 continue
             assert list(map(int, gids)) == pg, text
             assert list(map(int, clus)) == pc, text
+
+
+def test_typeset_box_devanagari_wrapped():
+    """fd_typeset_box on wrapped Devanagari: the box layouter rides the v4
+    syllable pipelines — glyph streams and positions (anchor offsets
+    folded) equal layout.py's typeset across alignments."""
+    tid = load_typeface(DEVANAGARI)
+    text = ("\u0915\u0930\u094d\u092e \u0915\u094d\u0937\u0924"
+            "\u094d\u0930\u093f\u092f \u0939\u093f\u0928\u094d"
+            "\u0926\u0940 \u0928\u092e\u0938\u094d\u0924\u0947 "
+            "\u0936\u094d\u0930\u0940\u092e\u093e\u0928\u094d "
+            "\u0915\u094b\u0902\n"
+            "\u0926\u0942\u0938\u0930\u093e \u092a\u0930\u093f"
+            "\u091a\u094d\u091b\u0947\u0926")
+    font = FigFont(typeface_id=tid, size=20.0)
+    for h_align in (0, 1, 2):
+        arr = typeset(vec2(180, 120), [(font, fill(rgba(0, 0, 0, 255)),
+                                        text)],
+                      h_align=h_align, wrap=True)
+        gids, xs, ys, clus, size = nt.typeset_box(
+            tid, text, 20.0, bounds=(180, 120), h_align=h_align, wrap=True)
+        want = arr.arranged_glyphs
+        assert len(gids) == len(want), h_align
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (h_align, k)
+            assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < 1e-3, k
+            assert abs(float(ys[k]) - (g.pos.y + g.offset.y)) < 1e-3, k
+        assert len(arr.lines) >= 3  # wrap actually happened
 
 
 def _use_tid(tmp_path, script):

@@ -1,4 +1,4 @@
-"""Compiled font packs for the native C typesetter (FDTP v4).
+"""Compiled font packs for the native C typesetter (FDTP v5).
 
 The reference's dynlib exports the WHOLE text API to C hosts
 (/root/reference/src/figdraw/bindings/native_bindings.nim:1-628 typeset/
@@ -32,7 +32,7 @@ Myanmar, Thai/Lao, FiraCode-class contextual alternates) shapes
 glyph-for-glyph equal to the Python pipeline (tests/test_native_typeset.py).
 
 Blob layout (all little-endian, naturally aligned):
-  header:  u32 magic 'FDTP'  u32 version=4
+  header:  u32 magic 'FDTP'  u32 version=5
            f32 upem  f32 ascent  f32 descent  f32 line_gap   (font units)
            u32 n_glyphs  u32 n_cmap  u32 n_sub  u32 n_pos
            u32 flags  u32 n_kern0
@@ -76,6 +76,12 @@ Blob layout (all little-endian, naturally aligned):
            presentation), 6 Khmer (locl+ccmp, pref, blwf, abvf, pstf,
            cfar), 5 Myanmar (locl+ccmp, rphf, pref, blwf, pstf), and the
            USE presentation set — V4_STAGE_FEATURES order
+  bidi:    u32 n_cls_ranges, n x {u32 start, u32 end, u32 class} (RLE of
+           unicodedata.bidirectional over all of Unicode, BIDI_CLASSES
+           codes), then u32 n_mirror_ranges, n x {u32 start, u32 end}
+           (the mirrored property) — the C fd_typeset_box runs the full
+           UAX#9 pass (levels, L1/L2 visual order, L4 mirroring) from
+           these, matching text/bidi.py on the builder's Unicode version
 
 `flags` bits record fidelity losses relative to the Python pipeline:
   bit 0  font has a GPOS kern/dist feature (C must NOT fall back to kern0)
@@ -108,7 +114,52 @@ from .shaper import (
 from .typefaces import get_typeface
 
 MAGIC = 0x46445450  # 'FDTP'
-VERSION = 4
+VERSION = 5
+
+# v5 bidi data: RLE of unicodedata.bidirectional over ALL of Unicode plus
+# the mirrored-property ranges — serialized into every pack so the C
+# layouter's UAX#9 pass uses the builder's exact Unicode version (the same
+# reasoning as the Arabic joining classes). Class codes index this tuple.
+BIDI_CLASSES = ("L", "R", "AL", "EN", "ES", "ET", "AN", "CS", "NSM", "BN",
+                "B", "S", "WS", "ON", "LRE", "RLE", "LRO", "RLO", "PDF",
+                "LRI", "RLI", "FSI", "PDI")
+_bidi_tables_cache = None
+
+
+def _bidi_tables():
+    """(class_ranges, mirror_ranges): class_ranges = [(start, end, code)]
+    RLE over 0..0x110000 of bidi.char_type; mirror_ranges = [(start, end)]
+    where unicodedata.mirrored is true. Computed once per process (~1 s)."""
+    global _bidi_tables_cache
+    if _bidi_tables_cache is not None:
+        return _bidi_tables_cache
+    import unicodedata
+
+    code = {c: k for k, c in enumerate(BIDI_CLASSES)}
+    ranges = []
+    prev = None
+    start = 0
+    for cp in range(0x110000):
+        c = unicodedata.bidirectional(chr(cp)) or "L"
+        if c != prev:
+            if prev is not None:
+                ranges.append((start, cp, code[prev]))
+            start, prev = cp, c
+    ranges.append((start, 0x110000, code[prev]))
+    mirrors = []
+    prev_m = False
+    start = 0
+    for cp in range(0x110000):
+        m = unicodedata.mirrored(chr(cp))
+        if m != prev_m:
+            if prev_m:
+                mirrors.append((start, cp))
+            start, prev_m = cp, m
+    if prev_m:
+        mirrors.append((start, 0x110000))
+    _bidi_tables_cache = (ranges, mirrors)
+    return _bidi_tables_cache
+
 
 # entry kinds (within a lookup record)
 K_SINGLE = 1     # count x {u16 from, u16 to}                     sorted by from
@@ -701,6 +752,14 @@ def build_font_pack(typeface_id: int) -> bytes:
     for plan in syl_plans:
         out += struct.pack("<I", len(plan))
         out += struct.pack("<%dI" % len(plan), *plan) if plan else b""
+    # --- v5 bidi: RLE class table + mirrored ranges (UAX#9 in C) -----------
+    cls_ranges, mirror_ranges = _bidi_tables()
+    out += struct.pack("<I", len(cls_ranges))
+    for s0, e0, c0 in cls_ranges:
+        out += struct.pack("<III", s0, e0, c0)
+    out += struct.pack("<I", len(mirror_ranges))
+    for s0, e0 in mirror_ranges:
+        out += struct.pack("<II", s0, e0)
     return bytes(out)
 
 

@@ -4,7 +4,7 @@
  * dynlib's typeset exports (/root/reference/src/figdraw/bindings/
  * native_bindings.nim:1-628). Shaping itself is a Python subsystem
  * (figdraw_tpu/text/shaper.py over fontTools); a C host instead consumes a
- * COMPILED FONT PACK (FDTP v4, produced offline by
+ * COMPILED FONT PACK (FDTP v5, produced offline by
  * figdraw_tpu.text.native_pack.save_font_pack) holding the typeface's
  * metrics plus the shaper's own compiled default-feature plan: single /
  * multiple / ligature / (chain-)contextual / reverse-chain GSUB (with
@@ -20,13 +20,19 @@
  * analysis, masked basic features, reph/pre-base-matra reordering), Khmer
  * (coeng pairs, pre-base vowel reordering) and Myanmar (kinzi, medials) —
  * FD_TYPESET_E_SCRIPT is no longer returned for any script the Python
- * pipeline stages. This engine re-applies the plans with semantics
+ * pipeline stages. v5 packs add the UAX#9 bidi data (an RLE bidi-class
+ * table over all of Unicode + the mirrored-property ranges, serialized
+ * from the builder's unicodedata): fd_typeset_box runs the full bidi
+ * pass — paragraph levels, explicit embeddings/isolates, L1/L2 visual
+ * reordering, L4 bracket mirroring — exactly like text/bidi.py, so mixed
+ * LTR/RTL paragraphs lay out from C position-for-position equal to the
+ * Python layouter. This engine re-applies the plans with semantics
  * identical to the Python pipeline — gids, advances, clusters AND mark
  * offsets match glyph-for-glyph (tests/test_native_typeset.py).
  *
- * Bidi reordering stays host-side: fd_typeset_shape_ex takes the run's
- * direction like a HarfBuzz buffer; fd_typeset_line / fd_typeset_box lay
- * out LTR.
+ * fd_typeset_shape_ex stays buffer-level like HarfBuzz: it takes the
+ * run's direction and leaves paragraph reordering to the host;
+ * fd_typeset_line lays out LTR.
  */
 #ifndef FIGDRAW_TYPESET_H
 #define FIGDRAW_TYPESET_H
@@ -79,7 +85,7 @@ typedef struct FdFontPack FdFontPack;
                                  * only lookup lost entries: runs in those
                                  * scripts refuse by default (same opt-in) */
 
-/* Parse an FDTP v4 blob (the bytes of a .fdtp file). The blob is copied;
+/* Parse an FDTP v5 blob (the bytes of a .fdtp file). The blob is copied;
  * returns NULL on a malformed/truncated blob or wrong magic/version. */
 FdFontPack *fd_pack_load(const void *blob, int32_t len);
 void fd_pack_free(FdFontPack *pack);
@@ -157,8 +163,10 @@ int32_t fd_typeset_line(const FdFontPack *pack, const uint32_t *cps,
  * out_size (may be NULL) receives {max visible line width, total height}.
  * Mark attachment and cursive offsets are FOLDED into xs/ys: a host draws
  * glyph i at (xs[i], ys[i]) and attached marks land on their base's
- * anchor. Bidi reordering stays host-side (the layouter is LTR).
- * Returns the glyph count. */
+ * anchor. The full UAX#9 bidi pass runs inside (levels from the pack's
+ * class tables, L1/L2 visual pen order, L4 mirroring before the cmap) —
+ * glyph/cluster storage stays LOGICAL, only positions flip, exactly like
+ * layout.py. Returns the glyph count. */
 int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
                        float size_px, float line_height, float bounds_w,
                        float bounds_h, int32_t h_align, int32_t v_align,

@@ -27,12 +27,15 @@
 // and Myanmar (kinzi, medials) run natively from 21 per-stage plan arrays
 // in the pack — FD_TYPESET_E_SCRIPT is no longer returned for any script
 // the Python pipeline stages.
+// v5 adds UAX#9 bidi to fd_typeset_box (levels + L1/L2 visual order + L4
+// mirroring from the pack's class tables, text/bidi.py line-for-line).
 // fd_typeset_shape (the offset-less advance-stream API) keeps refusing
 // attach-capable marks with FD_TYPESET_E_MARKS; fd_typeset_shape_ex /
 // fd_typeset_line / fd_typeset_box place marks via per-glyph offsets.
 
 #include "figdraw_typeset.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <string>
@@ -43,7 +46,7 @@
 namespace {
 
 constexpr uint32_t kMagic = 0x46445450;  // 'FDTP'
-constexpr uint32_t kVersion = 4;
+constexpr uint32_t kVersion = 5;
 constexpr uint8_t kMarkBit = 0x80;  // gdef byte: attach-capable mark
 constexpr uint8_t kClassMask = 0x7F;
 
@@ -180,6 +183,14 @@ struct FdFontPack {
   // vatu+cjct, presentation; 6 Khmer: locl+ccmp, pref, blwf, abvf, pstf,
   // cfar; 5 Myanmar: locl+ccmp, rphf, pref, blwf, pstf; 1 USE pres)
   std::vector<uint32_t> syl_plans[21];
+  // v5 bidi: RLE class table (start, end, class code in BIDI_CLASSES
+  // order) + mirrored-property ranges — serialized from the builder's
+  // unicodedata so the C UAX#9 pass matches text/bidi.py exactly
+  struct BidiRange {
+    uint32_t start, end, cls;
+  };
+  std::vector<BidiRange> bidi_cls;                       // sorted by start
+  std::vector<std::pair<uint32_t, uint32_t>> mirrored;   // sorted by start
 };
 
 // syl_plans index bases
@@ -1135,6 +1146,31 @@ FdFontPack *fd_pack_load(const void *blob, int32_t len) {
           uint32_t idx = r.u32();
           if (idx >= n_sub) ok = false;
           pk->syl_plans[t][k] = idx;
+        }
+      }
+      // ---- v5 bidi: RLE class table + mirrored ranges --------------------
+      if (ok) {
+        uint32_t nb = r.u32();
+        ok = r.can(nb, 12) && nb <= (1u << 16);
+        if (ok) {
+          pk->bidi_cls.resize(nb);
+          for (uint32_t k = 0; k < nb; k++) {
+            uint32_t s0 = r.u32(), e0 = r.u32(), c0 = r.u32();
+            if (c0 >= 23 || e0 <= s0) ok = false;
+            pk->bidi_cls[k] = {s0, e0, c0};
+          }
+        }
+      }
+      if (ok) {
+        uint32_t nm = r.u32();
+        ok = r.can(nm, 8) && nm <= (1u << 14);
+        if (ok) {
+          pk->mirrored.resize(nm);
+          for (uint32_t k = 0; k < nm; k++) {
+            uint32_t s0 = r.u32(), e0 = r.u32();
+            if (e0 <= s0) ok = false;
+            pk->mirrored[k] = {s0, e0};
+          }
         }
       }
     }
@@ -2171,8 +2207,11 @@ struct PosOut {
 // deltas, the cursive chain, then the base/mark attach sweep. rtl selects
 // the mark-offset convention (the visual reversal parks a mark's cursor at
 // its base's origin — no pen pullback).
+// seg_levels (may be null): per segment-input-index UAX#9 embedding
+// levels — per-GLYPH rtl then comes from the glyph's cluster start
+// (layout.py's is_rtl = levels[cs] % 2), overriding the run-wide flag.
 void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
-                   PosOut &p) {
+                   PosOut &p, const int32_t *seg_levels = nullptr) {
   size_t n = s.g.size();
   p.adv.assign(n, 0.0);
   p.dx.assign(n, 0.0);
@@ -2266,7 +2305,9 @@ void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
                                   &ddx, &ddy);
         if (!found) found = mark_attach(pk, base_gid, gid, &ddx, &ddy);
         if (found) {
-          ax = ddx - (rtl ? 0.0 : pen_since_base);
+          bool g_rtl =
+              seg_levels ? (seg_levels[s.cl[k]] % 2 == 1) : rtl;
+          ax = ddx - (g_rtl ? 0.0 : pen_since_base);
           ay = ddy;
           attach = true;
         }
@@ -2301,6 +2342,388 @@ void position_core(const FdFontPack *pk, const ShapeOut &s, bool rtl,
     }
   }
 }
+
+// ======== UAX#9 bidi (text/bidi.py, line-for-line) ============================
+// Class codes are BIDI_CLASSES order (native_pack.py); the per-codepoint
+// table and the mirrored property ride the pack (the builder's exact
+// unicodedata), MIRROR_PAIRS is bidi.py's own static table.
+
+namespace bidi {
+
+enum : int32_t {
+  B_L = 0, B_R, B_AL, B_EN, B_ES, B_ET, B_AN, B_CS, B_NSM, B_BN,
+  B_B, B_S, B_WS, B_ON, B_LRE, B_RLE, B_LRO, B_RLO, B_PDF,
+  B_LRI, B_RLI, B_FSI, B_PDI
+};
+constexpr int32_t kMaxDepth = 125;
+
+inline bool iso_init(int32_t t) {
+  return t == B_LRI || t == B_RLI || t == B_FSI;
+}
+inline bool is_ni(int32_t t) {  // neutrals/isolates (_NI)
+  return t == B_B || t == B_S || t == B_WS || t == B_ON || iso_init(t) ||
+         t == B_PDI;
+}
+
+int32_t char_type(const FdFontPack *pk, uint32_t cp) {
+  const auto &v = pk->bidi_cls;
+  size_t lo = 0, hi = v.size();
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (cp < v[mid].start)
+      hi = mid;
+    else if (cp >= v[mid].end)
+      lo = mid + 1;
+    else
+      return (int32_t)v[mid].cls;
+  }
+  return B_L;  // char_type's `or "L"` default
+}
+
+uint32_t mirror_cp(const FdFontPack *pk, uint32_t cp) {
+  const auto &v = pk->mirrored;
+  size_t lo = 0, hi = v.size();
+  bool m = false;
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (cp < v[mid].first)
+      hi = mid;
+    else if (cp >= v[mid].second)
+      lo = mid + 1;
+    else {
+      m = true;
+      break;
+    }
+  }
+  if (!m) return cp;
+  switch (cp) {  // bidi.MIRROR_PAIRS
+    case 0x28: return 0x29;
+    case 0x29: return 0x28;
+    case 0x5B: return 0x5D;
+    case 0x5D: return 0x5B;
+    case 0x7B: return 0x7D;
+    case 0x7D: return 0x7B;
+    case 0x3C: return 0x3E;
+    case 0x3E: return 0x3C;
+    case 0xAB: return 0xBB;
+    case 0xBB: return 0xAB;
+    case 0x2039: return 0x203A;
+    case 0x203A: return 0x2039;
+    case 0x27E8: return 0x27E9;
+    case 0x27E9: return 0x27E8;
+    case 0x2308: return 0x2309;
+    case 0x2309: return 0x2308;
+    case 0x230A: return 0x230B;
+    case 0x230B: return 0x230A;
+    case 0x2264: return 0x2265;
+    case 0x2265: return 0x2264;
+    default: return cp;  // mirrored but unpaired in the table
+  }
+}
+
+// P2/P3: first strong type outside isolates
+int32_t paragraph_level(const int32_t *types, size_t n) {
+  int isolate = 0;
+  for (size_t i = 0; i < n; i++) {
+    int32_t t = types[i];
+    if (iso_init(t))
+      isolate++;
+    else if (t == B_PDI) {
+      if (isolate > 0) isolate--;
+    } else if (isolate == 0) {
+      if (t == B_L) return 0;
+      if (t == B_R || t == B_AL) return 1;
+    }
+  }
+  return 0;
+}
+
+// BD9
+size_t matching_pdi(const int32_t *types, size_t n, size_t i) {
+  int depth = 1;
+  for (size_t j = i + 1; j < n; j++) {
+    if (iso_init(types[j]))
+      depth++;
+    else if (types[j] == B_PDI && --depth == 0)
+      return j;
+  }
+  return n;
+}
+
+// X1-X8/X5a-X6a + W1-W7 + N1-N2 + I1-I2 for one paragraph; types is the
+// working copy (mutated exactly like bidi.resolve_levels)
+int32_t resolve_levels(std::vector<int32_t> &types,
+                       std::vector<int32_t> &levels) {
+  size_t n = types.size();
+  std::vector<int32_t> orig(types);
+  int32_t para = paragraph_level(types.data(), n);
+  levels.assign(n, para);
+
+  struct StackEnt {
+    int32_t level, override_t;  // override: B_L/B_R or -1
+    bool isolate;
+  };
+  std::vector<StackEnt> stack{{para, -1, false}};
+  int overflow_isolates = 0, overflow_embedding = 0, valid_isolates = 0;
+  auto next_odd = [](int32_t l) { return l % 2 == 0 ? l + 1 : l + 2; };
+  auto next_even = [](int32_t l) { return l % 2 == 0 ? l + 2 : l + 1; };
+
+  for (size_t i = 0; i < n; i++) {
+    int32_t t = types[i];
+    if (t == B_RLE || t == B_LRE || t == B_RLO || t == B_LRO) {
+      int32_t nl = (t == B_RLE || t == B_RLO) ? next_odd(stack.back().level)
+                                              : next_even(stack.back().level);
+      levels[i] = stack.back().level;
+      types[i] = B_BN;
+      if (nl <= kMaxDepth && !overflow_isolates && !overflow_embedding)
+        stack.push_back(
+            {nl, t == B_RLO ? B_R : (t == B_LRO ? B_L : -1), false});
+      else if (!overflow_isolates)
+        overflow_embedding++;
+    } else if (t == B_PDF) {
+      levels[i] = stack.back().level;
+      types[i] = B_BN;
+      if (overflow_isolates) {
+      } else if (overflow_embedding) {
+        overflow_embedding--;
+      } else if (!stack.back().isolate && stack.size() > 1) {
+        stack.pop_back();
+      }
+    } else if (iso_init(t)) {
+      if (t == B_FSI) {
+        size_t end = matching_pdi(types.data(), n, i);
+        t = paragraph_level(orig.data() + i + 1,
+                            end > i + 1 ? end - (i + 1) : 0) == 1
+                ? B_RLI
+                : B_LRI;
+      }
+      levels[i] = stack.back().level;
+      if (stack.back().override_t >= 0) types[i] = stack.back().override_t;
+      int32_t nl = t == B_RLI ? next_odd(stack.back().level)
+                              : next_even(stack.back().level);
+      if (nl <= kMaxDepth && !overflow_isolates && !overflow_embedding) {
+        valid_isolates++;
+        stack.push_back({nl, -1, true});
+      } else {
+        overflow_isolates++;
+      }
+    } else if (t == B_PDI) {
+      if (overflow_isolates) {
+        overflow_isolates--;
+      } else if (valid_isolates) {
+        overflow_embedding = 0;
+        while (!stack.back().isolate) stack.pop_back();
+        stack.pop_back();
+        valid_isolates--;
+      }
+      levels[i] = stack.back().level;
+      if (stack.back().override_t >= 0) types[i] = stack.back().override_t;
+    } else if (t == B_B) {
+      levels[i] = para;
+    } else {
+      levels[i] = stack.back().level;
+      if (stack.back().override_t >= 0) types[i] = stack.back().override_t;
+    }
+  }
+
+  // level runs with sos/eos (X10, the 6.2 run model)
+  std::vector<size_t> visible;
+  for (size_t j = 0; j < n; j++)
+    if (types[j] != B_BN) visible.push_back(j);
+  std::vector<std::pair<size_t, size_t>> runs;  // [start, end)
+  if (!visible.empty()) {
+    size_t vs = visible[0];
+    for (size_t q = 0; q + 1 < visible.size(); q++) {
+      size_t a = visible[q], b = visible[q + 1];
+      if (levels[b] != levels[a]) {
+        runs.emplace_back(vs, a + 1);
+        vs = b;
+      }
+    }
+    runs.emplace_back(vs, visible.back() + 1);
+  }
+
+  for (size_t ri = 0; ri < runs.size(); ri++) {
+    auto [rs, re] = runs[ri];
+    int32_t run_level = levels[rs];
+    int32_t prev_level = ri > 0 ? levels[runs[ri - 1].first] : para;
+    int32_t next_level = ri + 1 < runs.size() ? levels[runs[ri + 1].first]
+                                              : para;
+    int32_t sos = (std::max(run_level, prev_level) % 2) ? B_R : B_L;
+    int32_t eos = (std::max(run_level, next_level) % 2) ? B_R : B_L;
+    std::vector<size_t> idxs;
+    for (size_t j = rs; j < re; j++)
+      if (types[j] != B_BN) idxs.push_back(j);
+
+    // W1 (isolate initiators / PDI before an NSM give ON)
+    int32_t prev_t = sos;
+    for (size_t j : idxs) {
+      if (types[j] == B_NSM)
+        types[j] = (iso_init(prev_t) || prev_t == B_PDI) ? B_ON : prev_t;
+      prev_t = types[j];
+    }
+    // W2
+    int32_t strong = sos;
+    for (size_t j : idxs) {
+      int32_t t = types[j];
+      if (t == B_L || t == B_R || t == B_AL)
+        strong = t;
+      else if (t == B_EN && strong == B_AL)
+        types[j] = B_AN;
+    }
+    // W3
+    for (size_t j : idxs)
+      if (types[j] == B_AL) types[j] = B_R;
+    // W4
+    for (size_t k = 1; k + 1 < idxs.size(); k++) {
+      size_t j = idxs[k];
+      int32_t a = types[idxs[k - 1]], b = types[idxs[k + 1]];
+      if (types[j] == B_ES && a == B_EN && b == B_EN)
+        types[j] = B_EN;
+      else if (types[j] == B_CS && a == b && (a == B_EN || a == B_AN))
+        types[j] = a;
+    }
+    // W5
+    for (size_t k = 0; k < idxs.size();) {
+      if (types[idxs[k]] == B_ET) {
+        size_t k2 = k;
+        while (k2 < idxs.size() && types[idxs[k2]] == B_ET) k2++;
+        int32_t before = k > 0 ? types[idxs[k - 1]] : sos;
+        int32_t after = k2 < idxs.size() ? types[idxs[k2]] : eos;
+        if (before == B_EN || after == B_EN)
+          for (size_t m = k; m < k2; m++) types[idxs[m]] = B_EN;
+        k = k2;
+      } else {
+        k++;
+      }
+    }
+    // W6
+    for (size_t j : idxs)
+      if (types[j] == B_ET || types[j] == B_ES || types[j] == B_CS)
+        types[j] = B_ON;
+    // W7
+    strong = sos;
+    for (size_t j : idxs) {
+      int32_t t = types[j];
+      if (t == B_L || t == B_R)
+        strong = t;
+      else if (t == B_EN && strong == B_L)
+        types[j] = B_L;
+    }
+
+    // N1/N2
+    auto n_side = [](int32_t t) -> int32_t {
+      if (t == B_R || t == B_EN || t == B_AN) return B_R;
+      if (t == B_L) return B_L;
+      return -1;
+    };
+    for (size_t k = 0; k < idxs.size();) {
+      if (is_ni(types[idxs[k]])) {
+        size_t k2 = k;
+        while (k2 < idxs.size() && is_ni(types[idxs[k2]])) k2++;
+        int32_t before = k > 0 ? n_side(types[idxs[k - 1]]) : sos;
+        int32_t after = k2 < idxs.size() ? n_side(types[idxs[k2]]) : eos;
+        int32_t res;
+        if (before == after && (before == B_L || before == B_R))
+          res = before;
+        else
+          res = (run_level % 2) ? B_R : B_L;  // N2
+        for (size_t m = k; m < k2; m++) types[idxs[m]] = res;
+        k = k2;
+      } else {
+        k++;
+      }
+    }
+
+    // I1/I2
+    for (size_t j : idxs) {
+      int32_t t = types[j];
+      if (run_level % 2 == 0) {
+        if (t == B_R)
+          levels[j] = run_level + 1;
+        else if (t == B_AN || t == B_EN)
+          levels[j] = run_level + 2;
+      } else {
+        if (t == B_L || t == B_AN || t == B_EN) levels[j] = run_level + 1;
+      }
+    }
+  }
+
+  // X9 cleanup
+  for (long j = (long)n - 2; j >= 0; j--)
+    if (types[j] == B_BN) levels[j] = levels[j + 1];
+  return para;
+}
+
+// compute_levels over a multi-paragraph text: levels + per-char paragraph
+// base levels; paragraphs split on class B, the separator ending its own
+void compute_levels(const FdFontPack *pk, const uint32_t *cps, size_t n,
+                    std::vector<int32_t> &levels, std::vector<int32_t> &bases) {
+  levels.clear();
+  bases.clear();
+  size_t start = 0;
+  std::vector<int32_t> orig_types(n);
+  for (size_t i = 0; i < n; i++) orig_types[i] = char_type(pk, cps[i]);
+  auto run_para = [&](size_t s, size_t e) {
+    std::vector<int32_t> t(orig_types.begin() + s, orig_types.begin() + e);
+    std::vector<int32_t> lv;
+    int32_t para = resolve_levels(t, lv);
+    levels.insert(levels.end(), lv.begin(), lv.end());
+    bases.insert(bases.end(), e - s, para);
+  };
+  for (size_t i = 0; i < n; i++) {
+    if (orig_types[i] == B_B) {
+      run_para(start, i + 1);
+      start = i + 1;
+    }
+  }
+  if (start < n || n == 0) run_para(start, n);
+}
+
+// L1 + L2 for one line (logical-order slices); returns logical indices in
+// visual order
+std::vector<size_t> line_visual_order(const std::vector<int32_t> &levels,
+                                      const std::vector<int32_t> &types,
+                                      int32_t para_level) {
+  size_t n = levels.size();
+  std::vector<int32_t> lv(levels);
+  auto resettable = [](int32_t t) {
+    return t == B_WS || iso_init(t) || t == B_PDI || t == B_BN;
+  };
+  for (size_t i = 0; i < n; i++) {
+    if (types[i] == B_S || types[i] == B_B) {
+      lv[i] = para_level;
+      for (long j = (long)i - 1; j >= 0 && resettable(types[j]); j--)
+        lv[j] = para_level;
+    }
+  }
+  for (long j = (long)n - 1; j >= 0 && resettable(types[j]); j--)
+    lv[j] = para_level;
+
+  std::vector<size_t> order(n);
+  for (size_t i = 0; i < n; i++) order[i] = i;
+  if (n == 0) return order;
+  int32_t max_level = *std::max_element(lv.begin(), lv.end());
+  int32_t min_odd = max_level + 1;
+  for (int32_t l : lv)
+    if (l % 2 && l < min_odd) min_odd = l;
+  for (int32_t level = max_level; level >= min_odd; level--) {
+    size_t i = 0;
+    while (i < n) {
+      if (lv[i] >= level) {
+        size_t j = i;
+        while (j < n && lv[j] >= level) j++;
+        std::reverse(order.begin() + i, order.begin() + j);
+        i = j;
+      } else {
+        i++;
+      }
+    }
+  }
+  return order;
+}
+
+}  // namespace bidi
 
 }  // namespace
 
@@ -2420,6 +2843,24 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
   if (n < 0) return FD_TYPESET_E_CAP;
   double scale = pack->upem > 0 ? (double)size_px / pack->upem : 0.0;
 
+  // UAX#9 over the full logical text (layout.py:528-544): levels + bases;
+  // pure-LTR text (no odd level) skips every bidi branch below
+  std::vector<int32_t> levels, bases;
+  bidi::compute_levels(pack, cps, (size_t)n, levels, bases);
+  bool any_rtl = false;
+  for (int32_t l : levels)
+    if (l % 2) any_rtl = true;
+  // L4: RTL-context chars shape via their mirrored counterpart
+  // (layout.py:573-575 — the mirror happens BEFORE the cmap lookup)
+  std::vector<uint32_t> mcps;
+  const uint32_t *scps = cps;
+  if (any_rtl) {
+    mcps.assign(cps, cps + n);
+    for (int32_t k = 0; k < n; k++)
+      if (levels[k] % 2) mcps[k] = bidi::mirror_cp(pack, cps[k]);
+    scps = mcps.data();
+  }
+
   // shape per newline-delimited segment (ligatures never cross '\n' —
   // layout.py's segment loop), emitting the '\n' itself as a zero-advance
   // gid-0 glyph exactly like the Python records path
@@ -2438,10 +2879,11 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
       int32_t seg_n = j - i;
       if (seg_n > 0) {
         ShapeOut so;
-        int32_t count = shape_core(pack, cps + i, seg_n, so);
+        int32_t count = shape_core(pack, scps + i, seg_n, so);
         if (count < 0) return count;
         PosOut po;
-        position_core(pack, so, false, po);
+        position_core(pack, so, false, po,
+                      any_rtl ? levels.data() + i : nullptr);
         for (int32_t k = 0; k < count; k++) {
           uint32_t rune = cps[i + so.cl[k]];
           g.push_back(so.g[k]);
@@ -2530,7 +2972,24 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
       pen = bounds_w > 0 ? (bounds_w - visible_w) / 2.0 : 0.0;
     else if (h_align == 2)
       pen = bounds_w > 0 ? bounds_w - visible_w : 0.0;
-    for (size_t k = s_i; k <= e_i; k++) {
+    // visual order (bidi L1+L2, layout.py:824-838): glyph storage stays
+    // logical (gids/clusters arrays), only the pen x order flips
+    std::vector<size_t> order;
+    if (any_rtl) {
+      size_t ln = e_i - s_i + 1;
+      std::vector<int32_t> line_lv(ln), line_ty(ln);
+      for (size_t k = 0; k < ln; k++) {
+        uint32_t cs = cl[s_i + k];
+        line_lv[k] = levels[cs];
+        line_ty[k] = bidi::char_type(pack, cps[cs]);
+      }
+      order = bidi::line_visual_order(line_lv, line_ty, bases[cl[s_i]]);
+    } else {
+      order.resize(e_i - s_i + 1);
+      for (size_t k = 0; k < order.size(); k++) order[k] = k;
+    }
+    for (size_t q : order) {
+      size_t k = s_i + q;
       // per-glyph offsets fold into the emitted positions: a host draws
       // glyph k at (xs[k], ys[k]) and attached marks land on their base's
       // anchor (layout.py's pos + offset, consumed by glyphs.py)

@@ -74,7 +74,7 @@ def test_pack_header_and_metrics():
     tid = load_typeface(DEJAVU)
     blob = build_font_pack(tid)
     magic, ver = struct.unpack_from("<II", blob, 0)
-    assert magic == 0x46445450 and ver == 4
+    assert magic == 0x46445450 and ver == 5
     tf = get_typeface(tid)
     upem, asc, desc, gap = nt.metrics(tid)
     assert (upem, asc, desc, gap) == (
@@ -576,6 +576,95 @@ def test_typeset_box_devanagari_wrapped():
             assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < 1e-3, k
             assert abs(float(ys[k]) - (g.pos.y + g.offset.y)) < 1e-3, k
         assert len(arr.lines) >= 3  # wrap actually happened
+
+
+# ---- bidi over the C ABI (FDTP v5) --------------------------------------------
+# fd_typeset_box runs the full UAX#9 pass (levels, L1/L2 visual order, L4
+# mirroring) from the pack's RLE bidi-class + mirrored tables — the C box
+# layouter is a complete dynlib-grade typeset like the reference's
+# FriBidi+HarfBuzz stack (textbackends/harfbuzzy.nim; dynlib typeset).
+
+
+def _box_matches(tid, text, size=20.0, bounds=(120, 200), tol=1e-3):
+    font = FigFont(typeface_id=tid, size=size)
+    for h_align in (0, 1, 2):
+        arr = typeset(vec2(*bounds), [(font, fill(rgba(0, 0, 0, 255)),
+                                       text)],
+                      h_align=h_align, wrap=True)
+        gids, xs, ys, clus, out = nt.typeset_box(
+            tid, text, size, bounds=bounds, h_align=h_align, wrap=True)
+        want = arr.arranged_glyphs
+        assert len(gids) == len(want), (text, h_align)
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (text, h_align, k)
+            assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < tol, \
+                (text, h_align, k)
+            assert abs(float(ys[k]) - (g.pos.y + g.offset.y)) < tol, \
+                (text, h_align, k)
+
+
+def test_typeset_box_bidi_hebrew():
+    """RTL paragraphs, mixed LTR/RTL with European numbers, niqqud marks in
+    reordered runs, mirrored brackets, and a multi-paragraph split — all
+    positioned identically to layout.py's UAX#9 pass."""
+    tid = load_typeface(HEBREW)
+    for text in ("\u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd",
+                 "abc \u05e9\u05dc\u05d5\u05dd 123 def",
+                 "\u05e9\u05b8\u05c1\u05dc\u05d5\u05b9\u05dd "
+                 "\u05d1\u05b0\u05bc\u05e8\u05b5\u05d0 \u05e2\u05dd",
+                 "a (\u05e9\u05dc\u05d5\u05dd) b",
+                 "\u05e9\u05d5\u05e8\u05d4 \u05d0\u05d7\u05ea\n"
+                 "\u05e9\u05e0\u05d9\u05d9\u05d4 abc"):
+        _box_matches(tid, text)
+
+
+def test_typeset_box_bidi_arabic():
+    """Arabic paragraphs wrap and reorder like layout.py: the staged
+    positional shaping (v3) composes with the UAX#9 visual order, and
+    embedded Latin/numbers sit at their resolved levels."""
+    tid = load_typeface(NASKH)
+    for text in ("\u0633\u0644\u0627\u0645 \u0639\u0644\u064a"
+                 "\u0643\u0645 \u0648\u0631\u062d\u0645\u0629 "
+                 "\u0627\u0644\u0644\u0647",
+                 "the \u0628\u0633\u0645 \u0627\u0644\u0644\u0647 "
+                 "price is 45 usd"):
+        _box_matches(tid, text)
+
+
+def test_typeset_box_bidi_fuzz():
+    """150 seeded random strings over Hebrew letters + niqqud, Latin,
+    digits, mirrored brackets, and the explicit bidi controls
+    (LRI/RLI/FSI/PDI, LRE/RLE/LRO/RLO/PDF) across wrap widths and
+    alignments — position-for-position equal to the Python layouter."""
+    import random
+
+    rng = random.Random(90210)
+    pools = [[ord(c) for c in "abc XY."],
+             list(range(0x05D0, 0x05EB)) + [0x05B8, 0x05B4, 0x05C1],
+             [ord(c) for c in "0123456789%$+-,.:"],
+             [ord(c) for c in "()[]{}<>"],
+             [0x2066, 0x2067, 0x2068, 0x2069,
+              0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+              0x00A0, 0x0009, ord("\n")]]
+    tid = load_typeface(HEBREW)
+    font = FigFont(typeface_id=tid, size=18.0)
+    for _ in range(150):
+        n = rng.randint(1, 18)
+        text = "".join(chr(rng.choice(rng.choice(pools))) for _ in range(n))
+        h = rng.randint(0, 2)
+        w = rng.choice([0, 90, 150])
+        arr = typeset(vec2(w, 200), [(font, fill(rgba(0, 0, 0, 255)), text)],
+                      h_align=h, wrap=w > 0)
+        gids, xs, ys, clus, out = nt.typeset_box(
+            tid, text, 18.0, bounds=(w, 200), h_align=h, wrap=w > 0)
+        want = arr.arranged_glyphs
+        assert len(gids) == len(want), text
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (text, k)
+            assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < 1e-3, \
+                (text, k)
+            assert abs(float(ys[k]) - (g.pos.y + g.offset.y)) < 1e-3, \
+                (text, k)
 
 
 def _use_tid(tmp_path, script):

@@ -529,8 +529,16 @@ def _collect_lookups(plan_lis, compile_one) -> tuple:
     return order, limap
 
 
-def build_font_pack(typeface_id: int) -> bytes:
-    """Serialize the typeface's metrics + compiled default-feature plan."""
+def build_font_pack(typeface_id: int, variations=()) -> bytes:
+    """Serialize the typeface's metrics + compiled default-feature plan.
+
+    `variations`: OpenType variable-axis coordinates — FontVariation
+    objects or (tag, value) pairs. A non-empty set bakes an INSTANCE pack:
+    advances come from the varied glyph set (typefaces.var_advance), so
+    fd_typeset_* output equals layout.py's arrangement for a FigFont with
+    the same variations. The Python pipeline does not vary GSUB/GPOS
+    values (no rvrn/feature-variations), and neither does the pack — the
+    plan tables are the default instance's, matching layout.py exactly."""
     tf = get_typeface(typeface_id)
     shaper = get_shaper(tf)
     ctx = _PackCtx(tf)
@@ -542,9 +550,11 @@ def build_font_pack(typeface_id: int) -> bytes:
         cmap_items.append((int(cp), _gid(tf, name)))
     cmap_items.sort()
 
+    var_list = _norm_variations(variations)
     adv = [0.0] * n_glyphs
     for name, gid in tf._name_to_gid.items():
-        adv[gid] = float(tf.advance(gid))
+        adv[gid] = (float(tf.var_advance(gid, var_list)) if var_list
+                    else float(tf.advance(gid)))
 
     gdef_cls = bytearray(n_glyphs)
     mattach = bytearray(n_glyphs)
@@ -763,6 +773,23 @@ def build_font_pack(typeface_id: int) -> bytes:
     return bytes(out)
 
 
-def save_font_pack(typeface_id: int, path: str) -> None:
+def _norm_variations(variations):
+    """Accept FontVariation objects or (tag, value) pairs; return the
+    FontVariation tuple typefaces.var_advance expects (or () if empty)."""
+    if not variations:
+        return ()
+    from .typefaces import FontVariation
+
+    out = []
+    for v in variations:
+        if isinstance(v, FontVariation):
+            out.append(v)
+        else:
+            tag, value = v
+            out.append(FontVariation(tag=tag, value=float(value)))
+    return tuple(out)
+
+
+def save_font_pack(typeface_id: int, path: str, variations=()) -> None:
     with open(path, "wb") as fh:
-        fh.write(build_font_pack(typeface_id))
+        fh.write(build_font_pack(typeface_id, variations))

@@ -38,7 +38,8 @@ E_OFFSETS = -5
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
-_packs: Dict[int, Tuple[bytes, int]] = {}  # typeface_id -> (blob, handle)
+# (typeface_id, variation key) -> (blob, handle); () = default instance
+_packs: Dict[Tuple[int, tuple], Tuple[bytes, int]] = {}
 
 
 class NativeTypesetUnsupported(Exception):
@@ -127,15 +128,21 @@ def available() -> bool:
     return _load() is not None
 
 
-def _pack_handle(typeface_id: int) -> int:
+def _var_key(variations):
+    return tuple(sorted((v.tag, float(v.value)) for v in variations)) \
+        if variations else ()
+
+
+def _pack_handle(typeface_id: int, variations=()) -> int:
     lib = _load()
     if lib is None:
         raise RuntimeError("native typesetter unavailable")
+    key = (typeface_id, _var_key(variations))
     with _lock:
-        cached = _packs.get(typeface_id)
+        cached = _packs.get(key)
         if cached is not None:
             return cached[1]
-    blob = build_font_pack(typeface_id)
+    blob = build_font_pack(typeface_id, variations)
     handle = lib.fd_pack_load(blob, len(blob))
     if not handle:
         raise RuntimeError("fd_pack_load rejected the font pack")
@@ -143,19 +150,19 @@ def _pack_handle(typeface_id: int) -> int:
         # two threads can both have built the pack (the build runs outside
         # the lock — it is slow); the first one in wins and the loser's
         # handle is freed instead of leaking
-        cached = _packs.get(typeface_id)
+        cached = _packs.get(key)
         if cached is not None:
             lib.fd_pack_free(handle)
             return cached[1]
         # keep the blob alive alongside the handle (the C side copies, but
         # the pair documents ownership and lets tests reuse the bytes)
-        _packs[typeface_id] = (blob, handle)
+        _packs[key] = (blob, handle)
     return handle
 
 
 def pack_blob(typeface_id: int) -> bytes:
     _pack_handle(typeface_id)
-    return _packs[typeface_id][0]
+    return _packs[(typeface_id, ())][0]
 
 
 def pack_flags(typeface_id: int) -> int:
@@ -237,13 +244,14 @@ def shape(typeface_id: int, text) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return _retrying_call("fd_typeset_shape", call, len(cps))
 
 
-def shape_ex(typeface_id: int, text, rtl: bool = False):
+def shape_ex(typeface_id: int, text, rtl: bool = False, variations=()):
     """Full C-engine shaping with per-glyph offsets: (gids u32, advances
     f32 font units — attached marks carry 0, dx f32, dy f32 — font units
     y-UP, clusters u32). The glyph stream is LOGICAL order; rtl selects the
-    RTL mark-offset convention (no pen pullback)."""
+    RTL mark-offset convention (no pen pullback). `variations` selects an
+    instance pack (varied advances, native_pack.build_font_pack)."""
     lib = _load()
-    h = _pack_handle(typeface_id)
+    h = _pack_handle(typeface_id, variations)
     cps = _cps_array(text)
 
     def call(cap):
@@ -299,11 +307,13 @@ def typeset_line(typeface_id: int, text, size: float):
 
 
 def typeset_box(typeface_id: int, text, size: float, *, line_height=0.0,
-                bounds=(0.0, 0.0), h_align=0, v_align=0, wrap=True):
+                bounds=(0.0, 0.0), h_align=0, v_align=0, wrap=True,
+                variations=()):
     """C-engine box typeset (layout.py typeset counterpart, single font):
-    (gids, xs px, ys px at baselines, clusters, (max_line_w, total_h))."""
+    (gids, xs px, ys px at baselines, clusters, (max_line_w, total_h)).
+    `variations` selects an instance pack (varied advances)."""
     lib = _load()
-    h = _pack_handle(typeface_id)
+    h = _pack_handle(typeface_id, variations)
     cps = _cps_array(text)
     out_size = (ctypes.c_float * 2)()
 

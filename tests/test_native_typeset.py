@@ -578,6 +578,35 @@ def test_typeset_box_devanagari_wrapped():
         assert len(arr.lines) >= 3  # wrap actually happened
 
 
+def test_variable_instance_packs():
+    """build_font_pack(variations=...) bakes an INSTANCE pack: advances
+    come from the varied glyph set, so fd_typeset_box over the pack equals
+    layout.py's arrangement for a FigFont with the same variations (the
+    reference's Font.variations travel its dynlib the same way). Naskh's
+    wght axis genuinely changes advances — the two instances must differ."""
+    from figdraw_tpu.text.typefaces import FontVariation
+
+    tid = load_typeface(NASKH)
+    text = "\u0633\u0644\u0627\u0645 abc 12"
+    widths = {}
+    for wght in (400.0, 700.0):
+        vrs = (FontVariation(tag="wght", value=wght),)
+        font = FigFont(typeface_id=tid, size=20.0, variations=vrs)
+        arr = typeset(vec2(400, 100), [(font, fill(rgba(0, 0, 0, 255)),
+                                        text)])
+        gids, xs, ys, clus, size = nt.typeset_box(
+            tid, text, 20.0, bounds=(400, 100), variations=vrs)
+        want = arr.arranged_glyphs
+        assert len(gids) == len(want), wght
+        for k, g in enumerate(want):
+            assert int(gids[k]) == g.glyph_id, (wght, k)
+            assert abs(float(xs[k]) - (g.pos.x + g.offset.x)) < 1e-3, \
+                (wght, k)
+        assert abs(size[0] - arr.max_size.x) < 1e-3
+        widths[wght] = size[0]
+    assert widths[400.0] != widths[700.0]  # the axis actually engaged
+
+
 # ---- bidi over the C ABI (FDTP v5) --------------------------------------------
 # fd_typeset_box runs the full UAX#9 pass (levels, L1/L2 visual order, L4
 # mirroring) from the pack's RLE bidi-class + mirrored tables — the C box

@@ -604,6 +604,9 @@ def build_font_pack(typeface_id: int, variations=()) -> bytes:
             shaper._compile_lookup)[0])
         v4_lis = [_select_lookups(table, set(fs))
                   for fs in V4_STAGE_FEATURES]
+        syllable_reachable = set(_collect_lookups(
+            [li for lis in v4_lis for li in lis],
+            shaper._compile_lookup)[0])
         all_lis = list(plan_lis)
         for lis in stage_lis:
             all_lis.extend(lis)
@@ -619,10 +622,20 @@ def build_font_pack(typeface_id: int, variations=()) -> bytes:
             for entry in entries:
                 p = _pack_gsub_entry(ctx, entry, limap)
                 if p is None:
-                    ctx.flags |= (F_GSUB_DROPPED if li in default_reachable
-                                  else F_ARABIC_REDUCED
-                                  if li in arabic_reachable
-                                  else F_SYLLABLE_REDUCED)
+                    # a lookup can be reachable from SEVERAL plans (a
+                    # pan-script font sharing lookups between e.g. 'fina'
+                    # and 'pres') — OR in every applicable flag so each
+                    # script's refuse-by-default gate sees the drop
+                    if li in default_reachable:
+                        ctx.flags |= F_GSUB_DROPPED
+                    else:
+                        if li in arabic_reachable:
+                            ctx.flags |= F_ARABIC_REDUCED
+                        if li in syllable_reachable:
+                            ctx.flags |= F_SYLLABLE_REDUCED
+                        if li not in arabic_reachable \
+                                and li not in syllable_reachable:
+                            ctx.flags |= F_SYLLABLE_REDUCED
                 else:
                     packed.append(p)
             _emit_record(tf, sub_blobs, skip, packed)

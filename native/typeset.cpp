@@ -1762,6 +1762,49 @@ void append_run(ShapeOut &out, ShapeOut &s) {
   out.comps.insert(out.comps.end(), s.comps.begin(), s.comps.end());
 }
 
+// one ROW of the five parallel shaping vectors (g/cl/cle/comps + mask):
+// every syllable reorder extracts rows and reinserts them elsewhere —
+// keep the row definition and the splice in ONE place so a future
+// ShapeOut field cannot desynchronize the vectors (the cle column was
+// threaded through three hand-written copies of this before)
+struct SylRow {
+  uint16_t g;
+  uint32_t cl, cle;
+  std::pair<uint16_t, int16_t> cm;
+  uint16_t m;
+};
+
+// remove the rows at idxs (ascending) from s/mk and return them in order
+std::vector<SylRow> extract_rows(ShapeOut &s, Masks &mk,
+                                 const std::vector<size_t> &idxs) {
+  std::vector<SylRow> items;
+  items.reserve(idxs.size());
+  for (size_t k : idxs)
+    items.push_back({s.g[k], s.cl[k], s.cle[k], s.comps[k], mk[k]});
+  for (size_t q = idxs.size(); q-- > 0;) {
+    size_t k = idxs[q];
+    s.g.erase(s.g.begin() + k);
+    s.cl.erase(s.cl.begin() + k);
+    s.cle.erase(s.cle.begin() + k);
+    s.comps.erase(s.comps.begin() + k);
+    mk.erase(mk.begin() + k);
+  }
+  return items;
+}
+
+// insert the rows contiguously at post-extract index tgt, original order
+void insert_rows(ShapeOut &s, Masks &mk, size_t tgt,
+                 const std::vector<SylRow> &items) {
+  for (size_t off = 0; off < items.size(); off++) {
+    const SylRow &it = items[off];
+    s.g.insert(s.g.begin() + (tgt + off), it.g);
+    s.cl.insert(s.cl.begin() + (tgt + off), it.cl);
+    s.cle.insert(s.cle.begin() + (tgt + off), it.cle);
+    s.comps.insert(s.comps.begin() + (tgt + off), it.cm);
+    mk.insert(mk.begin() + (tgt + off), it.m);
+  }
+}
+
 // shaper._move_to_front: move every glyph whose source cluster lies inside
 // one of `ranges` to the syllable front, preserving relative order
 bool move_to_front(ShapeOut &s, Masks &mk,
@@ -1783,31 +1826,7 @@ bool move_to_front(ShapeOut &s, Masks &mk,
       break;
     }
   if (idxs.empty() || already_front) return false;
-  struct Item {
-    uint16_t g;
-    uint32_t cl, cle;
-    std::pair<uint16_t, int16_t> cm;
-    uint16_t m;
-  };
-  std::vector<Item> items;
-  for (size_t k : idxs)
-    items.push_back({s.g[k], s.cl[k], s.cle[k], s.comps[k], mk[k]});
-  for (size_t q = idxs.size(); q-- > 0;) {
-    size_t k = idxs[q];
-    s.g.erase(s.g.begin() + k);
-    s.cl.erase(s.cl.begin() + k);
-    s.cle.erase(s.cle.begin() + k);
-    s.comps.erase(s.comps.begin() + k);
-    mk.erase(mk.begin() + k);
-  }
-  for (size_t q = items.size(); q-- > 0;) {
-    const Item &it = items[q];
-    s.g.insert(s.g.begin(), it.g);
-    s.cl.insert(s.cl.begin(), it.cl);
-    s.cle.insert(s.cle.begin(), it.cle);
-    s.comps.insert(s.comps.begin(), it.cm);
-    mk.insert(mk.begin(), it.m);
-  }
+  insert_rows(s, mk, 0, extract_rows(s, mk, idxs));
   return true;
 }
 
@@ -1860,20 +1879,7 @@ void shape_indic_syllable(const FdFontPack *pk, const uint32_t *cps_syl,
     for (size_t k = 0; k < s.cl.size(); k++) {
       if (s.cl[k] == mc.first && s.cle[k] == mc.second) {
         if (k != 0) {
-          uint16_t g = s.g[k];
-          uint32_t c0 = s.cl[k], c1 = s.cle[k];
-          auto cm = s.comps[k];
-          uint16_t m = mk[k];
-          s.g.erase(s.g.begin() + k);
-          s.cl.erase(s.cl.begin() + k);
-          s.cle.erase(s.cle.begin() + k);
-          s.comps.erase(s.comps.begin() + k);
-          mk.erase(mk.begin() + k);
-          s.g.insert(s.g.begin(), g);
-          s.cl.insert(s.cl.begin(), c0);
-          s.cle.insert(s.cle.begin(), c1);
-          s.comps.insert(s.comps.begin(), cm);
-          mk.insert(mk.begin(), m);
+          insert_rows(s, mk, 0, extract_rows(s, mk, {k}));
           moved = true;
         }
         break;
@@ -1898,20 +1904,9 @@ void shape_indic_syllable(const FdFontPack *pk, const uint32_t *cps_syl,
       };
       while ((long)tgt - 1 > idx && in_sm(tgt - 1)) tgt--;
       if ((long)tgt - 1 > idx) {
-        uint16_t g = s.g[(size_t)idx];
-        uint32_t c0 = s.cl[(size_t)idx], c1 = s.cle[(size_t)idx];
-        auto cm = s.comps[(size_t)idx];
-        uint16_t m = mk[(size_t)idx];
-        s.g.erase(s.g.begin() + idx);
-        s.cl.erase(s.cl.begin() + idx);
-        s.cle.erase(s.cle.begin() + idx);
-        s.comps.erase(s.comps.begin() + idx);
-        mk.erase(mk.begin() + idx);
-        s.g.insert(s.g.begin() + (tgt - 1), g);
-        s.cl.insert(s.cl.begin() + (tgt - 1), c0);
-        s.cle.insert(s.cle.begin() + (tgt - 1), c1);
-        s.comps.insert(s.comps.begin() + (tgt - 1), cm);
-        mk.insert(mk.begin() + (tgt - 1), m);
+        // tgt was found pre-extract; tgt-1 is the same slot post-extract
+        // (the extracted row sat below it)
+        insert_rows(s, mk, tgt - 1, extract_rows(s, mk, {(size_t)idx}));
         moved = true;
       }
     }
@@ -1975,34 +1970,11 @@ void shape_myanmar_syllable(const FdFontPack *pk, const uint32_t *cps_syl,
       if (s.cl[k] >= kinzi.first && s.cle[k] <= kinzi.second)
         kidx.push_back(k);
     if (!kidx.empty()) {
-      struct Item {
-        uint16_t g;
-        uint32_t cl, cle;
-        std::pair<uint16_t, int16_t> cm;
-        uint16_t m;
-      };
-      std::vector<Item> items;
-      for (size_t k : kidx)
-        items.push_back({s.g[k], s.cl[k], s.cle[k], s.comps[k], mk[k]});
-      for (size_t q = kidx.size(); q-- > 0;) {
-        size_t k = kidx[q];
-        s.g.erase(s.g.begin() + k);
-        s.cl.erase(s.cl.begin() + k);
-        s.cle.erase(s.cle.begin() + k);
-        s.comps.erase(s.comps.begin() + k);
-        mk.erase(mk.begin() + k);
-      }
-      size_t tgt = 0;
+      std::vector<SylRow> items = extract_rows(s, mk, kidx);
+      size_t tgt = 0;  // post-extract: one past the base cluster
       for (size_t k = 0; k < s.cl.size(); k++)
         if (s.cl[k] < boundary) tgt = k + 1;
-      for (size_t off = 0; off < items.size(); off++) {
-        const Item &it = items[off];
-        s.g.insert(s.g.begin() + (tgt + off), it.g);
-        s.cl.insert(s.cl.begin() + (tgt + off), it.cl);
-        s.cle.insert(s.cle.begin() + (tgt + off), it.cle);
-        s.comps.insert(s.comps.begin() + (tgt + off), it.cm);
-        mk.insert(mk.begin() + (tgt + off), it.m);
-      }
+      insert_rows(s, mk, tgt, items);
       moved = true;
     }
   }
@@ -2844,12 +2816,25 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
   double scale = pack->upem > 0 ? (double)size_px / pack->upem : 0.0;
 
   // UAX#9 over the full logical text (layout.py:528-544): levels + bases;
-  // pure-LTR text (no odd level) skips every bidi branch below
+  // pure-LTR text (no odd level) skips every bidi branch below. ASCII has
+  // no RTL/AL characters, so every level resolves to 0 in an LTR
+  // paragraph — skip the whole pass like layout.py's isascii() hot path.
+  bool all_ascii = true;
+  for (int32_t k = 0; k < n; k++)
+    if (cps[k] >= 0x80) {
+      all_ascii = false;
+      break;
+    }
   std::vector<int32_t> levels, bases;
-  bidi::compute_levels(pack, cps, (size_t)n, levels, bases);
   bool any_rtl = false;
-  for (int32_t l : levels)
-    if (l % 2) any_rtl = true;
+  if (all_ascii) {
+    levels.assign((size_t)n, 0);
+    bases.assign((size_t)n, 0);
+  } else {
+    bidi::compute_levels(pack, cps, (size_t)n, levels, bases);
+    for (int32_t l : levels)
+      if (l % 2) any_rtl = true;
+  }
   // L4: RTL-context chars shape via their mirrored counterpart
   // (layout.py:573-575 — the mirror happens BEFORE the cmap lookup)
   std::vector<uint32_t> mcps;

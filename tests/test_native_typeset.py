@@ -537,15 +537,17 @@ def test_mixed_script_fuzz_parity():
              list(range(0x1000, 0x10A0)), list(range(0x0621, 0x0670)),
              [ord(" "), ord("a"), 0x200D, 0x200C, 0x25CC]]
     for tid in (load_typeface(DEVANAGARI), load_typeface(NASKH)):
+        # neither pack carries a reduced flag, so NO refusal is legitimate
+        # here — a spurious NativeTypesetUnsupported must fail the test,
+        # not silently skip the case
+        assert not (nt.pack_flags(tid)
+                    & (F_FEATURES_REDUCED | 0b11000000))  # arab/syl reduced
         for _ in range(120):
             n = rng.randint(1, 14)
             text = "".join(chr(rng.choice(rng.choice(pools)))
                            for _ in range(n))
             pg, pc = _py_shape_ex_stream(tid, text)
-            try:
-                gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
-            except nt.NativeTypesetUnsupported:
-                continue
+            gids, adv, dx, dy, clus = nt.shape_ex(tid, text)
             assert list(map(int, gids)) == pg, text
             assert list(map(int, clus)) == pc, text
 

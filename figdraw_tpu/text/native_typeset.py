@@ -116,6 +116,58 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.fd_typeset_box_make.restype = ctypes.c_void_p
+        lib.fd_typeset_box_make.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.fd_arr_free.argtypes = [ctypes.c_void_p]
+        lib.fd_arr_glyph_count.restype = ctypes.c_int32
+        lib.fd_arr_glyph_count.argtypes = [ctypes.c_void_p]
+        lib.fd_arr_glyphs.restype = ctypes.c_int32
+        lib.fd_arr_glyphs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.fd_arr_content_size.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.fd_arr_line_count.restype = ctypes.c_int32
+        lib.fd_arr_line_count.argtypes = [ctypes.c_void_p]
+        lib.fd_arr_line_range.restype = ctypes.c_int32
+        lib.fd_arr_line_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.fd_arr_glyph_rect.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.fd_arr_cluster_rect.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.fd_arr_source_range.restype = ctypes.c_int32
+        lib.fd_arr_source_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.fd_arr_glyph_range_for.restype = ctypes.c_int32
+        lib.fd_arr_glyph_range_for.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.fd_arr_selection_rects.restype = ctypes.c_int32
+        lib.fd_arr_selection_rects.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.fd_arr_caret_positions.restype = ctypes.c_int32
+        lib.fd_arr_caret_positions.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.fd_arr_glyph_index_at.restype = ctypes.c_int32
+        lib.fd_arr_glyph_index_at.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.fd_arr_nearest_source_rune.restype = ctypes.c_int32
+        lib.fd_arr_nearest_source_rune.argtypes = [
+            ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
+        ]
         lib.fd_utf8_to_cps.restype = ctypes.c_int32
         lib.fd_utf8_to_cps.argtypes = [
             ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
@@ -352,3 +404,121 @@ def load_raw_pack(blob: bytes) -> int:
     """Load an arbitrary blob (malformed-input tests). 0 = rejected."""
     lib = _load()
     return lib.fd_pack_load(blob, len(blob)) or 0
+
+
+class Arrangement:
+    """A retained C arrangement (fd_typeset_box_make) exposing the
+    reference's GlyphArrangement query suite — glyph/cluster rects,
+    selection bands, caret positions, hit testing — computed entirely in C
+    and pinned position-for-position against layout.py
+    (tests/test_native_typeset.py)."""
+
+    def __init__(self, typeface_id: int, text, size: float, *,
+                 line_height=0.0, bounds=(0.0, 0.0), h_align=0, v_align=0,
+                 wrap=True, variations=()):
+        self._lib = _load()
+        h = _pack_handle(typeface_id, variations)
+        cps = _cps_array(text)
+        self._h = self._lib.fd_typeset_box_make(
+            h, cps.ctypes.data_as(ctypes.c_void_p), len(cps),
+            ctypes.c_float(size), ctypes.c_float(line_height),
+            ctypes.c_float(bounds[0]), ctypes.c_float(bounds[1]),
+            h_align, v_align, 1 if wrap else 0)
+        if not self._h:
+            raise NativeTypesetUnsupported(
+                "fd_typeset_box_make refused this text")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.fd_arr_free(h)
+            self._h = None
+
+    def glyph_count(self) -> int:
+        return self._lib.fd_arr_glyph_count(self._h)
+
+    def glyphs(self):
+        """(gids, xs, ys, clusters) — the draw stream."""
+        cap = self.glyph_count()
+        gids = np.zeros(cap, dtype=np.uint32)
+        xs = np.zeros(cap, dtype=np.float32)
+        ys = np.zeros(cap, dtype=np.float32)
+        clus = np.zeros(cap, dtype=np.uint32)
+        self._lib.fd_arr_glyphs(
+            self._h, gids.ctypes.data_as(ctypes.c_void_p),
+            xs.ctypes.data_as(ctypes.c_void_p),
+            ys.ctypes.data_as(ctypes.c_void_p),
+            clus.ctypes.data_as(ctypes.c_void_p), cap)
+        return gids, xs, ys, clus
+
+    def content_size(self):
+        out = (ctypes.c_float * 2)()
+        self._lib.fd_arr_content_size(self._h, out)
+        return (out[0], out[1])
+
+    def line_count(self) -> int:
+        return self._lib.fd_arr_line_count(self._h)
+
+    def line_range(self, line: int):
+        out = (ctypes.c_int32 * 2)()
+        if self._lib.fd_arr_line_range(self._h, line, out) < 0:
+            raise IndexError(line)
+        return (out[0], out[1])
+
+    def glyph_rect(self, i: int):
+        out = (ctypes.c_float * 4)()
+        self._lib.fd_arr_glyph_rect(self._h, i, out)
+        return tuple(out)
+
+    def cluster_rect(self, i: int):
+        out = (ctypes.c_float * 4)()
+        self._lib.fd_arr_cluster_rect(self._h, i, out)
+        return tuple(out)
+
+    def source_range(self, i: int):
+        out = (ctypes.c_uint32 * 2)()
+        if self._lib.fd_arr_source_range(self._h, i, out) < 0:
+            raise IndexError(i)
+        return (out[0], out[1])
+
+    def glyph_range_for(self, a: int, b: int):
+        """Glyph range covering source runes [a, b] inclusive; (0, -1) when
+        empty (layout.py glyph_range_for)."""
+        out = (ctypes.c_int32 * 2)()
+        self._lib.fd_arr_glyph_range_for(self._h, a, b, out)
+        return (out[0], out[1])
+
+    def selection_rects(self, a: int, b: int):
+        """Merged visual selection bands for source runes [a, b] inclusive;
+        list of (x, y, w, h)."""
+        cap = 16
+        while True:
+            buf = np.zeros(cap * 4, dtype=np.float32)
+            n = self._lib.fd_arr_selection_rects(
+                self._h, a, b, buf.ctypes.data_as(ctypes.c_void_p), cap)
+            if n <= cap:
+                return [tuple(buf[k * 4:k * 4 + 4]) for k in range(n)]
+            cap = n
+
+    def caret_positions(self, source_rune: int):
+        """List of (x, y, h, line_index, glyph_index, affinity) — affinity
+        0 leading / 1 trailing / 2 inside."""
+        cap = 16
+        while True:
+            buf = np.zeros(cap * 6, dtype=np.float32)
+            n = self._lib.fd_arr_caret_positions(
+                self._h, source_rune, buf.ctypes.data_as(ctypes.c_void_p),
+                cap)
+            if n <= cap:
+                return [(buf[k * 6], buf[k * 6 + 1], buf[k * 6 + 2],
+                         int(buf[k * 6 + 3]), int(buf[k * 6 + 4]),
+                         int(buf[k * 6 + 5])) for k in range(n)]
+            cap = n
+
+    def glyph_index_at(self, x: float, y: float) -> int:
+        return self._lib.fd_arr_glyph_index_at(
+            self._h, ctypes.c_float(x), ctypes.c_float(y))
+
+    def nearest_source_rune(self, x: float, y: float) -> int:
+        return self._lib.fd_arr_nearest_source_rune(
+            self._h, ctypes.c_float(x), ctypes.c_float(y))

@@ -173,6 +173,71 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
                        int32_t wrap, uint32_t *gids, float *xs, float *ys,
                        uint32_t *clusters, int32_t cap, float *out_size);
 
+/* ---- arrangement geometry ------------------------------------------------
+ * The reference exports its GlyphArrangement query suite to C hosts
+ * (common/fonttypes.nim:430-808 {.nativeAbi.}: glyphRect, clusterRect,
+ * selectionRectsFor, caret positions, glyphIndexAt, ...). fd_typeset_box_
+ * make runs the same layout as fd_typeset_box but returns a retained
+ * arrangement handle the queries below operate on — all of them
+ * position-for-position equal to figdraw_tpu/text/layout.py. */
+typedef struct FdArrangement FdArrangement;
+
+/* Lay out and retain; NULL on error (same failure modes as
+ * fd_typeset_box). Free with fd_arr_free. */
+FdArrangement *fd_typeset_box_make(const FdFontPack *pack,
+                                   const uint32_t *cps, int32_t n,
+                                   float size_px, float line_height,
+                                   float bounds_w, float bounds_h,
+                                   int32_t h_align, int32_t v_align,
+                                   int32_t wrap);
+void fd_arr_free(FdArrangement *a);
+
+int32_t fd_arr_glyph_count(const FdArrangement *a);
+/* The draw stream (same as fd_typeset_box's outputs; each may be NULL). */
+int32_t fd_arr_glyphs(const FdArrangement *a, uint32_t *gids, float *xs,
+                      float *ys, uint32_t *clusters, int32_t cap);
+/* out_size[2] = {max visible line width, total height}. */
+void fd_arr_content_size(const FdArrangement *a, float *out_size);
+int32_t fd_arr_line_count(const FdArrangement *a);
+/* out[2] = inclusive glyph index range of a line; -1 if out of range. */
+int32_t fd_arr_line_range(const FdArrangement *a, int32_t line,
+                          int32_t *out);
+/* out[4] = {x, y, w, h}: the glyph's advance box at its line
+ * (layout.py g.rect — pen x BEFORE mark offsets, line top, advance,
+ * line height). */
+void fd_arr_glyph_rect(const FdArrangement *a, int32_t i, float *out);
+/* Bounding rect of the whole shaped cluster containing glyph i
+ * (clusterRectForGlyph). */
+void fd_arr_cluster_rect(const FdArrangement *a, int32_t i, float *out);
+/* out[2] = the glyph's source rune range [start, end); -1 if out of
+ * range. Ligatures span several runes; marks share their base's range. */
+int32_t fd_arr_source_range(const FdArrangement *a, int32_t i,
+                            uint32_t *out);
+/* Glyph index range covering source runes [a, b] INCLUSIVE (glyphRangeFor);
+ * out = {lo, hi}; -1 (out = {0, -1}) when no glyph intersects. */
+int32_t fd_arr_glyph_range_for(const FdArrangement *a, int32_t ra,
+                               int32_t rb, int32_t *out);
+/* Per-line merged visual selection bands for source runes [ra, rb]
+ * INCLUSIVE (selectionRectsFor): contiguous selected glyphs merge, an
+ * unselected glyph VISUALLY in between splits, partial ligature coverage
+ * clips the band. rects = 4 floats {x,y,w,h} per band. Returns the band
+ * count (may exceed cap — call again with a larger buffer). */
+int32_t fd_arr_selection_rects(const FdArrangement *a, int32_t ra,
+                               int32_t rb, float *rects, int32_t cap);
+/* Visual caret position(s) at a source insertion index — bidi boundaries
+ * can produce more than one. out = 6 floats per entry: {x, y (caret top),
+ * h, line index, glyph index (-1 for the empty arrangement), affinity
+ * 0 leading / 1 trailing / 2 inside}. Returns the entry count (may exceed
+ * cap). */
+int32_t fd_arr_caret_positions(const FdArrangement *a, int32_t source_rune,
+                               float *out, int32_t cap);
+/* Glyph index whose advance box contains the local point, or -1. */
+int32_t fd_arr_glyph_index_at(const FdArrangement *a, float x, float y);
+/* Closest insertion index to a local point, measured against every caret
+ * position (vertical distance counts only outside the caret's line). */
+int32_t fd_arr_nearest_source_rune(const FdArrangement *a, float x,
+                                   float y);
+
 /* UTF-8 → codepoints helper (len < 0 = NUL-terminated). Invalid bytes decode
  * as U+FFFD. Returns the codepoint count, or FD_TYPESET_E_CAP. */
 int32_t fd_utf8_to_cps(const char *utf8, int32_t len, uint32_t *cps,

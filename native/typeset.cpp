@@ -2807,13 +2807,39 @@ inline bool is_cjk_cp(uint32_t cp) {
 
 }  // namespace
 
-int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
-                       float size_px, float line_height, float bounds_w,
-                       float bounds_h, int32_t h_align, int32_t v_align,
-                       int32_t wrap, uint32_t *gids, float *xs, float *ys,
-                       uint32_t *clusters, int32_t cap, float *out_size) {
+// The full single-font arrangement the box layouter produces — the data
+// model behind BOTH fd_typeset_box (draw stream) and the fd_arr_* geometry
+// suite (glyph/cluster rects, selection bands, carets — the reference
+// exports the same GlyphArrangement surface over its ABI,
+// common/fonttypes.nim:430-808 {.nativeAbi.}). Glyph storage is LOGICAL
+// order; positions carry the bidi visual order.
+struct FdArrangement {
+  std::vector<uint32_t> g;       // glyph ids
+  std::vector<uint32_t> cl, cle;  // source rune [start, end)
+  std::vector<double> adv;       // px (attached marks carry 0)
+  std::vector<float> draw_x, draw_y;  // pen + fold-in offsets (draw stream)
+  std::vector<double> pen_x;     // pen x BEFORE offsets (rect x)
+  std::vector<double> rect_y;    // line top (rect y)
+  std::vector<uint8_t> is_ws, is_nl;
+  std::vector<int32_t> line_idx;
+  std::vector<int32_t> lvl;      // resolved bidi level at cluster start
+  std::vector<std::pair<size_t, size_t>> lines;  // inclusive glyph ranges
+  double line_h = 0.0;
+  double max_line_w = 0.0, total_h = 0.0;
+  int32_t n_src = 0;  // source rune count (caret indices run 0..n_src)
+};
+
+namespace {
+
+// layout.py typeset's line-break + position pipeline (single font) — the
+// shared core of fd_typeset_box and fd_typeset_box_make
+int32_t box_layout_core(const FdFontPack *pack, const uint32_t *cps,
+                        int32_t n, float size_px, float line_height,
+                        float bounds_w, float bounds_h, int32_t h_align,
+                        int32_t v_align, int32_t wrap, FdArrangement &a) {
   if (n < 0) return FD_TYPESET_E_CAP;
   double scale = pack->upem > 0 ? (double)size_px / pack->upem : 0.0;
+  a.n_src = n;
 
   // UAX#9 over the full logical text (layout.py:528-544): levels + bases;
   // pure-LTR text (no odd level) skips every bidi branch below. ASCII has
@@ -2849,12 +2875,7 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
   // shape per newline-delimited segment (ligatures never cross '\n' —
   // layout.py's segment loop), emitting the '\n' itself as a zero-advance
   // gid-0 glyph exactly like the Python records path
-  std::vector<uint32_t> g;
-  std::vector<uint32_t> cl;
-  std::vector<double> adv;       // px
   std::vector<double> offx, offy;  // px, y-DOWN (mark/cursive offsets)
-  std::vector<uint8_t> is_ws;    // rune.isspace() of the cluster rune
-  std::vector<uint8_t> is_nl;    // rune == '\n'
   std::vector<uint8_t> cjk;
   {
     int32_t i = 0;
@@ -2871,24 +2892,26 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
                       any_rtl ? levels.data() + i : nullptr);
         for (int32_t k = 0; k < count; k++) {
           uint32_t rune = cps[i + so.cl[k]];
-          g.push_back(so.g[k]);
-          cl.push_back((uint32_t)i + so.cl[k]);
-          adv.push_back(po.adv[k] * scale);
+          a.g.push_back(so.g[k]);
+          a.cl.push_back((uint32_t)i + so.cl[k]);
+          a.cle.push_back((uint32_t)i + so.cle[k]);
+          a.adv.push_back(po.adv[k] * scale);
           offx.push_back(po.dx[k] * scale);
           offy.push_back(-po.dy[k] * scale);  // font y-up → screen y-down
-          is_ws.push_back(is_space_cp(rune) && !po.attached[k] ? 1 : 0);
-          is_nl.push_back(0);
+          a.is_ws.push_back(is_space_cp(rune) && !po.attached[k] ? 1 : 0);
+          a.is_nl.push_back(0);
           cjk.push_back(is_cjk_cp(rune) ? 1 : 0);
         }
       }
       if (j < n) {  // the newline glyph (layout.py:629-636)
-        g.push_back(0);
-        cl.push_back((uint32_t)j);
-        adv.push_back(0.0);
+        a.g.push_back(0);
+        a.cl.push_back((uint32_t)j);
+        a.cle.push_back((uint32_t)j + 1);
+        a.adv.push_back(0.0);
         offx.push_back(0.0);
         offy.push_back(0.0);
-        is_ws.push_back(1);
-        is_nl.push_back(1);
+        a.is_ws.push_back(1);
+        a.is_nl.push_back(1);
         cjk.push_back(0);
       }
       i = j + 1;
@@ -2897,28 +2920,27 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
   }
 
   // line breaking (layout.py:747-788: greedy with reflow from the new start)
-  std::vector<std::pair<size_t, size_t>> lines;
   size_t line_start = 0;
   double x = 0.0;
   long last_break = -1;
   size_t i = 0;
-  while (i < g.size()) {
-    if (is_nl[i]) {
-      lines.emplace_back(line_start, i);  // the '\n' rides its line
+  while (i < a.g.size()) {
+    if (a.is_nl[i]) {
+      a.lines.emplace_back(line_start, i);  // the '\n' rides its line
       line_start = i + 1;
       x = 0.0;
       last_break = -1;
       i++;
       continue;
     }
-    bool breakable = is_ws[i] || cjk[i];
-    if (wrap && bounds_w > 0 && x + adv[i] > bounds_w && i > line_start &&
-        !is_ws[i]) {
+    bool breakable = a.is_ws[i] || cjk[i];
+    if (wrap && bounds_w > 0 && x + a.adv[i] > bounds_w && i > line_start &&
+        !a.is_ws[i]) {
       if (last_break >= (long)line_start) {
-        lines.emplace_back(line_start, (size_t)last_break);
+        a.lines.emplace_back(line_start, (size_t)last_break);
         line_start = (size_t)last_break + 1;
       } else {
-        lines.emplace_back(line_start, i - 1);
+        a.lines.emplace_back(line_start, i - 1);
         line_start = i;
       }
       x = 0.0;
@@ -2926,31 +2948,38 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
       i = line_start;  // reflow
       continue;
     }
-    x += adv[i];
+    x += a.adv[i];
     if (breakable) last_break = (long)i;
     i++;
   }
-  if (line_start < g.size()) lines.emplace_back(line_start, g.size() - 1);
-
-  int32_t count = (int32_t)g.size();
-  if (count > cap) return FD_TYPESET_E_CAP;
+  if (line_start < a.g.size())
+    a.lines.emplace_back(line_start, a.g.size() - 1);
 
   // positioning (layout.py:792-845; single-font arrangement)
   double ascent = pack->ascent * scale;
   double descent = -pack->descent * scale;
   double line_gap = pack->line_gap * scale;
-  double line_h =
+  a.line_h =
       line_height > 0 ? (double)line_height : ascent + descent + line_gap;
   double baseline_off = std::nearbyint(ascent + line_gap * 0.5);
-  std::vector<float> px(g.size()), py(g.size());
+  size_t ng = a.g.size();
+  a.draw_x.resize(ng);
+  a.draw_y.resize(ng);
+  a.pen_x.resize(ng);
+  a.rect_y.resize(ng);
+  a.line_idx.assign(ng, 0);
+  a.lvl.resize(ng);
+  for (size_t k = 0; k < ng; k++)
+    a.lvl[k] = a.cl[k] < levels.size() ? levels[a.cl[k]] : 0;
   double y = 0.0;
   double max_line_w = 0.0;
-  for (auto [s_i, e_i] : lines) {
+  for (size_t li = 0; li < a.lines.size(); li++) {
+    auto [s_i, e_i] = a.lines[li];
     double baseline = y + baseline_off;
     double line_w = 0.0, visible_w = 0.0;
     for (size_t k = s_i; k <= e_i; k++) {
-      line_w += adv[k];
-      if (!is_ws[k]) visible_w = line_w;
+      line_w += a.adv[k];
+      if (!a.is_ws[k]) visible_w = line_w;
     }
     double pen = 0.0;
     if (h_align == 1)
@@ -2964,11 +2993,11 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
       size_t ln = e_i - s_i + 1;
       std::vector<int32_t> line_lv(ln), line_ty(ln);
       for (size_t k = 0; k < ln; k++) {
-        uint32_t cs = cl[s_i + k];
+        uint32_t cs = a.cl[s_i + k];
         line_lv[k] = levels[cs];
         line_ty[k] = bidi::char_type(pack, cps[cs]);
       }
-      order = bidi::line_visual_order(line_lv, line_ty, bases[cl[s_i]]);
+      order = bidi::line_visual_order(line_lv, line_ty, bases[a.cl[s_i]]);
     } else {
       order.resize(e_i - s_i + 1);
       for (size_t k = 0; k < order.size(); k++) order[k] = k;
@@ -2976,34 +3005,399 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
     for (size_t q : order) {
       size_t k = s_i + q;
       // per-glyph offsets fold into the emitted positions: a host draws
-      // glyph k at (xs[k], ys[k]) and attached marks land on their base's
-      // anchor (layout.py's pos + offset, consumed by glyphs.py)
-      px[k] = (float)(pen + offx[k]);
-      py[k] = (float)(baseline + offy[k]);
-      pen += adv[k];
+      // glyph k at (draw_x[k], draw_y[k]) and attached marks land on their
+      // base's anchor (layout.py's pos + offset, consumed by glyphs.py)
+      a.draw_x[k] = (float)(pen + offx[k]);
+      a.draw_y[k] = (float)(baseline + offy[k]);
+      a.pen_x[k] = pen;  // rect x (layout.py g.rect — pre-offset pen)
+      a.rect_y[k] = y;
+      a.line_idx[k] = (int32_t)li;
+      pen += a.adv[k];
     }
     if (visible_w > max_line_w) max_line_w = visible_w;
-    y += line_h;
+    y += a.line_h;
   }
-  double total_h = y;
+  a.max_line_w = max_line_w;
+  a.total_h = y;
   if (v_align != 0 && bounds_h > 0) {
-    double dy = bounds_h - total_h;
+    double dy = bounds_h - a.total_h;
     if (v_align == 1) dy /= 2.0;
     if (dy != 0)
-      for (size_t k = 0; k < g.size(); k++) py[k] = (float)(py[k] + dy);
+      for (size_t k = 0; k < ng; k++) {
+        a.draw_y[k] = (float)(a.draw_y[k] + dy);
+        a.rect_y[k] += dy;  // layout.py shifts g.rect too
+      }
   }
+  return (int32_t)ng;
+}
 
+}  // namespace
+
+int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
+                       float size_px, float line_height, float bounds_w,
+                       float bounds_h, int32_t h_align, int32_t v_align,
+                       int32_t wrap, uint32_t *gids, float *xs, float *ys,
+                       uint32_t *clusters, int32_t cap, float *out_size) {
+  FdArrangement a;
+  int32_t count = box_layout_core(pack, cps, n, size_px, line_height,
+                                  bounds_w, bounds_h, h_align, v_align, wrap,
+                                  a);
+  if (count < 0) return count;
+  if (count > cap) return FD_TYPESET_E_CAP;
   for (int32_t k = 0; k < count; k++) {
-    if (gids) gids[k] = g[k];
-    if (xs) xs[k] = px[k];
-    if (ys) ys[k] = py[k];
-    if (clusters) clusters[k] = cl[k];
+    if (gids) gids[k] = a.g[k];
+    if (xs) xs[k] = a.draw_x[k];
+    if (ys) ys[k] = a.draw_y[k];
+    if (clusters) clusters[k] = a.cl[k];
   }
   if (out_size) {
-    out_size[0] = (float)max_line_w;
-    out_size[1] = (float)total_h;
+    out_size[0] = (float)a.max_line_w;
+    out_size[1] = (float)a.total_h;
   }
   return count;
+}
+
+// ==== arrangement geometry over the C ABI ====================================
+// The reference exports the GlyphArrangement query suite to C hosts
+// (fonttypes.nim:430-808 {.nativeAbi.}: glyphRect, clusterRect,
+// selectionRectsFor, caret positions, glyphIndexAt, ...). These are the
+// same functions layout.py implements — C twins, pinned position-for-
+// position by tests/test_native_typeset.py.
+
+namespace {
+
+void line_for_glyph(const FdArrangement *a, size_t i, size_t *s, size_t *e) {
+  for (auto [ls, le] : a->lines)
+    if (ls <= i && i <= le) {
+      *s = ls;
+      *e = le;
+      return;
+    }
+  *s = 0;
+  *e = a->g.empty() ? 0 : a->g.size() - 1;
+}
+
+struct ArrRect {
+  double x, y, w, h;
+};
+
+ArrRect glyph_rect_of(const FdArrangement *a, size_t i) {
+  return {a->pen_x[i], a->rect_y[i], a->adv[i], a->line_h};
+}
+
+// glyphAppearsRtl (fonttypes.nim:430-442 / layout.py _glyph_appears_rtl):
+// line neighbors' source order, falling back to the resolved bidi level
+bool appears_rtl(const FdArrangement *a, size_t i) {
+  size_t ls, le;
+  line_for_glyph(a, i, &ls, &le);
+  uint32_t cs = a->cl[i];
+  if (i > ls && a->cl[i - 1] > cs) return true;
+  if (i < le && a->cl[i + 1] < cs) return true;
+  if (ls == le) return a->lvl[i] % 2 == 1;
+  return false;
+}
+
+// clusterGlyphRangeForGlyph: adjacent same-line glyphs sharing the exact
+// source range
+void cluster_glyph_range(const FdArrangement *a, size_t i, size_t *ca,
+                         size_t *cb) {
+  size_t ls, le;
+  line_for_glyph(a, i, &ls, &le);
+  uint32_t s0 = a->cl[i], e0 = a->cle[i];
+  size_t lo = i, hi = i;
+  while (lo > ls && a->cl[lo - 1] == s0 && a->cle[lo - 1] == e0) lo--;
+  while (hi < le && a->cl[hi + 1] == s0 && a->cle[hi + 1] == e0) hi++;
+  *ca = lo;
+  *cb = hi;
+}
+
+ArrRect cluster_rect_of(const FdArrangement *a, size_t i) {
+  size_t ca, cb;
+  cluster_glyph_range(a, i, &ca, &cb);
+  double min_x = 1e300, min_y = 1e300, max_x = -1e300, max_y = -1e300;
+  for (size_t k = ca; k <= cb; k++) {
+    ArrRect r = glyph_rect_of(a, k);
+    min_x = std::min(min_x, std::min(r.x, r.x + r.w));
+    max_x = std::max(max_x, std::max(r.x, r.x + r.w));
+    min_y = std::min(min_y, r.y);
+    max_y = std::max(max_y, r.y + r.h);
+  }
+  return {min_x, min_y, max_x - min_x, max_y - min_y};
+}
+
+// selectedGlyphRectForRange: cluster rect clipped to the selected fraction
+// of the glyph's source range (partial ligature selections; from the right
+// edge for RTL glyphs)
+ArrRect selected_glyph_rect(const FdArrangement *a, size_t i,
+                            int32_t sel_start, int32_t sel_end) {
+  int32_t rs = (int32_t)a->cl[i], re = (int32_t)a->cle[i];
+  int32_t cs = std::max(sel_start, rs), ce = std::min(sel_end, re);
+  if (ce <= cs || re <= rs) return {0, 0, 0, 0};
+  ArrRect r = cluster_rect_of(a, i);
+  double min_x = std::min(r.x, r.x + r.w);
+  double max_x = std::max(r.x, r.x + r.w);
+  double width = max_x - min_x;
+  double nn = std::max(re - rs, 1);
+  double t0 = std::max(0.0, std::min((double)(cs - rs) / nn, 1.0));
+  double t1 = std::max(0.0, std::min((double)(ce - rs) / nn, 1.0));
+  double x0, x1;
+  if (appears_rtl(a, i)) {
+    x0 = max_x - width * t0;
+    x1 = max_x - width * t1;
+  } else {
+    x0 = min_x + width * t0;
+    x1 = min_x + width * t1;
+  }
+  return {std::min(x0, x1), r.y, std::fabs(x1 - x0), r.h};
+}
+
+}  // namespace
+
+FdArrangement *fd_typeset_box_make(const FdFontPack *pack,
+                                   const uint32_t *cps, int32_t n,
+                                   float size_px, float line_height,
+                                   float bounds_w, float bounds_h,
+                                   int32_t h_align, int32_t v_align,
+                                   int32_t wrap) {
+  FdArrangement *a = new FdArrangement();
+  int32_t count = box_layout_core(pack, cps, n, size_px, line_height,
+                                  bounds_w, bounds_h, h_align, v_align, wrap,
+                                  *a);
+  if (count < 0) {
+    delete a;
+    return nullptr;
+  }
+  return a;
+}
+
+void fd_arr_free(FdArrangement *a) { delete a; }
+
+int32_t fd_arr_glyph_count(const FdArrangement *a) {
+  return (int32_t)a->g.size();
+}
+
+int32_t fd_arr_glyphs(const FdArrangement *a, uint32_t *gids, float *xs,
+                      float *ys, uint32_t *clusters, int32_t cap) {
+  int32_t count = (int32_t)a->g.size();
+  if (count > cap) return FD_TYPESET_E_CAP;
+  for (int32_t k = 0; k < count; k++) {
+    if (gids) gids[k] = a->g[k];
+    if (xs) xs[k] = a->draw_x[k];
+    if (ys) ys[k] = a->draw_y[k];
+    if (clusters) clusters[k] = a->cl[k];
+  }
+  return count;
+}
+
+void fd_arr_content_size(const FdArrangement *a, float *out_size) {
+  out_size[0] = (float)a->max_line_w;
+  out_size[1] = (float)a->total_h;
+}
+
+int32_t fd_arr_line_count(const FdArrangement *a) {
+  return (int32_t)a->lines.size();
+}
+
+int32_t fd_arr_line_range(const FdArrangement *a, int32_t line,
+                          int32_t *out) {
+  if (line < 0 || (size_t)line >= a->lines.size()) return -1;
+  out[0] = (int32_t)a->lines[(size_t)line].first;
+  out[1] = (int32_t)a->lines[(size_t)line].second;
+  return 0;
+}
+
+void fd_arr_glyph_rect(const FdArrangement *a, int32_t i, float *out) {
+  if (i < 0 || (size_t)i >= a->g.size()) {
+    out[0] = out[1] = out[2] = out[3] = 0;
+    return;
+  }
+  ArrRect r = glyph_rect_of(a, (size_t)i);
+  out[0] = (float)r.x;
+  out[1] = (float)r.y;
+  out[2] = (float)r.w;
+  out[3] = (float)r.h;
+}
+
+void fd_arr_cluster_rect(const FdArrangement *a, int32_t i, float *out) {
+  if (i < 0 || (size_t)i >= a->g.size()) {
+    out[0] = out[1] = out[2] = out[3] = 0;
+    return;
+  }
+  ArrRect r = cluster_rect_of(a, (size_t)i);
+  out[0] = (float)r.x;
+  out[1] = (float)r.y;
+  out[2] = (float)r.w;
+  out[3] = (float)r.h;
+}
+
+int32_t fd_arr_source_range(const FdArrangement *a, int32_t i,
+                            uint32_t *out) {
+  if (i < 0 || (size_t)i >= a->g.size()) return -1;
+  out[0] = a->cl[(size_t)i];
+  out[1] = a->cle[(size_t)i];
+  return 0;
+}
+
+int32_t fd_arr_glyph_range_for(const FdArrangement *a, int32_t ra,
+                               int32_t rb, int32_t *out) {
+  long lo = -1, hi = -1;
+  for (size_t i = 0; i < a->g.size(); i++) {
+    if ((int32_t)a->cle[i] > ra && (int32_t)a->cl[i] <= rb) {
+      if (lo < 0) lo = (long)i;
+      hi = (long)i;
+    }
+  }
+  if (lo < 0) {
+    out[0] = 0;
+    out[1] = -1;
+    return -1;
+  }
+  out[0] = (int32_t)lo;
+  out[1] = (int32_t)hi;
+  return 0;
+}
+
+int32_t fd_arr_selection_rects(const FdArrangement *a, int32_t ra,
+                               int32_t rb, float *rects, int32_t cap) {
+  if (ra > rb) return 0;
+  int32_t sel_start = std::max(ra, 0);
+  int32_t sel_end = rb + 1;
+  if (sel_end <= sel_start) return 0;
+  int32_t count = 0;
+  auto emit = [&](double x0, double x1, double ly, double lh) {
+    if (count < cap && rects) {
+      rects[count * 4 + 0] = (float)x0;
+      rects[count * 4 + 1] = (float)ly;
+      rects[count * 4 + 2] = (float)(x1 - x0);
+      rects[count * 4 + 3] = (float)lh;
+    }
+    count++;
+  };
+  for (auto [s, e] : a->lines) {
+    if (e < s || a->g.empty()) continue;
+    // selectionLineBox: vertical extent = union of the line's glyph rects
+    double ly = 1e300, ly2 = -1e300;
+    for (size_t k = s; k <= e; k++) {
+      ly = std::min(ly, a->rect_y[k]);
+      ly2 = std::max(ly2, a->rect_y[k] + a->line_h);
+    }
+    double lh = std::max(ly2 - ly, 0.0);
+    // walk by VISUAL x so "an unselected glyph in between" means visually
+    // in between (the reference stores glyphs in visual order)
+    std::vector<size_t> visual;
+    for (size_t k = s; k <= e; k++) visual.push_back(k);
+    std::stable_sort(visual.begin(), visual.end(), [&](size_t p, size_t q) {
+      ArrRect rp = glyph_rect_of(a, p), rq = glyph_rect_of(a, q);
+      return std::min(rp.x, rp.x + rp.w) < std::min(rq.x, rq.x + rq.w);
+    });
+    bool have_band = false;
+    double b0 = 0, b1 = 0;
+    for (size_t k : visual) {
+      if ((int32_t)a->cle[k] > sel_start && (int32_t)a->cl[k] < sel_end) {
+        ArrRect r = selected_glyph_rect(a, k, sel_start, sel_end);
+        double gx0 = std::min(r.x, r.x + r.w);
+        double gx1 = std::max(r.x, r.x + r.w);
+        if (!have_band) {
+          b0 = gx0;
+          b1 = gx1;
+          have_band = true;
+        } else {
+          b0 = std::min(b0, gx0);
+          b1 = std::max(b1, gx1);
+        }
+      } else if (have_band) {
+        emit(b0, b1, ly, lh);
+        have_band = false;
+      }
+    }
+    if (have_band) emit(b0, b1, ly, lh);
+  }
+  return count;  // caller grows on count > cap
+}
+
+int32_t fd_arr_caret_positions(const FdArrangement *a, int32_t source_rune,
+                               float *out, int32_t cap) {
+  int32_t count = 0;
+  auto add = [&](double x, double y, double h, int32_t line, int32_t gi,
+                 int32_t aff) {
+    for (int32_t q = 0; q < std::min(count, cap); q++)
+      if ((int32_t)out[q * 6 + 3] == line &&
+          std::fabs(out[q * 6 + 0] - x) < 1e-3 &&
+          std::fabs(out[q * 6 + 1] - y) < 1e-3)
+        return;
+    if (count < cap && out) {
+      out[count * 6 + 0] = (float)x;
+      out[count * 6 + 1] = (float)y;
+      out[count * 6 + 2] = (float)h;
+      out[count * 6 + 3] = (float)line;
+      out[count * 6 + 4] = (float)gi;
+      out[count * 6 + 5] = (float)aff;
+    }
+    count++;
+  };
+  if (a->g.empty()) {
+    if (source_rune == 0) add(0, 0, 0, 0, -1, 0);
+    return count;
+  }
+  auto caret_x = [](const ArrRect &r, bool rtl, bool source_start) {
+    if (source_start) return rtl ? r.x + r.w : r.x;
+    return rtl ? r.x : r.x + r.w;
+  };
+  for (size_t i = 0; i < a->g.size(); i++) {
+    int32_t rs = (int32_t)a->cl[i], re = (int32_t)a->cle[i];
+    ArrRect r = cluster_rect_of(a, i);
+    bool rtl = appears_rtl(a, i);
+    int32_t line = a->line_idx[i];
+    if (rs == source_rune)
+      add(caret_x(r, rtl, true), r.y, r.h, line, (int32_t)i, 0);
+    if (re == source_rune)
+      add(caret_x(r, rtl, false), r.y, r.h, line, (int32_t)i, 1);
+    if (rs < source_rune && source_rune < re) {
+      double t = (double)(source_rune - rs) / std::max(re - rs, 1);
+      double x = r.x + r.w * (rtl ? 1.0 - t : t);
+      add(x, r.y, r.h, line, (int32_t)i, 2);
+    }
+  }
+  return count;
+}
+
+int32_t fd_arr_glyph_index_at(const FdArrangement *a, float x, float y) {
+  for (size_t i = 0; i < a->g.size(); i++) {
+    ArrRect r = glyph_rect_of(a, i);
+    if (r.x <= x && x < r.x + r.w && r.y <= y && y < r.y + r.h)
+      return (int32_t)i;
+  }
+  return -1;
+}
+
+int32_t fd_arr_nearest_source_rune(const FdArrangement *a, float x,
+                                   float y) {
+  int32_t best = 0;
+  double best_d = 1e300;
+  std::vector<float> buf(64 * 6);
+  for (int32_t sr = 0; sr <= a->n_src; sr++) {
+    int32_t nc = fd_arr_caret_positions(a, sr, buf.data(),
+                                        (int32_t)(buf.size() / 6));
+    if (nc > (int32_t)(buf.size() / 6)) {
+      buf.resize((size_t)nc * 6);
+      nc = fd_arr_caret_positions(a, sr, buf.data(), nc);
+    }
+    for (int32_t q = 0; q < nc; q++) {
+      double cx = buf[q * 6 + 0], cy = buf[q * 6 + 1], ch = buf[q * 6 + 2];
+      double dx = (double)x - cx;
+      double dy = 0.0;
+      if (y < cy)
+        dy = cy - y;
+      else if (y > cy + ch)
+        dy = y - (cy + ch);
+      double d = dx * dx + dy * dy;
+      if (d < best_d) {
+        best_d = d;
+        best = sr;
+      }
+    }
+  }
+  return best;
 }
 
 int32_t fd_utf8_to_cps(const char *utf8, int32_t len, uint32_t *cps,

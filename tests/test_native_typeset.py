@@ -580,6 +580,106 @@ def test_typeset_box_devanagari_wrapped():
         assert len(arr.lines) >= 3  # wrap actually happened
 
 
+# ---- arrangement geometry over the C ABI ----------------------------------
+# fd_typeset_box_make + fd_arr_*: the reference exports its GlyphArrangement
+# query suite to C hosts (fonttypes.nim:430-808 {.nativeAbi.}); the C twins
+# must match layout.py position-for-position.
+
+AFFINITY = {"leading": 0, "trailing": 1, "inside": 2}
+
+
+def _assert_arrangement_matches(tid, text, size=18.0, bounds=(150, 0),
+                                h_align=0, wrap=True):
+    font = FigFont(typeface_id=tid, size=size)
+    arr = typeset(vec2(*bounds), [(font, fill(rgba(0, 0, 0, 255)), text)],
+                  h_align=h_align, wrap=wrap)
+    ca = nt.Arrangement(tid, text, size, bounds=bounds, h_align=h_align,
+                        wrap=wrap)
+    n = len(arr.arranged_glyphs)
+    assert ca.glyph_count() == n, text
+    assert ca.line_count() == len(arr.lines)
+    for li, (s, e) in enumerate(arr.lines):
+        assert ca.line_range(li) == (s, e), (text, li)
+    cw, ch = ca.content_size()
+    assert abs(cw - arr.max_size.x) < 1e-3 and abs(ch - arr.max_size.y) < 1e-3
+    for i, g in enumerate(arr.arranged_glyphs):
+        x, y, w, h = ca.glyph_rect(i)
+        assert abs(x - g.rect.x) < 1e-3, (text, i)
+        assert abs(y - g.rect.y) < 1e-3, (text, i)
+        assert abs(w - g.rect.w) < 1e-3, (text, i)
+        assert abs(h - g.rect.h) < 1e-3, (text, i)
+        cr = arr.cluster_rect(i)
+        x, y, w, h = ca.cluster_rect(i)
+        assert abs(x - cr.x) < 1e-3 and abs(w - cr.w) < 1e-3, (text, i)
+        assert ca.source_range(i) == (g.source.rune_start,
+                                      g.source.rune_end), (text, i)
+    # selection bands over a sweep of rune ranges
+    n_src = len(text)
+    ranges = [(0, n_src - 1), (1, max(1, n_src // 2)),
+              (n_src // 3, 2 * n_src // 3)]
+    for (ra, rb) in ranges:
+        want = arr.selection_rects_for((ra, rb))
+        got = ca.selection_rects(ra, rb)
+        assert len(got) == len(want), (text, ra, rb)
+        for w_r, g_r in zip(want, got):
+            assert abs(g_r[0] - w_r.x) < 1e-3, (text, ra, rb)
+            assert abs(g_r[1] - w_r.y) < 1e-3
+            assert abs(g_r[2] - w_r.w) < 1e-3, (text, ra, rb)
+            assert abs(g_r[3] - w_r.h) < 1e-3
+        assert ca.glyph_range_for(ra, rb) == arr.glyph_range_for((ra, rb))
+    # caret positions at every insertion index
+    for sr in range(n_src + 1):
+        want = arr.caret_positions_for(sr)
+        got = ca.caret_positions(sr)
+        assert len(got) == len(want), (text, sr)
+        for w_c, g_c in zip(want, got):
+            assert abs(g_c[0] - w_c.pos.x) < 1e-3, (text, sr)
+            assert abs(g_c[1] - w_c.pos.y) < 1e-3, (text, sr)
+            assert abs(g_c[2] - w_c.rect.h) < 1e-3
+            assert g_c[3] == w_c.line_index, (text, sr)
+            assert g_c[5] == AFFINITY[w_c.affinity], (text, sr)
+    # hit testing + nearest caret over a point grid
+    for px_ in (0.0, 10.0, 40.0, 80.0, 149.0):
+        for py_ in (-5.0, 2.0, 15.0, 40.0, 90.0):
+            pt = vec2(px_, py_)
+            assert ca.glyph_index_at(px_, py_) == arr.glyph_index_at(pt), \
+                (text, px_, py_)
+            assert ca.nearest_source_rune(px_, py_) == \
+                arr.nearest_source_rune_for_caret_point(pt), (text, px_, py_)
+
+
+def test_arrangement_geometry_ltr():
+    """Wrapped LTR text with ligatures (ffi spans 3 runes — partial
+    selection clips the cluster rect fractionally) matches layout.py on
+    every geometry query."""
+    tid = load_typeface(DEJAVU)
+    _assert_arrangement_matches(
+        tid, "The Office saw fifi waffle first.\nSecond line here.")
+
+
+def test_arrangement_geometry_bidi():
+    """Mixed Hebrew/Latin with niqqud: visual-order selection bands split
+    at bidi fragment boundaries, carets double at direction boundaries,
+    RTL glyphs clip partial selections from the right edge — all equal to
+    layout.py."""
+    tid = load_typeface(HEBREW)
+    _assert_arrangement_matches(
+        tid, "abc \u05e9\u05b8\u05dc\u05d5\u05dd 123 xyz")
+    _assert_arrangement_matches(
+        tid, "\u05e9\u05dc\u05d5\u05dd \u05e2\u05d5\u05dc\u05dd "
+             "abc \u05d1\u05b0\u05bc\u05e8\u05b5\u05d0")
+
+
+def test_arrangement_geometry_devanagari():
+    """Devanagari reordered clusters (reph, matra I): cluster rects span
+    the reordered fragments, carets land on cluster edges — equal to
+    layout.py."""
+    tid = load_typeface(DEVANAGARI)
+    _assert_arrangement_matches(
+        tid, "\u0915\u0930\u094d\u092e \u0939\u093f\u0928"
+             "\u094d\u0926\u0940 ab")
+
+
 def test_variable_instance_packs():
     """build_font_pack(variations=...) bakes an INSTANCE pack: advances
     come from the varied glyph set, so fd_typeset_box over the pack equals

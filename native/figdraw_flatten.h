@@ -74,6 +74,21 @@ int fd_fig_struct_size(void);
 /* Size of one packed DrawOp row; must equal OP_DTYPE.itemsize (48). */
 int fd_op_struct_size(void);
 
+/* Border op generators — the reference's figRoundedRectBorder /
+ * figDashedRoundedRectBorder / figDottedRoundedRectBorder ABI exports
+ * (utils/drawutils.nim:351-404): emit the DrawOp rows (fd_op_struct_size()
+ * bytes each, OP_DTYPE) of a rounded-rect border perimeter for
+ * fd_renders_add_op, bit-identical to figdraw_tpu/borders.py. style:
+ * 0 solid, 1 dashed (p1 = dash length, p2 = gap length), 2 dotted
+ * (p1 = dot radius, p2 = edge-to-edge gap); offset phases the pattern
+ * along the path. corners = {TL, TR, BL, BR} px. Returns the TOTAL op
+ * count — call again with a larger buffer when it exceeds cap. All
+ * params are double: the generators must be bit-identical to borders.py,
+ * whose inputs are Python doubles. */
+int fd_border_ops(int style, double x, double y, double w, double h,
+                  const double *corners, double p1, double p2, double offset,
+                  void *ops, int cap);
+
 /* Copy out quads and items; returns the quad count or -1 if a capacity is
  * too small. fields: quad_cap x 68 floats; modes: quad_cap x 2 int32;
  * items: item_cap x 5 int32. */

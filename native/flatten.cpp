@@ -2419,6 +2419,217 @@ int fd_export_combo_packed(Ctx* ctx, float* combo, int rows_cap,
 int fd_fig_struct_size() { return (int)sizeof(Fig); }
 int fd_op_struct_size() { return (int)sizeof(DrawOp); }
 
+// ==== border op generators (figdraw_tpu/borders.py, bit-identical) ===========
+// The reference exports figRoundedRectBorder / figDashedRoundedRectBorder /
+// figDottedRoundedRectBorder over its ABI (utils/drawutils.nim:351-404
+// {.nativeAbi.}); fd_border_ops emits the same DrawOp rows a C host feeds
+// into fd_renders_add_op. All path math in double like Python, f32 stores.
+
+namespace {
+
+constexpr double kPathEps = 1e-6;
+
+struct BSeg {
+  int kind;  // 0 line, 1 arc
+  double length;
+  double ax, ay, bx, by;           // line
+  double cx, cy, radius, a0, swp;  // arc
+};
+
+double positive_mod(double v, double cycle) {
+  if (cycle <= kPathEps) return 0.0;
+  double r = v - std::floor(v / cycle) * cycle;
+  if (r < 0.0) r += cycle;
+  return r;
+}
+
+void border_segments(double x, double y, double w, double h,
+                     const double *corners, std::vector<BSeg> &out) {
+  if (w <= 0.0 || h <= 0.0) return;
+  double max_radius = std::max(0.0, std::min(w, h) * 0.5);
+  double r[4];  // TL, TR, BL, BR
+  for (int k = 0; k < 4; k++) r[k] = std::min(corners[k], max_radius);
+  double scale = 1.0;
+  const double pairs[4][2] = {{r[0] + r[1], w},
+                              {r[2] + r[3], w},
+                              {r[0] + r[2], h},
+                              {r[1] + r[3], h}};
+  for (auto &pe : pairs)
+    if (pe[0] > kPathEps) scale = std::min(scale, pe[1] / pe[0]);
+  if (scale < 1.0)
+    for (int k = 0; k < 4; k++) r[k] *= scale;
+  double tl = r[0], tr = r[1], bl = r[2], br = r[3];
+  double x0 = x, y0 = y, x1 = x + w, y1 = y + h;
+  const double quarter = M_PI * 0.5;
+  auto add_line = [&](double ax, double ay, double bx, double by) {
+    double dx = bx - ax, dy = by - ay;
+    double length = std::sqrt(dx * dx + dy * dy);
+    if (length > kPathEps)
+      out.push_back({0, length, ax, ay, bx, by, 0, 0, 0, 0, 0});
+  };
+  auto add_arc = [&](double cx, double cy, double radius, double start,
+                     double sweep) {
+    double length = std::fabs(radius * sweep);
+    if (radius > kPathEps && length > kPathEps)
+      out.push_back({1, length, 0, 0, 0, 0, cx, cy, radius, start, sweep});
+  };
+  add_line(x0 + tl, y0, x1 - tr, y0);
+  add_arc(x1 - tr, y0 + tr, tr, -quarter, quarter);
+  add_line(x1, y0 + tr, x1, y1 - br);
+  add_arc(x1 - br, y1 - br, br, 0.0, quarter);
+  add_line(x1 - br, y1, x0 + bl, y1);
+  add_arc(x0 + bl, y1 - bl, bl, quarter, quarter);
+  add_line(x0, y1 - bl, x0, y0 + tl);
+  add_arc(x0 + tl, y0 + tl, tl, M_PI, quarter);
+}
+
+void emit_op(DrawOp *ops, int cap, int &count, const DrawOp &op) {
+  if (count < cap && ops) ops[count] = op;
+  count++;
+}
+
+DrawOp line_op(double ax, double ay, double bx, double by) {
+  DrawOp op{};
+  op.kind = DK_LINE;
+  op.data[0] = (float)ax;
+  op.data[1] = (float)ay;
+  op.data[2] = (float)bx;
+  op.data[3] = (float)by;
+  return op;
+}
+
+DrawOp arc_op(double cx, double cy, double r, double a0, double sweep) {
+  DrawOp op{};
+  op.kind = DK_ARC;
+  op.data[0] = (float)cx;
+  op.data[1] = (float)cy;
+  op.data[2] = (float)r;
+  op.data[3] = (float)a0;
+  op.data[4] = (float)sweep;
+  return op;
+}
+
+// borders._add_interval: clip [start, stop) of path arc-length onto each
+// segment, emitting partial lines/arcs
+void add_interval(DrawOp *ops, int cap, int &count,
+                  const std::vector<BSeg> &segs, double start, double stop) {
+  double seg_start = 0.0;
+  for (const BSeg &seg : segs) {
+    double seg_stop = seg_start + seg.length;
+    double local_start = std::max(start, seg_start);
+    double local_stop = std::min(stop, seg_stop);
+    if (local_stop > local_start + kPathEps) {
+      double s = local_start - seg_start, e = local_stop - seg_start;
+      double t0 = s / seg.length, t1 = e / seg.length;
+      if (seg.kind == 0)
+        emit_op(ops, cap, count,
+                line_op(seg.ax + (seg.bx - seg.ax) * t0,
+                        seg.ay + (seg.by - seg.ay) * t0,
+                        seg.ax + (seg.bx - seg.ax) * t1,
+                        seg.ay + (seg.by - seg.ay) * t1));
+      else
+        emit_op(ops, cap, count,
+                arc_op(seg.cx, seg.cy, seg.radius, seg.a0 + seg.swp * t0,
+                       seg.swp * (t1 - t0)));
+    }
+    seg_start = seg_stop;
+  }
+}
+
+// borders._point_at
+void point_at(const std::vector<BSeg> &segs, double distance, double *px,
+              double *py) {
+  double seg_start = 0.0;
+  for (const BSeg &seg : segs) {
+    double seg_stop = seg_start + seg.length;
+    if (distance <= seg_stop + kPathEps) {
+      double local =
+          std::min(std::max(distance - seg_start, 0.0), seg.length);
+      if (seg.kind == 0) {
+        double t = local / seg.length;
+        *px = seg.ax + (seg.bx - seg.ax) * t;
+        *py = seg.ay + (seg.by - seg.ay) * t;
+      } else {
+        double angle = seg.a0 + seg.swp * (local / seg.length);
+        *px = seg.cx + std::cos(angle) * seg.radius;
+        *py = seg.cy + std::sin(angle) * seg.radius;
+      }
+      return;
+    }
+    seg_start = seg_stop;
+  }
+  *px = 0.0;
+  *py = 0.0;
+}
+
+int solid_border_ops(const std::vector<BSeg> &segs, DrawOp *ops, int cap) {
+  int count = 0;
+  for (const BSeg &seg : segs) {
+    if (seg.kind == 0)
+      emit_op(ops, cap, count, line_op(seg.ax, seg.ay, seg.bx, seg.by));
+    else
+      emit_op(ops, cap, count,
+              arc_op(seg.cx, seg.cy, seg.radius, seg.a0, seg.swp));
+  }
+  return count;
+}
+
+}  // namespace
+
+// style: 0 solid, 1 dashed (p1 dash length, p2 gap), 2 dotted (p1 dot
+// radius, p2 gap). corners = {TL, TR, BL, BR}. Writes up to cap DrawOp rows
+// and returns the TOTAL count (call again with a larger buffer if > cap).
+int fd_border_ops(int style, double bx, double by, double bw, double bh,
+                  const double *corners, double p1, double p2, double offset,
+                  DrawOp *ops, int cap) {
+  std::vector<BSeg> segs;
+  border_segments(bx, by, bw, bh, corners, segs);
+  if (style == 0) return solid_border_ops(segs, ops, cap);
+  double path_length = 0.0;
+  for (const BSeg &s : segs) path_length += s.length;
+  int count = 0;
+  if (style == 1) {  // dashed (borders.py drawable_dashed_*)
+    double dash = p1, gap = p2;  // already double — Python parity
+    if (dash <= kPathEps) return 0;
+    if (gap <= kPathEps) return solid_border_ops(segs, ops, cap);
+    double cycle = dash + gap;
+    if (path_length <= kPathEps || cycle <= kPathEps) return 0;
+    double distance = 0.0;
+    double phase = positive_mod(offset, cycle);
+    bool drawing = phase < dash;
+    double run_remaining = drawing ? dash - phase : cycle - phase;
+    while (distance < path_length - kPathEps) {
+      double run_stop = std::min(path_length, distance + run_remaining);
+      if (drawing) add_interval(ops, cap, count, segs, distance, run_stop);
+      distance = run_stop;
+      drawing = !drawing;
+      run_remaining = drawing ? dash : gap;
+    }
+    return count;
+  }
+  if (style == 2) {  // dotted
+    double dot = p1, gap = std::max(0.0, p2);
+    if (dot <= kPathEps) return 0;
+    double spacing = dot * 2.0 + gap;
+    if (path_length <= kPathEps || spacing <= kPathEps) return 0;
+    double phase = positive_mod(offset, spacing);
+    double distance = phase <= kPathEps ? 0.0 : spacing - phase;
+    while (distance < path_length - kPathEps) {
+      double px, py;
+      point_at(segs, distance, &px, &py);
+      DrawOp op{};
+      op.kind = DK_CIRCLE;
+      op.data[0] = (float)px;
+      op.data[1] = (float)py;
+      op.data[2] = (float)dot;
+      emit_op(ops, cap, count, op);
+      distance += spacing;
+    }
+    return count;
+  }
+  return 0;
+}
+
 // Export: fields (cap, QF_WIDTH) f32, modes (cap, QI_WIDTH) i32,
 // items (n, 5) i32 with radius bit-cast in slot 4.
 int fd_export(Ctx* ctx, float* fields, int32_t* modes, int quad_cap,

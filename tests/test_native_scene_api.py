@@ -150,6 +150,124 @@ def test_capi_scene_matches_python_scene():
     assert np.array_equal(py_tape.modes[: py_tape.count], c_modes)
 
 
+def _border_rows_c(lib, style, box, corners, p1=0.0, p2=0.0, off=0.0):
+    lib.fd_border_ops.restype = ctypes.c_int32
+    lib.fd_border_ops.argtypes = (
+        [ctypes.c_int32] + [ctypes.c_double] * 4
+        + [ctypes.c_void_p] + [ctypes.c_double] * 3
+        + [ctypes.c_void_p, ctypes.c_int32])
+    cr = np.asarray(corners, dtype=np.float64)
+    cap = 4096
+    buf = np.zeros(cap, dtype=OP_DTYPE)
+    n = lib.fd_border_ops(style, box.x, box.y, box.w, box.h,
+                          cr.ctypes.data_as(ctypes.c_void_p), p1, p2, off,
+                          buf.ctypes.data_as(ctypes.c_void_p), cap)
+    assert 0 <= n <= cap
+    return buf[:n]
+
+
+def _border_rows_py(ops):
+    from figdraw_tpu.nodes import DrawableKind
+
+    rows = np.zeros(len(ops), dtype=OP_DTYPE)
+    for k, op in enumerate(ops):
+        rows[k]["kind"] = int(op.kind)
+        if op.kind == DrawableKind.dkLine:
+            rows[k]["data"][0:4] = (op.a.x, op.a.y, op.b.x, op.b.y)
+        elif op.kind == DrawableKind.dkCircle:
+            rows[k]["data"][0:3] = (op.center.x, op.center.y, op.radius)
+        elif op.kind == DrawableKind.dkArc:
+            rows[k]["data"][0:5] = (op.arc_center.x, op.arc_center.y,
+                                    op.arc_radius, op.start_angle,
+                                    op.sweep_angle)
+    return rows
+
+
+def test_capi_border_ops_bit_identical():
+    """fd_border_ops == borders.py BIT-identical (the reference exports the
+    figRoundedRectBorder/dashed/dotted generators over its ABI,
+    drawutils.nim:351-404): 120 fuzzed boxes/radii/patterns across all
+    three styles, byte-compared at the OP_DTYPE row level."""
+    import random
+
+    from figdraw_tpu import rect
+    from figdraw_tpu.borders import (
+        drawable_dashed_rounded_rect_border_ops,
+        drawable_dotted_rounded_rect_border_ops,
+        drawable_rounded_rect_border_ops,
+    )
+
+    lib = native._load()
+    rng = random.Random(8080)
+    for _ in range(120):
+        box = rect(rng.uniform(-20, 50), rng.uniform(-20, 50),
+                   rng.uniform(0.0, 300), rng.uniform(0.0, 300))
+        corners = tuple(rng.uniform(0, 60) for _ in range(4))
+        style = rng.randint(0, 2)
+        p1 = rng.uniform(0, 12)
+        p2 = rng.uniform(0, 8)
+        off = rng.uniform(-9, 20)
+        if style == 0:
+            want = _border_rows_py(
+                drawable_rounded_rect_border_ops(box, corners))
+        elif style == 1:
+            want = _border_rows_py(drawable_dashed_rounded_rect_border_ops(
+                box, corners, p1, p2, off))
+        else:
+            want = _border_rows_py(drawable_dotted_rounded_rect_border_ops(
+                box, corners, p1, p2, off))
+        got = _border_rows_c(lib, style, box, corners, p1, p2, off)
+        assert len(got) == len(want), (style, box, corners, p1, p2, off)
+        assert got.tobytes() == want.tobytes(), (style, box, corners)
+
+
+def test_capi_dashed_border_scene_matches_python():
+    """End-to-end: a C host building a dashed-border node from
+    fd_border_ops rows flattens to the same tape as Python's
+    fig_dashed_rounded_rect_border scene."""
+    from figdraw_tpu import new_renders, rect, rgba, vec2
+    from figdraw_tpu.borders import fig_dashed_rounded_rect_border
+    from figdraw_tpu.fill import fill
+    from figdraw_tpu.nodesarray import from_renders
+    from figdraw_tpu.renderer import FigRenderer
+
+    box = rect(20, 15, 140, 90)
+    corners = (12, 6, 0, 18)
+    weight, dash, gap, off = 3.0, 8.0, 5.0, 2.5
+
+    def build(lib, renders):
+        half = weight * 0.5
+        local = rect(half, half, box.w, box.h)
+        rows = _border_rows_c(lib, 1, local, corners, dash, gap, off)
+        d = np.zeros((), FIG_DTYPE)
+        d["kind"] = NK_DRAWABLE
+        d["box"] = (box.x - half, box.y - half,
+                    box.w + weight, box.h + weight)
+        d["draw_weight"] = weight
+        d["draw_cap"] = 2  # scButt
+        lib.fd_fill_solid(_row_ptr(d["draw_stroke_fill"]), 30, 90, 200, 255)
+        d["ops_start"] = lib.fd_renders_op_count(renders, 0)
+        for k in range(len(rows)):
+            lib.fd_renders_add_op(
+                renders, 0, rows[k:k + 1].ctypes.data_as(ctypes.c_void_p),
+                None, 0)
+        d["ops_count"] = len(rows)
+        lib.fd_renders_add_root(renders, 0, _row_ptr(d))
+
+    c_fields, c_modes = _flatten_capi(build)
+
+    renders = new_renders()
+    fig = fig_dashed_rounded_rect_border(
+        box, corners, fill(rgba(30, 90, 200, 255)), weight, dash, gap, off)
+    renders.add_root(0, fig)
+    ren = FigRenderer(atlas_size=64, use_pallas=False)
+    py_tape = ren.flatten(from_renders(renders), vec2(220, 160))
+
+    assert py_tape.count == c_fields.shape[0]
+    assert np.array_equal(py_tape.fields[: py_tape.count], c_fields)
+    assert np.array_equal(py_tape.modes[: py_tape.count], c_modes)
+
+
 def test_capi_rejects_bad_parent():
     lib = native._load()
     renders = lib.fd_renders_new()

@@ -82,6 +82,14 @@ int main(int argc, char **argv) {
   fdx_rotation(&badge, 15.0f);
   fdx_add_root(&s, 0, &badge);
 
+  /* dashed + dotted borders in one call (figDashedRoundedRectBorder-class
+   * ABI exports, generated bit-identically to borders.py) */
+  double bcorners[4] = {10, 10, 10, 10};
+  int dashed_idx = fdx_add_border(&s, 0, 1, 24, 200, 200, 120, bcorners,
+                                  60, 60, 160, 255, 3.0f, 9.0, 5.0, 0.0);
+  int dotted_idx = fdx_add_border(&s, 0, 2, 260, 200, 160, 120, bcorners,
+                                  160, 60, 60, 255, 5.0f, 4.0, 0.0, 0.0);
+
   /* translated subtree: an nkTransform root moving a small stack */
   FdxFig mover = fdx_transform(40.0f, 220.0f);
   int mv = fdx_add_root(&s, 0, &mover);
@@ -91,6 +99,7 @@ int main(int argc, char **argv) {
   fdx_add_child(&s, 0, mv, &chip);
 
   int quads = fdx_flatten(&s);
+  printf("dashed_idx=%d dotted_idx=%d\n", dashed_idx, dotted_idx);
   printf("quads=%d\n", quads);
   if (s.err || quads <= 0 || quads > MAX_QUADS) {
     fprintf(stderr, "scene error: %s\n", s.err ? s.err : "quad overflow");

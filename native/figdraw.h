@@ -191,6 +191,64 @@ static inline int fdx_flatten(FdxScene *s) {
   return fd_quad_count(s->ctx);
 }
 
+/* Add a rounded-rect border root in one call — the reference's
+ * figRoundedRectBorder / figDashedRoundedRectBorder /
+ * figDottedRoundedRectBorder ABI exports (drawutils.nim:351-422).
+ * style: 0 solid, 1 dashed (p1 dash length, p2 gap), 2 dotted (p1 gap;
+ * dot radius = weight/2). Generates the perimeter ops via fd_border_ops
+ * (bit-identical to borders.py), appends them to the layer pool and adds
+ * the nkDrawable node with the same bounds padding / fill-vs-stroke
+ * conventions as borders.py's fig_* constructors. Returns the node index
+ * (or -1, err set). */
+static inline int fdx_add_border(FdxScene *s, int zlevel, int style,
+                                 float x, float y, float w, float h,
+                                 const double corners[4], uint8_t r,
+                                 uint8_t g, uint8_t b, uint8_t a2,
+                                 float weight, double p1, double p2,
+                                 double offset) {
+  if (s->err) return -1;
+  double half = (weight > 0 ? weight : 0) * 0.5;
+  double bp1 = p1, bp2 = p2;
+  int bstyle = style;
+  if (style == 2) {  /* dotted: p1 is the gap, radius from the weight */
+    bp1 = half;
+    bp2 = p1;
+  }
+  int n = fd_border_ops(bstyle, half, half, w, h, corners, bp1, bp2, offset,
+                        NULL, 0);
+  if (n < 0) {
+    fdx_fail_(s, "fd_border_ops failed");
+    return -1;
+  }
+  unsigned char *ops =
+      (unsigned char *)malloc((size_t)(n > 0 ? n : 1) * FD_OP_SIZE);
+  if (!ops) {
+    fdx_fail_(s, "out of memory");
+    return -1;
+  }
+  fd_border_ops(bstyle, half, half, w, h, corners, bp1, bp2, offset, ops, n);
+  FdxFig f = fdx_node(FD_KIND_DRAWABLE);
+  fdx_box(&f, (float)(x - half), (float)(y - half), (float)(w + half * 2),
+          (float)(h + half * 2));
+  int32_t ops_start = fd_renders_op_count(s->renders, zlevel);
+  memcpy(f.bytes + FD_FIG_OFF_OPS_START, &ops_start, 4);
+  memcpy(f.bytes + FD_FIG_OFF_OPS_COUNT, &n, 4);
+  if (style == 2) {
+    /* dots are filled circles: the node fill carries the color */
+    fdx_solid(&f, r, g, b, a2);
+  } else {
+    float wgt = weight;
+    memcpy(f.bytes + FD_FIG_OFF_DRAW_WEIGHT, &wgt, 4);
+    f.bytes[FD_FIG_OFF_DRAW_CAP] = 2; /* scButt, borders.py default */
+    fd_fill_solid(f.bytes + FD_FIG_OFF_DRAW_STROKE_FILL, r, g, b, a2);
+  }
+  for (int k = 0; k < n; k++)
+    fd_renders_add_op(s->renders, zlevel, ops + (size_t)k * FD_OP_SIZE,
+                      NULL, 0);
+  free(ops);
+  return fdx_add_root(s, zlevel, &f);
+}
+
 /* ---- retained editing (docs/native_api.md recipe as calls) ------------ */
 
 /* Flatten recording per-root spans (spans[2i], spans[2i+1]) with `reserve`

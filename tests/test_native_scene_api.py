@@ -368,6 +368,9 @@ def test_shim_demo_compiles_and_runs(tmp_path):
     assert int(lines["quads"]) > 0
     assert int(lines["patch_ok"]) == 1
     assert int(lines["label_glyphs"]) > 0  # mark-bearing label typeset in C
+    # one-call border roots (fdx_add_border over fd_border_ops) landed
+    assert int(lines["dashed_idx"]) >= 0
+    assert int(lines["dotted_idx"]) > int(lines["dashed_idx"])
 
 
 def test_capi_retained_patch_matches_full_reflatten():

@@ -1,12 +1,15 @@
 """Native C typesetter (native/typeset.cpp + text/native_pack.py).
 
-Pins the FDTP font-pack engine GLYPH-FOR-GLYPH against the Python pipeline
-(text/shaper.py substitute_ex + position, text/layout.py typeset) on the
-simple-script path — the C-host text surface that closes the reference
-dynlib's typeset export gap (/root/reference/src/figdraw/bindings/
-native_bindings.nim:1-628): Latin/Cyrillic/Greek text shaped from C must be
-IDENTICAL (gids, advances incl. kerning, clusters), and anything the engine
-cannot reproduce (GPOS mark positioning) must be REFUSED, never mis-shaped.
+Pins the FDTP font-pack engine GLYPH-FOR-GLYPH and position-for-position
+against the Python pipeline (text/shaper.py substitute_ex + position,
+text/layout.py typeset + the GlyphArrangement query suite) — the C-host
+text surface that closes the reference dynlib's typeset export gap
+(/root/reference/src/figdraw/bindings/native_bindings.nim:1-628): every
+script the Python pipeline stages (Latin-class, Arabic, Hebrew,
+Devanagari, Khmer, Myanmar, Thai/Lao), UAX#9 bidi paragraphs, variable
+instances, and the selection/caret geometry APIs must be IDENTICAL from
+C; anything the engine cannot reproduce (offset-less APIs with marks,
+reduced packs) must be REFUSED, never mis-shaped.
 """
 
 import struct

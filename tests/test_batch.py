@@ -145,15 +145,27 @@ def test_batch_empty():
     assert out.shape == (0, 48, 64, 4)
 
 
+def _needs_mesh():
+    """The frame-parallel legs exercise a REAL multi-device shard; on a
+    single-chip host (the real-TPU tier runs with one device; CPU tests get
+    8 virtual devices from conftest) a 1-wide mesh would trivially pass."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh (single-chip environment)")
+
+
 def test_batch_frame_parallel_mesh():
     """Frame-parallel offline rendering: the chunk's frame axis shards over
-    an 8-device mesh (each device renders whole frames, no collectives) and
-    must stay bit-exact vs the per-frame path — including a frame count that
-    is neither a multiple of the mesh size nor a power of two."""
+    the full device mesh (each device renders whole frames, no collectives)
+    and must stay bit-exact vs the per-frame path — including a frame count
+    that is neither a multiple of the mesh size nor a power of two."""
+    import jax
     from figdraw_tpu.parallel.sharding import frames_mesh
 
+    _needs_mesh()
     mesh = frames_mesh()
-    assert mesh.devices.size == 8
+    assert mesh.devices.size == len(jax.devices())
     _check_batch(simple_scene, vec2(160, 128), 11, use_pallas=False,
                  chunk=2, mesh=mesh)
 
@@ -161,6 +173,7 @@ def test_batch_frame_parallel_mesh():
 def test_batch_frame_parallel_mesh_rolled():
     from figdraw_tpu.parallel.sharding import frames_mesh
 
+    _needs_mesh()
     _check_batch(clip_scene, vec2(224, 160), 5, use_pallas=False,
                  chunk=1, mesh=frames_mesh())
 

@@ -221,14 +221,19 @@ int32_t fd_arr_glyph_range_for(const FdArrangement *a, int32_t ra,
  * INCLUSIVE (selectionRectsFor): contiguous selected glyphs merge, an
  * unselected glyph VISUALLY in between splits, partial ligature coverage
  * clips the band. rects = 4 floats {x,y,w,h} per band. Returns the band
- * count (may exceed cap — call again with a larger buffer). */
+ * count (may exceed cap — call again with a larger buffer; rects may be
+ * NULL for a pure count query, with any cap). */
 int32_t fd_arr_selection_rects(const FdArrangement *a, int32_t ra,
                                int32_t rb, float *rects, int32_t cap);
 /* Visual caret position(s) at a source insertion index — bidi boundaries
  * can produce more than one. out = 6 floats per entry: {x, y (caret top),
  * h, line index, glyph index (-1 for the empty arrangement), affinity
  * 0 leading / 1 trailing / 2 inside}. Returns the entry count (may exceed
- * cap). */
+ * cap; the count is the same whatever cap/out are — bidi-doubled carets
+ * dedup before capping). out may be NULL for a pure count query, with
+ * any cap. The fixed-size out pointers above (line_range, glyph_rect,
+ * cluster_rect, source_range, glyph_range_for, content_size) must be
+ * non-NULL. */
 int32_t fd_arr_caret_positions(const FdArrangement *a, int32_t source_rune,
                                float *out, int32_t cap);
 /* Glyph index whose advance box contains the local point, or -1. */

@@ -184,12 +184,16 @@ for it in range(1500):
         LIB.fd_arr_cluster_rect(a, i, r4)
         LIB.fd_arr_source_range(a, i, upair)
         queried += 4
+    INT32_MAX = 2 ** 31 - 1
     for _ in range(8):
         ra = rng.randint(-3, n + 3)
-        rb = rng.randint(-3, n + 3)
+        rb = rng.choice([rng.randint(-3, n + 3), INT32_MAX, -(2 ** 31)])
         LIB.fd_arr_glyph_range_for(a, ra, rb, pair)
         need = LIB.fd_arr_selection_rects(a, ra, rb, None, 0)
         assert need >= 0 or need == -3, need
+        # NULL rects with a NONZERO cap is part of the count-query
+        # contract and must neither write nor read through NULL
+        assert LIB.fd_arr_selection_rects(a, ra, rb, None, 16) == need
         if need > 0:
             bands = (ctypes.c_float * (4 * need))()
             got = LIB.fd_arr_selection_rects(a, ra, rb, bands, need)
@@ -199,9 +203,12 @@ for it in range(1500):
                 small = (ctypes.c_float * 4)()
                 LIB.fd_arr_selection_rects(a, ra, rb, small, 1)
         nc = LIB.fd_arr_caret_positions(a, ra, None, 0)
+        # same NULL-with-cap contract, and the cap=0 count must match
+        # what a full-size call actually writes (dedup before capping)
+        assert LIB.fd_arr_caret_positions(a, ra, None, 16) == nc
         if nc > 0:
             cp_out = (ctypes.c_float * (6 * nc))()
-            LIB.fd_arr_caret_positions(a, ra, cp_out, nc)
+            assert LIB.fd_arr_caret_positions(a, ra, cp_out, nc) == nc
             LIB.fd_arr_caret_positions(a, ra, cp_out, 1)
         x = rng.uniform(-1e3, 1e3)
         y = rng.uniform(-1e3, 1e3)

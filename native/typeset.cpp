@@ -36,6 +36,7 @@
 #include "figdraw_typeset.h"
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstring>
 #include <string>
@@ -2833,10 +2834,16 @@ namespace {
 
 // layout.py typeset's line-break + position pipeline (single font) — the
 // shared core of fd_typeset_box and fd_typeset_box_make
+// cap_limit >= 0 bounds the glyph count (checked as soon as shaping +
+// line breaking know it, BEFORE the positioning pass — an E_CAP retry
+// must not pay alignment/bidi-visual-order work it will throw away);
+// geom=false skips the query-only geometry arrays (pen_x, rect_y,
+// line_idx, lvl) the draw-stream entry point never reads.
 int32_t box_layout_core(const FdFontPack *pack, const uint32_t *cps,
                         int32_t n, float size_px, float line_height,
                         float bounds_w, float bounds_h, int32_t h_align,
-                        int32_t v_align, int32_t wrap, FdArrangement &a) {
+                        int32_t v_align, int32_t wrap, FdArrangement &a,
+                        int32_t cap_limit = -1, bool geom = true) {
   if (n < 0) return FD_TYPESET_E_CAP;
   double scale = pack->upem > 0 ? (double)size_px / pack->upem : 0.0;
   a.n_src = n;
@@ -2955,6 +2962,9 @@ int32_t box_layout_core(const FdFontPack *pack, const uint32_t *cps,
   if (line_start < a.g.size())
     a.lines.emplace_back(line_start, a.g.size() - 1);
 
+  if (cap_limit >= 0 && (int32_t)a.g.size() > cap_limit)
+    return FD_TYPESET_E_CAP;
+
   // positioning (layout.py:792-845; single-font arrangement)
   double ascent = pack->ascent * scale;
   double descent = -pack->descent * scale;
@@ -2965,12 +2975,14 @@ int32_t box_layout_core(const FdFontPack *pack, const uint32_t *cps,
   size_t ng = a.g.size();
   a.draw_x.resize(ng);
   a.draw_y.resize(ng);
-  a.pen_x.resize(ng);
-  a.rect_y.resize(ng);
-  a.line_idx.assign(ng, 0);
-  a.lvl.resize(ng);
-  for (size_t k = 0; k < ng; k++)
-    a.lvl[k] = a.cl[k] < levels.size() ? levels[a.cl[k]] : 0;
+  if (geom) {
+    a.pen_x.resize(ng);
+    a.rect_y.resize(ng);
+    a.line_idx.assign(ng, 0);
+    a.lvl.resize(ng);
+    for (size_t k = 0; k < ng; k++)
+      a.lvl[k] = a.cl[k] < levels.size() ? levels[a.cl[k]] : 0;
+  }
   double y = 0.0;
   double max_line_w = 0.0;
   for (size_t li = 0; li < a.lines.size(); li++) {
@@ -3009,9 +3021,11 @@ int32_t box_layout_core(const FdFontPack *pack, const uint32_t *cps,
       // base's anchor (layout.py's pos + offset, consumed by glyphs.py)
       a.draw_x[k] = (float)(pen + offx[k]);
       a.draw_y[k] = (float)(baseline + offy[k]);
-      a.pen_x[k] = pen;  // rect x (layout.py g.rect — pre-offset pen)
-      a.rect_y[k] = y;
-      a.line_idx[k] = (int32_t)li;
+      if (geom) {
+        a.pen_x[k] = pen;  // rect x (layout.py g.rect — pre-offset pen)
+        a.rect_y[k] = y;
+        a.line_idx[k] = (int32_t)li;
+      }
       pen += a.adv[k];
     }
     if (visible_w > max_line_w) max_line_w = visible_w;
@@ -3025,7 +3039,7 @@ int32_t box_layout_core(const FdFontPack *pack, const uint32_t *cps,
     if (dy != 0)
       for (size_t k = 0; k < ng; k++) {
         a.draw_y[k] = (float)(a.draw_y[k] + dy);
-        a.rect_y[k] += dy;  // layout.py shifts g.rect too
+        if (geom) a.rect_y[k] += dy;  // layout.py shifts g.rect too
       }
   }
   return (int32_t)ng;
@@ -3041,9 +3055,9 @@ int32_t fd_typeset_box(const FdFontPack *pack, const uint32_t *cps, int32_t n,
   FdArrangement a;
   int32_t count = box_layout_core(pack, cps, n, size_px, line_height,
                                   bounds_w, bounds_h, h_align, v_align, wrap,
-                                  a);
+                                  a, cap, /*geom=*/false);
   if (count < 0) return count;
-  if (count > cap) return FD_TYPESET_E_CAP;
+  if (count > cap) return FD_TYPESET_E_CAP;  // unreachable; belt-and-braces
   for (int32_t k = 0; k < count; k++) {
     if (gids) gids[k] = a.g[k];
     if (xs) xs[k] = a.draw_x[k];
@@ -3261,7 +3275,10 @@ int32_t fd_arr_selection_rects(const FdArrangement *a, int32_t ra,
                                int32_t rb, float *rects, int32_t cap) {
   if (ra > rb) return 0;
   int32_t sel_start = std::max(ra, 0);
-  int32_t sel_end = rb + 1;
+  // clamp before the +1: rb = INT32_MAX is the natural "select everything"
+  // idiom and must not overflow to INT32_MIN (every cl/cle is <= n_src, so
+  // the clamp is semantics-preserving vs layout.py's unbounded ints)
+  int32_t sel_end = std::min(rb, a->n_src) + 1;
   if (sel_end <= sel_start) return 0;
   int32_t count = 0;
   auto emit = [&](double x0, double x1, double ly, double lh) {
@@ -3317,27 +3334,31 @@ int32_t fd_arr_selection_rects(const FdArrangement *a, int32_t ra,
 
 int32_t fd_arr_caret_positions(const FdArrangement *a, int32_t source_rune,
                                float *out, int32_t cap) {
-  int32_t count = 0;
+  // Dedup runs against a local stash, NOT the caller buffer: the count a
+  // cap=0 count query returns must equal what a full-size second call
+  // writes (bidi-doubled carets dedup the same either way), and a NULL
+  // `out` with a nonzero cap must never be read through.
+  std::vector<std::array<float, 6>> stash;
   auto add = [&](double x, double y, double h, int32_t line, int32_t gi,
                  int32_t aff) {
-    for (int32_t q = 0; q < std::min(count, cap); q++)
-      if ((int32_t)out[q * 6 + 3] == line &&
-          std::fabs(out[q * 6 + 0] - x) < 1e-3 &&
-          std::fabs(out[q * 6 + 1] - y) < 1e-3)
+    for (const auto &q : stash)
+      if ((int32_t)q[3] == line && std::fabs(q[0] - x) < 1e-3 &&
+          std::fabs(q[1] - y) < 1e-3)
         return;
-    if (count < cap && out) {
-      out[count * 6 + 0] = (float)x;
-      out[count * 6 + 1] = (float)y;
-      out[count * 6 + 2] = (float)h;
-      out[count * 6 + 3] = (float)line;
-      out[count * 6 + 4] = (float)gi;
-      out[count * 6 + 5] = (float)aff;
-    }
-    count++;
+    stash.push_back({(float)x, (float)y, (float)h, (float)line, (float)gi,
+                     (float)aff});
+  };
+  auto finish = [&]() {
+    int32_t count = (int32_t)stash.size();
+    if (out)
+      for (int32_t q = 0; q < std::min(count, cap); q++)
+        std::memcpy(out + (size_t)q * 6, stash[(size_t)q].data(),
+                    6 * sizeof(float));
+    return count;
   };
   if (a->g.empty()) {
     if (source_rune == 0) add(0, 0, 0, 0, -1, 0);
-    return count;
+    return finish();
   }
   auto caret_x = [](const ArrRect &r, bool rtl, bool source_start) {
     if (source_start) return rtl ? r.x + r.w : r.x;
@@ -3358,7 +3379,7 @@ int32_t fd_arr_caret_positions(const FdArrangement *a, int32_t source_rune,
       add(x, r.y, r.h, line, (int32_t)i, 2);
     }
   }
-  return count;
+  return finish();
 }
 
 int32_t fd_arr_glyph_index_at(const FdArrangement *a, float x, float y) {

@@ -683,6 +683,40 @@ def test_arrangement_geometry_devanagari():
              "\u094d\u0926\u0940 ab")
 
 
+def test_arrangement_geometry_edge_contracts():
+    """C-host contract edges the Python wrappers never hit: rb = INT32_MAX
+    is the natural select-everything idiom and must equal the explicit
+    full range (not signed-overflow to zero bands); a cap=0/NULL caret
+    count query must return the SAME count a full buffer receives (bidi
+    doubles carets, dedup runs before capping); NULL outputs with nonzero
+    caps are pure count queries, never read or written through."""
+    import ctypes
+
+    tid = load_typeface(HEBREW)
+    text = "abc שלום 123 xyz"
+    font = FigFont(typeface_id=tid, size=18.0)
+    arr = typeset(vec2(150, 0), [(font, fill(rgba(0, 0, 0, 255)), text)],
+                  wrap=True)
+    ca = nt.Arrangement(tid, text, 18.0, bounds=(150, 0), wrap=True)
+    lib = ca._lib
+    int32_max = 2 ** 31 - 1
+    want = arr.selection_rects_for((0, len(text) - 1))
+    full = ca.selection_rects(0, len(text) - 1)
+    big = np.zeros(64 * 4, dtype=np.float32)
+    n_big = lib.fd_arr_selection_rects(
+        ca._h, 0, int32_max, big.ctypes.data_as(ctypes.c_void_p), 64)
+    assert n_big == len(full) == len(want) > 0
+    for k in range(n_big):
+        assert np.allclose(big[k * 4:k * 4 + 4], np.asarray(full[k]),
+                           atol=1e-4), k
+    assert lib.fd_arr_selection_rects(ca._h, 0, int32_max, None, 0) == n_big
+    assert lib.fd_arr_selection_rects(ca._h, 0, int32_max, None, 16) == n_big
+    for sr in range(len(text) + 1):
+        got = ca.caret_positions(sr)
+        assert lib.fd_arr_caret_positions(ca._h, sr, None, 0) == len(got), sr
+        assert lib.fd_arr_caret_positions(ca._h, sr, None, 16) == len(got), sr
+
+
 def test_variable_instance_packs():
     """build_font_pack(variations=...) bakes an INSTANCE pack: advances
     come from the varied glyph set, so fd_typeset_box over the pack equals

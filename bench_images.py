@@ -114,7 +114,10 @@ def main():
         ren = FigRenderer(atlas_size=256, use_pallas=True)
         bus = ImageMessageBus()
         ren.ensure_image_message_subscription(bus)
-        put_image(IMG_ID, _photo_image(), bus=bus)
+        # mipmapped=True is the production default (load_image): minified
+        # scaled draws (the 40px of a 64px source) then pay the flatten-time
+        # trilinear second quad — the path this bench exists to bound
+        put_image(IMG_ID, _photo_image(), bus=bus, mipmapped=True)
         res = {}
         for variant in ("sdf_control", "images_11", "images_scaled",
                         "images_mixed"):

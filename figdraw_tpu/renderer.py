@@ -342,11 +342,23 @@ def _anim_table(scene, root_transforms):
     thousands-of-roots animation)."""
     order = _anim_state(scene)
     if order is None:
+        # anim_spans goes missing for two distinct reasons; diagnose the
+        # right one (re-snapshotting with animate=True only fixes the
+        # mega-sentinel case — telling a Python-walk user to do it is a
+        # dead end)
+        if scene.kind == "mega":
+            raise ValueError(
+                "scene is not animatable: a mega-path snapshot with clip "
+                "masks interleaves clear sentinel rows, so tape rows do "
+                "not map 1:1 onto combo rows. Snapshot with animate=True "
+                "to force an animatable (non-mega) layout."
+            )
         raise ValueError(
-            "scene is not animatable: the snapshot has no per-root row "
-            "mapping (a mega-path snapshot with clip masks interleaves "
-            "clear sentinel rows). Snapshot with animate=True to force an "
-            "animatable layout."
+            "scene is not animatable: the snapshot recorded no per-root "
+            "row spans. Spans come from the native C walk only — pass the "
+            "scene as a RendersArray (nodesarray.from_renders) and make "
+            "sure the native flattener built (figdraw_tpu.native"
+            ".available()); an empty scene has no roots to animate."
         )
     n = len(order)
     if not isinstance(root_transforms, dict):

@@ -617,10 +617,16 @@ class TapeBackend(BackendContext):
         # walks compute it with the same primitive ops (C++ twin:
         # native/flatten.cpp draw_image_node, bit-identical).
         native_w = r[2] * self.atlas_size
+        native_h = r[3] * self.atlas_size
         blend = None  # (level+1 entry, u8 alpha scale) second pass
-        if draw_size.x > 0 and native_w > draw_size.x:
+        # LOD comes from the MAX-axis minification (GL derives it from the
+        # max-axis footprint): a 64x64 image in a 64x16 box is 4x minified
+        # even though x is 1:1
+        if (draw_size.x > 0 and draw_size.y > 0
+                and (native_w > draw_size.x or native_h > draw_size.y)):
             level = 0
-            scale = native_w / max(draw_size.x, 1e-6)
+            scale = max(native_w / max(draw_size.x, 1e-6),
+                        native_h / max(draw_size.y, 1e-6))
             while scale >= 2.0 and (image_id, level + 1) in self.entries:
                 level += 1
                 scale *= 0.5

@@ -555,11 +555,16 @@ void draw_image_node(Ctx& ctx, const Fig& n, double bx, double by, double bw,
   // per-quad constant LOD; the bracketing level+1 rides a second quad whose
   // vertex alpha carries the u8-quantized linear-in-scale fraction)
   double native_w = e->w * ctx.atlas_size;
+  double native_h = e->h * ctx.atlas_size;
   const AtlasEntry* blend_e = nullptr;
   double blend_t = 0.0;
-  if (n.kind == NK_IMAGE && drw > 0 && native_w > drw) {
+  // LOD from the MAX-axis minification (GL max-axis footprint), exactly
+  // like tape.py: std::max(x, 1e-6) == Python's max(x, 1e-6) bit-for-bit
+  if (n.kind == NK_IMAGE && drw > 0 && drh > 0 &&
+      (native_w > drw || native_h > drh)) {
     int level = 0;
-    double scale = native_w / (drw > 1e-6 ? drw : 1e-6);
+    double scale = std::max(native_w / std::max(drw, 1e-6),
+                            native_h / std::max(drh, 1e-6));
     const AtlasEntry* next;
     while (scale >= 2.0 && (next = ctx.find_entry(n.image_id, level + 1))) {
       level++;

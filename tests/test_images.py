@@ -118,6 +118,46 @@ def test_minified_zoom_blends_mip_levels_monotonically():
     assert 30 < reds[2] < 225 and 30 < blues[2] < 225, (reds, blues)
 
 
+def test_anisotropic_minification_uses_max_axis_lod():
+    """LOD derives from the MAX-axis footprint (GL LINEAR_MIPMAP_LINEAR):
+    a 32x32 image drawn 32 wide but only 16 tall is 2x minified and must
+    sample level 1 exactly like a uniform 16x16 draw — x-only LOD would
+    keep level 0 and alias/shimmer under animation."""
+    from figdraw_tpu.resources import ImageMessageBus, ImageMsg, ImageMsgKind
+
+    red = np.zeros((32, 32, 4), np.uint8)
+    red[:] = (255, 0, 0, 255)
+    blue = np.zeros((16, 16, 4), np.uint8)
+    blue[:] = (0, 0, 255, 255)
+    mips = tuple(
+        np.full((e, e, 4), (0, 255, 0, 255), np.uint8) for e in (8, 4, 2, 1)
+    )
+    bus = ImageMessageBus()
+    ren = FigRenderer(atlas_size=128, use_pallas=False)
+    ren.ensure_image_message_subscription(bus)
+    bus.publish(ImageMsg(kind=ImageMsgKind.PutImage, id=556, image=red,
+                         mipmapped=True, mips=(blue,) + mips))
+
+    def center_px(w, h):
+        lst = RenderList()
+        lst.add_root(Fig(kind=FigKind.nkRectangle,
+                         screen_box=rect(0, 0, 48, 48),
+                         fill=fill(rgba(255, 255, 255, 255))))
+        lst.add_root(Fig(kind=FigKind.nkImage, screen_box=rect(4, 4, w, h),
+                         image=image_style(556)))
+        r = new_renders()
+        r.set_layer(0, lst)
+        ren.render_frame(r, vec2(48, 48))
+        shot = ren.take_screenshot()
+        return shot[4 + int(h // 2), 4 + int(w // 2)].astype(float)
+
+    wide = center_px(32, 16)   # x 1:1, y 2x minified -> level 1 (blue)
+    tall = center_px(16, 32)   # y 1:1, x 2x minified -> level 1 (blue)
+    square = center_px(16, 16)  # uniform 2x -> level 1 (blue), the anchor
+    for px in (wide, tall, square):
+        assert px[2] > 250 and px[0] < 5, (wide, tall, square)
+
+
 def test_replace_image_updates_pixels():
     bus = ImageMessageBus()
     ren = FigRenderer(atlas_size=64, use_pallas=False)
